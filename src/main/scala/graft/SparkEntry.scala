@@ -17,8 +17,8 @@ object SparkEntry {
     cdc.CdcQueries.materialize(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    cdc.CdcQueries.queries
+    cdc.CdcQueries.queries ++ analytics.Dashboards.queries
 
   def oracleSql: Map[String, String] =
-    cdc.CdcQueries.oracle
+    cdc.CdcQueries.oracle ++ analytics.Dashboards.oracle
 }

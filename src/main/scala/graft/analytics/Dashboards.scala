@@ -1,0 +1,107 @@
+package graft.analytics
+
+import graft.Tables
+import graft.cdc.Materialize
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Q1-Q4 — the reference's OpenSearch Dashboards analytics
+  * (`README.md:144-163`), run over the O10 materialized view exactly as
+  * the dashboards run over the live index.
+  *
+  * Scale notes: Q1/Q2 are partial+final hash aggregations (map-side
+  * combine, one small shuffle keyed on a low-cardinality column); Q3 plans
+  * as `TakeOrderedAndProject` (per-partition top-k, only k rows per
+  * partition reach the driver-side merge — never a full sort of the
+  * table). Q4 shares the materialized view across all three panels; Spark
+  * reuses the exchange under AQE when the three subtrees share the scan.
+  */
+object Dashboards {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def view(spark: SparkSession, sfDir: String): DataFrame =
+    Materialize.customerView(Tables.events(spark, sfDir))
+
+  /** Q1 — "Count by Classification" terms aggregation
+    * (`README.md:150-152`): group by the classification analog, count,
+    * order by count. Secondary sort key makes the order total so the
+    * oracle hash is deterministic.
+    */
+  def termsCount(spark: SparkSession, sfDir: String): DataFrame =
+    view(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type"))
+
+  /** Q2 — "New Customers Over Time" date histogram (`README.md:154-156`):
+    * daily tumbling buckets of the view's event-time column.
+    */
+  def dateHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    view(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("day"))
+
+  /** Q3 — "Recent 10 Customers" saved search (`README.md:158-160`):
+    * sort by event time desc, keep 10; seq breaks ties deterministically.
+    */
+  def recentTopK(spark: SparkSession, sfDir: String): DataFrame =
+    view(spark, sfDir)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(10)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+
+  /** Q4 — dashboard composition (`README.md:162-163`): the three panels
+    * over one shared view, as a single typed union
+    * `(panel, k, n)`.
+    */
+  def dashboard(spark: SparkSession, sfDir: String): DataFrame = {
+    val q1 = termsCount(spark, sfDir)
+      .select(lit("by_class").as("panel"), col("event_type").as("k"), col("n"))
+    val q2 = dateHistogram(spark, sfDir)
+      .select(lit("histogram").as("panel"),
+        date_format(col("day"), "yyyy-MM-dd").as("k"), col("n"))
+    val q3 = recentTopK(spark, sfDir)
+      .select(lit("recent").as("panel"),
+        col("user_id").cast("string").as("k"), col("event_id").as("n"))
+    q1.unionAll(q2).unionAll(q3)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q1_terms_count" -> (termsCount _),
+    "q2_date_histogram" -> (dateHistogram _),
+    "q3_recent_topk" -> (recentTopK _),
+    "q4_dashboard" -> (dashboard _)
+  )
+
+  private val viewSql =
+    """SELECT user_id, event_id, ts, event_type, value FROM (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events
+      |) WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q1_terms_count" ->
+      s"""SELECT event_type, count(*) AS n FROM ($viewSql)
+         |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin,
+    "q2_date_histogram" ->
+      s"""SELECT date_trunc('day', ts) AS day, count(*) AS n
+         |FROM ($viewSql) GROUP BY 1 ORDER BY day""".stripMargin,
+    "q3_recent_topk" ->
+      s"""SELECT user_id, event_id, ts, event_type, value
+         |FROM ($viewSql) ORDER BY ts DESC, event_id DESC LIMIT 10""".stripMargin,
+    "q4_dashboard" ->
+      s"""WITH v AS ($viewSql)
+         |SELECT 'by_class' AS panel, event_type AS k, count(*) AS n
+         |FROM v GROUP BY event_type
+         |UNION ALL
+         |SELECT 'histogram', strftime(date_trunc('day', ts), '%Y-%m-%d'), count(*)
+         |FROM v GROUP BY 2
+         |UNION ALL
+         |SELECT * FROM (
+         |  SELECT 'recent', CAST(user_id AS VARCHAR), event_id
+         |  FROM v ORDER BY ts DESC, event_id DESC LIMIT 10)""".stripMargin
+  )
+}

@@ -8,6 +8,10 @@ import org.apache.spark.sql.functions._
   * O1-O13). Each entry has matching DuckDB oracle SQL in [[oracle]];
   * column names are aligned between the Spark plan and the SQL because the
   * driver's comparator sorts columns by name before hashing.
+  *
+  * The testdata `events` table plays the change stream: `event_id` = seq
+  * (Kafka offset / WAL LSN), `user_id` = key, `event_type` = op
+  * (`error` → delete, `signup` → insert, rest → update).
   */
 object CdcQueries {
 
@@ -19,29 +23,191 @@ object CdcQueries {
   def cdcScan(spark: SparkSession, sfDir: String): DataFrame =
     CdcModel.fromEvents(Tables.events(spark, sfDir))
 
+  /** O2 — insert writer: the generated inserts, `RETURNING`-style. */
+  def insertWriter(spark: SparkSession, sfDir: String): DataFrame =
+    Producer.events(spark).filter(col("op") === "c")
+
+  /** O3 — update writer: generated point updates of `phone` by key. */
+  def updateWriter(spark: SparkSession, sfDir: String): DataFrame =
+    Producer.events(spark).filter(col("op") === "u")
+      .select(col("seq"), col("key"), col("phone"))
+
+  /** O4 — delete writer: generated deletes, `RETURNING id`. */
+  def deleteWriter(spark: SparkSession, sfDir: String): DataFrame =
+    Producer.events(spark).filter(col("op") === "d")
+      .select(col("seq"), col("key"))
+
+  /** O5 — envelope unwrap: project the post-image for upserts, null
+    * payload for deletes (`ExtractNewRecordState` analog).
+    */
+  def unwrapQ(spark: SparkSession, sfDir: String): DataFrame =
+    CdcModel.fromEvents(Tables.events(spark, sfDir)).select(
+      col("seq"), col("key"), col("op"),
+      when(col("op") === "d", lit(null).cast("double")).otherwise(col("value")).as("value"),
+      when(col("op") === "d", lit(null).cast("string")).otherwise(col("props")).as("props"))
+
+  /** O6 — delete rewrite: deletes surface as records carrying the key
+    * (`delete.handling.mode=rewrite` analog), not as absences.
+    */
+  def deleteRewrite(spark: SparkSession, sfDir: String): DataFrame =
+    CdcModel.fromEvents(Tables.events(spark, sfDir))
+      .filter(col("op") === "d")
+      .select(col("seq"), col("key"), col("op"), col("ts"))
+
+  /** O7 — key extraction (`ValueToKey` SMT): Kafka key := row key, as a
+    * string, alongside the record. Write-side shape.
+    */
+  def keyExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).select(
+      col("user_id").cast("string").as("kafka_key"),
+      col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  /** O8 — JSON round-trip: serialize a record to a JSON wire string with
+    * deterministic field order, then extract fields back out — the
+    * JsonConverter-both-sides analog. Concatenation (not to_json) keeps
+    * the bytes identical between Spark and the DuckDB oracle.
+    */
+  def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val wired = Tables.events(spark, sfDir).select(
+      col("event_id"),
+      concat(lit("{\"id\":"), col("user_id").cast("string"),
+        lit(",\"k\":"), get_json_object(col("props"), "$.k"), lit("}")).as("wire"))
+    wired.select(
+      col("event_id"), col("wire"),
+      get_json_object(col("wire"), "$.id").cast("long").as("id"),
+      get_json_object(col("wire"), "$.k").cast("int").as("k"))
+  }
+
+  /** O9 — op branch: the consumer's three-way dispatch
+    * (tombstone / delete / upsert) as a branch count.
+    */
+  def opBranch(spark: SparkSession, sfDir: String): DataFrame =
+    CdcModel.fromEvents(Tables.events(spark, sfDir))
+      .withColumn("branch",
+        when(col("props").isNull, "tombstone")
+          .when(col("op") === "d", "delete")
+          .otherwise("upsert"))
+      .groupBy("branch").agg(count(lit(1)).as("n"))
+
   /** O10 — the flagship materialization: latest non-deleted row per key. */
   def materialize(spark: SparkSession, sfDir: String): DataFrame =
     Materialize.customerView(Tables.events(spark, sfDir))
 
+  /** O11 — schema DDL / ensure-exists: the declared sink mapping as data
+    * (`ensure_index` analog, `consumer_to_opensearch.py:8-34`). Constant —
+    * the single source of truth the reference declared three times.
+    */
+  def schemaDdl(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    CdcModel.customerSchema.fields.toSeq
+      .map(f => (f.name, f.dataType.simpleString, f.nullable))
+      .toDF("col_name", "col_type", "is_nullable")
+  }
+
+  /** O12 — limit-1 peek from the earliest offset (`peek.py:7-25`). */
+  def peek(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .orderBy(col("event_id")).limit(1)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  /** O13 — at-least-once redelivery made exactly-once: duplicate a slice
+    * of the stream (consumer-group replay analog), then dedup by offset.
+    * `dropDuplicates("event_id")` is safe because redelivered records are
+    * byte-identical — same guarantee the reference leans on
+    * (`consumer_to_opensearch.py:59-62` + idempotent upsert).
+    */
+  def redeliveryDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value")
+    ev.union(ev.filter(col("event_id") % 10 === 0))
+      .dropDuplicates("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "o01_cdc_scan" -> (cdcScan _),
-    "o10_materialize" -> (materialize _)
+    "o02_insert_writer" -> (insertWriter _),
+    "o03_update_writer" -> (updateWriter _),
+    "o04_delete_writer" -> (deleteWriter _),
+    "o05_unwrap" -> (unwrapQ _),
+    "o06_delete_rewrite" -> (deleteRewrite _),
+    "o07_key_extract" -> (keyExtract _),
+    "o08_json_roundtrip" -> (jsonRoundtrip _),
+    "o09_op_branch" -> (opBranch _),
+    "o10_materialize" -> (materialize _),
+    "o11_schema_ddl" -> (schemaDdl _),
+    "o12_peek" -> (peek _),
+    "o13_redelivery_dedup" -> (redeliveryDedup _)
   )
+
+  private val opCase =
+    """CASE WHEN event_type = 'error' THEN 'd'
+      |     WHEN event_type = 'signup' THEN 'c'
+      |     ELSE 'u' END""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "o01_cdc_scan" ->
-      """SELECT event_id AS seq, user_id AS key,
-        |  CASE WHEN event_type = 'error' THEN 'd'
-        |       WHEN event_type = 'signup' THEN 'c'
-        |       ELSE 'u' END AS op,
-        |  CAST(ts AS TIMESTAMP) AS ts, value, props
+      s"""SELECT event_id AS seq, user_id AS key, $opCase AS op,
+         |  CAST(ts AS TIMESTAMP) AS ts, value, props
+         |FROM events""".stripMargin,
+    "o02_insert_writer" ->
+      s"""SELECT * FROM (${Producer.oracleSql}) WHERE op = 'c'""",
+    "o03_update_writer" ->
+      s"""SELECT seq, key, phone FROM (${Producer.oracleSql}) WHERE op = 'u'""",
+    "o04_delete_writer" ->
+      s"""SELECT seq, key FROM (${Producer.oracleSql}) WHERE op = 'd'""",
+    "o05_unwrap" ->
+      s"""SELECT event_id AS seq, user_id AS key, $opCase AS op,
+         |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value,
+         |  CASE WHEN event_type = 'error' THEN NULL ELSE props END AS props
+         |FROM events""".stripMargin,
+    "o06_delete_rewrite" ->
+      """SELECT event_id AS seq, user_id AS key, 'd' AS op,
+        |  CAST(ts AS TIMESTAMP) AS ts
+        |FROM events WHERE event_type = 'error'""".stripMargin,
+    "o07_key_extract" ->
+      """SELECT CAST(user_id AS VARCHAR) AS kafka_key,
+        |  event_id, user_id, event_type, value
         |FROM events""".stripMargin,
+    "o08_json_roundtrip" ->
+      """SELECT event_id, wire,
+        |  CAST(json_extract_string(wire, '$.id') AS BIGINT) AS id,
+        |  CAST(json_extract_string(wire, '$.k') AS INTEGER) AS k
+        |FROM (
+        |  SELECT event_id,
+        |    '{"id":' || CAST(user_id AS VARCHAR) || ',"k":'
+        |      || json_extract_string(props, '$.k') || '}' AS wire
+        |  FROM events)""".stripMargin,
+    "o09_op_branch" ->
+      s"""SELECT CASE WHEN props IS NULL THEN 'tombstone'
+         |            WHEN event_type = 'error' THEN 'delete'
+         |            ELSE 'upsert' END AS branch,
+         |  count(*) AS n
+         |FROM events GROUP BY 1""".stripMargin,
     "o10_materialize" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value, props
         |FROM (
         |  SELECT user_id, event_id, ts, event_type, value, props,
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events
-        |) WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+        |) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    "o11_schema_ddl" ->
+      """SELECT * FROM (VALUES
+        |  ('id', 'int', false),
+        |  ('full_name', 'string', false),
+        |  ('email', 'string', false),
+        |  ('phone', 'string', true),
+        |  ('classification', 'string', false),
+        |  ('created_at', 'timestamp', true)
+        |) AS t(col_name, col_type, is_nullable)""".stripMargin,
+    "o12_peek" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id LIMIT 1""".stripMargin,
+    "o13_redelivery_dedup" ->
+      """SELECT DISTINCT event_id, user_id, event_type, value
+        |FROM (
+        |  SELECT event_id, user_id, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type, value FROM events
+        |  WHERE event_id % 10 = 0)""".stripMargin
   )
 }
