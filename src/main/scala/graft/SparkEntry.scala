@@ -17,8 +17,10 @@ object SparkEntry {
     cdc.CdcQueries.materialize(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    cdc.CdcQueries.queries ++ analytics.Dashboards.queries
+    cdc.CdcQueries.queries ++ analytics.Dashboards.queries ++
+      ext.Tpch.queries
 
   def oracleSql: Map[String, String] =
-    cdc.CdcQueries.oracle ++ analytics.Dashboards.oracle
+    cdc.CdcQueries.oracle ++ analytics.Dashboards.oracle ++
+      ext.Tpch.oracle
 }

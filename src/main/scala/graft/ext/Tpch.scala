@@ -1,0 +1,173 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-exercise suite over the TPC-H-ish testdata — the join/agg
+  * surface the reference lacks entirely (SURVEY.md §2.1 "Joins: none")
+  * but a useful engine must have. Patterns chosen to exercise exactly the
+  * physical strategies that matter at 100 TB:
+  *
+  *   - dimension joins are `broadcast()`ed (nation/region/supplier/part/
+  *     customer are tiny relative to the facts — a shuffle join here would
+  *     move the fact table for nothing);
+  *   - fact-side filters sit directly on the scan so Catalyst pushes them
+  *     into parquet (`PushedFilters`), and only referenced columns are
+  *     read (`ReadSchema`);
+  *   - money aggregates run in DECIMAL internally (order-independent, so
+  *     partial/final aggregation over any partitioning is deterministic —
+  *     a double sum would drift with partition count and break the
+  *     oracle), cast to double at the boundary;
+  *   - top-k goes through `orderBy().limit()` → `TakeOrderedAndProject`
+  *     (per-partition heaps, never a global sort).
+  */
+object Tpch {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: String) = col(c).cast("decimal(18,4)")
+
+  /** TPC-H Q1-style pricing summary: wide partial-aggregated scan. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1999-12-31"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q5-style revenue by nation: three joins, dims broadcast. */
+  def revenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+    val cust = Tables.customer(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top-10 customers by order volume: join + TakeOrderedAndProject. */
+  def topCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    ord.groupBy(col("o_custkey"))
+      .agg(sum(dec("o_totalprice")).cast("double").as("total_spend"),
+        count(lit(1)).as("n_orders"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("total_spend"), col("n_orders"))
+      .orderBy(col("total_spend").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  /** Segment x priority matrix: two-dim agg after a broadcast join. */
+  def segmentPriority(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec("o_totalprice")).cast("double").as("total"))
+      .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+
+  /** Brand revenue with a selective dimension filter: the filter on the
+    * broadcast side prunes before the join, so the fact scan is joined
+    * against a handful of part keys.
+    */
+  def brandRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)
+        .filter(col("p_brand").isin("Brand#11", "Brand#22"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(dec("l_extendedprice")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+
+  /** Region-nation-supplier rollup: chained broadcast joins on tiny dims. */
+  def supplierByRegion(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(dec("s_acctbal")).cast("double").as("total_acctbal"))
+      .orderBy(col("r_name"))
+
+  val queries: Map[String, Q] = Map(
+    "t1_pricing_summary" -> (pricingSummary _),
+    "t2_revenue_by_nation" -> (revenueByNation _),
+    "t3_top_customers" -> (topCustomers _),
+    "t4_segment_priority" -> (segmentPriority _),
+    "t5_brand_revenue" -> (brandRevenue _),
+    "t6_supplier_by_region" -> (supplierByRegion _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "t2_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "t3_top_customers" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY total_spend DESC, c_custkey LIMIT 10""".stripMargin,
+    "t4_segment_priority" ->
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment, o_orderpriority
+        |ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
+    "t5_brand_revenue" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand IN ('Brand#11', 'Brand#22')
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "t6_supplier_by_region" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin
+  )
+}

@@ -1,0 +1,50 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Physical-plan assertions: these queries must keep the plan shapes that
+  * survive a 100x scale-up, not just return correct rows.
+  */
+class TpchPlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Tpch.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("dimension joins broadcast (no shuffle of the fact table)") {
+    for (q <- Seq("t2_revenue_by_nation", "t3_top_customers",
+      "t5_brand_revenue", "t6_supplier_by_region")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: expected broadcast join in:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q: unwanted sort-merge join in:\n$p")
+    }
+  }
+
+  test("fact filters are pushed into the parquet scan") {
+    val p = plan("t1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"t1: filter not pushed:\n$p")
+  }
+
+  test("scans read only referenced columns") {
+    // executedPlan.toString truncates ReadSchema, so check the FileScan's
+    // full column list instead: exactly the six referenced columns.
+    val p = plan("t1_pricing_summary")
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    val cols = scanCols.split(",").map(_.trim.replaceAll("#\\d+$", "")).toSet
+    assert(cols == Set("l_quantity", "l_extendedprice", "l_discount",
+      "l_returnflag", "l_linestatus", "l_shipdate"),
+      s"t1 reads unexpected columns: $cols\n$p")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("t3_top_customers")
+    assert(p.contains("TakeOrderedAndProject"), s"t3: no top-k operator:\n$p")
+  }
+
+  test("aggregations are partial+final pairs (map-side combine)") {
+    val p = plan("t1_pricing_summary")
+    assert(p.contains("HashAggregate"), s"t1: no hash aggregate:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"t1: no partial agg:\n$p")
+  }
+}
