@@ -1,0 +1,364 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Portable._
+
+/** Training-data deduplication over the `documents` table — the operator
+  * family a 100 TB corpus pipeline runs before anything else. Five
+  * techniques, each with a DuckDB oracle:
+  *
+  *   - exact (hash-groupBy) — the only one that is O(n) with one shuffle;
+  *   - blocked n-gram Jaccard — exact pairwise similarity, contained by a
+  *     blocking key so the quadratic term is per-block;
+  *   - MinHash + LSH banding — the scale path for global near-dup: O(n)
+  *     signatures map-side, candidates only where a band collides;
+  *   - SimHash — one 32-bit sketch per doc, near-dup = small Hamming
+  *     distance, candidate generation by byte-band equality;
+  *   - embedding cosine near-dup — LSH over random hyperplanes (an
+  *     OR-construction of 4 tables × 4 planes), exact cosine only within
+  *     a bucket.
+  *
+  * Scale notes (local[32] tests at sf0.01; design target 1000 executors):
+  * signatures/sketches are computed with array higher-order functions
+  * (`transform`/`aggregate`) inside the scan projection — no explode, no
+  * shuffle until the candidate join. Candidate joins shuffle on small
+  * integer keys (band id, bucket), never on document text; doc text is
+  * re-joined only for the final exact check on the (much smaller)
+  * candidate set.
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- shared shapes ----------------------------------------------------
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+
+  /** Distinct-token-set Jaccard between two array columns. */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("long")
+    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
+  }
+
+  private def jaccardSql(a: String, b: String): String =
+    s"(len(list_intersect($a, $b)) * 1.0 / " +
+      s"(len($a) + len($b) - len(list_intersect($a, $b))))"
+
+  // ---- d1: exact dedup --------------------------------------------------
+
+  /** Exact dedup: group by content digest, keep the lowest doc_id as
+    * canonical. Grouping on the 32-byte digest (not the text) keeps the
+    * shuffle narrow at 100 TB — the full text never moves.
+    */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min("doc_id").as("canonical_doc_id"),
+        count(lit(1)).as("n_copies"))
+
+  // ---- d2: blocked n-gram Jaccard --------------------------------------
+
+  /** 3-token shingle set per document. `transform` over an index range —
+    * stays inside the scan projection, codegen'd, no explode.
+    */
+  private def shingles(toks: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+        element_at(toks, i + 2))))
+
+  private val shinglesSql =
+    "list_distinct(list_transform(range(1, len(toks) - 1), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+
+  /** Near-dup by exact 3-gram Jaccard, blocked on `source`: the quadratic
+    * pair join runs per block, so cost is Σ block² not n². The global
+    * (unblocked) variant at scale is d3.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        shingles(tokens(col("text"))).as("sh"))
+    val a = d.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = d.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("shb"))
+    a.join(b, Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sha"), col("shb")).as("jac_raw"))
+      // Filter on the raw value, round only for output: the oracle filters
+      // raw too, so a 0.49999997 can't round up into one side only.
+      .filter(col("jac_raw") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jac"))
+  }
+
+  // ---- d3: MinHash + LSH banding ---------------------------------------
+
+  /** 16 MinHash signature values from an already-hashed token array
+    * (map-side, no shuffle). Taking `hs` as a bound column — not inlining
+    * `transform(toks, tokenHash)` — keeps the md5 per token at 1, not 16:
+    * CollapseProject refuses to inline a non-cheap alias used this often,
+    * so the hash array materializes once per row in the same codegen stage.
+    */
+  private def sigCols(hs: Column): Seq[Column] =
+    (0 until 16).map(i => array_min(transform(hs, h => affine(i, h))))
+
+  /** Band key over signature slice [from, from+8): ordered 31-fold. */
+  private def bandKey(sig: Seq[Column], from: Int): Column =
+    sig.slice(from, from + 8).foldLeft(lit(0L): Column)((acc, s) => (acc * 31L + s) % P)
+
+  /** Global near-dup via MinHash-LSH: 16 permutations, 2 bands × 8 rows,
+    * exact Jaccard ≥ 0.9 on band-collision candidates only. At 100 TB the
+    * candidate join shuffles (band, 64-bit key) pairs — the text stays in
+    * the scan until the final check.
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), tokenSet(col("text")).as("toks"))
+    val sig = sigCols(col("hs"))
+    // Bands carry only (band, bkey, doc_id) into the candidate join — the
+    // token arrays stay behind and are re-joined onto the (much smaller)
+    // distinct candidate set for the exact check.
+    val bands = d
+      .withColumn("hs", transform(col("toks"), t => tokenHash(t)))
+      .select(col("doc_id"),
+        bandKey(sig, 0).as("bk0"), bandKey(sig, 8).as("bk1"))
+      .select(col("doc_id"), explode(array(
+          struct(lit(0).as("band"), col("bk0").as("bkey")),
+          struct(lit(1).as("band"), col("bk1").as("bkey")))).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bkey"))
+    val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("ta"), col("tb")).as("jac_raw"))
+      .filter(col("jac_raw") >= 0.9)
+      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jac"))
+  }
+
+  // ---- d4: SimHash ------------------------------------------------------
+
+  /** 32-bit SimHash from an already-hashed token array: bit j is the sign
+    * of Σ_tokens (±1 by bit j of H(token)). 32 `aggregate` folds over the
+    * bound hash column — linear in tokens, codegen'd, shuffle-free, and
+    * (as with [[sigCols]]) one md5 per token, not 32.
+    */
+  private def simhash(hs: Column): Column =
+    (0 until 32).map { j =>
+      val bitSum = aggregate(hs, lit(0L),
+        (acc, h) => acc + (shiftright(h, j) % 2L) * 2L - 1L)
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def simhashSql(hs: String): String =
+    (0 until 32).map { j =>
+      s"(CASE WHEN list_sum(list_transform($hs, h -> ((h >> $j) % 2) * 2 - 1)) > 0 " +
+        s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Per-document SimHash sketch. */
+  def simhashSketch(spark: SparkSession, sfDir: String): DataFrame =
+    simhashOf(docs(spark, sfDir)
+      .select(col("doc_id"), tokenSet(col("text")).as("toks")))
+
+  /** SimHash over an arbitrary (doc_id, toks) frame — test/reuse surface. */
+  def simhashOf(df: DataFrame): DataFrame =
+    df.withColumn("hs", transform(col("toks"), t => tokenHash(t)))
+      .select(col("doc_id"), simhash(col("hs")).as("simhash"))
+
+  /** SimHash near-dup: candidates where any of the 4 bytes of the sketch
+    * collide (a Hamming-≤k pair must agree on ≥1 byte when k<4 by
+    * pigeonhole... k≤3 guarantees it; we use k=4 where recall is still
+    * high), confirmed by bit_count(xor) ≤ 4.
+    */
+  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sk = simhashSketch(spark, sfDir)
+    val banded = sk.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            (shiftright(col("simhash"), 8 * b) % 256L).as("bkey"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bkey"))
+    val l = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_a"), col("simhash").as("sa"))
+    val r = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_b"), col("simhash").as("sb"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= 4)
+  }
+
+  // ---- d6: embedding cosine near-dup (hyperplane LSH) -------------------
+
+  /** Deterministic ±1 hyperplanes: plane t·16+p, dim d gets sign from
+    * H("t,p,d") parity. Materialized once as literal arrays shared with
+    * the oracle SQL.
+    */
+  private[ext] val planes: Seq[Seq[Int]] = {
+    def h(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % P
+    }
+    for (plane <- 0 until 16) yield
+      for (d <- 0 until 64) yield if (h(s"hp:$plane:$d") % 2 == 0) 1 else -1
+  }
+
+  private def planeLit(p: Seq[Int]): Column =
+    array(p.map(v => lit(v.toDouble)): _*)
+
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Bucket of table t (4 planes): 4 sign bits packed. */
+  private def bucket(vec: Column, t: Int): Column =
+    (0 until 4).map { p =>
+      when(dotD(vec, planeLit(planes(t * 4 + p))) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def cosine(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+
+  /** Embedding near-dup: OR-construction of 4 hyperplane tables × 4 planes
+    * — a pair is a candidate if it shares a bucket in ANY table; exact
+    * cosine ≥ 0.4 confirms. Probability of catching a pair at angle θ is
+    * 1-(1-(1-θ/π)⁴)⁴ — the classic ANN recall/candidate-count dial. At
+    * 100 TB the O(n²) exact check is gone; only per-bucket pairs remain.
+    */
+  def embedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    // Candidate join moves only (tbl, bkt, vec_id); vectors re-join onto
+    // the distinct candidate pairs for the exact cosine.
+    val bucketed = e.select(col("vec_id"),
+        explode(array((0 until 4).map(t =>
+          struct(lit(t).as("tbl"), bucket(col("v"), t).as("bkt"))): _*)).as("b"))
+      .select(col("vec_id"), col("b.tbl"), col("b.bkt"))
+    val cand = bucketed.select(col("tbl"), col("bkt"), col("vec_id").as("vec_a"))
+      .join(bucketed.select(col("tbl"), col("bkt"), col("vec_id").as("vec_b")),
+        Seq("tbl", "bkt"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("va"), col("vb")).as("cos_raw"))
+      .filter(col("cos_raw") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cos"))
+  }
+
+  // ---- registry ---------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "d1_exact_dedup" -> (exactDedup _),
+    "d2_ngram_jaccard" -> (ngramJaccard _),
+    "d3_minhash_lsh" -> (minhashLsh _),
+    "d4_simhash" -> (simhashSketch _),
+    "d5_simhash_neardup" -> (simhashNearDup _),
+    "d6_embed_neardup" -> (embedNearDup _)
+  )
+
+  // ---- oracle SQL -------------------------------------------------------
+
+  private val sigSqls: Seq[String] = {
+    val hs = s"list_transform(toks, t -> ${tokenHashSql("t")})"
+    (0 until 16).map(i => s"list_min(list_transform($hs, h -> ${affineSql(i, "h")}))")
+  }
+
+  private def bandKeySql(from: Int): String =
+    (from until from + 8).foldLeft("CAST(0 AS BIGINT)")((acc, i) => s"(($acc) * 31 + s$i) % $P")
+
+  private val planesSqlLits: Seq[String] =
+    planes.map(p => p.map(v => s"$v.0").mkString("[", ",", "]") + "::DOUBLE[]")
+
+  private def bucketSql(vcol: String, t: Int): String =
+    (0 until 4).map { p =>
+      s"(CASE WHEN list_dot_product($vcol, ${planesSqlLits(t * 4 + p)}) > 0 " +
+        s"THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_doc_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "d2_ngram_jaccard" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, source, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, source, ${tokensSql("text")} AS toks FROM documents))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(${jaccardSql("a.sh", "b.sh")}, 6) AS jac
+         |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE ${jaccardSql("a.sh", "b.sh")} >= 0.5""".stripMargin,
+    "d3_minhash_lsh" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, ${tokenSetSql("text")} AS toks FROM documents),
+         |sig AS (
+         |  SELECT doc_id, toks,
+         |    ${sigSqls.zipWithIndex.map { case (s, i) => s"$s AS s$i" }.mkString(", ")}
+         |  FROM d),
+         |bands AS (
+         |  SELECT doc_id, toks, 0 AS band, ${bandKeySql(0)} AS bkey FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, toks, 1 AS band, ${bandKeySql(8)} AS bkey FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(${jaccardSql("x.toks", "y.toks")}, 6) AS jac
+         |FROM cand JOIN d x ON x.doc_id = cand.doc_a
+         |          JOIN d y ON y.doc_id = cand.doc_b
+         |WHERE ${jaccardSql("x.toks", "y.toks")} >= 0.9""".stripMargin,
+    "d4_simhash" ->
+      s"""SELECT doc_id, ${simhashSql("hs")} AS simhash
+         |FROM (SELECT doc_id,
+         |        list_transform(${tokenSetSql("text")}, t -> ${tokenHashSql("t")}) AS hs
+         |      FROM documents)""".stripMargin,
+    "d5_simhash_neardup" ->
+      s"""WITH sk AS (
+         |  SELECT doc_id, ${simhashSql("hs")} AS simhash
+         |  FROM (SELECT doc_id,
+         |          list_transform(${tokenSetSql("text")}, t -> ${tokenHashSql("t")}) AS hs
+         |        FROM documents)),
+         |banded AS (
+         |  ${(0 until 4).map(b =>
+             s"SELECT doc_id, simhash, $b AS band, (simhash >> ${8 * b}) % 256 AS bkey FROM sk")
+             .mkString("\n  UNION ALL\n  ")}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 4""".stripMargin,
+    "d6_embed_neardup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |bucketed AS (
+         |  ${(0 until 4).map(t =>
+             s"SELECT vec_id, v, $t AS tbl, ${bucketSql("v", t)} AS bkt FROM e")
+             .mkString("\n  UNION ALL\n  ")}),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b,
+         |  round(list_dot_product(x.v, y.v) /
+         |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cos
+         |FROM cand JOIN e x ON x.vec_id = cand.vec_a
+         |          JOIN e y ON y.vec_id = cand.vec_b
+         |WHERE list_dot_product(x.v, y.v) /
+         |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.4""".stripMargin
+  )
+}
