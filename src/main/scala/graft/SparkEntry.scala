@@ -18,9 +18,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     cdc.CdcQueries.queries ++ analytics.Dashboards.queries ++
-      ext.Tpch.queries ++ ext.Dedup.queries
+      ext.Tpch.queries ++ ext.Dedup.queries ++ ext.Similarity.queries
 
   def oracleSql: Map[String, String] =
     cdc.CdcQueries.oracle ++ analytics.Dashboards.oracle ++
-      ext.Tpch.oracle ++ ext.Dedup.oracle
+      ext.Tpch.oracle ++ ext.Dedup.oracle ++ ext.Similarity.oracle
 }

@@ -215,16 +215,16 @@ object Dedup {
   private def planeLit(p: Seq[Int]): Column =
     array(p.map(v => lit(v.toDouble)): _*)
 
-  private def dotD(a: Column, b: Column): Column =
+  private[ext] def dotD(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** Bucket of table t (4 planes): 4 sign bits packed. */
-  private def bucket(vec: Column, t: Int): Column =
+  private[ext] def bucket(vec: Column, t: Int): Column =
     (0 until 4).map { p =>
       when(dotD(vec, planeLit(planes(t * 4 + p))) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private def cosine(a: Column, b: Column): Column =
+  private[ext] def cosine(a: Column, b: Column): Column =
     dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
 
   /** Embedding near-dup: OR-construction of 4 hyperplane tables × 4 planes
@@ -278,10 +278,10 @@ object Dedup {
   private def bandKeySql(from: Int): String =
     (from until from + 8).foldLeft("CAST(0 AS BIGINT)")((acc, i) => s"(($acc) * 31 + s$i) % $P")
 
-  private val planesSqlLits: Seq[String] =
+  private[ext] val planesSqlLits: Seq[String] =
     planes.map(p => p.map(v => s"$v.0").mkString("[", ",", "]") + "::DOUBLE[]")
 
-  private def bucketSql(vcol: String, t: Int): String =
+  private[ext] def bucketSql(vcol: String, t: Int): String =
     (0 until 4).map { p =>
       s"(CASE WHEN list_dot_product($vcol, ${planesSqlLits(t * 4 + p)}) > 0 " +
         s"THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"

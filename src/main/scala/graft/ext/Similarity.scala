@@ -1,0 +1,147 @@
+package graft.ext
+
+import graft.Tables
+import graft.functions.CosineSimilarity.cosineSim
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * approximate-nearest-neighbor with a brute-force baseline and two
+  * pruned scale paths.
+  *
+  *   - s1 brute-force: broadcast the (tiny) query set against the full
+  *     vector scan — one pass, cosine in a fused codegen'd native
+  *     expression ([[graft.functions.CosineSimilarity]]), per-query top-k
+  *     by window rank. At 100 TB this is the exact-recall baseline: cost
+  *     is |queries| × |vectors| cosines, embarrassingly parallel, zero
+  *     shuffle until the tiny top-k.
+  *   - s2 IVF (nprobe=1): vectors are pre-assigned to coarse cells (the
+  *     `label` column stands in for a k-means assignment); a query probes
+  *     only its own cell. Candidate count drops by ~|cells|×.
+  *   - s3 LSH: candidates share a random-hyperplane bucket in any of 4
+  *     tables (same OR-construction as [[Dedup.embedNearDup]]); exact
+  *     cosine + top-k only within the candidate set.
+  *
+  * The cosine value used for ranking is the raw double; rounding happens
+  * only at output. Ranks tie-break on neighbor id, so results are
+  * deterministic and hash-match the DuckDB oracle.
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val nQueries = 8
+
+  private def vecs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"),
+        col("label"))
+
+  private def topkOut(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+        round(col("cos_raw"), 6).as("cos"))
+  }
+
+  /** s1 — exact brute-force top-5: the recall=1 baseline. */
+  def bruteTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineSim(col("v"), col("qv")).as("cos_raw"))
+    topkOut(scored, 5)
+  }
+
+  /** s2 — IVF with nprobe=1: probe only the query's own coarse cell. */
+  def ivfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label"))
+    val scored = e.join(broadcast(q), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineSim(col("v"), col("qv")).as("cos_raw"))
+    topkOut(scored, 3)
+  }
+
+  /** s3 — hyperplane-LSH: candidates share a bucket in ≥1 of 4 tables. */
+  def lshTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val bucketed = e.select(col("vec_id"), col("v"),
+        explode(array((0 until 4).map(t =>
+          struct(lit(t).as("tbl"), Dedup.bucket(col("v"), t).as("bkt"))): _*)).as("b"))
+      .select(col("vec_id"), col("b.tbl"), col("b.bkt"))
+    val qb = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("tbl"), col("bkt"), col("vec_id").as("query_id"))
+    val cand = bucketed.join(broadcast(qb), Seq("tbl", "bkt"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id")).distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv")), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("nv"), col("qv")).as("cos_raw"))
+    topkOut(scored, 3)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s1_brute_topk" -> (bruteTopk _),
+    "s2_ivf_topk" -> (ivfTopk _),
+    "s3_lsh_topk" -> (lshTopk _)
+  )
+
+  private val cosSql =
+    "(list_dot_product(e.v, q.qv) / " +
+      "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))))"
+
+  private def topkSql(scoredCte: String, k: Int): String =
+    s"""SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |  round(cos_raw, 6) AS cos
+       |FROM (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos_raw DESC, neighbor_id) AS rank
+       |  FROM ($scoredCte))
+       |WHERE rank <= $k""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "s1_brute_topk" -> topkSql(
+      s"""WITH ev AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings)
+         |SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, $cosSql AS cos_raw
+         |FROM ev e CROSS JOIN (SELECT vec_id, v AS qv FROM ev WHERE vec_id < $nQueries) q
+         |WHERE e.vec_id <> q.vec_id""".stripMargin, 5),
+    "s2_ivf_topk" -> topkSql(
+      s"""WITH ev AS (
+         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings)
+         |SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, $cosSql AS cos_raw
+         |FROM ev e JOIN (SELECT vec_id, label, v AS qv FROM ev WHERE vec_id < $nQueries) q
+         |  ON e.label = q.label AND e.vec_id <> q.vec_id""".stripMargin, 3),
+    "s3_lsh_topk" -> topkSql(
+      s"""WITH ev AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |bucketed AS (
+         |  ${(0 until 4).map(t =>
+             s"SELECT vec_id, $t AS tbl, ${Dedup.bucketSql("v", t)} AS bkt FROM ev")
+             .mkString("\n  UNION ALL\n  ")}),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM bucketed c JOIN bucketed q
+         |    ON c.tbl = q.tbl AND c.bkt = q.bkt
+         |  WHERE q.vec_id < $nQueries AND c.vec_id <> q.vec_id)
+         |SELECT cand.query_id, cand.neighbor_id, $cosSql AS cos_raw
+         |FROM cand JOIN ev e ON e.vec_id = cand.neighbor_id
+         |          JOIN (SELECT vec_id, v AS qv FROM ev) q ON q.vec_id = cand.query_id""".stripMargin, 3)
+  )
+}

@@ -1,0 +1,81 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.functions.CosineSimilarity.cosineSim
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs = graft.Tables.embeddings(spark, sf)
+    .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"),
+      col("label"))
+
+  test("native cosine expression is bit-identical to the built-in form") {
+    val builtinCos = {
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      val e = vecs.limit(50)
+      val pairs = e.select(col("vec_id").as("i"), col("v").as("a"))
+        .crossJoin(e.select(col("vec_id").as("j"), col("v").as("b")))
+      pairs.select(col("i"), col("j"),
+        (dot(col("a"), col("b")) / (sqrt(dot(col("a"), col("a"))) * sqrt(dot(col("b"), col("b"))))).as("c1"),
+        cosineSim(col("a"), col("b")).as("c2"))
+    }
+    val diff = builtinCos.filter(col("c1") =!= col("c2")).count()
+    assert(diff == 0, "fused one-pass cosine drifted from the 3-pass built-in")
+  }
+
+  test("cosine expression runs inside whole-stage codegen") {
+    val df = Similarity.bruteTopk(spark, sf)
+    df.collect() // under AQE codegen stages only appear in the FINAL plan
+    // (collect, not count — count() clones the plan and the original
+    // queryExecution would never finalize)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("cosine_sim"), s"expression missing from plan:\n$p")
+    assert("""\*\(\d+\) Project \[[^\n]*cosine_sim""".r.findFirstIn(p).isDefined,
+      s"cosine_sim not in a codegen'd Project:\n$p")
+  }
+
+  test("brute-force rank 1 is the true nearest neighbor") {
+    val rows = vecs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val top = Similarity.bruteTopk(spark, sf)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((q, n) <- top) {
+      val best = rows.filter(_._1 != q)
+        .maxBy { case (id, v) => (cos(rows(q), v), -id.toDouble) }._1
+      assert(n == best, s"query $q: rank-1 neighbor $n != true nearest $best")
+    }
+  }
+
+  test("IVF probes only the query's cell; LSH output ranks are dense") {
+    val labels = vecs.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ivf = Similarity.ivfTopk(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.forall(r => labels(r.getLong(0)) == labels(r.getLong(1))),
+      "IVF returned a neighbor outside the query's coarse cell")
+    val lsh = Similarity.lshTopk(spark, sf).collect()
+    val byQ = lsh.groupBy(_.getLong(0))
+    for ((_, rs) <- byQ)
+      assert(rs.map(_.getLong(2)).sorted.sameElements(1L to rs.length),
+        "LSH ranks not dense from 1")
+  }
+
+  test("query set broadcasts; the vector scan is never shuffled (s1)") {
+    val p = Similarity.bruteTopk(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+    // the only exchange allowed is the final per-query top-k shuffle
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.forall(_.contains("query_id")),
+      s"unexpected exchange beyond the top-k shuffle:\n$p")
+  }
+}
