@@ -1,0 +1,172 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Portable._
+
+/** Text-analysis operators a training-data pipeline runs per document:
+  * token statistics, quality scoring, language identification, and
+  * content fingerprinting. All four are single-pass scan projections —
+  * no shuffle, no UDFs, array higher-order functions only — so at 100 TB
+  * they run at parquet-scan speed and parallelize trivially.
+  */
+object TextAnalysis {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+
+  // ---- x1: token statistics --------------------------------------------
+
+  /** Tokens / unique tokens / mean token length / type-token ratio. */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_unique"),
+        round(aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / size(col("toks")), 6).as("avg_token_len"),
+        round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6)
+          .as("ttr"))
+
+  // ---- x2: quality scoring ---------------------------------------------
+
+  private val stopwords = Seq("the", "a")
+
+  /** Heuristic quality score in [0,1]: half from length adequacy
+    * (saturating at 50 tokens), half from information density
+    * (1 − stopword ratio). The shape every corpus-quality filter takes;
+    * thresholds are corpus-specific dials.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTokens = size(col("toks")).cast("double")
+    val stopCount = size(filter(col("toks"),
+      t => stopwords.map(s => t === s).reduce(_ || _))).cast("double")
+    docs(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        round(stopCount / nTokens, 6).as("stop_ratio"),
+        round(least(nTokens / 50.0, lit(1.0)) * 0.5
+          + (lit(1.0) - stopCount / nTokens) * 0.5, 6).as("quality"))
+  }
+
+  // ---- x3: language identification -------------------------------------
+
+  /** Character-bigram/trigram markers per language (ASCII approximations
+    * of real distributional signals). Scores are occurrence counts
+    * normalized by text length; occurrences are counted by the
+    * length-difference-after-replace identity, which both engines
+    * evaluate identically.
+    */
+  private[ext] val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he ", " the ", "ing"),
+    "de" -> Seq("sch", "ich", "ein", "der "),
+    "fr" -> Seq(" le ", "ou", "es ", "qu"),
+    "es" -> Seq(" el ", " de ", "ar ", "os "))
+
+  private def occurrences(text: Column, marker: String): Column =
+    (length(text) - length(replace(text, lit(marker), lit("")))) / marker.length
+
+  private def occurrencesSql(text: String, marker: String): String = {
+    val lit = marker.replace("'", "''")
+    s"((len($text) - len(replace($text, '$lit', ''))) / ${marker.length})"
+  }
+
+  /** Score for one language = Σ marker occurrences / text length. */
+  private def langScore(text: Column, markers: Seq[String]): Column =
+    round(markers.map(m => occurrences(text, m)).reduce(_ + _).cast("double")
+      / length(text), 6)
+
+  private def langScoreSql(text: String, markers: Seq[String]): String =
+    s"round((${markers.map(m => occurrencesSql(text, m)).mkString(" + ")}) * 1.0 " +
+      s"/ len($text), 6)"
+
+  /** Language-ID: argmax of the marker scores, first-listed language wins
+    * ties (deterministic). Real multilingual discrimination is covered by
+    * the unit spec on genuine sentences; this corpus is ASCII-synthetic.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    langIdOf(docs(spark, sfDir).select(col("doc_id"),
+      col("lang").as("tagged_lang"), col("text")))
+
+  /** Language-ID over an arbitrary (doc_id, tagged_lang, text) frame. */
+  def langIdOf(df: DataFrame): DataFrame = {
+    val scored = df.select(col("doc_id") +: col("tagged_lang") +:
+      langMarkers.map { case (l, ms) => langScore(col("text"), ms).as(s"score_$l") }: _*)
+    // argmax with first-listed-wins ties: lang i is predicted iff its
+    // score >= every LATER language's score (same shape as the oracle's
+    // CASE chain).
+    val pred = langMarkers.init.indices.foldRight(lit(langMarkers.last._1): Column) {
+      (i, els) =>
+        val (l, _) = langMarkers(i)
+        val isMax = langMarkers.drop(i + 1)
+          .map { case (o, _) => col(s"score_$l") >= col(s"score_$o") }
+          .reduce(_ && _)
+        when(isMax, lit(l)).otherwise(els)
+    }
+    scored.select(col("doc_id") +: col("tagged_lang") +: pred.as("pred_lang") +:
+      langMarkers.map { case (l, _) => col(s"score_$l") }: _*)
+  }
+
+  // ---- x4: fingerprint --------------------------------------------------
+
+  /** Order-sensitive rolling-hash fingerprint over the full token stream
+    * (duplicates kept): two docs share a fingerprint iff their token
+    * sequences match — the cheap pre-filter before byte-exact compare.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("hs", transform(col("toks"), t => tokenHash(t)))
+      .select(col("doc_id"), fold31(col("hs")).as("fingerprint"))
+
+  val queries: Map[String, Q] = Map(
+    "x1_token_stats" -> (tokenStats _),
+    "x2_quality_score" -> (qualityScore _),
+    "x3_lang_id" -> (langId _),
+    "x4_fingerprint" -> (fingerprint _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x1_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+         |  round(list_sum(list_transform(toks, t -> len(t))) * 1.0 / len(toks), 6)
+         |    AS avg_token_len,
+         |  round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS ttr
+         |FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents)""".stripMargin,
+    "x2_quality_score" ->
+      s"""SELECT doc_id,
+         |  round(stop_n / n, 6) AS stop_ratio,
+         |  round(least(n / 50.0, 1.0) * 0.5 + (1.0 - stop_n / n) * 0.5, 6) AS quality
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS DOUBLE) AS n,
+         |    CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS DOUBLE) AS stop_n
+         |  FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents))""".stripMargin,
+    "x3_lang_id" -> {
+      val scores = langMarkers
+        .map { case (l, ms) => s"${langScoreSql("text", ms)} AS score_$l" }
+      val pred = langMarkers.indices.foldRight(s"'${langMarkers.last._1}'") { (i, els) =>
+        val (l, _) = langMarkers(i)
+        val cond = langMarkers.drop(i + 1)
+          .map { case (o, _) => s"score_$l >= score_$o" }
+        if (cond.isEmpty) s"'$l'"
+        else s"CASE WHEN ${cond.mkString(" AND ")} THEN '$l' ELSE $els END"
+      }
+      s"""SELECT doc_id, tagged_lang, $pred AS pred_lang,
+         |  ${langMarkers.map { case (l, _) => s"score_$l" }.mkString(", ")}
+         |FROM (SELECT doc_id, lang AS tagged_lang, ${scores.mkString(", ")}
+         |      FROM documents)""".stripMargin
+    },
+    "x4_fingerprint" ->
+      s"""SELECT doc_id, ${fold31Sql("hs")} AS fingerprint
+         |FROM (SELECT doc_id,
+         |        list_transform(${tokensSql("text")}, t -> ${tokenHashSql("t")}) AS hs
+         |      FROM documents)""".stripMargin
+  )
+}

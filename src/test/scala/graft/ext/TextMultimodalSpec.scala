@@ -1,0 +1,81 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextMultimodalSpec extends SparkSpec {
+
+  test("lang-ID discriminates genuine multilingual text") {
+    import spark.implicits._
+    val samples = Seq(
+      (1L, "en", "the weather this morning was the best thing about the whole trip"),
+      (2L, "de", "ich möchte ein schönes Geschenk für der Kinder schicken"),
+      (3L, "fr", "nous avons vu le chien qui courait vers le parc especially quand"),
+      (4L, "es", " el perro corre hacia el mar y los árboles de la costa ")
+    ).toDF("doc_id", "tagged_lang", "text")
+    val out = TextAnalysis.langIdOf(samples).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "en", s"expected en, got ${out(1L)}")
+    assert(out(2L) == "de", s"expected de, got ${out(2L)}")
+    assert(out(4L) == "es", s"expected es, got ${out(4L)}")
+  }
+
+  test("fingerprint is order-sensitive and collision-free on permutations") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "beta alpha gamma"), // permutation — must differ
+      (3L, "alpha beta gamma")  // identical — must match
+    ).toDF("doc_id", "text")
+    val fps = df
+      .select(col("doc_id"), graft.ext.Portable.tokens(col("text")).as("toks"))
+      .withColumn("hs", transform(col("toks"),
+        t => graft.ext.Portable.tokenHash(t)))
+      .select(col("doc_id"), graft.ext.Portable.fold31(col("hs")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(3L), "identical texts must share a fingerprint")
+    assert(fps(1L) != fps(2L), "token order must change the fingerprint")
+  }
+
+  test("quality score is bounded and penalizes stopword soup") {
+    val rows = TextAnalysis.qualityScore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val q = r.getDouble(2); q >= 0.0 && q <= 1.0
+    })
+    import spark.implicits._
+    val soup = Seq((1L, "the a the a the a the a the a the a the a the a the a the a"),
+      (2L, "stream filter window join hash scan merge sort batch value query part"))
+      .toDF("doc_id", "text")
+    val byId = soup.select(col("doc_id"), graft.ext.Portable.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        (size(filter(col("toks"), t => t === "the" || t === "a")).cast("double")
+          / size(col("toks"))).as("stop_ratio"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byId(1L) > 0.9 && byId(2L) == 0.0)
+  }
+
+  test("typed media pipeline decodes deterministic features in one pass") {
+    val media = Multimodal.mediaRecords(spark, sf)
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length == media.count().toInt)
+    val byId = feats.map(f => f.doc_id -> f).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, text) <- docs.take(5)) {
+      val bytes = text.getBytes("UTF-8")
+      val f = byId(id)
+      assert(f.n_bytes == bytes.length)
+      assert(math.abs(f.luma - bytes.map(_ & 0xff).sum.toDouble / bytes.length) < 1e-9)
+      assert(f.histogram.sum == bytes.length)
+    }
+  }
+
+  test("media metadata query is a shuffle-free scan projection") {
+    val p = Multimodal.mediaMeta(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"metadata extraction must not shuffle:\n$p")
+    val p2 = Multimodal.frameSample(spark, sf).queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange"), s"frame sampling must not shuffle:\n$p2")
+  }
+}
