@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.cdc.Materialize
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Structured-Streaming side of the CDC engine (SURVEY.md §2 O10/O13 and
+  * Q2-as-stream). The reference's consumer loop
+  * (`consumer_to_opensearch.py:67-96`) is one unbounded poll applying
+  * events in arrival order; its Spark equivalent is a streaming query per
+  * concern:
+  *
+  *   - [[upsertWriter]]: `foreachBatch` + last-write-wins merge — the
+  *     OpenSearch upsert-by-`_id` analog. Checkpointing replaces the
+  *     consumer group (O13) and upgrades at-least-once + idempotent apply
+  *     to exactly-once sink effects.
+  *   - [[dedupped]]: `dropDuplicates` on the event id bounded by a
+  *     watermark — the redelivery guard.
+  *   - [[windowedCounts]]: event-time tumbling counts with a watermark —
+  *     the "new customers over time" dashboard as a stream (the reference
+  *     had no event-time semantics at all; processing order only).
+  *
+  * State scale: the upsert state is the live-key set, not the event
+  * history; the windowed state is bounded by the watermark horizon. Both
+  * survive a 1000-executor run because all state is keyed and
+  * shuffle-partitioned — nothing accumulates on the driver.
+  */
+object StreamApply {
+
+  /** Micro-batch merge: new state = last-write-wins over (old state ∪
+    * batch). Written as an atomic parquet swap so the demo is
+    * self-contained; in production the body of `merge` is a Delta/Iceberg
+    * `MERGE WHEN MATCHED UPDATE/DELETE WHEN NOT MATCHED INSERT` — the
+    * shape (idempotent, keyed, per-micro-batch) is identical.
+    */
+  final class ParquetUpsertStore(spark: SparkSession, dir: String,
+      key: String, seq: String, opCol: String, deleteOp: String,
+      payloadCols: Seq[String]) extends Serializable {
+
+    private val statePath = s"$dir/state"
+
+    def snapshot(): DataFrame = {
+      val p = Paths.get(statePath)
+      if (Files.exists(p)) spark.read.parquet(statePath)
+      else spark.emptyDataFrame
+    }
+
+    /** Merge one micro-batch. Deletes must be retained IN the state (not
+      * dropped) so a later replay of an older batch cannot resurrect a
+      * deleted key; the serving view filters them.
+      */
+    def merge(batch: DataFrame, batchId: Long): Unit = {
+      val cols = (key +: seq +: opCol +: payloadCols).distinct
+      val incoming = batch.select(cols.map(col): _*)
+      val p = Paths.get(statePath)
+      val merged =
+        if (!Files.exists(p)) incoming
+        else spark.read.parquet(statePath).unionByName(incoming)
+      val next = Materialize.latestByKey(merged, key, seq, Seq(opCol) ++ payloadCols)
+      val tmp = s"$dir/state_tmp_$batchId"
+      next.write.mode("overwrite").parquet(tmp)
+      // atomic swap: the snapshot is always a complete, consistent state
+      val tmpP = Paths.get(tmp)
+      if (Files.exists(p)) {
+        val old = Paths.get(s"$dir/state_old_$batchId")
+        Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(tmpP, p, StandardCopyOption.ATOMIC_MOVE)
+        Files.walk(old).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+      } else {
+        Files.move(tmpP, p, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+
+    /** Serving view: live (non-deleted) rows only. */
+    def view(): DataFrame = {
+      val s = snapshot()
+      if (s.schema.isEmpty) s else s.filter(col(opCol) =!= deleteOp)
+    }
+  }
+
+  /** foreachBatch upsert writer over a normalized CDC event stream. */
+  def upsertWriter(events: DataFrame, store: ParquetUpsertStore,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, id: Long) => store.merge(batch, id))
+
+  /** Redelivery dedup (O13): exactly-once per event id within the
+    * watermark horizon. Upstream retries land as byte-identical events,
+    * so dropping by id is lossless — same contract the reference leans on
+    * with its idempotent upsert.
+    */
+  def dedupped(events: DataFrame, tsCol: String, idCol: String,
+      horizon: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, horizon).dropDuplicates(idCol)
+
+  /** Q2 as a stream: tumbling event-time counts with late-data bound. */
+  def windowedCounts(events: DataFrame, tsCol: String,
+      width: String = "1 day", horizon: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, horizon)
+      .groupBy(window(col(tsCol), width))
+      .count()
+      .select(col("window.start").as("bucket"), col("count").as("n"))
+
+  /** Batch reference for [[windowedCounts]] — used by tests to assert
+    * stream/batch parity on the same event set.
+    */
+  def windowedCountsBatch(events: DataFrame, tsCol: String,
+      width: String = "1 day"): DataFrame =
+    events.groupBy(window(col(tsCol), width)).count()
+      .select(col("window.start").as("bucket"), col("count").as("n"))
+}

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.cdc.Materialize
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+case class Ev(seq: Long, key: Int, op: String, value: Double, ts: Timestamp)
+
+/** Streaming/batch parity: the streaming materialization must converge to
+  * exactly what the batch fold computes over the same events — the core
+  * CDC invariant (SURVEY.md §5.4) — and the watermark machinery must
+  * bound state and drop late rows.
+  */
+class StreamApplySpec extends SparkSpec {
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  private val batch1 = Seq(
+    Ev(1, 1, "c", 1.0, ts(1)), Ev(2, 2, "c", 2.0, ts(2)), Ev(3, 1, "u", 1.5, ts(3)))
+  private val batch2 = Seq(
+    Ev(4, 2, "d", 0.0, ts(4)), Ev(5, 3, "c", 3.0, ts(5)), Ev(6, 1, "u", 1.9, ts(6)))
+  private val batch3 = Seq( // key 2 reborn after delete; key 3 deleted
+    Ev(7, 2, "c", 2.5, ts(7)), Ev(8, 3, "d", 0.0, ts(8)))
+
+  test("streaming upsert converges to the batch materialization") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-upsert").toString
+    val store = new StreamApply.ParquetUpsertStore(spark, dir,
+      key = "key", seq = "seq", opCol = "op", deleteOp = "d", payloadCols = Seq("value"))
+
+    val in = MemoryStream[Ev]
+    val q = StreamApply.upsertWriter(in.toDF(), store, s"$dir/ckpt").start()
+    try {
+      for (b <- Seq(batch1, batch2, batch3)) {
+        in.addData(b)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = store.view().select("key", "seq", "value")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    val all = (batch1 ++ batch2 ++ batch3).toDF()
+    val batchView = Materialize.view(all, "key", "seq", col("op"), "d", Seq("value"))
+      .select("key", "seq", "value")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batchView, s"stream=$streamed batch=$batchView")
+    assert(streamed == Set((1, 6L, 1.9), (2, 7L, 2.5))) // 3 deleted, 2 reborn
+  }
+
+  test("restart-and-replay of an old batch cannot resurrect a deleted key") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-replay").toString
+    val store = new StreamApply.ParquetUpsertStore(spark, dir,
+      key = "key", seq = "seq", opCol = "op", deleteOp = "d", payloadCols = Seq("value"))
+    store.merge(batch1.toDF(), 0)
+    store.merge(batch2.toDF(), 1)
+    store.merge(batch1.toDF(), 0) // replay after "restart"
+    val keys = store.view().select("key").collect().map(_.getInt(0)).toSet
+    assert(keys == Set(1, 3), s"deleted key resurrected: $keys")
+  }
+
+  test("windowed stream counts equal the batch aggregation; late rows drop") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val counts = StreamApply.windowedCounts(in.toDF(), "ts",
+      width = "5 minutes", horizon = "2 minutes")
+    val q = counts.writeStream.outputMode("append")
+      .format("memory").queryName("win_counts").start()
+    try {
+      in.addData(batch1 ++ batch2) // minutes 1..6 → windows 10:00 and 10:05
+      q.processAllAvailable()
+      // advance watermark far past both windows, closing them
+      in.addData(Ev(100, 9, "c", 0.0, ts(59)))
+      q.processAllAvailable()
+      // a late event for an already-closed window must be dropped
+      in.addData(Ev(101, 9, "u", 0.0, ts(1)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("win_counts")
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val batchRef = StreamApply.windowedCountsBatch(
+        (batch1 ++ batch2).toDF(), "ts", "5 minutes")
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(batchRef.forall { case (k, v) => streamed.get(k).contains(v) },
+      s"stream=$streamed batch=$batchRef")
+    assert(!streamed.values.exists(_ == 0), "late row leaked into a closed window")
+  }
+
+  test("streaming dedup drops redelivered event ids") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamApply.dedupped(in.toDF(), "ts", "seq")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      in.addData(batch1)
+      q.processAllAvailable()
+      in.addData(batch1) // full redelivery
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("dedup_out").count() == batch1.size)
+  }
+}
