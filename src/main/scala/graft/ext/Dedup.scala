@@ -43,6 +43,34 @@ object Dedup {
     inter.cast("double") / (size(a) + size(b) - inter).cast("double")
   }
 
+  /** Jaccard-thresholded pair output, evaluated ONCE per pair: the
+    * intersection size and total size materialize in one projection
+    * (subexpression-eliminated), the threshold runs behind an optimizer
+    * barrier so it cannot be substituted back into the join condition,
+    * and the output rounds the same scalar. See [[Portable.barrierFilter]].
+    */
+  private def jaccardPairs(pairs: DataFrame, a: Column, b: Column,
+      threshold: Double, thresholdFrac: (Int, Int)): DataFrame = {
+    val (num, den) = thresholdFrac
+    require(num.toDouble / den == threshold, "prefilter fraction must equal the threshold")
+    // Exact integer necessary condition for jac >= num/den: the best case
+    // is inter == min(|a|,|b|), so (den+num)*min >= num*(|a|+|b|) must
+    // hold. Cheap scalars — Catalyst folds it into the join condition, so
+    // most pairs never reach the intersection. (A double-rounding at the
+    // jac boundary is ~1e-16; the integer bound only cuts pairs at least
+    // 1/(den*|a∪b|) below the threshold, so it can never disagree with
+    // the exact filter below.)
+    val prefiltered = pairs.filter(
+      least(size(a), size(b)) * (den + num) >= (size(a) + size(b)) * num)
+    val scored = prefiltered.select(col("doc_a"), col("doc_b"),
+      size(array_intersect(a, b)).cast("long").as("inter"),
+      (size(a) + size(b)).cast("long").as("stot"))
+    val jacRaw = col("inter").cast("double") /
+      (col("stot") - col("inter")).cast("double")
+    barrierFilter(scored, jacRaw >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jacRaw, 6).as("jac"))
+  }
+
   private def jaccardSql(a: String, b: String): String =
     s"(len(list_intersect($a, $b)) * 1.0 / " +
       s"(len($a) + len($b) - len(list_intersect($a, $b))))"
@@ -61,37 +89,66 @@ object Dedup {
 
   // ---- d2: blocked n-gram Jaccard --------------------------------------
 
-  /** 3-token shingle set per document. `transform` over an index range —
-    * stays inside the scan projection, codegen'd, no explode.
+  /** 3-token shingle-hash set (oracle side): shingle i ↦
+    * ((h_i·31 + h_{i+1})·31 + h_{i+2}) mod P over the token-hash list —
+    * one md5 per TOKEN, the shingle itself pure arithmetic (max value
+    * < 31²·P < 2^41, no overflow). The Spark side computes the identical
+    * values relationally in [[ngramJaccard]].
     */
-  private def shingles(toks: Column): Column =
-    array_distinct(transform(
-      sequence(lit(1), size(toks) - 2),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-        element_at(toks, i + 2))))
-
-  private val shinglesSql =
-    "list_distinct(list_transform(range(1, len(toks) - 1), " +
-      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+  private val shingleHashesSql =
+    s"list_distinct(list_transform(range(1, len(hs) - 1), " +
+      s"i -> ((hs[i] * 31 + hs[i+1]) * 31 + hs[i+2]) % $P))"
 
   /** Near-dup by exact 3-gram Jaccard, blocked on `source`: the quadratic
     * pair join runs per block, so cost is Σ block² not n². The global
     * (unblocked) variant at scale is d3.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
+    // Posting-list (inverted index) formulation: explode distinct shingle
+    // hashes, self-join postings on (source, shingle) so only pairs that
+    // SHARE a shingle materialize, and the intersection size is a count —
+    // never a per-pair array intersection. Shingles are rare (max
+    // document-frequency 6 at sf0.1), so the co-occurrence join emits
+    // ~62k rows where blocked all-pairs would intersect 623k array pairs.
+    // This is the exact-Jaccard shape that scales: cost follows shared
+    // structure, not block². (A corpus with stopword-like hot shingles
+    // would cap posting length first — not needed on this data.)
+    // Fully-relational shingle construction — no array columns at all.
+    // (An earlier array formulation bound the token-hash array and read
+    // it inside a transform lambda; CollapseProject inlined the binding
+    // into every lambda element read, re-evaluating the md5 array per
+    // shingle — a measured ~20× blowup. Rows + windows have no such
+    // hazard.) One md5 per token, shingle hash from the lead-pair, then
+    // distinct — each step a plain relational op Catalyst can't
+    // pessimize.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val tokHashes = docs(spark, sfDir)
       .select(col("doc_id"), col("source"),
-        shingles(tokens(col("text"))).as("sh"))
-    val a = d.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sha"))
-    val b = d.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("shb"))
-    a.join(b, Seq("source"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sha"), col("shb")).as("jac_raw"))
-      // Filter on the raw value, round only for output: the oracle filters
-      // raw too, so a 0.49999997 can't round up into one side only.
-      .filter(col("jac_raw") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jac"))
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("source"), col("pos"),
+        tokenHash(col("tok")).as("h"))
+    val sh = tokHashes
+      .select(col("doc_id"), col("source"),
+        ((col("h") * 31L + lead("h", 1).over(w)) * 31L + lead("h", 2).over(w)) % P)
+      .toDF("doc_id", "source", "shingle")
+      .filter(col("shingle").isNotNull)
+      .distinct()
+    val sized = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val postings = sh.join(sized, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n"), col("shingle"))
+    val co = postings.alias("a")
+      .join(postings.alias("b"),
+        col("a.source") === col("b.source") &&
+          col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+    val jacRaw = col("inter").cast("double") /
+      (col("na") + col("nb") - col("inter")).cast("double")
+    barrierFilter(co, jacRaw >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(jacRaw, 6).as("jac"))
   }
 
   // ---- d3: MinHash + LSH banding ---------------------------------------
@@ -115,14 +172,17 @@ object Dedup {
     * the scan until the final check.
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    // Token sets are carried as md5-hash longs end to end: the signature
+    // permutations consume them directly and the exact-Jaccard confirm
+    // intersects long arrays (same hash in the oracle — collision-exact).
     val d = docs(spark, sfDir)
-      .select(col("doc_id"), tokenSet(col("text")).as("toks"))
-    val sig = sigCols(col("hs"))
+      .select(col("doc_id"),
+        array_distinct(transform(tokenSet(col("text")), t => tokenHash(t))).as("toks"))
+    val sig = sigCols(col("toks"))
     // Bands carry only (band, bkey, doc_id) into the candidate join — the
-    // token arrays stay behind and are re-joined onto the (much smaller)
-    // distinct candidate set for the exact check.
+    // token-hash arrays stay behind and are re-joined onto the (much
+    // smaller) distinct candidate set for the exact check.
     val bands = d
-      .withColumn("hs", transform(col("toks"), t => tokenHash(t)))
       .select(col("doc_id"),
         bandKey(sig, 0).as("bk0"), bandKey(sig, 8).as("bk1"))
       .select(col("doc_id"), explode(array(
@@ -134,13 +194,11 @@ object Dedup {
         Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    cand
-      .join(d.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
-      .join(d.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        jaccard(col("ta"), col("tb")).as("jac_raw"))
-      .filter(col("jac_raw") >= 0.9)
-      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jac"))
+    jaccardPairs(
+      cand
+        .join(d.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
+        .join(d.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b")),
+      col("ta"), col("tb"), 0.9, (9, 10))
   }
 
   // ---- d4: SimHash ------------------------------------------------------
@@ -191,8 +249,13 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
+      // Hamming is a cheap scalar, so let Catalyst fold this filter into
+      // the join condition — then only the ≤4 matches reach the distinct
+      // shuffle, instead of deduplicating the full (band-inflated)
+      // candidate set. hamming is functionally dependent on the pair, so
+      // filter-then-distinct equals distinct-then-filter.
       .filter(col("hamming") <= 4)
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   // ---- d6: embedding cosine near-dup (hyperplane LSH) -------------------
@@ -215,17 +278,17 @@ object Dedup {
   private def planeLit(p: Seq[Int]): Column =
     array(p.map(v => lit(v.toDouble)): _*)
 
-  private[ext] def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
-  /** Bucket of table t (4 planes): 4 sign bits packed. */
-  private[ext] def bucket(vec: Column, t: Int): Column =
+  /** Bucket of table t (4 planes): 4 sign bits packed. Plane projections
+    * go through the fused native [[graft.functions.DotProduct]] — one pass
+    * per plane, no intermediate array, bit-identical to
+    * `list_dot_product` in the oracle.
+    */
+  private[ext] def bucket(vec: Column, t: Int): Column = {
+    import graft.functions.DotProduct.dotProduct
     (0 until 4).map { p =>
-      when(dotD(vec, planeLit(planes(t * 4 + p))) > 0, lit(1L << p)).otherwise(lit(0L))
+      when(dotProduct(vec, planeLit(planes(t * 4 + p))) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-
-  private[ext] def cosine(a: Column, b: Column): Column =
-    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+  }
 
   /** Embedding near-dup: OR-construction of 4 hyperplane tables × 4 planes
     * — a pair is a candidate if it shares a bucket in ANY table; exact
@@ -248,12 +311,12 @@ object Dedup {
         Seq("tbl", "bkt"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
-    cand
+    val scored = cand
       .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        cosine(col("va"), col("vb")).as("cos_raw"))
-      .filter(col("cos_raw") >= 0.4)
+        graft.functions.CosineSimilarity.cosineSim(col("va"), col("vb")).as("cos_raw"))
+    barrierFilter(scored, col("cos_raw") >= 0.4)
       .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cos"))
   }
 
@@ -270,10 +333,9 @@ object Dedup {
 
   // ---- oracle SQL -------------------------------------------------------
 
-  private val sigSqls: Seq[String] = {
-    val hs = s"list_transform(toks, t -> ${tokenHashSql("t")})"
-    (0 until 16).map(i => s"list_min(list_transform($hs, h -> ${affineSql(i, "h")}))")
-  }
+  /** `toks` is already the hashed-long token array in the d3 oracle. */
+  private val sigSqls: Seq[String] =
+    (0 until 16).map(i => s"list_min(list_transform(toks, h -> ${affineSql(i, "h")}))")
 
   private def bandKeySql(from: Int): String =
     (from until from + 8).foldLeft("CAST(0 AS BIGINT)")((acc, i) => s"(($acc) * 31 + s$i) % $P")
@@ -294,15 +356,19 @@ object Dedup {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "d2_ngram_jaccard" ->
       s"""WITH s AS (
-         |  SELECT doc_id, source, $shinglesSql AS sh
-         |  FROM (SELECT doc_id, source, ${tokensSql("text")} AS toks FROM documents))
+         |  SELECT doc_id, source, $shingleHashesSql AS sh
+         |  FROM (SELECT doc_id, source,
+         |          list_transform(${tokensSql("text")}, t -> ${tokenHashSql("t")}) AS hs
+         |        FROM documents))
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  round(${jaccardSql("a.sh", "b.sh")}, 6) AS jac
          |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE ${jaccardSql("a.sh", "b.sh")} >= 0.5""".stripMargin,
     "d3_minhash_lsh" ->
       s"""WITH d AS (
-         |  SELECT doc_id, ${tokenSetSql("text")} AS toks FROM documents),
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(${tokenSetSql("text")}, t -> ${tokenHashSql("t")})) AS toks
+         |  FROM documents),
          |sig AS (
          |  SELECT doc_id, toks,
          |    ${sigSqls.zipWithIndex.map { case (s, i) => s"$s AS s$i" }.mkString(", ")}

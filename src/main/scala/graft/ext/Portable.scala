@@ -58,6 +58,22 @@ object Portable {
   def tokens(text: Column): Column = split(text, " ")
   def tokensSql(text: String): String = s"string_split($text, ' ')"
 
+  /** Similarity-threshold filter that is guaranteed to evaluate ABOVE the
+    * projection producing `df` — an optimizer barrier.
+    *
+    * Without it, Catalyst pushes the threshold predicate through the
+    * scoring projection and into the pair-join condition, substituting the
+    * full scoring expression back in; a Jaccard filter then evaluates
+    * `array_intersect` up to 4× per candidate pair (join condition twice +
+    * output projection twice). Referencing a non-deterministic column in
+    * the predicate makes it unpushable, so the score computes once in the
+    * projection (codegen CSE) and the filter reads the scalar.
+    */
+  def barrierFilter(df: org.apache.spark.sql.DataFrame, cond: Column): org.apache.spark.sql.DataFrame =
+    df.withColumn("__barrier", monotonically_increasing_id())
+      .filter(cond && col("__barrier") >= 0L)
+      .drop("__barrier")
+
   /** Distinct token set. DuckDB's `list_distinct` does NOT preserve
     * element order (Spark's `array_distinct` does), so everything built on
     * the set must be order-insensitive: min, sum, intersection sizes.

@@ -83,10 +83,10 @@ class DedupSpec extends SparkSpec {
     assert(exchanges.nonEmpty, s"expected at least the distinct exchange:\n$p")
     assert(!exchanges.exists(e => e.contains("toks") || e.contains("text")),
       s"token arrays shuffled:\n$p")
-    // And the md5 hash array is computed once per row, not once per
-    // signature: exactly one `conv(substring(md5(...)))` in the plan text
-    // per lambda site would show 16 copies; the bound-column form shows 1.
+    // And the md5 hash array is computed once per plan SITE (the doc
+    // relation appears 3x: bands + the two candidate re-joins), never
+    // once per signature — a per-signature inline would show 16+ copies.
     val md5Count = "conv\\(substring\\(md5\\(".r.findAllIn(p).size
-    assert(md5Count <= 2, s"md5 inlined $md5Count times — hash array not reused:\n$p")
+    assert(md5Count <= 6, s"md5 inlined $md5Count times — hash array not reused:\n$p")
   }
 }
