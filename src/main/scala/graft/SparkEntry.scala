@@ -19,10 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     cdc.CdcQueries.queries ++ analytics.Dashboards.queries ++
       ext.Tpch.queries ++ ext.Dedup.queries ++ ext.Similarity.queries ++
-      ext.TextAnalysis.queries ++ ext.Multimodal.queries
+      ext.TextAnalysis.queries ++ ext.Multimodal.queries ++
+      ext.Sessions.queries
 
   def oracleSql: Map[String, String] =
     cdc.CdcQueries.oracle ++ analytics.Dashboards.oracle ++
       ext.Tpch.oracle ++ ext.Dedup.oracle ++ ext.Similarity.oracle ++
-      ext.TextAnalysis.oracle ++ ext.Multimodal.oracle
+      ext.TextAnalysis.oracle ++ ext.Multimodal.oracle ++
+      ext.Sessions.oracle
 }

@@ -1,0 +1,95 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence operators over the `events` stream table: gap-based
+  * sessionization and skew-safe distinct aggregation — the per-user
+  * behavioral rollups a training-data pipeline derives from raw event
+  * logs.
+  *
+  * Scale shape: both queries shuffle once on `user_id` (the window
+  * partition / first-phase group key) and everything after runs inside
+  * the partition. Per-user event counts are bounded (a user's history
+  * fits a partition); a pathological hot user would move to the salted
+  * two-phase form of k2, which is already the shape shown here.
+  */
+object Sessions {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** k1 — gap-based sessionization: a new session starts when the gap to
+    * the previous event of the same user exceeds 30 minutes. Session id =
+    * running count of session starts (lag + cumulative sum windows), the
+    * standard relational encoding.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("event_id")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // Gap compare in exact integer microseconds on both engines
+    // (unix_micros / epoch_us) — a seconds cast would floor on one side
+    // and round on the other at fractional boundaries.
+    ev.withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum("new_session").over(byUser))
+      .select(col("event_id"), col("user_id"), col("session_no"))
+  }
+
+  /** k1 rollup — sessions per user with bounds and length. */
+  def sessionStats(spark: SparkSession, sfDir: String): DataFrame =
+    sessionize(spark, sfDir)
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("first_event"),
+        max("event_id").as("last_event"))
+
+  /** k2 — distinct event types per user via two-phase aggregation: phase
+    * one groups on (user, type) — the "salted" expansion that spreads a
+    * hot user across partitions — phase two counts per user. The skew-safe
+    * form of COUNT(DISTINCT), with map-side partial aggregation in both
+    * phases.
+    */
+  def distinctTypes(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"))
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_distinct_types"), sum("n").as("n_events"))
+
+  val queries: Map[String, Q] = Map(
+    "k1_session_stats" -> (sessionStats _),
+    "k2_distinct_types" -> (distinctTypes _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "k1_session_stats" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id) AS session_no
+        |  FROM (
+        |    SELECT event_id, user_id,
+        |      CASE WHEN prev_ts IS NULL
+        |             OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(prev_ts) > 1800000000
+        |           THEN 1 ELSE 0 END AS new_session
+        |    FROM (
+        |      SELECT event_id, user_id, ts,
+        |        lag(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+        |      FROM events)))
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |  count(*) AS n_events,
+        |  min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM s GROUP BY user_id, session_no""".stripMargin,
+    "k2_distinct_types" ->
+      """SELECT user_id, count(*) AS n_distinct_types,
+        |  CAST(sum(n) AS BIGINT) AS n_events
+        |FROM (SELECT user_id, event_type, count(*) AS n
+        |      FROM events GROUP BY user_id, event_type)
+        |GROUP BY user_id""".stripMargin
+  )
+}
