@@ -153,18 +153,12 @@ object Dedup {
 
   // ---- d3: MinHash + LSH banding ---------------------------------------
 
-  /** 16 MinHash signature values from an already-hashed token array
-    * (map-side, no shuffle). Taking `hs` as a bound column — not inlining
-    * `transform(toks, tokenHash)` — keeps the md5 per token at 1, not 16:
-    * CollapseProject refuses to inline a non-cheap alias used this often,
-    * so the hash array materializes once per row in the same codegen stage.
+  /** Band key over signature columns [from, from+8): ordered 31-fold of
+    * scalar longs — cheap arithmetic, safe to inline anywhere.
     */
-  private def sigCols(hs: Column): Seq[Column] =
-    (0 until 16).map(i => array_min(transform(hs, h => affine(i, h))))
-
-  /** Band key over signature slice [from, from+8): ordered 31-fold. */
-  private def bandKey(sig: Seq[Column], from: Int): Column =
-    sig.slice(from, from + 8).foldLeft(lit(0L): Column)((acc, s) => (acc * 31L + s) % P)
+  private def bandKey(from: Int): Column =
+    (from until from + 8).map(i => col(s"s$i"))
+      .foldLeft(lit(0L): Column)((acc, s) => (acc * 31L + s) % P)
 
   /** Global near-dup via MinHash-LSH: 16 permutations, 2 bands × 8 rows,
     * exact Jaccard ≥ 0.9 on band-collision candidates only. At 100 TB the
@@ -178,22 +172,39 @@ object Dedup {
     val d = docs(spark, sfDir)
       .select(col("doc_id"),
         array_distinct(transform(tokenSet(col("text")), t => tokenHash(t))).as("toks"))
-    val sig = sigCols(col("toks"))
-    // Bands carry only (band, bkey, doc_id) into the candidate join — the
-    // token-hash arrays stay behind and are re-joined onto the (much
-    // smaller) distinct candidate set for the exact check.
-    val bands = d
+    // Signatures by AGGREGATION over exploded token hashes — sig_i =
+    // min(affine_i(h)) — rather than 16 array_min(transform(...)) lambdas
+    // over a bound array: identical values, one md5 per token, and the
+    // Aggregate node is a hard optimizer barrier, so downstream reuse of
+    // the band keys can never re-inline the hash computation (the
+    // array-lambda form measured a 13x md5 blowup when the subtree was
+    // referenced four times). Also the shape that scales: one shuffle on
+    // doc_id, partial min map-side.
+    val exploded = docs(spark, sfDir)
       .select(col("doc_id"),
-        bandKey(sig, 0).as("bk0"), bandKey(sig, 8).as("bk1"))
-      .select(col("doc_id"), explode(array(
-          struct(lit(0).as("band"), col("bk0").as("bkey")),
-          struct(lit(1).as("band"), col("bk1").as("bkey")))).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.bkey"))
-    val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-      .join(bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
-        Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+        explode(array_distinct(transform(tokenSet(col("text")),
+          t => tokenHash(t)))).as("h"))
+    val sigAgg = exploded.groupBy("doc_id")
+      .agg(min(affine(0, col("h"))).as("s0"),
+        (1 until 16).map(i => min(affine(i, col("h"))).as(s"s$i")): _*)
+    // Dedup-free banding: one join per band, where band i's condition
+    // requires NO earlier band to have matched — each colliding pair is
+    // emitted exactly once, so there is no multi-million-row DISTINCT
+    // over the band-inflated candidate set. Bands carry only (doc_id,
+    // band keys); the token-hash arrays re-join onto the candidates for
+    // the exact check.
+    val bandKeys = sigAgg.select(col("doc_id"),
+      bandKey(0).as("bk0"), bandKey(8).as("bk1"))
+    val l = bandKeys.select(col("doc_id").as("doc_a"),
+      col("bk0").as("abk0"), col("bk1").as("abk1"))
+    val r = bandKeys.select(col("doc_id").as("doc_b"),
+      col("bk0").as("bbk0"), col("bk1").as("bbk1"))
+    val cand0 = l.join(r, col("abk0") === col("bbk0") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val cand1 = l.join(r, col("abk1") === col("bbk1") &&
+        col("abk0") =!= col("bbk0") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val cand = cand0.unionByName(cand1)
     jaccardPairs(
       cand
         .join(d.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
@@ -237,25 +248,25 @@ object Dedup {
     * high), confirmed by bit_count(xor) ≤ 4.
     */
   def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    // Dedup-free banding (as in [[minhashLsh]]): band j's join requires
+    // all earlier bands to have differed, so each colliding pair is
+    // emitted exactly once and no distinct shuffle is needed. The
+    // Hamming filter is a cheap scalar folded into the join condition.
+    def byte(c: Column, b: Int): Column = shiftright(c, 8 * b) % 256L
     val sk = simhashSketch(spark, sfDir)
-    val banded = sk.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            (shiftright(col("simhash"), 8 * b) % 256L).as("bkey"))): _*)).as("b"))
-      .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bkey"))
-    val l = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_a"), col("simhash").as("sa"))
-    val r = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_b"), col("simhash").as("sb"))
-    l.join(r, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
-      // Hamming is a cheap scalar, so let Catalyst fold this filter into
-      // the join condition — then only the ≤4 matches reach the distinct
-      // shuffle, instead of deduplicating the full (band-inflated)
-      // candidate set. hamming is functionally dependent on the pair, so
-      // filter-then-distinct equals distinct-then-filter.
-      .filter(col("hamming") <= 4)
-      .dropDuplicates("doc_a", "doc_b")
+    val l = sk.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
+    val r = sk.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
+    val perBand = (0 until 4).map { b =>
+      val sameBand = byte(col("sa"), b) === byte(col("sb"), b)
+      val earlierDiffer = (0 until b)
+        .map(i => byte(col("sa"), i) =!= byte(col("sb"), i))
+        .foldLeft(lit(true))(_ && _)
+      l.join(r, sameBand && earlierDiffer && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 4)
+    }
+    perBand.reduce(_ unionByName _)
   }
 
   // ---- d6: embedding cosine near-dup (hyperplane LSH) -------------------

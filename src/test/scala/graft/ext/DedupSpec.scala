@@ -80,9 +80,17 @@ class DedupSpec extends SparkSpec {
     val p = Dedup.minhashLsh(spark, sf).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(exchanges.nonEmpty, s"expected at least the distinct exchange:\n$p")
+    // At sf0.001 every join broadcasts, so zero shuffles is valid (and
+    // ideal); whatever exchanges appear at larger SF must carry only ids
+    // and band keys.
     assert(!exchanges.exists(e => e.contains("toks") || e.contains("text")),
       s"token arrays shuffled:\n$p")
+    // dedup-free banding: no distinct/aggregate over the candidate pairs
+    assert(!p.contains("dropDuplicates"), s"unexpected distinct:\n$p")
+    // the intersection is evaluated in exactly one Project (barrier keeps
+    // it out of the join condition and the final filter)
+    assert("array_intersect".r.findAllIn(p).size == 1,
+      s"intersection evaluated more than once:\n$p")
     // And the md5 hash array is computed once per plan SITE (the doc
     // relation appears 3x: bands + the two candidate re-joins), never
     // once per signature — a per-signature inline would show 16+ copies.
