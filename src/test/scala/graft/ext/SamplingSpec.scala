@@ -1,0 +1,41 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  test("hash sample is deterministic and partition-independent") {
+    val s1 = Sampling.hashSample(spark, sf).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "sample changed between runs")
+    // repartitioning the input must not change the sample membership
+    val repart = graft.Tables.documents(spark, sf).repartition(13)
+      .filter(graft.ext.Portable.tokenHash(col("doc_id").cast("string")) % 100 < 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(repart == s1, "sample depends on partitioning")
+  }
+
+  test("stratified rates hold approximately per stratum") {
+    val total = graft.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val picked = Sampling.stratifiedSample(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = Map("en" -> 0.05, "de" -> 0.20, "fr" -> 0.20, "es" -> 0.20, "zh" -> 0.50)
+    for ((lang, rate) <- rates; n <- total.get(lang)) {
+      val got = picked.getOrElse(lang, 0L).toDouble / n
+      // hash gating is binomial; wide tolerance at sf0.001 sizes
+      assert(math.abs(got - rate) < 0.25, s"$lang: rate $got vs $rate")
+    }
+  }
+
+  test("mixture summary picked never exceeds total and matches r1 gate") {
+    val rows = Sampling.mixtureSummary(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
+    val totalPicked = rows.map(_.getLong(2)).sum
+    val r1 = Sampling.hashSample(spark, sf).count()
+    assert(totalPicked == r1)
+  }
+}
