@@ -92,10 +92,33 @@ object Similarity {
     topkOut(scored, 3)
   }
 
+  /** s4 — IVF cell centroids: mean vector per coarse cell, the k-means
+    * E-step output that s2's cell assignment stands on. Posexplode to
+    * (label, dim, value) rows, aggregate per (label, dim). Values are
+    * fixed-point quantized before summing so the result is independent
+    * of partition/arrival order — a double sum would drift run to run
+    * and break both the oracle and reproducibility at scale. Output is
+    * rows, not vectors: (label, dim, centroid), scalar-comparable.
+    */
+  def ivfCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      // Fixed-point accumulation: floor-quantize to 1e-7, sum longs.
+      // Decimal casts are NOT ulp-portable (DuckDB rounds via a scaled
+      // double multiply, Spark via exact BigDecimal — they disagreed on
+      // 1 value in 32k); floor(v*1e7) is the same double op on both
+      // engines and integer sums are exact and order-independent. Also
+      // the right accumulator shape at 100 TB.
+      .select(col("label"), col("dim"),
+        floor(col("v").cast("double") * 1e7).cast("long").as("q"))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(col("q")).cast("double") / 1e7 / count(lit(1))).as("centroid"))
+
   val queries: Map[String, Q] = Map(
     "s1_brute_topk" -> (bruteTopk _),
     "s2_ivf_topk" -> (ivfTopk _),
-    "s3_lsh_topk" -> (lshTopk _)
+    "s3_lsh_topk" -> (lshTopk _),
+    "s4_ivf_centroids" -> (ivfCentroids _)
   )
 
   private val cosSql =
@@ -142,6 +165,12 @@ object Similarity {
          |  WHERE q.vec_id < $nQueries AND c.vec_id <> q.vec_id)
          |SELECT cand.query_id, cand.neighbor_id, $cosSql AS cos_raw
          |FROM cand JOIN ev e ON e.vec_id = cand.neighbor_id
-         |          JOIN (SELECT vec_id, v AS qv FROM ev) q ON q.vec_id = cand.query_id""".stripMargin, 3)
+         |          JOIN (SELECT vec_id, v AS qv FROM ev) q ON q.vec_id = cand.query_id""".stripMargin, 3),
+    "s4_ivf_centroids" ->
+      """SELECT label, CAST(t.i AS INTEGER) AS dim,
+        |  CAST(sum(CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)
+        |    / 10000000.0 / count(*) AS centroid
+        |FROM embeddings, range(64) t(i)
+        |GROUP BY label, t.i""".stripMargin
   )
 }
