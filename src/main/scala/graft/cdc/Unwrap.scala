@@ -56,5 +56,5 @@ object Unwrap {
   def toWire(rows: DataFrame, idCol: String): DataFrame =
     rows.select(
       col(idCol).cast("string").as("key"),
-      to_json(struct(rows.columns.map(col): _*)).as("value"))
+      to_json(struct(rows.columns.toIndexedSeq.map(col): _*)).as("value"))
 }
