@@ -123,11 +123,22 @@ object TextAnalysis {
       .withColumn("hs", transform(col("toks"), t => tokenHash(t)))
       .select(col("doc_id"), fold31(col("hs")).as("fingerprint"))
 
+  /** x5 — corpus composition rollup: doc counts and char volume by
+    * (lang, source) with subtotals per lang and a grand total — one pass,
+    * `ROLLUP` grouping sets, partial aggregation at every level. The
+    * "what is my training mix" dashboard at 100 TB.
+    */
+  def langSourceRollup(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+
   val queries: Map[String, Q] = Map(
     "x1_token_stats" -> (tokenStats _),
     "x2_quality_score" -> (qualityScore _),
     "x3_lang_id" -> (langId _),
-    "x4_fingerprint" -> (fingerprint _)
+    "x4_fingerprint" -> (fingerprint _),
+    "x5_lang_source_rollup" -> (langSourceRollup _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -167,6 +178,10 @@ object TextAnalysis {
       s"""SELECT doc_id, ${fold31Sql("hs")} AS fingerprint
          |FROM (SELECT doc_id,
          |        list_transform(${tokensSql("text")}, t -> ${tokenHashSql("t")}) AS hs
-         |      FROM documents)""".stripMargin
+         |      FROM documents)""".stripMargin,
+    "x5_lang_source_rollup" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin
   )
 }
