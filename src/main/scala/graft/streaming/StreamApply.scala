@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.cdc.Materialize
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout}
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
@@ -115,4 +115,37 @@ object StreamApply {
       width: String = "1 day"): DataFrame =
     events.groupBy(window(col(tsCol), width)).count()
       .select(col("window.start").as("bucket"), col("count").as("n"))
+
+  // ---- mapGroupsWithState variant of the keyed view ---------------------
+
+  /** Normalized CDC event for the typed stateful path. */
+  case class KeyedEvent(seq: Long, key: Int, op: String, value: Double)
+
+  /** Per-key live state. */
+  case class KeyState(seq: Long, value: Double, deleted: Boolean)
+
+  /** The keyed view as CUSTOM STREAMING STATE — the
+    * `mapGroupsWithState` alternative to the `foreachBatch` merge: state
+    * lives in Spark's state store (shuffle-partitioned by key, bounded by
+    * the live-key set, checkpointed), and each micro-batch emits the
+    * updated row per touched key. Same fold semantics as
+    * [[graft.cdc.Materialize]]: highest `seq` wins, deletes tombstone the
+    * key (state is KEPT so an out-of-order older event cannot resurrect
+    * it).
+    */
+  def statefulView(events: Dataset[KeyedEvent]): Dataset[(Int, KeyState)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .mapGroupsWithState[KeyState, (Int, KeyState)](GroupStateTimeout.NoTimeout) {
+        (key, batch, state) =>
+          val init = state.getOption.getOrElse(KeyState(Long.MinValue, 0.0, deleted = true))
+          val next = batch.foldLeft(init) { (s, e) =>
+            if (e.seq <= s.seq) s // stale replay — state already newer
+            else if (e.op == "d") KeyState(e.seq, 0.0, deleted = true)
+            else KeyState(e.seq, e.value, deleted = false)
+          }
+          state.update(next)
+          key -> next
+      }
+  }
 }
