@@ -1,0 +1,57 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Portable._
+
+/** The capstone composition: a training-data preparation pipeline built
+  * from the engine's own operators — quality gate → exact dedup →
+  * deterministic sample → mix summary — in ONE declarative plan, so
+  * Catalyst fuses the gates into the scan and the only shuffles are the
+  * dedup group-by and the final rollup. This is the query a 100 TB corpus
+  * job actually runs nightly.
+  */
+object Pipeline {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** p1 — prepared-corpus summary: docs that (1) pass the quality gate
+    * (stopword ratio < 0.3 and ≥ 20 tokens), (2) are the canonical copy
+    * of their content (min doc_id per text digest), (3) fall in the 50%
+    * deterministic sample — rolled up per language.
+    */
+  def trainingMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = tokens(col("text"))
+    val stopRatio = size(filter(toks, t => t === "the" || t === "a")).cast("double") /
+      size(toks).cast("double")
+    val gated = docs
+      .filter(size(tokens(col("text"))) >= 20 && stopRatio < 0.3)
+      .filter(tokenHash(col("doc_id").cast("string")) % 100 < 50)
+    val canonical = gated
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min("doc_id").as("doc_id"))
+    canonical.join(docs.select("doc_id", "lang", "n_chars"), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"))
+  }
+
+  val queries: Map[String, Q] = Map("p1_training_mix" -> (trainingMix _))
+
+  val oracle: Map[String, String] = Map(
+    "p1_training_mix" ->
+      s"""WITH gated AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE len(${tokensSql("text")}) >= 20
+         |    AND len(list_filter(${tokensSql("text")}, t -> t = 'the' OR t = 'a')) * 1.0
+         |        / len(${tokensSql("text")}) < 0.3
+         |    AND ${tokenHashSql("CAST(doc_id AS VARCHAR)")} % 100 < 50),
+         |canonical AS (
+         |  SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text))
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM canonical JOIN documents USING (doc_id)
+         |GROUP BY lang""".stripMargin
+  )
+}
