@@ -78,6 +78,26 @@ object Multimodal {
     }
   }
 
+  /** m4 — resize (STUB): target dims + a stride-resampled payload. The
+    * real kernel would be an image scaler; the stub keeps the contract a
+    * resize must have — output dims are the requested ones, payload
+    * shrinks proportionally, determinism — so the Spark plumbing
+    * (partition-batched, schema-stable) is exercised for real.
+    */
+  def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { rec =>
+        val ratio = math.max(1,
+          math.ceil(rec.data.length.toDouble * w * h /
+            math.max(1, rec.width * rec.height)).toInt)
+        val stride = math.max(1, rec.data.length / math.max(1, ratio))
+        val sampled = rec.data.indices.by(stride).map(rec.data).toArray
+        rec.copy(data = sampled, width = w, height = h)
+      }
+    }
+  }
+
   // ---- oracle-checked projection queries --------------------------------
 
   /** m1 — media metadata extraction: byte length, header byte, synthetic

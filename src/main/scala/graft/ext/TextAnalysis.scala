@@ -133,12 +133,26 @@ object TextAnalysis {
       .rollup(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
 
+  /** x6 — subword ("BPE-ish") token counting: consonant-vowel-consonant
+    * chunks as the regex proxy for subword units — the LLM-cost estimator
+    * that runs beside whitespace token counts. `regexp_count` /
+    * `regexp_extract_all` agree across engines on ASCII patterns.
+    */
+  def subtokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val pat = "[bcdfghjklmnpqrstvwxyz]*[aeiou]+[bcdfghjklmnpqrstvwxyz]*"
+    docs(spark, sfDir).select(col("doc_id"),
+      regexp_count(col("text"), lit(pat)).cast("long").as("n_subtokens"),
+      round(length(col("text")).cast("double") /
+        regexp_count(col("text"), lit(pat)), 6).as("chars_per_subtoken"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x1_token_stats" -> (tokenStats _),
     "x2_quality_score" -> (qualityScore _),
     "x3_lang_id" -> (langId _),
     "x4_fingerprint" -> (fingerprint _),
-    "x5_lang_source_rollup" -> (langSourceRollup _)
+    "x5_lang_source_rollup" -> (langSourceRollup _),
+    "x6_subtoken_count" -> (subtokenCount _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -182,6 +196,15 @@ object TextAnalysis {
     "x5_lang_source_rollup" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    "x6_subtoken_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[bcdfghjklmnpqrstvwxyz]*[aeiou]+[bcdfghjklmnpqrstvwxyz]*')) AS BIGINT)
+        |    AS n_subtokens,
+        |  round(len(text) * 1.0 / len(regexp_extract_all(text,
+        |    '[bcdfghjklmnpqrstvwxyz]*[aeiou]+[bcdfghjklmnpqrstvwxyz]*')), 6)
+        |    AS chars_per_subtoken
+        |FROM documents""".stripMargin
   )
 }

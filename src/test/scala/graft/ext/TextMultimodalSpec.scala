@@ -72,6 +72,22 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize stub keeps dims contract and shrinks payload deterministically") {
+    val media = Multimodal.mediaRecords(spark, sf)
+    val resized = Multimodal.resize(media, 64, 48).collect()
+    val orig = media.collect().map(r => r.doc_id -> r).toMap
+    assert(resized.nonEmpty)
+    for (r <- resized.take(10)) {
+      assert(r.width == 64 && r.height == 48)
+      assert(r.data.length <= orig(r.doc_id).data.length)
+      assert(r.data.nonEmpty)
+    }
+    // deterministic: same input → same bytes
+    val again = Multimodal.resize(media, 64, 48).collect()
+      .map(r => r.doc_id -> r.data.toSeq).toMap
+    assert(resized.forall(r => again(r.doc_id) == r.data.toSeq))
+  }
+
   test("media metadata query is a shuffle-free scan projection") {
     val p = Multimodal.mediaMeta(spark, sf).queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"metadata extraction must not shuffle:\n$p")
