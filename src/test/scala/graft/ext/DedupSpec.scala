@@ -64,6 +64,20 @@ class DedupSpec extends SparkSpec {
       s"1-token-swap pair should be closer than disjoint pair: $out")
   }
 
+  test("dedup clusters: every near-dup pair shares a canonical; canon = min") {
+    val labels = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.minhashLsh(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => labels(a) == labels(b) },
+      "a near-dup pair landed in two different clusters")
+    // canonical is the minimum member of its own cluster
+    val byCluster = labels.groupBy(_._2).map { case (c, m) => c -> m.keys.min }
+    assert(byCluster.forall { case (c, minMember) => c == minMember })
+    // every document is labeled
+    assert(labels.size == graft.Tables.documents(spark, sf).count())
+  }
+
   test("embedding near-dup pairs all meet the cosine threshold") {
     val rows = Dedup.embedNearDup(spark, sf).collect()
     assert(rows.forall(_.getDouble(2) >= 0.4))
