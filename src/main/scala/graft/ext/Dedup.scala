@@ -232,30 +232,43 @@ object Dedup {
       .localCheckpoint()
     val und = edges
       .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
-    var labels = docs(spark, sfDir)
-      .select(col("doc_id"), col("doc_id").as("canonical"))
+      .localCheckpoint()
+    // Iterate ONLY over nodes that touch an edge; isolated documents are
+    // their own canonical and join back in at the end. Every join below
+    // is a plain shuffle join keyed on doc_id/canonical — the label frame
+    // is corpus-sized, so broadcasting it (as an earlier revision did)
+    // would ship the whole corpus's labels to every task each round and
+    // OOM beyond toy scale; shuffle hash joins on a long key are the
+    // shape that survives 1000 executors. The init label is already the
+    // first hop (min neighbor vs self), saving one round.
+    var labels = und.groupBy(col("u").as("doc_id"))
+      .agg(min("v").as("mn"))
+      .select(col("doc_id"), least(col("mn"), col("doc_id")).as("canonical"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
-      val prop = und.join(broadcast(labels), und("u") === labels("doc_id"))
+      val prop = und.join(labels, und("u") === labels("doc_id"))
         .select(col("v").as("doc_id"), col("canonical"))
       // pointer jumping: also adopt the canonical's own canonical — path
       // lengths halve each round, so convergence is O(log diameter)
       // instead of O(diameter) (23s -> ~8s at sf0.1 on this graph)
       val viaCanon = labels.alias("l1")
-        .join(broadcast(labels.alias("l2")), col("l1.canonical") === col("l2.doc_id"))
+        .join(labels.alias("l2"), col("l1.canonical") === col("l2.doc_id"))
         .select(col("l1.doc_id").as("doc_id"), col("l2.canonical").as("canonical"))
       val next = labels.unionByName(prop).unionByName(viaCanon)
         .groupBy("doc_id").agg(min("canonical").as("canonical"))
         .localCheckpoint()
       changed = next
-        .join(broadcast(labels.withColumnRenamed("canonical", "prev")), Seq("doc_id"))
+        .join(labels.withColumnRenamed("canonical", "prev"), Seq("doc_id"))
         .filter(col("canonical") =!= col("prev")).count()
       labels = next
       rounds += 1
     }
-    labels
+    docs(spark, sfDir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical"), col("doc_id")).as("canonical"))
   }
 
   // ---- d4: SimHash ------------------------------------------------------
@@ -289,9 +302,14 @@ object Dedup {
       .select(col("doc_id"), simhash(col("hs")).as("simhash"))
 
   /** SimHash near-dup: candidates where any of the 4 bytes of the sketch
-    * collide (a Hamming-≤k pair must agree on ≥1 byte when k<4 by
-    * pigeonhole... k≤3 guarantees it; we use k=4 where recall is still
-    * high), confirmed by bit_count(xor) ≤ 4.
+    * collide, confirmed by bit_count(xor) ≤ 4. Recall is EXACT only up to
+    * Hamming 3: pigeonhole over 4 byte-bands guarantees a clean band only
+    * when the differing bits number < 4. At the k=4 threshold a pair whose
+    * 4 differing bits land in 4 distinct bytes is never a candidate — an
+    * accepted, explicit recall gap (the alternative, 8 nibble-bands, makes
+    * the guarantee exact but inflates candidates ~30× on this corpus). The
+    * DuckDB oracle mirrors the same banding, so the gate verifies the
+    * banding implementation, not all-pairs completeness.
     */
   def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     // Dedup-free banding (as in [[minhashLsh]]): band j's join requires

@@ -114,13 +114,18 @@ object Multimodal {
 
   /** m2 — frame sampling: every 8th byte position (a fixed-stride
     * keyframe grab), returning the sample count and an order-sensitive
-    * checksum of the sampled bytes.
+    * checksum of the sampled bytes. A zero-length document yields an
+    * empty frame list: Spark's `sequence` throws on start>stop with a
+    * positive step, while DuckDB's `range(1, 1, 8)` is just empty — the
+    * `when` guard keeps the engines in parity instead of crashing.
     */
   def frameSample(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        transform(sequence(lit(1), length(col("text")), lit(8)),
-          i => ascii(col("text").substr(i, lit(1))).cast("long")).as("frames"))
+        when(length(col("text")) > 0,
+          transform(sequence(lit(1), length(col("text")), lit(8)),
+            i => ascii(col("text").substr(i, lit(1))).cast("long")))
+          .otherwise(array().cast("array<long>")).as("frames"))
       .select(col("doc_id"),
         size(col("frames")).cast("long").as("n_frames"),
         fold31(col("frames")).as("frame_checksum"))

@@ -15,10 +15,11 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *
   *   - [[upsertWriter]]: `foreachBatch` + last-write-wins merge — the
   *     OpenSearch upsert-by-`_id` analog. Checkpointing replaces the
-  *     consumer group (O13) and upgrades at-least-once + idempotent apply
-  *     to exactly-once sink effects.
-  *   - [[dedupped]]: `dropDuplicates` on the event id bounded by a
-  *     watermark — the redelivery guard.
+  *     consumer group (O13): at-least-once redelivery + an idempotent
+  *     keyed merge gives effectively-once sink state (true exactly-once
+  *     needs a transactional sink — see [[ParquetUpsertStore]]).
+  *   - [[dedupped]]: `dropDuplicatesWithinWatermark` on the event id —
+  *     the redelivery guard, with state bounded by the watermark.
   *   - [[windowedCounts]]: event-time tumbling counts with a watermark —
   *     the "new customers over time" dashboard as a stream (the reference
   *     had no event-time semantics at all; processing order only).
@@ -31,10 +32,17 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 object StreamApply {
 
   /** Micro-batch merge: new state = last-write-wins over (old state ∪
-    * batch). Written as an atomic parquet swap so the demo is
-    * self-contained; in production the body of `merge` is a Delta/Iceberg
-    * `MERGE WHEN MATCHED UPDATE/DELETE WHEN NOT MATCHED INSERT` — the
-    * shape (idempotent, keyed, per-micro-batch) is identical.
+    * batch). The swap is two directory moves, so it is NOT atomic — a
+    * crash can land between them. [[ParquetUpsertStore.recover]] makes it
+    * crash-CONSISTENT instead: every entry point first rolls the swap
+    * forward (complete `state_tmp_*` present) or back (only `state_old_*`
+    * present), so a reader always sees one complete state and a replayed
+    * micro-batch merges onto the recovered state idempotently. True
+    * atomic commit (and with it exactly-once sink effects) needs a
+    * transactional table format — in production the body of `merge` is a
+    * Delta/Iceberg `MERGE WHEN MATCHED UPDATE/DELETE WHEN NOT MATCHED
+    * INSERT`; this parquet store is the demo-scale stand-in with the same
+    * keyed, idempotent, per-micro-batch shape.
     */
   final class ParquetUpsertStore(spark: SparkSession, dir: String,
       key: String, seq: String, opCol: String, deleteOp: String,
@@ -42,7 +50,46 @@ object StreamApply {
 
     private val statePath = s"$dir/state"
 
+    /** Roll an interrupted swap forward or back. Crash windows of
+      * [[merge]], in write order (tmp is fully written before any move):
+      *
+      *   1. during the tmp write → `state` intact: delete stray tmp dirs;
+      *   2. after `state`→`state_old`, before `tmp`→`state` → roll
+      *      FORWARD: the tmp is complete by construction, promote it;
+      *   3. after `tmp`→`state`, before the old-dir delete → `state`
+      *      intact: delete the stray old dir (case 1 path).
+      *
+      * Idempotent; called from every public entry point.
+      */
+    private def recover(): Unit = {
+      val d = Paths.get(dir)
+      if (!Files.isDirectory(d)) return
+      import scala.jdk.CollectionConverters._
+      val strays = Files.list(d).iterator().asScala.toList
+        .filter(f => f.getFileName.toString.startsWith("state_"))
+      val p = Paths.get(statePath)
+      if (!Files.exists(p)) {
+        // batch ids are monotonic: the highest-numbered tmp (else old) is
+        // the most recent consistent state
+        def id(f: java.nio.file.Path): Long =
+          f.getFileName.toString.split("_").last.toLong
+        val candidate = strays.filter(_.getFileName.toString.startsWith("state_tmp_"))
+          .sortBy(id).lastOption
+          .orElse(strays.filter(_.getFileName.toString.startsWith("state_old_"))
+            .sortBy(id).lastOption)
+        candidate.foreach(c => Files.move(c, p, StandardCopyOption.ATOMIC_MOVE))
+      }
+      Files.list(d).iterator().asScala.toList
+        .filter(f => f.getFileName.toString.startsWith("state_tmp_") ||
+          f.getFileName.toString.startsWith("state_old_"))
+        .foreach { stray =>
+          Files.walk(stray).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+        }
+    }
+
     def snapshot(): DataFrame = {
+      recover()
       val p = Paths.get(statePath)
       if (Files.exists(p)) spark.read.parquet(statePath)
       else spark.emptyDataFrame
@@ -53,6 +100,7 @@ object StreamApply {
       * deleted key; the serving view filters them.
       */
     def merge(batch: DataFrame, batchId: Long): Unit = {
+      recover()
       val cols = (key +: seq +: opCol +: payloadCols).distinct
       val incoming = batch.select(cols.map(col): _*)
       val p = Paths.get(statePath)
@@ -93,11 +141,16 @@ object StreamApply {
   /** Redelivery dedup (O13): exactly-once per event id within the
     * watermark horizon. Upstream retries land as byte-identical events,
     * so dropping by id is lossless — same contract the reference leans on
-    * with its idempotent upsert.
+    * with its idempotent upsert. `dropDuplicatesWithinWatermark` (not
+    * plain `dropDuplicates`) is what makes the horizon real: with the
+    * event-time column outside the dedup key, plain `dropDuplicates`
+    * never evicts its state; the within-watermark variant expires each
+    * id once the watermark passes its event time, so state is bounded by
+    * the horizon on an unbounded stream.
     */
   def dedupped(events: DataFrame, tsCol: String, idCol: String,
       horizon: String = "10 minutes"): DataFrame =
-    events.withWatermark(tsCol, horizon).dropDuplicates(idCol)
+    events.withWatermark(tsCol, horizon).dropDuplicatesWithinWatermark(idCol)
 
   /** Q2 as a stream: tumbling event-time counts with late-data bound. */
   def windowedCounts(events: DataFrame, tsCol: String,
