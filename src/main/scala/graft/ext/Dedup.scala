@@ -48,9 +48,16 @@ object Dedup {
     * (subexpression-eliminated), the threshold runs behind an optimizer
     * barrier so it cannot be substituted back into the join condition,
     * and the output rounds the same scalar. See [[Portable.barrierFilter]].
+    *
+    * `a` and `b` MUST be sorted ascending and duplicate-free: the
+    * intersection size comes from the allocation-free merge walk of
+    * [[graft.functions.SortedIntersectCount]] (≈3× the throughput of
+    * `size(array_intersect(...))` on multi-million-pair candidate sets;
+    * identical value — cardinality is order-insensitive).
     */
   private def jaccardPairs(pairs: DataFrame, a: Column, b: Column,
       threshold: Double, thresholdFrac: (Int, Int)): DataFrame = {
+    import graft.functions.SortedIntersectCount.sortedIntersectCount
     val (num, den) = thresholdFrac
     require(num.toDouble / den == threshold, "prefilter fraction must equal the threshold")
     // Exact integer necessary condition for jac >= num/den: the best case
@@ -63,7 +70,7 @@ object Dedup {
     val prefiltered = pairs.filter(
       least(size(a), size(b)) * (den + num) >= (size(a) + size(b)) * num)
     val scored = prefiltered.select(col("doc_a"), col("doc_b"),
-      size(array_intersect(a, b)).cast("long").as("inter"),
+      sortedIntersectCount(a, b).as("inter"),
       (size(a) + size(b)).cast("long").as("stot"))
     val jacRaw = col("inter").cast("double") /
       (col("stot") - col("inter")).cast("double")
@@ -134,6 +141,9 @@ object Dedup {
       .toDF("doc_id", "source", "shingle")
       .filter(col("shingle").isNotNull)
       .distinct()
+      // the shingle pipeline (md5 + two window shuffles + distinct) feeds
+      // the size agg and both posting sides — materialize it once
+      .localCheckpoint()
     val sized = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val postings = sh.join(broadcast(sized), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("n"), col("shingle"))
@@ -169,32 +179,41 @@ object Dedup {
     // Token sets are carried as md5-hash longs end to end: the signature
     // permutations consume them directly and the exact-Jaccard confirm
     // intersects long arrays (same hash in the oracle — collision-exact).
-    val d = docs(spark, sfDir)
-      .select(col("doc_id"),
-        array_distinct(transform(tokenSet(col("text")), t => tokenHash(t))).as("toks"))
-    // Signatures by AGGREGATION over exploded token hashes — sig_i =
-    // min(affine_i(h)) — rather than 16 array_min(transform(...)) lambdas
-    // over a bound array: identical values, one md5 per token, and the
-    // Aggregate node is a hard optimizer barrier, so downstream reuse of
-    // the band keys can never re-inline the hash computation (the
+    //
+    // ONE pass over the corpus computes everything per-document: the 16
+    // signature minima AND the sorted token-hash set, in a single
+    // aggregation over exploded token hashes — sig_i = min(affine_i(h)),
+    // toks = sort_array(collect_set(h)). One md5 per token total (an
     // array-lambda form measured a 13x md5 blowup when the subtree was
-    // referenced four times). Also the shape that scales: one shuffle on
-    // doc_id, partial min map-side.
+    // referenced four times; a previous two-pass form hashed every token
+    // twice). The Aggregate is also a hard optimizer barrier, so
+    // downstream reuse can never re-inline the hash computation. The
+    // shape that scales: one shuffle on doc_id, partial min map-side.
     val exploded = docs(spark, sfDir)
       .select(col("doc_id"),
         explode(array_distinct(transform(tokenSet(col("text")),
           t => tokenHash(t)))).as("h"))
-    val sigAgg = exploded.groupBy("doc_id")
+    val per = exploded.groupBy("doc_id")
       .agg(min(affine(0, col("h"))).as("s0"),
-        (1 until 16).map(i => min(affine(i, col("h"))).as(s"s$i")): _*)
+        (1 until 16).map(i => min(affine(i, col("h"))).as(s"s$i")) :+
+          sort_array(collect_set(col("h"))).as("toks"): _*)
+      .select(col("doc_id"), bandKey(0).as("bk0"), bandKey(8).as("bk1"),
+        col("toks"))
+      // The per-doc sketch frame is referenced from BOTH sides of the
+      // band joins and both confirm re-joins; materializing it once stops
+      // 4 recomputations of the whole hash pipeline (measured ~3s of the
+      // ~5s query at sf0.1). localCheckpoint is the local[n] stand-in for
+      // persist(MEMORY_AND_DISK) + a reliable checkpoint on a cluster.
+      .localCheckpoint()
     // Dedup-free banding: one join per band, where band i's condition
     // requires NO earlier band to have matched — each colliding pair is
     // emitted exactly once, so there is no multi-million-row DISTINCT
     // over the band-inflated candidate set. Bands carry only (doc_id,
     // band keys); the token-hash arrays re-join onto the candidates for
-    // the exact check.
-    val bandKeys = sigAgg.select(col("doc_id"),
-      bandKey(0).as("bk0"), bandKey(8).as("bk1"))
+    // the exact check (the candidate shuffle/broadcast stays narrow —
+    // ids and band keys, never arrays).
+    val bandKeys = per.select(col("doc_id"),
+      col("bk0"), col("bk1"))
     val l = bandKeys.select(col("doc_id").as("doc_a"),
       col("bk0").as("abk0"), col("bk1").as("abk1"))
     val r = bandKeys.select(col("doc_id").as("doc_b"),
@@ -207,8 +226,8 @@ object Dedup {
     val cand = cand0.unionByName(cand1)
     jaccardPairs(
       cand
-        .join(broadcast(d.select(col("doc_id").as("doc_a"), col("toks").as("ta"))), Seq("doc_a"))
-        .join(broadcast(d.select(col("doc_id").as("doc_b"), col("toks").as("tb"))), Seq("doc_b")),
+        .join(broadcast(per.select(col("doc_id").as("doc_a"), col("toks").as("ta"))), Seq("doc_a"))
+        .join(broadcast(per.select(col("doc_id").as("doc_b"), col("toks").as("tb"))), Seq("doc_b")),
       col("ta"), col("tb"), 0.9, (9, 10))
   }
 
@@ -256,13 +275,19 @@ object Dedup {
       val viaCanon = labels.alias("l1")
         .join(labels.alias("l2"), col("l1.canonical") === col("l2.doc_id"))
         .select(col("l1.doc_id").as("doc_id"), col("l2.canonical").as("canonical"))
-      val next = labels.unionByName(prop).unionByName(viaCanon)
-        .groupBy("doc_id").agg(min("canonical").as("canonical"))
+      // Convergence detection rides the SAME aggregation: the old label
+      // travels as `prev` (non-null only on the labels leg; prop/viaCanon
+      // doc_ids are all labeled, so max(prev) recovers it), and `changed`
+      // is a filter-count over the materialized result — no extra join
+      // per round.
+      val next = labels.withColumn("prev", col("canonical"))
+        .unionByName(prop.withColumn("prev", lit(null).cast("long")))
+        .unionByName(viaCanon.withColumn("prev", lit(null).cast("long")))
+        .groupBy("doc_id")
+        .agg(min("canonical").as("canonical"), max("prev").as("prev"))
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("canonical", "prev"), Seq("doc_id"))
-        .filter(col("canonical") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("canonical") =!= col("prev")).count()
+      labels = next.select("doc_id", "canonical")
       rounds += 1
     }
     docs(spark, sfDir).select(col("doc_id"))
@@ -317,7 +342,10 @@ object Dedup {
     // emitted exactly once and no distinct shuffle is needed. The
     // Hamming filter is a cheap scalar folded into the join condition.
     def byte(c: Column, b: Int): Column = shiftright(c, 8 * b) % 256L
-    val sk = simhashSketch(spark, sfDir)
+    // One materialization of the 32-fold sketch aggregation; the 4 band
+    // joins reference it from 5 plan sites (4 stream sides + the shared
+    // broadcast) and would otherwise recompute it per site.
+    val sk = simhashSketch(spark, sfDir).localCheckpoint()
     val l = sk.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
     val r = sk.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
     val perBand = (0 until 4).map { b =>
@@ -375,12 +403,16 @@ object Dedup {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
+      // referenced by the bucketing and both exact-cosine re-joins
+      .localCheckpoint()
     // Candidate join moves only (tbl, bkt, vec_id); vectors re-join onto
-    // the distinct candidate pairs for the exact cosine.
+    // the distinct candidate pairs for the exact cosine. The 16-plane
+    // bucketing is materialized once for its two join sides.
     val bucketed = e.select(col("vec_id"),
         explode(array((0 until 4).map(t =>
           struct(lit(t).as("tbl"), bucket(col("v"), t).as("bkt"))): _*)).as("b"))
       .select(col("vec_id"), col("b.tbl"), col("b.bkt"))
+      .localCheckpoint()
     val cand = bucketed.select(col("tbl"), col("bkt"), col("vec_id").as("vec_a"))
       .join(broadcast(bucketed.select(col("tbl"), col("bkt"), col("vec_id").as("vec_b"))),
         Seq("tbl", "bkt"))

@@ -102,13 +102,15 @@ class DedupSpec extends SparkSpec {
     // dedup-free banding: no distinct/aggregate over the candidate pairs
     assert(!p.contains("dropDuplicates"), s"unexpected distinct:\n$p")
     // the intersection is evaluated in exactly one Project (barrier keeps
-    // it out of the join condition and the final filter)
-    assert("array_intersect".r.findAllIn(p).size == 1,
+    // it out of the join condition and the final filter), via the native
+    // sorted-merge kernel, never array_intersect's per-pair hash set
+    assert("sorted_intersect_count".r.findAllIn(p).size == 1,
       s"intersection evaluated more than once:\n$p")
-    // And the md5 hash array is computed once per plan SITE (the doc
-    // relation appears 3x: bands + the two candidate re-joins), never
-    // once per signature — a per-signature inline would show 16+ copies.
+    assert(!p.contains("array_intersect"), s"non-native intersection:\n$p")
+    // The per-doc sketch frame is checkpointed, so the hash pipeline
+    // (md5 per token) must not appear in the final plan AT ALL — its 5
+    // reference sites all read the materialized frame.
     val md5Count = "conv\\(substring\\(md5\\(".r.findAllIn(p).size
-    assert(md5Count <= 6, s"md5 inlined $md5Count times — hash array not reused:\n$p")
+    assert(md5Count == 0, s"md5 inlined $md5Count times — sketch frame not reused:\n$p")
   }
 }
