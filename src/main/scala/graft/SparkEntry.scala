@@ -20,11 +20,13 @@ object SparkEntry {
     cdc.CdcQueries.queries ++ analytics.Dashboards.queries ++
       ext.Tpch.queries ++ ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.TextAnalysis.queries ++ ext.Multimodal.queries ++
-      ext.Sessions.queries ++ ext.Sampling.queries ++ ext.Pipeline.queries
+      ext.Sessions.queries ++ ext.Sampling.queries ++ ext.Pipeline.queries ++
+      ext.Temporal.queries ++ ext.Prep.queries
 
   def oracleSql: Map[String, String] =
     cdc.CdcQueries.oracle ++ analytics.Dashboards.oracle ++
       ext.Tpch.oracle ++ ext.Dedup.oracle ++ ext.Similarity.oracle ++
       ext.TextAnalysis.oracle ++ ext.Multimodal.oracle ++
-      ext.Sessions.oracle ++ ext.Sampling.oracle ++ ext.Pipeline.oracle
+      ext.Sessions.oracle ++ ext.Sampling.oracle ++ ext.Pipeline.oracle ++
+      ext.Temporal.oracle ++ ext.Prep.oracle
 }

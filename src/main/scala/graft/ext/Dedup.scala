@@ -100,11 +100,43 @@ object Dedup {
     * ((h_i·31 + h_{i+1})·31 + h_{i+2}) mod P over the token-hash list —
     * one md5 per TOKEN, the shingle itself pure arithmetic (max value
     * < 31²·P < 2^41, no overflow). The Spark side computes the identical
-    * values relationally in [[ngramJaccard]].
+    * values relationally in [[shingleFrame]].
     */
-  private val shingleHashesSql =
+  private[ext] val shingleHashesSql =
     s"list_distinct(list_transform(range(1, len(hs) - 1), " +
       s"i -> ((hs[i] * 31 + hs[i+1]) * 31 + hs[i+2]) % $P))"
+
+  /** Distinct 3-gram shingle hashes per document — `(doc_id, source,
+    * shingle)`, materialized once. Shared by [[ngramJaccard]] (near-dup
+    * blocking) and [[Prep.contamination]] (train/test overlap).
+    *
+    * Fully-relational shingle construction — no array columns at all.
+    * (An earlier array formulation bound the token-hash array and read
+    * it inside a transform lambda; CollapseProject inlined the binding
+    * into every lambda element read, re-evaluating the md5 array per
+    * shingle — a measured ~20× blowup. Rows + windows have no such
+    * hazard.) One md5 per token, shingle hash from the lead-pair, then
+    * distinct — each step a plain relational op Catalyst can't
+    * pessimize.
+    */
+  private[ext] def shingleFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val tokHashes = docs(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("source"), col("pos"),
+        tokenHash(col("tok")).as("h"))
+    tokHashes
+      .select(col("doc_id"), col("source"),
+        ((col("h") * 31L + lead("h", 1).over(w)) * 31L + lead("h", 2).over(w)) % P)
+      .toDF("doc_id", "source", "shingle")
+      .filter(col("shingle").isNotNull)
+      .distinct()
+      // the shingle pipeline (md5 + two window shuffles + distinct) feeds
+      // multiple consumers/join sides — materialize it once
+      .localCheckpoint()
+  }
 
   /** Near-dup by exact 3-gram Jaccard, blocked on `source`: the quadratic
     * pair join runs per block, so cost is Σ block² not n². The global
@@ -120,30 +152,7 @@ object Dedup {
     // This is the exact-Jaccard shape that scales: cost follows shared
     // structure, not block². (A corpus with stopword-like hot shingles
     // would cap posting length first — not needed on this data.)
-    // Fully-relational shingle construction — no array columns at all.
-    // (An earlier array formulation bound the token-hash array and read
-    // it inside a transform lambda; CollapseProject inlined the binding
-    // into every lambda element read, re-evaluating the md5 array per
-    // shingle — a measured ~20× blowup. Rows + windows have no such
-    // hazard.) One md5 per token, shingle hash from the lead-pair, then
-    // distinct — each step a plain relational op Catalyst can't
-    // pessimize.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val tokHashes = docs(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("source"), col("pos"),
-        tokenHash(col("tok")).as("h"))
-    val sh = tokHashes
-      .select(col("doc_id"), col("source"),
-        ((col("h") * 31L + lead("h", 1).over(w)) * 31L + lead("h", 2).over(w)) % P)
-      .toDF("doc_id", "source", "shingle")
-      .filter(col("shingle").isNotNull)
-      .distinct()
-      // the shingle pipeline (md5 + two window shuffles + distinct) feeds
-      // the size agg and both posting sides — materialize it once
-      .localCheckpoint()
+    val sh = shingleFrame(spark, sfDir)
     val sized = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val postings = sh.join(broadcast(sized), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("n"), col("shingle"))

@@ -1,0 +1,198 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Portable._
+
+/** Training-data preparation operators beyond dedup/similarity: the
+  * scrub → decontaminate → chunk → pack steps between a raw corpus and
+  * a tokenized training mix.
+  *
+  * All five are scan-shaped or posting-list-shaped — no operator here
+  * shuffles anything wider than (id, hash) rows, which is what lets the
+  * same plans run at 100 TB.
+  */
+object Prep {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- c1: PII scrubbing ------------------------------------------------
+
+  /** c1 — pattern scrub + pseudonymization: digits masked out of the
+    * display name (regex redaction, codegen'd `regexp_replace`) and a
+    * deterministic pseudonym key from the portable hash, so downstream
+    * grouping still works without the identifier. The synthetic corpus
+    * holds no real PII; the customer name is the stand-in identifying
+    * column — the operator (regex scrub + hash pseudonym, both inside
+    * the scan projection) is the point.
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(
+      col("c_custkey"),
+      regexp_replace(col("c_name"), "[0-9]", "X").as("name_masked"),
+      tokenHash(col("c_name")).as("name_pseudo"),
+      col("c_mktsegment"))
+
+  // ---- c2: train/test contamination ------------------------------------
+
+  /** c2 — decontamination check: 3-gram shingle overlap between the
+    * training split and a held-out split (`doc_id % 97 == 0` plays the
+    * benchmark set). Posting-list join on the shingle hash — only
+    * (id, hash) rows move, cost follows shared structure, and a real
+    * run would cap the posting length of stopword-like hot shingles.
+    * Output: per contaminated train doc, how many of its shingles occur
+    * in the held-out set and how many held-out docs it hits.
+    */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.shingleFrame(spark, sfDir).select("doc_id", "shingle")
+    val train = sh.filter(col("doc_id") % 97 =!= 0)
+    val test = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("test_doc"), col("shingle"))
+    train.join(test, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(countDistinct("shingle").as("n_shared_shingles"),
+        countDistinct("test_doc").as("n_test_docs"))
+  }
+
+  // ---- c3: sequence packing ---------------------------------------------
+
+  /** c3 — sequence packing: documents are laid end-to-end in doc_id
+    * order and cut into fixed 512-token training sequences; each doc
+    * gets its global token offset and the first/last sequence it lands
+    * in. The prefix sum is TWO-PHASE — per-bucket running sums plus a
+    * (tiny) bucket-prefix frame broadcast back — because a single global
+    * ordered window pulls the whole corpus into one partition; the
+    * two-phase form keeps every partition bounded at any scale.
+    */
+  def seqPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val sized = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        expr("doc_id DIV 1000").as("bucket"))
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBucket = sized.withColumn("local_off",
+      coalesce(sum("n_tokens").over(wIn), lit(0L)))
+    val wB = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = sized.groupBy("bucket").agg(sum("n_tokens").as("btot"))
+      .withColumn("bucket_off", coalesce(sum("btot").over(wB), lit(0L)))
+      .select("bucket", "bucket_off")
+    inBucket.join(broadcast(prefix), Seq("bucket"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("local_off") + col("bucket_off")).as("offset"))
+      .select(col("doc_id"), col("n_tokens"), col("offset"),
+        expr("offset DIV 512").as("first_seq"),
+        expr("(offset + n_tokens - 1) DIV 512").as("last_seq"))
+  }
+
+  // ---- c4: chunking -----------------------------------------------------
+
+  /** c4 — fixed-size chunking: each document split into 32-token
+    * chunks, each chunk fingerprinted with the order-sensitive 31-fold
+    * over its token hashes (dedup/lineage key for chunk-level curation).
+    * Explode + hash + groupBy(doc, chunk): one shuffle of (ids, hash)
+    * rows; the ordered fold sorts inside the aggregation, never a
+    * global sort.
+    */
+  def chunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), expr("CAST(pos DIV 32 AS LONG)").as("chunk_id"),
+        col("pos"), tokenHash(col("tok")).as("h"))
+    toks.groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        fold31(transform(
+          sort_array(collect_list(struct(col("pos"), col("h")))),
+          x => x.getField("h"))).as("chunk_fp"))
+  }
+
+  // ---- c5: BPE pair counts ----------------------------------------------
+
+  /** c5 — the first step of a BPE vocabulary build: corpus-wide counts
+    * of adjacent character pairs inside tokens, top 20 (the pair a BPE
+    * trainer would merge first, plus runners-up). Explode + count +
+    * top-k: partial aggregation map-side, `TakeOrderedAndProject` for
+    * the k — nothing global except 20 rows.
+    */
+  def bpePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("t"))
+      .filter(length(col("t")) >= 2)
+    toks
+      .select(explode(transform(sequence(lit(1), length(col("t")) - 1),
+        i => col("t").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("pair")).limit(20)
+  }
+
+  // ---- registry ---------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "c1_pii_scrub" -> (piiScrub _),
+    "c2_contamination" -> (contamination _),
+    "c3_seq_pack" -> (seqPack _),
+    "c4_chunks" -> (chunks _),
+    "c5_bpe_pairs" -> (bpePairs _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "c1_pii_scrub" ->
+      s"""SELECT c_custkey,
+         |  regexp_replace(c_name, '[0-9]', 'X', 'g') AS name_masked,
+         |  ${tokenHashSql("c_name")} AS name_pseudo,
+         |  c_mktsegment
+         |FROM customer""".stripMargin,
+    "c2_contamination" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, ${Dedup.shingleHashesSql} AS sh
+         |  FROM (SELECT doc_id,
+         |          list_transform(${tokensSql("text")}, t -> ${tokenHashSql("t")}) AS hs
+         |        FROM documents)),
+         |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         |tr AS (SELECT doc_id, shingle FROM e WHERE doc_id % 97 <> 0),
+         |te AS (SELECT doc_id AS test_doc, shingle FROM e WHERE doc_id % 97 = 0)
+         |SELECT tr.doc_id,
+         |  CAST(count(DISTINCT tr.shingle) AS BIGINT) AS n_shared_shingles,
+         |  CAST(count(DISTINCT te.test_doc) AS BIGINT) AS n_test_docs
+         |FROM tr JOIN te ON tr.shingle = te.shingle
+         |GROUP BY tr.doc_id""".stripMargin,
+    "c3_seq_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS "offset"
+        |  FROM d)
+        |SELECT doc_id, n_tokens, "offset",
+        |  "offset" // 512 AS first_seq,
+        |  ("offset" + n_tokens - 1) // 512 AS last_seq
+        |FROM o""".stripMargin,
+    "c4_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_transform(${tokensSql("text")}, t -> ${tokenHashSql("t")}) AS hs
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id, hs,
+         |    unnest(range(0, (len(hs) + 31) // 32)) AS chunk_id
+         |  FROM d)
+         |SELECT doc_id, chunk_id,
+         |  CAST(len(hs[CAST(chunk_id * 32 + 1 AS INTEGER):CAST(least((chunk_id + 1) * 32, len(hs)) AS INTEGER)]) AS BIGINT) AS n_tokens,
+         |  ${fold31Sql("hs[CAST(chunk_id * 32 + 1 AS INTEGER):CAST(least((chunk_id + 1) * 32, len(hs)) AS INTEGER)]")} AS chunk_fp
+         |FROM u""".stripMargin,
+    "c5_bpe_pairs" ->
+      s"""SELECT pair, CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT unnest(list_transform(range(1, length(t)),
+         |    i -> substring(t, CAST(i AS INTEGER), 2))) AS pair
+         |  FROM (SELECT unnest(${tokensSql("text")}) AS t FROM documents)
+         |  WHERE length(t) >= 2)
+         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
+  )
+}

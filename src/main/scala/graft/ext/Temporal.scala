@@ -1,0 +1,117 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators over the event stream: as-of join and SCD2 history
+  * — the two time-travel primitives a CDC-fed analytics store serves
+  * (the reference's OpenSearch index keeps only the latest row per key;
+  * these reconstruct "what was true at time t" from the same events).
+  *
+  * Both are built on the UNION + ordered-window formulation, not a range
+  * join: a range/theta join over (key, l.ts >= r.ts) explodes to the
+  * cross product per key before filtering, while the union form is one
+  * shuffle on the key, one sort per partition, one linear pass — the
+  * as-of shape that survives 100 TB (and what AS OF JOIN compiles to in
+  * engines that have it natively; DuckDB's ASOF JOIN is the oracle).
+  */
+object Temporal {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Generic as-of join: for each `left` row, attach `rightPayload`
+    * columns from the latest `right` row with the same `key` and
+    * `right.ts <= left.ts` (inclusive — right rows at the exact same
+    * timestamp are visible, matching `ASOF JOIN ... ON l.ts >= r.ts`).
+    * Unmatched left rows keep null payloads (left-join semantics).
+    *
+    * Implementation: tag right rows 0 and left rows 1, union, and take
+    * `last(payload, ignoreNulls)` over an ordered running window per
+    * key. The tag breaks timestamp ties so a same-instant right row
+    * sorts before the left row that should see it.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightPayload: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns.filterNot(c => c == key || c == ts).toSeq
+    val lTagged = left.select(
+      col(key) +: col(ts) +: leftCols.map(col) ++:
+        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(prefix + c)) :+
+        lit(1).as("__tag"): _*)
+    val rTagged = right.select(
+      col(key) +: col(ts) +: leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
+        rightPayload.map(c => col(c).as(prefix + c)) :+
+        lit(0).as("__tag"): _*)
+    val w = Window.partitionBy(key).orderBy(col(ts), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightPayload.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
+      df.withColumn(prefix + c, last(prefix + c, ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__tag") === 1).drop("__tag")
+  }
+
+  /** a1 — as-of join demo: each click event sees the user's most recent
+    * purchase at or before the click.
+    */
+  def asofClickPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    asofJoin(clicks, purchases, "user_id", "ts",
+        Seq("purchase_ts", "purchase_value"), prefix = "")
+      .select("event_id", "user_id", "ts", "click_value",
+        "purchase_ts", "purchase_value")
+  }
+
+  /** a2 — SCD2 history view: every event becomes a versioned row with a
+    * validity interval `[valid_from, valid_to)` per key; the open-ended
+    * row is the current version. This is the CDC events → slowly-changing
+    * -dimension materialization (the history-keeping sibling of the
+    * latest-row view in `cdc.Materialize`). One window, one shuffle.
+    */
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("ts").as("valid_from"))
+      .withColumn("valid_to", lead("valid_from", 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "a1_asof_join" -> (asofClickPurchase _),
+    "a2_scd2_history" -> (scd2History _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a1_asof_join" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    value AS click_value
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS pts,
+        |    CAST(ts AS TIMESTAMP) AS purchase_ts, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts, c.click_value,
+        |  p.purchase_ts, p.purchase_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.pts""".stripMargin,
+    "a2_scd2_history" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS valid_from
+        |  FROM events),
+        |s AS (
+        |  SELECT e.*, lead(valid_from) OVER (
+        |    PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+        |  FROM e)
+        |SELECT event_id, user_id, value, valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM s""".stripMargin
+  )
+}

@@ -1,0 +1,67 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants of the preparation operators: masking completeness, packing
+  * geometry, chunk reassembly, contamination symmetry.
+  */
+class PrepSpec extends SparkSpec {
+
+  test("pii scrub leaves no digit in the masked name; pseudonym is stable") {
+    val out = Prep.piiScrub(spark, sf)
+    assert(out.filter(col("name_masked").rlike("[0-9]")).count() == 0)
+    // deterministic: same input -> same pseudonym on recompute
+    val a = out.select("c_custkey", "name_pseudo").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Prep.piiScrub(spark, sf).select("c_custkey", "name_pseudo")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+  }
+
+  test("seq packing: offsets are the exclusive prefix sum in doc_id order") {
+    val rows = Prep.seqPack(spark, sf)
+      .select("doc_id", "n_tokens", "offset", "first_seq", "last_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    var expected = 0L
+    rows.foreach { case (_, n, off, first, last) =>
+      assert(off == expected, "offset must be contiguous — packing leaves no gap")
+      assert(first == off / 512 && last == (off + n - 1) / 512)
+      expected += n
+    }
+  }
+
+  test("chunks: sizes sum to the doc token count; all full but the last") {
+    val byDoc = Prep.chunks(spark, sf)
+      .groupBy("doc_id").agg(sum("n_tokens").as("total"),
+        count(lit(1)).as("n_chunks"), max("chunk_id").as("max_chunk"))
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val joined = byDoc.join(docs, "doc_id")
+    assert(joined.filter(col("total") =!= col("n")).count() == 0,
+      "chunk sizes must reassemble the document")
+    assert(joined.filter(col("n_chunks") =!= col("max_chunk") + 1).count() == 0,
+      "chunk ids must be dense from 0")
+    // every chunk except a doc's last is exactly 32 tokens
+    val sized = Prep.chunks(spark, sf).join(
+      byDoc.select(col("doc_id"), col("max_chunk")), "doc_id")
+    assert(sized.filter(col("chunk_id") < col("max_chunk") &&
+      col("n_tokens") =!= 32).count() == 0)
+  }
+
+  test("contamination: only train docs appear, and hits are real shingle overlaps") {
+    val out = Prep.contamination(spark, sf)
+    assert(out.filter(col("doc_id") % 97 === 0).count() == 0,
+      "held-out docs must not appear as contaminated train docs")
+    assert(out.filter(col("n_shared_shingles") < 1 ||
+      col("n_test_docs") < 1).count() == 0)
+  }
+
+  test("bpe pairs: every pair is two chars and counts are descending") {
+    val rows = Prep.bpePairs(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(_.getString(0).length == 2))
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics of the as-of join (vs a brute-force reference) and the SCD2
+  * interval invariants. The DuckDB oracle pins exact values at sf0.01;
+  * these pin the operator contract on controlled inputs.
+  */
+class TemporalSpec extends SparkSpec {
+
+  test("asofJoin picks the latest right row at or before each left ts") {
+    import spark.implicits._
+    val left = Seq(
+      (1, 10L, "l10"), (1, 20L, "l20"), (1, 5L, "l5"),
+      (2, 7L, "l7")
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1, 10L, "r10"), (1, 15L, "r15"),
+      (2, 8L, "r8") // after the only left row of key 2
+    ).toDF("k", "t", "rv")
+    val out = Temporal.asofJoin(left, right, "k", "t", Seq("rv"))
+      .select("k", "t", "lv", "asof_rv")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+    assert(out == Set(
+      (1, 5L, "l5", None),          // before any right row
+      (1, 10L, "l10", Some("r10")), // equal ts is visible (inclusive)
+      (1, 20L, "l20", Some("r15")), // latest of the two earlier rows
+      (2, 7L, "l7", None)           // right row exists but is later
+    ))
+  }
+
+  test("asofJoin matches a brute-force max-ts-per-left computation on events") {
+    val out = Temporal.asofClickPurchase(spark, sf)
+    val ev = graft.Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val brute = clicks.join(purchases,
+        col("user_id") === col("pu") && col("pts") <= col("ts"), "left")
+      .groupBy("event_id").agg(max("pts").as("expected_pts"))
+    val joined = out.join(brute, Seq("event_id"), "left")
+    assert(joined.filter(
+      (col("purchase_ts").isNull && col("expected_pts").isNotNull) ||
+      (col("purchase_ts").isNotNull && col("purchase_ts") =!= col("expected_pts"))
+    ).count() == 0)
+    assert(out.count() == clicks.count(), "as-of must preserve left cardinality")
+  }
+
+  test("scd2 intervals tile each key's timeline without overlap") {
+    val h = Temporal.scd2History(spark, sf)
+    // exactly one current row per key
+    val currents = h.filter(col("is_current")).groupBy("user_id").count()
+    assert(currents.filter(col("count") =!= 1).count() == 0)
+    // each non-current row's valid_to equals the next row's valid_from
+    // (lead construction makes this true by definition; assert no
+    // zero-length or inverted intervals instead)
+    assert(h.filter(col("valid_to").isNotNull &&
+      col("valid_to") < col("valid_from")).count() == 0)
+    // row count is preserved: every event is a version
+    assert(h.count() == graft.Tables.events(spark, sf).count())
+  }
+}
