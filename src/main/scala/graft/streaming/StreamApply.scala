@@ -169,6 +169,45 @@ object StreamApply {
     events.groupBy(window(col(tsCol), width)).count()
       .select(col("window.start").as("bucket"), col("count").as("n"))
 
+  /** Streaming sessionization: event-time session windows, closed after
+    * `gap` of inactivity per key, state bounded by the watermark. The
+    * streaming-native sibling of the batch lag/cumsum sessionization in
+    * [[graft.ext.Sessions]] — `session_window` merges windows in the
+    * state store, so a session emits exactly once, when the watermark
+    * passes its end. The same expression runs in batch (the parity test
+    * relies on that).
+    */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String = "30 minutes", horizon: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, horizon)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .count()
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("count").as("n_events"))
+
+  /** Stream-stream interval join: each left event joined to right events
+    * of the same key whose timestamp falls within `[l.ts - window, l.ts]`
+    * — the streaming sibling of [[graft.ext.Temporal.asofJoin]] (all
+    * matches in the interval rather than only the latest; an as-of over
+    * unbounded streams is not expressible with bounded state, the
+    * interval bound is what lets both sides' join state be evicted at
+    * the watermark).
+    *
+    * Column names on `right` must not collide with `left`'s; `rightTs`
+    * is the right side's event-time column.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      rightKeyCol: String, tsCol: String, rightTs: String,
+      window: String = "10 minutes", horizon: String = "10 minutes"): DataFrame =
+    left.withWatermark(tsCol, horizon)
+      .join(right.withWatermark(rightTs, horizon),
+        col(keyCol) === col(rightKeyCol) &&
+          col(rightTs) >= col(tsCol) - expr(s"INTERVAL $window") &&
+          col(rightTs) <= col(tsCol))
+
   // ---- mapGroupsWithState variant of the keyed view ---------------------
 
   /** Normalized CDC event for the typed stateful path. */
