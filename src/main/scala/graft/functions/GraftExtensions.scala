@@ -40,6 +40,13 @@ object GraftFunctions {
         { args: Seq[Expression] =>
           require(args.length == 2, "dot_product takes exactly 2 arguments")
           DotProduct(args(0), args(1))
+        }),
+      (FunctionIdentifier("sorted_intersect_count"),
+        info("sorted_intersect_count",
+          "sorted_intersect_count(a, b) - intersection size of two sorted array<bigint>"),
+        { args: Seq[Expression] =>
+          require(args.length == 2, "sorted_intersect_count takes exactly 2 arguments")
+          SortedIntersectCount(args(0), args(1))
         })
     )
 

@@ -8,10 +8,12 @@ class GraftFunctionsSpec extends SparkSpec {
     GraftFunctions.register(spark)
     val row = spark.sql(
       """SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
-        |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""".stripMargin)
+        |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       sorted_intersect_count(array(1L, 3L, 5L), array(2L, 3L, 5L, 9L)) AS s""".stripMargin)
       .collect().head
     assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
     assert(row.getDouble(1) == 11.0)
+    assert(row.getLong(2) == 2L)
   }
 
   test("SQL function matches the Column API bit for bit") {
@@ -38,7 +40,7 @@ class GraftFunctionsSpec extends SparkSpec {
     // config path `spark.sql.extensions` constructs it reflectively).
     val ext = new GraftExtensions()
     assert(GraftFunctions.descriptors.map(_._1.funcName).toSet ==
-      Set("cosine_sim", "dot_product"))
+      Set("cosine_sim", "dot_product", "sorted_intersect_count"))
     assert(ext != null)
   }
 }
