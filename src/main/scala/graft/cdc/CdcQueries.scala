@@ -123,6 +123,17 @@ object CdcQueries {
       .dropDuplicates("event_id")
   }
 
+  /** O14 — snapshot-as-of (time travel): the O10 view reconstructed at a
+    * past instant by materializing only events at or before the cutoff.
+    * The event log IS the history — any past state is a filter away
+    * (the batch counterpart of [[graft.ext.Temporal.scd2History]], which
+    * materializes ALL states as intervals). The cutoff filter is pushed
+    * into the parquet scan, so the rebuild reads only the prefix.
+    */
+  def snapshotAsof(spark: SparkSession, sfDir: String): DataFrame =
+    Materialize.customerView(Tables.events(spark, sfDir)
+      .filter(col("ts") < lit("2024-01-10 00:00:00").cast("timestamp")))
+
   val queries: Map[String, Q] = Map(
     "o01_cdc_scan" -> (cdcScan _),
     "o02_insert_writer" -> (insertWriter _),
@@ -136,7 +147,8 @@ object CdcQueries {
     "o10_materialize" -> (materialize _),
     "o11_schema_ddl" -> (schemaDdl _),
     "o12_peek" -> (peek _),
-    "o13_redelivery_dedup" -> (redeliveryDedup _)
+    "o13_redelivery_dedup" -> (redeliveryDedup _),
+    "o14_snapshot_asof" -> (snapshotAsof _)
   )
 
   private val opCase =
@@ -208,6 +220,14 @@ object CdcQueries {
         |  SELECT event_id, user_id, event_type, value FROM events
         |  UNION ALL
         |  SELECT event_id, user_id, event_type, value FROM events
-        |  WHERE event_id % 10 = 0)""".stripMargin
+        |  WHERE event_id % 10 = 0)""".stripMargin,
+    "o14_snapshot_asof" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value, props
+        |FROM (
+        |  SELECT user_id, event_id, ts, event_type, value, props,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-10 00:00:00'
+        |) WHERE rn = 1 AND event_type <> 'error'""".stripMargin
   )
 }

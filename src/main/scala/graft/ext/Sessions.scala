@@ -62,9 +62,34 @@ object Sessions {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_distinct_types"), sum("n").as("n_events"))
 
+  /** k3 — salted join: the skew-mitigation shape for a hot key joining a
+    * small dimension. The probe side derives a salt from a uniform column
+    * (`event_id % 8`); the dimension replicates once per salt value, so
+    * the join key becomes (user_id, salt) and a hot user's rows spread
+    * over 8 shuffle partitions instead of one straggler task. Exactly one
+    * dim replica matches each probe row, so the result equals the
+    * unsalted join — which is precisely what the oracle checks (its SQL
+    * is the PLAIN join). At 100 TB the salt count scales with observed
+    * skew (or AQE's skew-join split handles it adaptively; the explicit
+    * salt is the portable form).
+    */
+  def saltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val salts = 8
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val dim = ev.groupBy("user_id").agg(min("event_id").as("first_seq"))
+    val saltedDim = dim.withColumn("salt",
+      explode(array((0 until salts).map(lit): _*)))
+    ev.withColumn("salt", pmod(col("event_id"), lit(salts)).cast("int"))
+      .join(saltedDim, Seq("user_id", "salt"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), min("first_seq").as("first_seq"))
+  }
+
   val queries: Map[String, Q] = Map(
     "k1_session_stats" -> (sessionStats _),
-    "k2_distinct_types" -> (distinctTypes _)
+    "k2_distinct_types" -> (distinctTypes _),
+    "k3_salted_join" -> (saltedJoin _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -90,6 +115,14 @@ object Sessions {
         |  CAST(sum(n) AS BIGINT) AS n_events
         |FROM (SELECT user_id, event_type, count(*) AS n
         |      FROM events GROUP BY user_id, event_type)
-        |GROUP BY user_id""".stripMargin
+        |GROUP BY user_id""".stripMargin,
+    // the PLAIN join — salting must be invisible in the result
+    "k3_salted_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, min(event_id) AS first_seq
+        |  FROM events GROUP BY user_id)
+        |SELECT e.user_id, count(*) AS n_events, min(d.first_seq) AS first_seq
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY e.user_id""".stripMargin
   )
 }
