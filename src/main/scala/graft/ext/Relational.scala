@@ -1,0 +1,127 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational-breadth queries: the standard operator categories a general
+  * engine must serve that the reference's narrow pipeline never touches
+  * (SURVEY §2.1 marks them absent there) — window-function suite, set
+  * operations, cube grouping, pivot. Each is one query over `events`
+  * with an exact DuckDB oracle, so the category is both implemented and
+  * value-verified.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** w1 — window-function suite: rank, dense_rank, ntile, lag and a
+    * running sum in ONE window pass (same partition+order ⇒ one shuffle,
+    * one sort, all functions evaluated in a single Window operator).
+    */
+  def windowSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        lag("value", 1).over(w).as("prev_value"),
+        // rounded: DuckDB evaluates running window sums over a segment
+        // tree, so its double accumulation ORDER differs from Spark's
+        // sequential frame scan; the true sums have 2 decimals, so
+        // rounding at 1e-6 erases the last-ulp divergence exactly
+        round(sum("value").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)), 6).as("running_sum"))
+  }
+
+  /** u1 — set operations: big-ticket clickers INTERSECT big-ticket
+    * purchasers, EXCEPT users with a severe error. Spark plans these as
+    * joins (left-semi / left-anti after dedup) — no driver-side sets.
+    * (Thresholds picked so the result is neither empty nor all users at
+    * the test densities.)
+    */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    def users(t: String, minValue: Double) =
+      ev.filter(col("event_type") === t && col("value") > minValue)
+        .select(col("user_id")).distinct()
+    users("click", 150).intersect(users("purchase", 150))
+      .except(users("error", 250))
+  }
+
+  /** x8 — cube: event counts and value sums over ALL subsets of
+    * {event_type, weekday} — the 2-d generalization of x5's rollup;
+    * partial aggregation applies at every grouping-set level.
+    */
+  def typeDayCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), dayofweek(col("ts")).as("weekday"),
+        col("value"))
+      .cube("event_type", "weekday")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("value_sum"))
+
+  /** p2 — pivot: per-user event counts spread into one column per event
+    * type. Written as conditional aggregation (`count(when(...))`), the
+    * portable form `.pivot()` compiles to when the value set is known —
+    * one shuffle, map-side partials, and the oracle (`FILTER (WHERE ...)`)
+    * is exactly the same plan in SQL.
+    */
+  def eventPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(when(col("event_type") === types.head, 1)).as(s"n_${types.head}"),
+        types.tail.map(t =>
+          count(when(col("event_type") === t, 1)).as(s"n_$t")): _*)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "w1_window_suite" -> (windowSuite _),
+    "u1_set_ops" -> (setOps _),
+    "x8_type_day_cube" -> (typeDayCube _),
+    "p2_event_pivot" -> (eventPivot _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "w1_window_suite" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin,
+    "u1_set_ops" ->
+      """SELECT DISTINCT user_id FROM events
+        |WHERE event_type = 'click' AND value > 150
+        |INTERSECT
+        |SELECT DISTINCT user_id FROM events
+        |WHERE event_type = 'purchase' AND value > 150
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events
+        |WHERE event_type = 'error' AND value > 250""".stripMargin,
+    // DuckDB dayofweek is Sunday=0; Spark's is Sunday=1 — the +1 aligns them
+    "x8_type_day_cube" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INTEGER) AS weekday,
+        |    value
+        |  FROM events)
+        |SELECT event_type, weekday, count(*) AS n,
+        |  round(sum(value), 6) AS value_sum
+        |FROM e GROUP BY CUBE (event_type, weekday)""".stripMargin,
+    "p2_event_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error
+        |FROM events GROUP BY user_id""".stripMargin
+  )
+}

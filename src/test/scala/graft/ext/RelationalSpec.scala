@@ -1,0 +1,49 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Plan shapes for the relational-breadth queries: the point of w1 is
+  * that five window functions share ONE Window operator (one shuffle,
+  * one sort); the point of u1 is that set ops become joins, never
+  * driver-side sets.
+  */
+class RelationalSpec extends SparkSpec {
+
+  test("window suite evaluates all five functions in one window pass") {
+    val p = Relational.windowSuite(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows == 1, s"expected one Window operator, plan:\n$p")
+  }
+
+  test("set ops plan as semi/anti joins with no driver collection") {
+    val p = Relational.setOps(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"set ops must compile to semi/anti joins:\n$p")
+    val rows = Relational.setOps(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
+  test("pivot output has one count column per event type, totals match") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.eventPivot(spark, sf)
+    assert(out.columns.toSet ==
+      Set("user_id", "n_click", "n_view", "n_purchase", "n_signup", "n_error"))
+    val total = out.select((col("n_click") + col("n_view") + col("n_purchase") +
+      col("n_signup") + col("n_error")).as("t"))
+      .agg(sum("t")).first.getLong(0)
+    assert(total == graft.Tables.events(spark, sf).count())
+  }
+
+  test("cube emits all four grouping-set levels") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.typeDayCube(spark, sf).cache()
+    try {
+      assert(out.filter(col("event_type").isNull && col("weekday").isNull).count() == 1)
+      assert(out.filter(col("event_type").isNotNull && col("weekday").isNull).count() > 0)
+      assert(out.filter(col("event_type").isNull && col("weekday").isNotNull).count() > 0)
+      assert(out.filter(col("event_type").isNotNull && col("weekday").isNotNull).count() > 0)
+    } finally out.unpersist()
+  }
+}
