@@ -1,0 +1,48 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Layout → pruning contract: a partition-column filter must surface as
+  * PartitionFilters (directories never listed), and a range predicate on
+  * a sorted layout must surface as PushedFilters (rowgroups skipped by
+  * min/max stats). These plan properties ARE the 100 TB scan story.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("partitioned write: lang filter becomes a PartitionFilter, not a row filter") {
+    val dir = Files.createTempDirectory("graft-layout-part").toString
+    Layout.writePartitioned(graft.Tables.documents(spark, sf), dir, "lang")
+    val q = Layout.read(spark, dir).filter(col("lang") === "en")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(plan).isDefined,
+      s"lang filter did not prune partitions:\n$plan")
+    // correctness: partition column round-trips
+    val expected = graft.Tables.documents(spark, sf)
+      .filter(col("lang") === "en").count()
+    assert(q.count() == expected)
+  }
+
+  test("sorted write: range predicate is pushed to the parquet scan") {
+    val dir = Files.createTempDirectory("graft-layout-sort").toString
+    Layout.writeSorted(graft.Tables.documents(spark, sf), dir, "doc_id")
+    val q = Layout.read(spark, dir).filter(col("doc_id") < 100)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(doc_id".r.findFirstIn(plan).isDefined,
+      s"doc_id range predicate not pushed:\n$plan")
+    assert(q.count() ==
+      graft.Tables.documents(spark, sf).filter(col("doc_id") < 100).count())
+    // the layout really is range-partitioned: each file's ids are disjoint
+    val perFile = Layout.read(spark, dir)
+      .select(col("doc_id"), input_file_name().as("f"))
+      .groupBy("f").agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    perFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, "file ranges overlap")
+      case _ =>
+    }
+  }
+}
