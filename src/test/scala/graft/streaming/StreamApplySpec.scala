@@ -52,6 +52,44 @@ class StreamApplySpec extends SparkSpec {
     assert(streamed == Set((1, 6L, 1.9), (2, 7L, 2.5))) // 3 deleted, 2 reborn
   }
 
+  test("crash between the swap moves rolls FORWARD to the completed tmp state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-crash-fwd").toString
+    val store = new StreamApply.ParquetUpsertStore(spark, dir,
+      key = "key", seq = "seq", opCol = "op", deleteOp = "d", payloadCols = Seq("value"))
+    store.merge(batch1.toDF(), 0)
+    // simulate the crash window of merge(batch2, 1): tmp fully written,
+    // old state moved aside, `state` missing
+    val state = java.nio.file.Paths.get(s"$dir/state")
+    Materialize.latestByKey(batch1.toDF().unionByName(batch2.toDF()),
+        "key", "seq", Seq("op", "value"))
+      .write.parquet(s"$dir/state_tmp_1")
+    java.nio.file.Files.move(state, java.nio.file.Paths.get(s"$dir/state_old_1"))
+    // next entry point must promote state_tmp_1, not fall back to empty
+    val keys = store.view().select("key").collect().map(_.getInt(0)).toSet
+    assert(keys == Set(1, 3), s"roll-forward lost state: $keys")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/state_old_1")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/state_tmp_1")))
+  }
+
+  test("crash during the tmp write rolls BACK to the previous state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-crash-back").toString
+    val store = new StreamApply.ParquetUpsertStore(spark, dir,
+      key = "key", seq = "seq", opCol = "op", deleteOp = "d", payloadCols = Seq("value"))
+    store.merge(batch1.toDF(), 0)
+    // simulate: state moved aside but no tmp survived (crash mid-write
+    // left nothing promotable — parquet job dirs clean up on failure)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/state"),
+      java.nio.file.Paths.get(s"$dir/state_old_1"))
+    val keys = store.view().select("key").collect().map(_.getInt(0)).toSet
+    assert(keys == Set(1, 2), s"roll-back lost the previous state: $keys")
+    // and a replayed merge lands on the recovered state normally
+    store.merge(batch2.toDF(), 1)
+    assert(store.view().select("key").collect().map(_.getInt(0)).toSet == Set(1, 3))
+  }
+
   test("restart-and-replay of an old batch cannot resurrect a deleted key") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-replay").toString
