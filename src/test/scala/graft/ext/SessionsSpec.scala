@@ -24,6 +24,27 @@ class SessionsSpec extends SparkSpec {
     }
   }
 
+  test("lag/cumsum sessionization agrees with session_window on the same gap") {
+    // Two independent formulations of 30-minute-gap sessions — the
+    // relational lag+cumsum (k1) and Spark's native session_window
+    // (the streaming-capable form) — must carve identical sessions:
+    // same per-user session count, same multiset of session sizes.
+    import org.apache.spark.sql.functions._
+    val viaLag = Sessions.sessionStats(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sort_array(collect_list("n_events")).as("sizes"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    val viaNative = graft.streaming.StreamApply.sessionCounts(
+        graft.Tables.events(spark, sf), "ts", "user_id", gap = "30 minutes")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sort_array(collect_list("n_events")).as("sizes"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(viaLag == viaNative,
+      s"formulations disagree: ${viaLag.toSeq.diff(viaNative.toSeq).take(3)}")
+  }
+
   test("two-phase distinct equals direct distinct count") {
     val twoPhase = Sessions.distinctTypes(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
