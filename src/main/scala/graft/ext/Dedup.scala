@@ -252,14 +252,15 @@ object Dedup {
     * hash-matches the oracle's recursive-CTE closure exactly.
     */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    // checkpoint the edge set BEFORE mirroring it: the union references
-    // the subtree twice, and without materialization the whole LSH edge
-    // derivation would execute twice
-    val edges = minhashLsh(spark, sfDir)
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .localCheckpoint()
-    val und = edges
-      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    // Mirror each LSH pair into both orientations IN the projection
+    // (explode of a 2-struct array) — one pass over the edge derivation,
+    // one materialization, instead of checkpointing the edges and again
+    // their mirrored union.
+    val und = minhashLsh(spark, sfDir)
+      .select(explode(array(
+        struct(col("doc_a").as("u"), col("doc_b").as("v")),
+        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .localCheckpoint()
     // Iterate ONLY over nodes that touch an edge; isolated documents are
     // their own canonical and join back in at the end. Every join below
