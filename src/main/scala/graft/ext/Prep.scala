@@ -56,6 +56,22 @@ object Prep {
         countDistinct("test_doc").as("n_test_docs"))
   }
 
+  /** c6 — decontamination REMOVAL: the train split minus documents whose
+    * held-out shingle overlap reaches the threshold — the filter a
+    * pipeline actually executes after the [[contamination]] report. The
+    * anti-join keeps the plan scan-shaped: contaminated ids (small) build
+    * the hash side, the corpus streams past it.
+    */
+  def decontaminated(spark: SparkSession, sfDir: String): DataFrame = {
+    val contaminated = contamination(spark, sfDir)
+      .filter(col("n_shared_shingles") >= 3)
+      .select("doc_id")
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   // ---- c3: sequence packing ---------------------------------------------
 
   /** c3 — sequence packing: documents are laid end-to-end in doc_id
@@ -128,6 +144,28 @@ object Prep {
       .orderBy(desc("n"), asc("pair")).limit(20)
   }
 
+  // ---- x9: repetition quality signal ------------------------------------
+
+  /** x9 — repetition ratios (the Gopher-style quality rules the x2 score
+    * doesn't cover): duplicate-token fraction and the share of the single
+    * most frequent token. Two-level aggregation — (doc, token) counts,
+    * then per-doc max/sum — all partial-aggregated; no per-doc sort.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val tokCounts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+    tokCounts.groupBy("doc_id")
+      .agg(sum("n").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("n").as("top_n"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct") / col("n_tokens").cast("double"), 6)
+          .as("dup_ratio"),
+        round(col("top_n") / col("n_tokens").cast("double"), 6)
+          .as("top_token_share"))
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -135,7 +173,9 @@ object Prep {
     "c2_contamination" -> (contamination _),
     "c3_seq_pack" -> (seqPack _),
     "c4_chunks" -> (chunks _),
-    "c5_bpe_pairs" -> (bpePairs _)
+    "c5_bpe_pairs" -> (bpePairs _),
+    "c6_decontaminated" -> (decontaminated _),
+    "x9_repetition" -> (repetition _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -193,6 +233,32 @@ object Prep {
          |    i -> substring(t, CAST(i AS INTEGER), 2))) AS pair
          |  FROM (SELECT unnest(${tokensSql("text")}) AS t FROM documents)
          |  WHERE length(t) >= 2)
-         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
+         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "c6_decontaminated" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, ${Dedup.shingleHashesSql} AS sh
+         |  FROM (SELECT doc_id,
+         |          list_transform(${tokensSql("text")}, t -> ${tokenHashSql("t")}) AS hs
+         |        FROM documents)),
+         |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         |tr AS (SELECT doc_id, shingle FROM e WHERE doc_id % 97 <> 0),
+         |te AS (SELECT doc_id AS test_doc, shingle FROM e WHERE doc_id % 97 = 0),
+         |bad AS (
+         |  SELECT tr.doc_id FROM tr JOIN te ON tr.shingle = te.shingle
+         |  GROUP BY tr.doc_id HAVING count(DISTINCT tr.shingle) >= 3)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d
+         |WHERE d.doc_id % 97 <> 0
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+    "x9_repetition" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, t, count(*) AS n FROM (
+         |    SELECT doc_id, unnest(${tokensSql("text")}) AS t FROM documents)
+         |  GROUP BY doc_id, t)
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  count(*) AS n_distinct,
+         |  round(CAST(1 AS DOUBLE) - count(*) / CAST(sum(n) AS DOUBLE), 6) AS dup_ratio,
+         |  round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS top_token_share
+         |FROM tc GROUP BY doc_id""".stripMargin
   )
 }
