@@ -49,6 +49,33 @@ class TemporalSpec extends SparkSpec {
     assert(out.count() == clicks.count(), "as-of must preserve left cardinality")
   }
 
+  test("asofJoin equals an in-memory reference on randomized event sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // fixed seed — deterministic CI
+    for (trial <- 1 to 5) {
+      val nKeys = 1 + rnd.nextInt(4)
+      val left = Seq.fill(30)((rnd.nextInt(nKeys), rnd.nextInt(50).toLong, rnd.nextInt(1000)))
+        .distinctBy(r => (r._1, r._2)) // unique (key, ts) — as-of precondition
+        .toDF("k", "t", "lv")
+      val right = Seq.fill(20)((rnd.nextInt(nKeys), rnd.nextInt(50).toLong, rnd.nextInt(1000)))
+        .distinctBy(r => (r._1, r._2))
+        .toDF("k", "t", "rv")
+      val got = Temporal.asofJoin(left, right, "k", "t", Seq("rv"))
+        .select("k", "t", "asof_rv")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+      val rightRows = right.collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+      val expected = left.collect().map { lr =>
+        val (k, t) = (lr.getInt(0), lr.getLong(1))
+        val matches = rightRows.filter(rr => rr._1 == k && rr._2 <= t)
+        (k, t) -> (if (matches.isEmpty) None
+                   else Some(matches.maxBy(_._2)._3))
+      }.toMap
+      assert(got == expected, s"trial $trial: diff=${
+        (got.toSet diff expected.toSet).take(3)}")
+    }
+  }
+
   test("scd2 intervals tile each key's timeline without overlap") {
     val h = Temporal.scd2History(spark, sf)
     // exactly one current row per key
