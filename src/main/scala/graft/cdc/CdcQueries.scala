@@ -134,6 +134,34 @@ object CdcQueries {
     Materialize.customerView(Tables.events(spark, sfDir)
       .filter(col("ts") < lit("2024-01-10 00:00:00").cast("timestamp")))
 
+  /** O15 — schema enforcement + dead-letter routing: the wire is parsed
+    * with `from_json` against the declared schema; records that fail to
+    * parse surface with a `dlq` status and a null payload instead of
+    * crashing the pipeline or silently vanishing (the reference's
+    * schema-less consumer would throw on malformed JSON,
+    * `consumer_to_opensearch.py:60`). Every 13th event's wire is
+    * deliberately corrupted to exercise the path; at scale the dlq
+    * branch writes to a quarantine sink for replay.
+    *
+    * Validity = the schema's required field parsed (PERMISSIVE
+    * `from_json` yields a null-FIELDED row for malformed input, not a
+    * null struct, so the field is the parse signal).
+    */
+  def dlqRoute(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = "k INT"
+    val wired = Tables.events(spark, sfDir).select(
+      col("event_id"),
+      when(col("event_id") % 13 === 0, concat(lit("{broken"), col("props")))
+        .otherwise(col("props")).as("wire"))
+    wired.select(
+      col("event_id"),
+      from_json(col("wire"), org.apache.spark.sql.types.StructType.fromDDL(schema))
+        .as("parsed"))
+      .select(col("event_id"),
+        when(col("parsed.k").isNull, "dlq").otherwise("ok").as("status"),
+        col("parsed.k").as("k"))
+  }
+
   val queries: Map[String, Q] = Map(
     "o01_cdc_scan" -> (cdcScan _),
     "o02_insert_writer" -> (insertWriter _),
@@ -148,7 +176,8 @@ object CdcQueries {
     "o11_schema_ddl" -> (schemaDdl _),
     "o12_peek" -> (peek _),
     "o13_redelivery_dedup" -> (redeliveryDedup _),
-    "o14_snapshot_asof" -> (snapshotAsof _)
+    "o14_snapshot_asof" -> (snapshotAsof _),
+    "o15_dlq_route" -> (dlqRoute _)
   )
 
   private val opCase =
@@ -228,6 +257,12 @@ object CdcQueries {
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events
         |  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-10 00:00:00'
-        |) WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+        |) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    "o15_dlq_route" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 13 = 0 THEN 'dlq' ELSE 'ok' END AS status,
+        |  CASE WHEN event_id % 13 = 0 THEN NULL
+        |       ELSE CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k
+        |FROM events""".stripMargin
   )
 }
