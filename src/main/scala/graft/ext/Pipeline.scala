@@ -38,7 +38,30 @@ object Pipeline {
         sum("n_chars").as("total_chars"))
   }
 
-  val queries: Map[String, Q] = Map("p1_training_mix" -> (trainingMix _))
+  /** p3 — temperature-scaled mixture weights: per-language sampling
+    * weight w_l ∝ n_l^α with α = 0.5, the standard up-weighting of
+    * low-resource languages in a multilingual training mix, plus the doc
+    * budget per 10k sampled. α = 0.5 keeps the oracle exact: `sqrt` is
+    * correctly rounded in both engines (a general `pow` is not), and the
+    * denominator folds the per-language terms in sorted order on both
+    * sides, so every double op sees identical operands.
+    */
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("s", sqrt(col("n_docs").cast("double")))
+    val denom = counts.agg(
+      aggregate(sort_array(collect_list(struct(col("lang"), col("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("denom"))
+    counts.crossJoin(broadcast(denom))
+      .select(col("lang"), col("n_docs"),
+        round(col("s") / col("denom"), 6).as("mix_weight"),
+        round(col("s") / col("denom") * 10000).cast("long").as("docs_per_10k"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "p1_training_mix" -> (trainingMix _),
+    "p3_temperature_mix" -> (temperatureMix _))
 
   val oracle: Map[String, String] = Map(
     "p1_training_mix" ->
@@ -52,6 +75,18 @@ object Pipeline {
          |  SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text))
          |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM canonical JOIN documents USING (doc_id)
-         |GROUP BY lang""".stripMargin
+         |GROUP BY lang""".stripMargin,
+    "p3_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    sqrt(CAST(count(*) AS DOUBLE)) AS s
+        |  FROM documents GROUP BY lang),
+        |d AS (
+        |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(s ORDER BY lang)), (a, b) -> a + b) AS denom
+        |  FROM c)
+        |SELECT lang, n_docs, round(c.s / d.denom, 6) AS mix_weight,
+        |  CAST(round(c.s / d.denom * 10000) AS BIGINT) AS docs_per_10k
+        |FROM c, d""".stripMargin
   )
 }
