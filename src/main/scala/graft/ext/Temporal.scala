@@ -35,6 +35,10 @@ object Temporal {
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       rightPayload: Seq[String], prefix: String = "asof_"): DataFrame = {
     val leftCols = left.columns.filterNot(c => c == key || c == ts).toSeq
+    val clashes = rightPayload.map(prefix + _).toSet
+      .intersect(left.columns.toSet + "__tag")
+    require(clashes.isEmpty,
+      s"prefixed right payload collides with left columns: $clashes")
     val lTagged = left.select(
       col(key) +: col(ts) +: leftCols.map(col) ++:
         rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(prefix + c)) :+

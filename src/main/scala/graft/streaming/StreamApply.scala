@@ -61,12 +61,26 @@ object StreamApply {
       *
       * Idempotent; called from every public entry point.
       */
+    private def listStrays(d: java.nio.file.Path): List[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(d)
+      try s.iterator().asScala.toList
+        .filter(f => f.getFileName.toString.startsWith("state_tmp_") ||
+          f.getFileName.toString.startsWith("state_old_"))
+      finally s.close()
+    }
+
+    private def deleteRecursively(p: java.nio.file.Path): Unit = {
+      val w = Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally w.close()
+    }
+
     private def recover(): Unit = {
       val d = Paths.get(dir)
       if (!Files.isDirectory(d)) return
-      import scala.jdk.CollectionConverters._
-      val strays = Files.list(d).iterator().asScala.toList
-        .filter(f => f.getFileName.toString.startsWith("state_"))
+      val strays = listStrays(d)
       val p = Paths.get(statePath)
       if (!Files.exists(p)) {
         // batch ids are monotonic: the highest-numbered tmp (else old) is
@@ -79,13 +93,7 @@ object StreamApply {
             .sortBy(id).lastOption)
         candidate.foreach(c => Files.move(c, p, StandardCopyOption.ATOMIC_MOVE))
       }
-      Files.list(d).iterator().asScala.toList
-        .filter(f => f.getFileName.toString.startsWith("state_tmp_") ||
-          f.getFileName.toString.startsWith("state_old_"))
-        .foreach { stray =>
-          Files.walk(stray).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.delete(f))
-        }
+      listStrays(d).foreach(deleteRecursively)
     }
 
     def snapshot(): DataFrame = {
@@ -116,8 +124,7 @@ object StreamApply {
         val old = Paths.get(s"$dir/state_old_$batchId")
         Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
         Files.move(tmpP, p, StandardCopyOption.ATOMIC_MOVE)
-        Files.walk(old).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.delete(f))
+        deleteRecursively(old)
       } else {
         Files.move(tmpP, p, StandardCopyOption.ATOMIC_MOVE)
       }
