@@ -20,10 +20,19 @@ object Tables {
     * (oracle SQL uses `CAST(ts AS TIMESTAMP)`). The conf is set at read
     * time so the query works under any caller-provided session.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    eventsRaw(spark, sfDir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+
+  /** Events with `ts` still the raw parquet nanosecond long. Time-range
+    * operators filter HERE before the timestamp rewrite: a predicate on
+    * the raw column reaches the parquet scan as a pushed filter (rowgroup
+    * min/max skipping), which a predicate on the derived timestamp never
+    * can.
+    */
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
   def customer(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "customer")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")

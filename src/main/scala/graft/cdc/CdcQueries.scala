@@ -127,12 +127,20 @@ object CdcQueries {
     * past instant by materializing only events at or before the cutoff.
     * The event log IS the history — any past state is a filter away
     * (the batch counterpart of [[graft.ext.Temporal.scd2History]], which
-    * materializes ALL states as intervals). The cutoff filter is pushed
-    * into the parquet scan, so the rebuild reads only the prefix.
+    * materializes ALL states as intervals). The cutoff compares the RAW
+    * nanosecond column, before the timestamp rewrite, so it reaches the
+    * parquet scan as a pushed filter and the rebuild reads only the
+    * prefix's rowgroups — a predicate on the derived timestamp could
+    * never push. (µs-truncation can't change the comparison: the cutoff
+    * is microsecond-aligned.)
     */
-  def snapshotAsof(spark: SparkSession, sfDir: String): DataFrame =
-    Materialize.customerView(Tables.events(spark, sfDir)
-      .filter(col("ts") < lit("2024-01-10 00:00:00").cast("timestamp")))
+  def snapshotAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoffNanos = java.time.LocalDateTime.parse("2024-01-10T00:00:00")
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    Materialize.customerView(Tables.eventsRaw(spark, sfDir)
+      .filter(col("ts") < cutoffNanos)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+  }
 
   /** O15 — schema enforcement + dead-letter routing: the wire is parsed
     * with `from_json` against the declared schema; records that fail to
@@ -143,22 +151,26 @@ object CdcQueries {
     * deliberately corrupted to exercise the path; at scale the dlq
     * branch writes to a quarantine sink for replay.
     *
-    * Validity = the schema's required field parsed (PERMISSIVE
-    * `from_json` yields a null-FIELDED row for malformed input, not a
-    * null struct, so the field is the parse signal).
+    * Validity = the corrupt-record column is null. PERMISSIVE
+    * `from_json` yields a null-FIELDED row for malformed input (not a
+    * null struct), so testing a data field would misroute legitimately
+    * null/missing fields; the corrupt-record column is the actual parse
+    * signal — `{"k": null}` stays `ok`, only unparseable wire goes to
+    * the dead letter.
     */
   def dlqRoute(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = "k INT"
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("k INT, _corrupt STRING")
+    val opts = Map("columnNameOfCorruptRecord" -> "_corrupt")
     val wired = Tables.events(spark, sfDir).select(
       col("event_id"),
       when(col("event_id") % 13 === 0, concat(lit("{broken"), col("props")))
         .otherwise(col("props")).as("wire"))
     wired.select(
       col("event_id"),
-      from_json(col("wire"), org.apache.spark.sql.types.StructType.fromDDL(schema))
-        .as("parsed"))
+      from_json(col("wire"), schema, opts).as("parsed"))
       .select(col("event_id"),
-        when(col("parsed.k").isNull, "dlq").otherwise("ok").as("status"),
+        when(col("parsed._corrupt").isNotNull, "dlq").otherwise("ok").as("status"),
         col("parsed.k").as("k"))
   }
 

@@ -30,7 +30,12 @@ object Temporal {
     * Implementation: tag right rows 0 and left rows 1, union, and take
     * `last(payload, ignoreNulls)` over an ordered running window per
     * key. The tag breaks timestamp ties so a same-instant right row
-    * sorts before the left row that should see it.
+    * sorts before the left row that should see it. The payload travels
+    * as ONE struct — filling each column independently would stitch
+    * values from DIFFERENT right rows whenever a payload field is null
+    * (and skip all-null rows entirely), diverging from row-level ASOF
+    * semantics; the struct is non-null exactly when a right row exists,
+    * so the match is always one whole row.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       rightPayload: Seq[String], prefix: String = "asof_"): DataFrame = {
@@ -39,20 +44,23 @@ object Temporal {
       .intersect(left.columns.toSet + "__tag")
     require(clashes.isEmpty,
       s"prefixed right payload collides with left columns: $clashes")
+    val payloadStruct = struct(rightPayload.map(col): _*)
     val lTagged = left.select(
-      col(key) +: col(ts) +: leftCols.map(col) ++:
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(prefix + c)) :+
+      col(key) +: col(ts) +: leftCols.map(col) :+
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          rightPayload.map(c => right.schema(c)))).as("__payload") :+
         lit(1).as("__tag"): _*)
     val rTagged = right.select(
-      col(key) +: col(ts) +: leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
-        rightPayload.map(c => col(c).as(prefix + c)) :+
+      col(key) +: col(ts) +: leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        payloadStruct.as("__payload") :+
         lit(0).as("__tag"): _*)
     val w = Window.partitionBy(key).orderBy(col(ts), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightPayload.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
-      df.withColumn(prefix + c, last(prefix + c, ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__tag") === 1).drop("__tag")
+    lTagged.unionByName(rTagged)
+      .withColumn("__payload", last("__payload", ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(col(key) +: col(ts) +: leftCols.map(col) ++:
+        rightPayload.map(c => col(s"__payload.$c").as(prefix + c)): _*)
   }
 
   /** a1 — as-of join demo: each click event sees the user's most recent

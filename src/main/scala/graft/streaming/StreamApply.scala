@@ -50,14 +50,22 @@ object StreamApply {
 
     private val statePath = s"$dir/state"
 
+    // underscore prefix: Spark's scan ignores it as a hidden file, so
+    // the marker rides inside the directory it certifies
+    private val CommitMarker = "_GRAFT_COMMITTED"
+
     /** Roll an interrupted swap forward or back. Crash windows of
-      * [[merge]], in write order (tmp is fully written before any move):
+      * [[merge]], in write order (tmp is written, then MARKED committed,
+      * then moved):
       *
-      *   1. during the tmp write → `state` intact: delete stray tmp dirs;
+      *   1. during the tmp write → no commit marker: the partial tmp is
+      *      garbage, delete it (`state` — if any — stays authoritative;
+      *      a crash before the very first commit correctly recovers to
+      *      empty state and the checkpointed batch replays);
       *   2. after `state`→`state_old`, before `tmp`→`state` → roll
-      *      FORWARD: the tmp is complete by construction, promote it;
+      *      FORWARD: the marker proves the tmp is complete, promote it;
       *   3. after `tmp`→`state`, before the old-dir delete → `state`
-      *      intact: delete the stray old dir (case 1 path).
+      *      intact: delete the stray old dir.
       *
       * Idempotent; called from every public entry point.
       */
@@ -83,11 +91,15 @@ object StreamApply {
       val strays = listStrays(d)
       val p = Paths.get(statePath)
       if (!Files.exists(p)) {
-        // batch ids are monotonic: the highest-numbered tmp (else old) is
-        // the most recent consistent state
+        // batch ids are monotonic: the highest-numbered COMMITTED tmp
+        // (else old — complete by construction, it WAS the state) is the
+        // most recent consistent state. A tmp without the marker is a
+        // torn write (crash mid-parquet-job) and must never be promoted.
         def id(f: java.nio.file.Path): Long =
           f.getFileName.toString.split("_").last.toLong
-        val candidate = strays.filter(_.getFileName.toString.startsWith("state_tmp_"))
+        val candidate = strays.filter(f =>
+            f.getFileName.toString.startsWith("state_tmp_") &&
+              Files.exists(f.resolve(CommitMarker)))
           .sortBy(id).lastOption
           .orElse(strays.filter(_.getFileName.toString.startsWith("state_old_"))
             .sortBy(id).lastOption)
@@ -118,8 +130,10 @@ object StreamApply {
       val next = Materialize.latestByKey(merged, key, seq, Seq(opCol) ++ payloadCols)
       val tmp = s"$dir/state_tmp_$batchId"
       next.write.mode("overwrite").parquet(tmp)
-      // atomic swap: the snapshot is always a complete, consistent state
       val tmpP = Paths.get(tmp)
+      // commit marker AFTER the parquet job returns: recover() promotes
+      // only marked tmps, so a torn write can never become the state
+      Files.createFile(tmpP.resolve(CommitMarker))
       if (Files.exists(p)) {
         val old = Paths.get(s"$dir/state_old_$batchId")
         Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)

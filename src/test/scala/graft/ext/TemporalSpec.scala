@@ -49,6 +49,26 @@ class TemporalSpec extends SparkSpec {
     assert(out.count() == clicks.count(), "as-of must preserve left cardinality")
   }
 
+  test("asofJoin matches whole rows — null payload fields are not stitched across rows") {
+    import spark.implicits._
+    val left = Seq((1, 25L, "l")).toDF("k", "t", "lv")
+    val right = Seq(
+      (1, 10L, Some(5.0), Some("x")),
+      (1, 20L, None: Option[Double], Some("y")) // latest row has a null field
+    ).toDF("k", "t", "a", "b")
+    val r = Temporal.asofJoin(left, right, "k", "t", Seq("a", "b"))
+      .select("asof_a", "asof_b").collect().head
+    // ASOF semantics: the WHOLE latest row (null, "y") — never (5.0, "y"),
+    // a combination that exists in no right row
+    assert(r.isNullAt(0) && r.getString(1) == "y", s"stitched payload: $r")
+    // an all-null payload row is still a match, not invisible
+    val right2 = Seq((1, 20L, None: Option[Double], None: Option[String]))
+      .toDF("k", "t", "a", "b")
+    val r2 = Temporal.asofJoin(left, right2, "k", "t", Seq("a", "b"))
+      .select("asof_a", "asof_b").collect().head
+    assert(r2.isNullAt(0) && r2.isNullAt(1))
+  }
+
   test("asofJoin equals an in-memory reference on randomized event sets") {
     import spark.implicits._
     val rnd = new scala.util.Random(42) // fixed seed — deterministic CI

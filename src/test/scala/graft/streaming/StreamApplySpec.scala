@@ -64,12 +64,34 @@ class StreamApplySpec extends SparkSpec {
     Materialize.latestByKey(batch1.toDF().unionByName(batch2.toDF()),
         "key", "seq", Seq("op", "value"))
       .write.parquet(s"$dir/state_tmp_1")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/state_tmp_1/_GRAFT_COMMITTED"))
     java.nio.file.Files.move(state, java.nio.file.Paths.get(s"$dir/state_old_1"))
     // next entry point must promote state_tmp_1, not fall back to empty
     val keys = store.view().select("key").collect().map(_.getInt(0)).toSet
     assert(keys == Set(1, 3), s"roll-forward lost state: $keys")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/state_old_1")))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/state_tmp_1")))
+  }
+
+  test("a torn tmp write (no commit marker) is never promoted") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-crash-torn").toString
+    val store = new StreamApply.ParquetUpsertStore(spark, dir,
+      key = "key", seq = "seq", opCol = "op", deleteOp = "d", payloadCols = Seq("value"))
+    store.merge(batch1.toDF(), 0)
+    // crash mid-parquet-job: a partial tmp with no marker, state moved aside
+    val torn = java.nio.file.Paths.get(s"$dir/state_tmp_1")
+    java.nio.file.Files.createDirectory(torn)
+    java.nio.file.Files.write(torn.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3)) // garbage — unreadable as parquet
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/state"),
+      java.nio.file.Paths.get(s"$dir/state_old_1"))
+    // recovery must fall back to the old state, never the torn tmp
+    val keys = store.view().select("key").collect().map(_.getInt(0)).toSet
+    assert(keys == Set(1, 2), s"torn tmp corrupted recovery: $keys")
+    assert(!java.nio.file.Files.exists(torn))
   }
 
   test("crash during the tmp write rolls BACK to the previous state") {
