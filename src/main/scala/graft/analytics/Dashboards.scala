@@ -23,46 +23,54 @@ object Dashboards {
   private def view(spark: SparkSession, sfDir: String): DataFrame =
     Materialize.customerView(Tables.events(spark, sfDir))
 
+  private def termsOf(v: DataFrame): DataFrame =
+    v.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type"))
+
+  private def histogramOf(v: DataFrame): DataFrame =
+    v.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("day"))
+
+  private def recentOf(v: DataFrame): DataFrame =
+    v.orderBy(col("ts").desc, col("event_id").desc)
+      .limit(10)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+
   /** Q1 — "Count by Classification" terms aggregation
     * (`README.md:150-152`): group by the classification analog, count,
     * order by count. Secondary sort key makes the order total so the
     * oracle hash is deterministic.
     */
   def termsCount(spark: SparkSession, sfDir: String): DataFrame =
-    view(spark, sfDir)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("event_type"))
+    termsOf(view(spark, sfDir))
 
   /** Q2 — "New Customers Over Time" date histogram (`README.md:154-156`):
     * daily tumbling buckets of the view's event-time column.
     */
   def dateHistogram(spark: SparkSession, sfDir: String): DataFrame =
-    view(spark, sfDir)
-      .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("day"))
+    histogramOf(view(spark, sfDir))
 
   /** Q3 — "Recent 10 Customers" saved search (`README.md:158-160`):
     * sort by event time desc, keep 10; seq breaks ties deterministically.
     */
   def recentTopK(spark: SparkSession, sfDir: String): DataFrame =
-    view(spark, sfDir)
-      .orderBy(col("ts").desc, col("event_id").desc)
-      .limit(10)
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+    recentOf(view(spark, sfDir))
 
   /** Q4 — dashboard composition (`README.md:162-163`): the three panels
-    * over one shared view, as a single typed union
-    * `(panel, k, n)`.
+    * over one shared view, as a single typed union `(panel, k, n)`. The
+    * view (small: live keys only) is materialized ONCE — exchange reuse
+    * alone would still run the materializing aggregation once per panel.
     */
   def dashboard(spark: SparkSession, sfDir: String): DataFrame = {
-    val q1 = termsCount(spark, sfDir)
+    val v = view(spark, sfDir).localCheckpoint()
+    val q1 = termsOf(v)
       .select(lit("by_class").as("panel"), col("event_type").as("k"), col("n"))
-    val q2 = dateHistogram(spark, sfDir)
+    val q2 = histogramOf(v)
       .select(lit("histogram").as("panel"),
         date_format(col("day"), "yyyy-MM-dd").as("k"), col("n"))
-    val q3 = recentTopK(spark, sfDir)
+    val q3 = recentOf(v)
       .select(lit("recent").as("panel"),
         col("user_id").cast("string").as("k"), col("event_id").as("n"))
     q1.unionAll(q2).unionAll(q3)
