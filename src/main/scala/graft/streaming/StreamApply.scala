@@ -261,4 +261,40 @@ object StreamApply {
           key -> next
       }
   }
+
+  /** [[statefulView]] with a tombstone TTL: a deleted key keeps its
+    * tombstone (still blocking stale replays) for `ttlMs` of processing
+    * time, then its state is REMOVED. Without eviction, dead keys
+    * accumulate forever and state grows with the key-churn HISTORY
+    * instead of the live-key set — the difference between bounded and
+    * unbounded state on a 100 TB-scale churny stream. The TTL is the
+    * redelivery horizon: after it, a replay of pre-delete events is
+    * assumed impossible (the same contract a watermark encodes), so a
+    * late stale event after eviction re-creates the key — accepted, and
+    * exactly what the spec demonstrates. Live keys never time out.
+    */
+  def statefulViewWithTtl(events: Dataset[KeyedEvent],
+      ttlMs: Long = 600000L): Dataset[(Int, KeyState)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .mapGroupsWithState[KeyState, (Int, KeyState)](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (key, batch, state) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove() // tombstone past the horizon — state evicted
+            key -> last
+          } else {
+            val init = state.getOption.getOrElse(KeyState(Long.MinValue, 0.0, deleted = true))
+            val next = batch.foldLeft(init) { (s, e) =>
+              if (e.seq <= s.seq) s
+              else if (e.op == "d") KeyState(e.seq, 0.0, deleted = true)
+              else KeyState(e.seq, e.value, deleted = false)
+            }
+            state.update(next)
+            if (next.deleted) state.setTimeoutDuration(ttlMs)
+            key -> next
+          }
+      }
+  }
 }
