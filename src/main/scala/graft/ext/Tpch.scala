@@ -107,13 +107,51 @@ object Tpch {
         sum(dec("s_acctbal")).cast("double").as("total_acctbal"))
       .orderBy(col("r_name"))
 
+  /** t7 — correlated EXISTS (TPC-H Q4 shape): orders with at least one
+    * high-discount lineitem, counted by priority. Written as SQL so
+    * Catalyst's subquery DECORRELATION does the work — `RewritePredicate
+    * Subquery` turns the correlated EXISTS into a left-semi join (the
+    * plan spec asserts it); the hand-written semi join would dodge the
+    * optimizer feature this query exists to exercise.
+    */
+  def priorityWithDiscount(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("t7_orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("t7_lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM t7_orders o
+        |WHERE EXISTS (SELECT 1 FROM t7_lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  /** t8 — correlated SCALAR subquery: parts referenced by ≥ 35 lineitems,
+    * with the reference count from a per-row correlated COUNT. Catalyst
+    * decorrelates it to an aggregate + outer join; the count is exact
+    * integer arithmetic, so the threshold can never flip on a float
+    * boundary between engines.
+    */
+  def popularParts(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.part(spark, sfDir).createOrReplaceTempView("t8_part")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("t8_lineitem")
+    spark.sql(
+      """SELECT p_partkey, n_refs FROM (
+        |  SELECT p_partkey,
+        |    (SELECT count(*) FROM t8_lineitem l
+        |     WHERE l.l_partkey = p.p_partkey) AS n_refs
+        |  FROM t8_part p)
+        |WHERE n_refs >= 35""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "t1_pricing_summary" -> (pricingSummary _),
     "t2_revenue_by_nation" -> (revenueByNation _),
     "t3_top_customers" -> (topCustomers _),
     "t4_segment_priority" -> (segmentPriority _),
     "t5_brand_revenue" -> (brandRevenue _),
-    "t6_supplier_by_region" -> (supplierByRegion _)
+    "t6_supplier_by_region" -> (supplierByRegion _),
+    "t7_exists_priority" -> (priorityWithDiscount _),
+    "t8_popular_parts" -> (popularParts _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -168,6 +206,19 @@ object Tpch {
         |FROM supplier
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "t7_exists_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "t8_popular_parts" ->
+      """SELECT p_partkey, n_refs FROM (
+        |  SELECT p_partkey,
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE l.l_partkey = p.p_partkey) AS n_refs
+        |  FROM part p)
+        |WHERE n_refs >= 35""".stripMargin
   )
 }

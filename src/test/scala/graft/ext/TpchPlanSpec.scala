@@ -47,4 +47,11 @@ class TpchPlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"t1: no hash aggregate:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"t1: no partial agg:\n$p")
   }
+
+  test("correlated EXISTS decorrelates to a semi join, never a per-row subquery") {
+    val p = plan("t7_exists_priority")
+    assert(p.contains("LeftSemi"), s"t7: EXISTS not decorrelated:\n$p")
+    assert(!p.contains("InSubquery") && !p.toLowerCase.contains("scalarsubquery"),
+      s"t7: residual per-row subquery:\n$p")
+  }
 }
