@@ -154,7 +154,11 @@ object Dedup {
     // would cap posting length first — not needed on this data.)
     val sh = shingleFrame(spark, sfDir)
     val sized = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val postings = sh.join(broadcast(sized), Seq("doc_id"))
+    // sized is one row per document — corpus-sized, so no broadcast hint:
+    // the join keys on doc_id and shuffles narrowly (two longs per row).
+    // At local scale AQE still turns it into a broadcast from its size
+    // ESTIMATE, which is the correct, scale-gated behavior.
+    val postings = sh.join(sized, Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("n"), col("shingle"))
     val co = postings.alias("a")
       .join(postings.alias("b"),
@@ -219,24 +223,31 @@ object Dedup {
     // emitted exactly once, so there is no multi-million-row DISTINCT
     // over the band-inflated candidate set. Bands carry only (doc_id,
     // band keys); the token-hash arrays re-join onto the candidates for
-    // the exact check (the candidate shuffle/broadcast stays narrow —
-    // ids and band keys, never arrays).
+    // the exact check (the candidate shuffle stays narrow — ids and band
+    // keys, never arrays). NO broadcast hints anywhere in this shape:
+    // every frame here (band keys, sketches) is one row per DOCUMENT, so
+    // forcing a broadcast ships the whole corpus to the driver and every
+    // task — fine at sf0.1, an OOM past the 8 GB broadcast limit at
+    // 100 TB. The joins key on band key / doc_id (longs), which is
+    // exactly what a shuffle hash join partitions well on; AQE may still
+    // choose a broadcast locally from its runtime size estimate, which
+    // is the scale-gated version of the same optimization.
     val bandKeys = per.select(col("doc_id"),
       col("bk0"), col("bk1"))
     val l = bandKeys.select(col("doc_id").as("doc_a"),
       col("bk0").as("abk0"), col("bk1").as("abk1"))
     val r = bandKeys.select(col("doc_id").as("doc_b"),
       col("bk0").as("bbk0"), col("bk1").as("bbk1"))
-    val cand0 = l.join(broadcast(r), col("abk0") === col("bbk0") && col("doc_a") < col("doc_b"))
+    val cand0 = l.join(r, col("abk0") === col("bbk0") && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-    val cand1 = l.join(broadcast(r), col("abk1") === col("bbk1") &&
+    val cand1 = l.join(r, col("abk1") === col("bbk1") &&
         col("abk0") =!= col("bbk0") && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
     val cand = cand0.unionByName(cand1)
     jaccardPairs(
       cand
-        .join(broadcast(per.select(col("doc_id").as("doc_a"), col("toks").as("ta"))), Seq("doc_a"))
-        .join(broadcast(per.select(col("doc_id").as("doc_b"), col("toks").as("tb"))), Seq("doc_b")),
+        .join(per.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
+        .join(per.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b")),
       col("ta"), col("tb"), 0.9, (9, 10))
   }
 
@@ -363,7 +374,9 @@ object Dedup {
       val earlierDiffer = (0 until b)
         .map(i => byte(col("sa"), i) =!= byte(col("sb"), i))
         .foldLeft(lit(true))(_ && _)
-      l.join(broadcast(r), sameBand && earlierDiffer && col("doc_a") < col("doc_b"))
+      // r is one sketch per document — corpus-sized, so no broadcast
+      // hint; the join shuffles on the byte band (see minhashLsh note).
+      l.join(r, sameBand && earlierDiffer && col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
         .filter(col("hamming") <= 4)
@@ -417,20 +430,25 @@ object Dedup {
       .localCheckpoint()
     // Candidate join moves only (tbl, bkt, vec_id); vectors re-join onto
     // the distinct candidate pairs for the exact cosine. The 16-plane
-    // bucketing is materialized once for its two join sides.
+    // bucketing is materialized once for its two join sides. No broadcast
+    // hints: the bucketed frame is 4 rows per VECTOR and the vector frame
+    // one 64-double row per vector — both corpus-sized, the worst possible
+    // broadcast payloads at 100 TB. The candidate join shuffles on
+    // (tbl, bkt) — per-bucket co-location is the whole point of LSH — and
+    // the confirm joins shuffle on vec_id, so vectors move once each.
     val bucketed = e.select(col("vec_id"),
         explode(array((0 until 4).map(t =>
           struct(lit(t).as("tbl"), bucket(col("v"), t).as("bkt"))): _*)).as("b"))
       .select(col("vec_id"), col("b.tbl"), col("b.bkt"))
       .localCheckpoint()
     val cand = bucketed.select(col("tbl"), col("bkt"), col("vec_id").as("vec_a"))
-      .join(broadcast(bucketed.select(col("tbl"), col("bkt"), col("vec_id").as("vec_b"))),
+      .join(bucketed.select(col("tbl"), col("bkt"), col("vec_id").as("vec_b")),
         Seq("tbl", "bkt"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
     val scored = cand
-      .join(broadcast(e.select(col("vec_id").as("vec_a"), col("v").as("va"))), Seq("vec_a"))
-      .join(broadcast(e.select(col("vec_id").as("vec_b"), col("v").as("vb"))), Seq("vec_b"))
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         graft.functions.CosineSimilarity.cosineSim(col("va"), col("vb")).as("cos_raw"))
     barrierFilter(scored, col("cos_raw") >= 0.4)

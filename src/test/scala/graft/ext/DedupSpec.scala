@@ -86,6 +86,30 @@ class DedupSpec extends SparkSpec {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("d2/d3/d5/d6: no forced broadcast of a corpus-sized frame") {
+    // The 100 TB invariant: every frame in the dedup family is one row
+    // per document/vector, so a broadcast may only ever be chosen by the
+    // optimizer's SIZE ESTIMATE (scale-gated, disappears at real scale),
+    // never forced by a hint (which survives scale-up and OOMs past the
+    // 8 GB broadcast limit). Detection: with autoBroadcastJoinThreshold
+    // = -1 — which also disables AQE's runtime broadcast conversion,
+    // whose threshold falls back to it — the ONLY way a
+    // BroadcastExchange can appear is an explicit broadcast()/hint. So
+    // zero BroadcastExchange under this conf proves no hint remains.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      for (q <- Seq("d2_ngram_jaccard", "d3_minhash_lsh",
+          "d5_simhash_neardup", "d6_embed_neardup")) {
+        val p = Dedup.queries(q)(spark, sf).queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastExchange") && !p.contains("BroadcastHashJoin")
+            && !p.contains("BroadcastNestedLoopJoin"),
+          s"$q forces a corpus-sized broadcast:\n$p")
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("no exchange in the LSH plan carries token arrays or text") {
     // The scale invariant: whatever shuffles (candidate distinct, band
     // join at larger SF), it moves ids and band keys — never the token
