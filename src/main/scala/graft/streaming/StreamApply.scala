@@ -16,8 +16,8 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *   - [[upsertWriter]]: `foreachBatch` + last-write-wins merge — the
   *     OpenSearch upsert-by-`_id` analog. Checkpointing replaces the
   *     consumer group (O13): at-least-once redelivery + an idempotent
-  *     keyed merge gives effectively-once sink state (true exactly-once
-  *     needs a transactional sink — see [[ParquetUpsertStore]]).
+  *     keyed merge onto [[ParquetUpsertStore]]'s atomic manifest-pointer
+  *     commit gives effectively-once sink state.
   *   - [[dedupped]]: `dropDuplicatesWithinWatermark` on the event id —
   *     the redelivery guard, with state bounded by the watermark.
   *   - [[windowedCounts]]: event-time tumbling counts with a watermark —
@@ -32,51 +32,44 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 object StreamApply {
 
   /** Micro-batch merge: new state = last-write-wins over (old state ∪
-    * batch). The swap is two directory moves, so it is NOT atomic — a
-    * crash can land between them. [[ParquetUpsertStore.recover]] makes it
-    * crash-CONSISTENT instead: every entry point first rolls the swap
-    * forward (complete `state_tmp_*` present) or back (only `state_old_*`
-    * present), so a reader always sees one complete state and a replayed
-    * micro-batch merges onto the recovered state idempotently. True
-    * atomic commit (and with it exactly-once sink effects) needs a
-    * transactional table format — in production the body of `merge` is a
-    * Delta/Iceberg `MERGE WHEN MATCHED UPDATE/DELETE WHEN NOT MATCHED
-    * INSERT`; this parquet store is the demo-scale stand-in with the same
-    * keyed, idempotent, per-micro-batch shape.
+    * batch), committed with a MANIFEST POINTER — the single-pointer
+    * design every transactional table format (Delta's `_last_checkpoint`,
+    * Iceberg's `version-hint`) reduces to:
+    *
+    *   - state versions are APPEND-ONLY directories
+    *     (`state_v<batchId>_e<epoch>`); nothing that is live is ever
+    *     moved or rewritten;
+    *   - the only mutable object is one `CURRENT` file naming the live
+    *     version, replaced by an atomic rename (fsync'd tmp → POSIX
+    *     `rename(2)`), so the commit is a SINGLE atomic step: a reader
+    *     or a crash observes the old state or the new state, never a
+    *     mix and never an in-between with no state at all;
+    *   - everything `CURRENT` does not reference is garbage, collected
+    *     idempotently on every entry — a torn version write is simply
+    *     never referenced, and a crash after the rename only leaves
+    *     collectable strays.
+    *
+    * With the checkpointed source replaying at-least-once into this
+    * idempotent keyed merge, sink state is effectively-once; in
+    * production the body of `merge` is a Delta/Iceberg `MERGE WHEN
+    * MATCHED UPDATE WHEN NOT MATCHED INSERT` — same commit protocol,
+    * scaled out.
     */
   final class ParquetUpsertStore(spark: SparkSession, dir: String,
       key: String, seq: String, opCol: String, deleteOp: String,
       payloadCols: Seq[String]) extends Serializable {
 
-    private val statePath = s"$dir/state"
+    private val VersionPrefix = "state_v"
+    private val PointerTmpPrefix = "CURRENT.tmp."
 
-    // underscore prefix: Spark's scan ignores it as a hidden file, so
-    // the marker rides inside the directory it certifies
-    private val CommitMarker = "_GRAFT_COMMITTED"
+    private def currentPath = Paths.get(dir, "CURRENT")
 
-    /** Roll an interrupted swap forward or back. Crash windows of
-      * [[merge]], in write order (tmp is written, then MARKED committed,
-      * then moved):
-      *
-      *   1. during the tmp write → no commit marker: the partial tmp is
-      *      garbage, delete it (`state` — if any — stays authoritative;
-      *      a crash before the very first commit correctly recovers to
-      *      empty state and the checkpointed batch replays);
-      *   2. after `state`→`state_old`, before `tmp`→`state` → roll
-      *      FORWARD: the marker proves the tmp is complete, promote it;
-      *   3. after `tmp`→`state`, before the old-dir delete → `state`
-      *      intact: delete the stray old dir.
-      *
-      * Idempotent; called from every public entry point.
-      */
-    private def listStrays(d: java.nio.file.Path): List[java.nio.file.Path] = {
-      import scala.jdk.CollectionConverters._
-      val s = Files.list(d)
-      try s.iterator().asScala.toList
-        .filter(f => f.getFileName.toString.startsWith("state_tmp_") ||
-          f.getFileName.toString.startsWith("state_old_"))
-      finally s.close()
-    }
+    /** Name of the live version directory, if any commit has happened. */
+    private def currentVersion(): Option[String] =
+      if (Files.exists(currentPath))
+        Some(new String(Files.readAllBytes(currentPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      else None
 
     private def deleteRecursively(p: java.nio.file.Path): Unit = {
       val w = Files.walk(p)
@@ -85,63 +78,79 @@ object StreamApply {
       finally w.close()
     }
 
-    private def recover(): Unit = {
+    /** Garbage-collect everything the pointer does not reference:
+      * version dirs other than the live one (torn writes, superseded
+      * states) and orphaned pointer tmp files. Purely an space matter —
+      * correctness never depends on cleanup having run, because readers
+      * only ever follow `CURRENT`. Idempotent; called from every entry
+      * point.
+      */
+    private def clean(): Unit = {
       val d = Paths.get(dir)
       if (!Files.isDirectory(d)) return
-      val strays = listStrays(d)
-      val p = Paths.get(statePath)
-      if (!Files.exists(p)) {
-        // batch ids are monotonic: the highest-numbered COMMITTED tmp
-        // (else old — complete by construction, it WAS the state) is the
-        // most recent consistent state. A tmp without the marker is a
-        // torn write (crash mid-parquet-job) and must never be promoted.
-        def id(f: java.nio.file.Path): Long =
-          f.getFileName.toString.split("_").last.toLong
-        val candidate = strays.filter(f =>
-            f.getFileName.toString.startsWith("state_tmp_") &&
-              Files.exists(f.resolve(CommitMarker)))
-          .sortBy(id).lastOption
-          .orElse(strays.filter(_.getFileName.toString.startsWith("state_old_"))
-            .sortBy(id).lastOption)
-        candidate.foreach(c => Files.move(c, p, StandardCopyOption.ATOMIC_MOVE))
-      }
-      listStrays(d).foreach(deleteRecursively)
+      val live = currentVersion()
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(d)
+      val strays =
+        try s.iterator().asScala.toList.filter { f =>
+          val n = f.getFileName.toString
+          (n.startsWith(VersionPrefix) && !live.contains(n)) ||
+            n.startsWith(PointerTmpPrefix)
+        }
+        finally s.close()
+      strays.foreach(deleteRecursively)
+    }
+
+    /** The commit point: publish `ver` by atomically replacing `CURRENT`.
+      * The pointer content is fsync'd into a tmp file first, so the
+      * rename never publishes a torn pointer; POSIX `rename(2)` replaces
+      * the old pointer atomically.
+      */
+    private def commitPointer(ver: String): Unit = {
+      val tmp = Paths.get(dir, PointerTmpPrefix + ver)
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        ch.write(java.nio.ByteBuffer.wrap(
+          ver.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        ch.force(true)
+      } finally ch.close()
+      Files.move(tmp, currentPath, StandardCopyOption.ATOMIC_MOVE)
     }
 
     def snapshot(): DataFrame = {
-      recover()
-      val p = Paths.get(statePath)
-      if (Files.exists(p)) spark.read.parquet(statePath)
-      else spark.emptyDataFrame
+      clean()
+      currentVersion() match {
+        case Some(v) => spark.read.parquet(s"$dir/$v")
+        case None    => spark.emptyDataFrame
+      }
     }
 
     /** Merge one micro-batch. Deletes must be retained IN the state (not
       * dropped) so a later replay of an older batch cannot resurrect a
-      * deleted key; the serving view filters them.
+      * deleted key; the serving view filters them. The epoch suffix makes
+      * every merge attempt write a FRESH directory — a replayed batch id
+      * never overwrites the directory it is reading from, and the live
+      * state is never touched until the pointer swings.
       */
     def merge(batch: DataFrame, batchId: Long): Unit = {
-      recover()
+      clean()
       val cols = (key +: seq +: opCol +: payloadCols).distinct
       val incoming = batch.select(cols.map(col): _*)
-      val p = Paths.get(statePath)
-      val merged =
-        if (!Files.exists(p)) incoming
-        else spark.read.parquet(statePath).unionByName(incoming)
-      val next = Materialize.latestByKey(merged, key, seq, Seq(opCol) ++ payloadCols)
-      val tmp = s"$dir/state_tmp_$batchId"
-      next.write.mode("overwrite").parquet(tmp)
-      val tmpP = Paths.get(tmp)
-      // commit marker AFTER the parquet job returns: recover() promotes
-      // only marked tmps, so a torn write can never become the state
-      Files.createFile(tmpP.resolve(CommitMarker))
-      if (Files.exists(p)) {
-        val old = Paths.get(s"$dir/state_old_$batchId")
-        Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(tmpP, p, StandardCopyOption.ATOMIC_MOVE)
-        deleteRecursively(old)
-      } else {
-        Files.move(tmpP, p, StandardCopyOption.ATOMIC_MOVE)
+      val live = currentVersion()
+      val merged = live match {
+        case Some(v) => spark.read.parquet(s"$dir/$v").unionByName(incoming)
+        case None    => incoming
       }
+      val next = Materialize.latestByKey(merged, key, seq, Seq(opCol) ++ payloadCols)
+      val epoch = live.map(v => v.substring(v.lastIndexOf('e') + 1).toLong + 1)
+        .getOrElse(0L)
+      val ver = s"$VersionPrefix${batchId}_e$epoch"
+      next.write.mode("overwrite").parquet(s"$dir/$ver")
+      commitPointer(ver) // the single atomic step
+      clean()            // superseded version is now garbage
     }
 
     /** Serving view: live (non-deleted) rows only. */

@@ -52,64 +52,77 @@ class StreamApplySpec extends SparkSpec {
     assert(streamed == Set((1, 6L, 1.9), (2, 7L, 2.5))) // 3 deleted, 2 reborn
   }
 
-  test("crash between the swap moves rolls FORWARD to the completed tmp state") {
-    import spark.implicits._
-    val dir = Files.createTempDirectory("graft-crash-fwd").toString
-    val store = new StreamApply.ParquetUpsertStore(spark, dir,
-      key = "key", seq = "seq", opCol = "op", deleteOp = "d", payloadCols = Seq("value"))
-    store.merge(batch1.toDF(), 0)
-    // simulate the crash window of merge(batch2, 1): tmp fully written,
-    // old state moved aside, `state` missing
-    val state = java.nio.file.Paths.get(s"$dir/state")
-    Materialize.latestByKey(batch1.toDF().unionByName(batch2.toDF()),
-        "key", "seq", Seq("op", "value"))
-      .write.parquet(s"$dir/state_tmp_1")
-    java.nio.file.Files.createFile(
-      java.nio.file.Paths.get(s"$dir/state_tmp_1/_GRAFT_COMMITTED"))
-    java.nio.file.Files.move(state, java.nio.file.Paths.get(s"$dir/state_old_1"))
-    // next entry point must promote state_tmp_1, not fall back to empty
-    val keys = store.view().select("key").collect().map(_.getInt(0)).toSet
-    assert(keys == Set(1, 3), s"roll-forward lost state: $keys")
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/state_old_1")))
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/state_tmp_1")))
-  }
-
-  test("a torn tmp write (no commit marker) is never promoted") {
+  test("a torn version write (pointer never swung) is invisible and collected") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-crash-torn").toString
     val store = new StreamApply.ParquetUpsertStore(spark, dir,
       key = "key", seq = "seq", opCol = "op", deleteOp = "d", payloadCols = Seq("value"))
     store.merge(batch1.toDF(), 0)
-    // crash mid-parquet-job: a partial tmp with no marker, state moved aside
-    val torn = java.nio.file.Paths.get(s"$dir/state_tmp_1")
+    // crash mid-parquet-job of merge(batch2, 1): a partial version dir
+    // exists but CURRENT still names the batch-0 state
+    val torn = java.nio.file.Paths.get(s"$dir/state_v1_e1")
     java.nio.file.Files.createDirectory(torn)
     java.nio.file.Files.write(torn.resolve("part-00000.parquet"),
       Array[Byte](1, 2, 3)) // garbage — unreadable as parquet
-    java.nio.file.Files.move(
-      java.nio.file.Paths.get(s"$dir/state"),
-      java.nio.file.Paths.get(s"$dir/state_old_1"))
-    // recovery must fall back to the old state, never the torn tmp
+    // the reader follows the pointer: old state, torn dir collected
     val keys = store.view().select("key").collect().map(_.getInt(0)).toSet
-    assert(keys == Set(1, 2), s"torn tmp corrupted recovery: $keys")
+    assert(keys == Set(1, 2), s"torn version leaked into the view: $keys")
     assert(!java.nio.file.Files.exists(torn))
   }
 
-  test("crash during the tmp write rolls BACK to the previous state") {
+  test("crash between pointer-tmp write and the rename keeps the old state live") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft-crash-back").toString
+    val dir = Files.createTempDirectory("graft-crash-prerename").toString
     val store = new StreamApply.ParquetUpsertStore(spark, dir,
       key = "key", seq = "seq", opCol = "op", deleteOp = "d", payloadCols = Seq("value"))
     store.merge(batch1.toDF(), 0)
-    // simulate: state moved aside but no tmp survived (crash mid-write
-    // left nothing promotable — parquet job dirs clean up on failure)
-    java.nio.file.Files.move(
-      java.nio.file.Paths.get(s"$dir/state"),
-      java.nio.file.Paths.get(s"$dir/state_old_1"))
+    // merge(batch2, 1) got as far as: complete new version written, the
+    // pointer CONTENT written to its tmp file — but died before the
+    // atomic rename. Nothing is committed.
+    Materialize.latestByKey(batch1.toDF().unionByName(batch2.toDF()),
+        "key", "seq", Seq("op", "value"))
+      .write.parquet(s"$dir/state_v1_e1")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/CURRENT.tmp.state_v1_e1"),
+      "state_v1_e1".getBytes)
     val keys = store.view().select("key").collect().map(_.getInt(0)).toSet
-    assert(keys == Set(1, 2), s"roll-back lost the previous state: $keys")
-    // and a replayed merge lands on the recovered state normally
+    assert(keys == Set(1, 2), s"uncommitted version leaked into the view: $keys")
+    // both strays collected; a replayed merge then commits normally
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/CURRENT.tmp.state_v1_e1")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/state_v1_e1")))
     store.merge(batch2.toDF(), 1)
     assert(store.view().select("key").collect().map(_.getInt(0)).toSet == Set(1, 3))
+  }
+
+  test("crash between the pointer rename and cleanup serves the NEW state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-crash-postrename").toString
+    val store = new StreamApply.ParquetUpsertStore(spark, dir,
+      key = "key", seq = "seq", opCol = "op", deleteOp = "d", payloadCols = Seq("value"))
+    store.merge(batch1.toDF(), 0)
+    // merge(batch2, 1) crossed its commit point — CURRENT atomically
+    // renamed to name the new version — but died before cleanup, leaving
+    // the superseded batch-0 dir and an orphan pointer tmp behind
+    Materialize.latestByKey(batch1.toDF().unionByName(batch2.toDF()),
+        "key", "seq", Seq("op", "value"))
+      .write.parquet(s"$dir/state_v1_e1")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/CURRENT"), "state_v1_e1".getBytes)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/CURRENT.tmp.state_v1_e1"),
+      "state_v1_e1".getBytes)
+    // committed = visible, regardless of cleanup having run
+    val keys = store.view().select("key").collect().map(_.getInt(0)).toSet
+    assert(keys == Set(1, 3), s"commit point not honored: $keys")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/state_v0_e0")), "superseded state not collected")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/CURRENT.tmp.state_v1_e1")))
+    // and the next merge continues from the committed state
+    store.merge(batch3.toDF(), 2)
+    assert(store.view().select("key").collect().map(_.getInt(0)).toSet == Set(1, 2))
   }
 
   test("restart-and-replay of an old batch cannot resurrect a deleted key") {
