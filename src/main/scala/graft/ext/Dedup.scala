@@ -255,8 +255,9 @@ object Dedup {
     * near-dup pair graph (edges = [[minhashLsh]] output), assigning every
     * document the minimum doc_id of its component as canonical — the step
     * that turns pairwise near-dup hits into the keep/drop decision a real
-    * pipeline executes. Iterative min-label propagation, one hop per
-    * round, converging in O(graph diameter) rounds; `localCheckpoint`
+    * pipeline executes. Iterative min-label propagation with multi-hop
+    * composition per round (edge hop, double pointer jump, hop∘jump),
+    * converging in O(log graph diameter) rounds; `localCheckpoint`
     * truncates the plan lineage each round (at 100 TB: reliable
     * checkpoints + a Pregel-style engine, same algorithm). The fixpoint
     * (min over reachable nodes) is iteration-order independent, so it
@@ -290,20 +291,33 @@ object Dedup {
     while (changed > 0 && rounds < 50) {
       val prop = und.join(labels, und("u") === labels("doc_id"))
         .select(col("v").as("doc_id"), col("canonical"))
-      // pointer jumping: also adopt the canonical's own canonical — path
-      // lengths halve each round, so convergence is O(log diameter)
-      // instead of O(diameter) (23s -> ~8s at sf0.1 on this graph)
-      val viaCanon = labels.alias("l1")
+      // Pointer jumping, TWO hops per round: adopt the canonical's
+      // canonical and ITS canonical, plus the edge-hop's canonical —
+      // per-round cost on local[32] is dominated by fixed job/shuffle
+      // overheads (the label frame is two longs per doc), so deeper
+      // composition per materialization buys convergence in ~3 rounds
+      // where one-hop-plus-jump took 5. Every leg only re-propagates
+      // labels already inside the component, so the fixpoint (component
+      // min) — and with it the oracle hash — is unchanged.
+      val via = labels.alias("l1")
         .join(labels.alias("l2"), col("l1.canonical") === col("l2.doc_id"))
         .select(col("l1.doc_id").as("doc_id"), col("l2.canonical").as("canonical"))
+      val via2 = via.alias("a")
+        .join(labels.alias("l3"), col("a.canonical") === col("l3.doc_id"))
+        .select(col("a.doc_id").as("doc_id"), col("l3.canonical").as("canonical"))
+      val propVia = prop.alias("p")
+        .join(labels.alias("l4"), col("p.canonical") === col("l4.doc_id"))
+        .select(col("p.doc_id").as("doc_id"), col("l4.canonical").as("canonical"))
       // Convergence detection rides the SAME aggregation: the old label
-      // travels as `prev` (non-null only on the labels leg; prop/viaCanon
-      // doc_ids are all labeled, so max(prev) recovers it), and `changed`
-      // is a filter-count over the materialized result — no extra join
-      // per round.
+      // travels as `prev` (non-null only on the labels leg; every other
+      // leg's doc_ids are all labeled, so max(prev) recovers it), and
+      // `changed` is a filter-count over the materialized result — no
+      // extra join per round.
       val next = labels.withColumn("prev", col("canonical"))
         .unionByName(prop.withColumn("prev", lit(null).cast("long")))
-        .unionByName(viaCanon.withColumn("prev", lit(null).cast("long")))
+        .unionByName(via.withColumn("prev", lit(null).cast("long")))
+        .unionByName(via2.withColumn("prev", lit(null).cast("long")))
+        .unionByName(propVia.withColumn("prev", lit(null).cast("long")))
         .groupBy("doc_id")
         .agg(min("canonical").as("canonical"), max("prev").as("prev"))
         .localCheckpoint()
