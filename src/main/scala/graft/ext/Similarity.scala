@@ -114,11 +114,51 @@ object Similarity {
       .groupBy(col("label"), col("dim"))
       .agg((sum(col("q")).cast("double") / 1e7 / count(lit(1))).as("centroid"))
 
+  /** s5 — IVF with nprobe=2: probe the query's own cell PLUS the nearest
+    * other cell by centroid cosine (centroids from [[ivfCentroids]] —
+    * this closes the s4→s2 loop). Because the own cell is always probed,
+    * s5's candidate set is a superset of s2's, so recall against the
+    * exact (brute-force) answer can only improve — the monotonicity
+    * `SimilaritySpec` asserts. The centroid frame and the probed-cell
+    * frame are |cells| and 2×|queries| rows — genuinely small, the
+    * correct broadcast sides; the vector scan stays unshuffled until the
+    * per-cell candidate join, exactly as s2.
+    */
+  def ivfNprobeTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    // centroid VECTORS: s4's (label, dim, centroid) rows reassembled in
+    // dim order — fixed-point means are exact doubles, so the vectors
+    // (and the cell ranking below) are bit-identical to the oracle's
+    val cents = ivfCentroids(spark, sfDir)
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        s => s.getField("centroid")).as("cv"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label").as("qlabel"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("label"))
+    val nearestOther = q.crossJoin(broadcast(cents))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("qv"), col("label"),
+        cosineSim(col("qv"), col("cv")).as("cs"))
+      .withColumn("rk", row_number().over(wc))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("qv"), col("label"))
+    val cells = q.select(col("query_id"), col("qv"), col("qlabel").as("label"))
+      .unionByName(nearestOther)
+    val scored = e.join(broadcast(cells), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineSim(col("v"), col("qv")).as("cos_raw"))
+    topkOut(scored, 3)
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_brute_topk" -> (bruteTopk _),
     "s2_ivf_topk" -> (ivfTopk _),
     "s3_lsh_topk" -> (lshTopk _),
-    "s4_ivf_centroids" -> (ivfCentroids _)
+    "s4_ivf_centroids" -> (ivfCentroids _),
+    "s5_ivf_nprobe" -> (ivfNprobeTopk _)
   )
 
   private val cosSql =
@@ -171,6 +211,39 @@ object Similarity {
         |  CAST(sum(CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)
         |    / 10000000.0 / count(*) AS centroid
         |FROM embeddings, range(64) t(i)
-        |GROUP BY label, t.i""".stripMargin
+        |GROUP BY label, t.i""".stripMargin,
+    "s5_ivf_nprobe" -> topkSql(
+      s"""WITH ev AS (
+         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT label, list(centroid ORDER BY dim) AS cv FROM (
+         |    SELECT label, CAST(t.i AS INTEGER) AS dim,
+         |      CAST(sum(CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)
+         |        / 10000000.0 / count(*) AS centroid
+         |    FROM embeddings, range(64) t(i)
+         |    GROUP BY label, t.i)
+         |  GROUP BY label),
+         |q AS (
+         |  SELECT vec_id AS query_id, v AS qv, label AS qlabel
+         |  FROM ev WHERE vec_id < $nQueries),
+         |nearest_other AS (
+         |  SELECT query_id, qv, label FROM (
+         |    SELECT q.query_id, q.qv, c.label,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        (list_dot_product(q.qv, c.cv) /
+         |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+         |        c.label) AS rk
+         |    FROM q JOIN cents c ON c.label <> q.qlabel)
+         |  WHERE rk = 1),
+         |cells AS (
+         |  SELECT query_id, qv, qlabel AS label FROM q
+         |  UNION ALL
+         |  SELECT query_id, qv, label FROM nearest_other)
+         |SELECT cells.query_id, e.vec_id AS neighbor_id,
+         |  (list_dot_product(e.v, cells.qv) /
+         |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cells.qv, cells.qv)))) AS cos_raw
+         |FROM cells JOIN ev e
+         |  ON e.label = cells.label AND e.vec_id <> cells.query_id""".stripMargin, 3)
   )
 }

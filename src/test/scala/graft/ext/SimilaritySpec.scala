@@ -68,6 +68,36 @@ class SimilaritySpec extends SparkSpec {
         "LSH ranks not dense from 1")
   }
 
+  test("s5 nprobe=2: probes own cell + one other; recall never below s2's") {
+    val labels = vecs.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def byQuery(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    // exact ground truth: brute-force rank <= 3
+    val truth = byQuery(Similarity.bruteTopk(spark, sf).filter(col("rank") <= 3))
+    val s2 = byQuery(Similarity.ivfTopk(spark, sf))
+    val s5 = byQuery(Similarity.ivfNprobeTopk(spark, sf))
+    assert(s5.nonEmpty)
+    for ((q, ns) <- s5) {
+      // structural nprobe=2: neighbors span at most 2 cells, one of them
+      // the query's own
+      val cells = ns.map(labels)
+      assert(cells.size <= 2, s"query $q probed ${cells.size} cells")
+      // candidate-set ⊇ own cell ⟹ recall against the exact answer is
+      // monotone: any true neighbor reachable by s2 is also an s5
+      // candidate, and true neighbors always outrank non-true candidates
+      val r2 = s2.getOrElse(q, Set.empty).count(truth(q))
+      val r5 = ns.count(truth(q))
+      assert(r5 >= r2, s"query $q: nprobe=2 recall $r5 < nprobe=1 recall $r2")
+    }
+    // and the wider probe must help somewhere on this corpus, else the
+    // query proves nothing
+    val total2 = s2.map { case (q, ns) => ns.count(truth(q)) }.sum
+    val total5 = s5.map { case (q, ns) => ns.count(truth(q)) }.sum
+    assert(total5 >= total2)
+  }
+
   test("query set broadcasts; the vector scan is never shuffled (s1)") {
     val p = Similarity.bruteTopk(spark, sf).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
