@@ -15,10 +15,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     within a file (the poor-man's z-order for a single sort key; at
   *     scale, `repartitionByRange` first gives global range layout).
   *
-  * (Bucketed writes — `bucketBy` + `saveAsTable` — are the third layout
-  * tool, pinning a shuffle-free join key; they need a metastore-backed
-  * table rather than a bare path, so this demo surface sticks to the
-  * path-based forms.)
+  *   - Bucketed writes — `bucketBy` + `saveAsTable` — the third layout
+  *     tool: the shuffle for a hot join key is paid ONCE at write time,
+  *     and every later equi-join between tables bucketed on that key by
+  *     the same count runs with no Exchange on either side (the layout
+  *     spec asserts exactly that). At 100 TB this turns the nightly
+  *     fact-to-fact join from the largest shuffle in the plan into a
+  *     zipped per-bucket merge.
   */
 object Layout {
 
@@ -42,4 +45,27 @@ object Layout {
     */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Write `df` as a bucketed (and bucket-sorted) catalog table: `n`
+    * buckets on `key`, rows sorted by `key` within each bucket file. The
+    * `repartition` on the bucket key first means exactly one file per
+    * bucket, which is what lets a later sort-merge join consume the
+    * bucket SORT order too — no Exchange AND no per-task Sort on the
+    * bucketed sides (the Sort elision additionally needs
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true`, which is
+    * only sound with one file per bucket — exactly what the repartition
+    * guarantees; the Exchange elision is unconditional). Needs a catalog
+    * table (bucket metadata lives in the catalog, not the files);
+    * Spark's built-in catalog suffices.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      n: Int = 8): Unit =
+    df.repartition(n, org.apache.spark.sql.functions.col(key))
+      .write.mode("overwrite")
+      .bucketBy(n, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  /** Read a bucketed table back from the catalog. */
+  def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
 }

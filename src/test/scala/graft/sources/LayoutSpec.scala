@@ -45,4 +45,40 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("bucketed tables join with no Exchange (and no Sort) on either side") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val agg = graft.Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    Layout.writeBucketed(ev, "ev_bucketed", "user_id")
+    Layout.writeBucketed(agg, "ev_user_stats", "user_id")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val ordKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prev = spark.conf.get(key)
+    val prevOrd = spark.conf.get(ordKey, "false")
+    spark.conf.set(key, "-1") // force the sort-merge path a big-big join takes
+    // report the per-file sort to the planner — sound here because
+    // writeBucketed guarantees one file per bucket
+    spark.conf.set(ordKey, "true")
+    try {
+      val j = Layout.readTable(spark, "ev_bucketed")
+        .join(Layout.readTable(spark, "ev_user_stats"), Seq("user_id"))
+      j.collect() // finalize the adaptive plan
+      val p = j.queryExecution.executedPlan.toString
+      // the whole point of the bucketed layout: both sides arrive
+      // pre-partitioned (bucketBy) and pre-sorted (sortBy + one file per
+      // bucket), so the join plans neither an Exchange nor a Sort
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      assert(!p.contains(" Sort ["), s"bucket sort order not consumed:\n$p")
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      // correctness parity with the plain (shuffling) join
+      assert(j.count() == ev.join(agg, Seq("user_id")).count())
+    } finally {
+      spark.conf.set(key, prev)
+      spark.conf.set(ordKey, prevOrd)
+      spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ev_user_stats")
+    }
+  }
 }
