@@ -1,6 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Synthetic CDC event for the streaming micro-bench. */
+case class BenchEv(seq: Long, key: Int, op: String, value: Double,
+  ts: java.sql.Timestamp)
+
 /** Per-round benchmark: one JSON line with per-query and total seconds.
   *
   * A warmup pass at the smallest scale factor runs every query once
@@ -59,7 +63,66 @@ object Bench {
     val errs = results.collect { case (k, (false, _)) => "\"" + k + "\"" }
     val total = results.values.collect { case (true, v) => v }.sum
     val errField = if (errs.isEmpty) "" else s""","errors":${errs.mkString("[", ",", "]")}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errField}""")
+    val (upsertRate, dedupRate) = streamingMetrics(spark)
+    val streamField =
+      s""","streaming":{"upsert_rows_per_sec":$upsertRate,"dedup_rows_per_sec":$dedupRate}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errField$streamField}""")
     spark.stop()
+  }
+
+  /** Streaming throughput (rows/s) through the two hot streaming paths —
+    * the upsert merge ([[streaming.StreamApply.upsertWriter]]) and the
+    * watermarked redelivery dedup ([[streaming.StreamApply.dedupped]]) —
+    * over a MemoryStream feed, so streaming regressions show up in the
+    * round-over-round bench exactly like batch ones. Rates are micro-
+    * batch wall-clock (source add → processAllAvailable), after a small
+    * warmup stream to take classloading/codegen out of the number. A
+    * failed stream reports -1.
+    */
+  private def streamingMetrics(spark: SparkSession): (Double, Double) = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1735689600000L // 2025-01-01T00:00:00Z
+    def ev(i: Int, nKeys: Int) = BenchEv(i.toLong, i % nKeys,
+      if (i % 17 == 0) "d" else "u", i * 0.5, new java.sql.Timestamp(base + i))
+
+    def timeUpsert(n: Int, nKeys: Int, nBatches: Int): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bench-upsert").toString
+      val store = new streaming.StreamApply.ParquetUpsertStore(spark, dir,
+        key = "key", seq = "seq", opCol = "op", deleteOp = "d",
+        payloadCols = Seq("value"))
+      val in = MemoryStream[BenchEv]
+      val q = streaming.StreamApply.upsertWriter(in.toDF(), store, s"$dir/ckpt").start()
+      val batches = (0 until n).map(ev(_, nKeys)).grouped(n / nBatches).toSeq
+      val t0 = System.nanoTime()
+      try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      n / ((System.nanoTime() - t0) / 1e9)
+    }
+
+    def timeDedup(n: Int, nKeys: Int, nBatches: Int): Double = {
+      val in = MemoryStream[BenchEv]
+      val q = streaming.StreamApply.dedupped(in.toDF(), "ts", "seq")
+        .writeStream.outputMode("append").format("noop").start()
+      // every batch fed twice: half the input is redelivery the state
+      // store must absorb
+      val batches = (0 until n).map(ev(_, nKeys)).grouped(n / nBatches).toSeq
+      val t0 = System.nanoTime()
+      try batches.foreach { b =>
+        in.addData(b); in.addData(b); q.processAllAvailable()
+      } finally q.stop()
+      2L * n / ((System.nanoTime() - t0) / 1e9)
+    }
+
+    def safe(f: => Double): Double =
+      try f catch { case e: Throwable =>
+        System.err.println(s"BENCH STREAM FAIL: ${e.getClass.getName}: ${e.getMessage}")
+        -1.0
+      }
+    safe { timeUpsert(1000, 100, 2) }  // warmup
+    safe { timeDedup(1000, 100, 2) }   // warmup
+    (safe { timeUpsert(100000, 10000, 5) },
+      safe { timeDedup(100000, 10000, 5) })
   }
 }
