@@ -107,8 +107,14 @@ object Dedup {
       s"i -> ((hs[i] * 31 + hs[i+1]) * 31 + hs[i+2]) % $P))"
 
   /** Distinct 3-gram shingle hashes per document — `(doc_id, source,
-    * shingle)`, materialized once. Shared by [[ngramJaccard]] (near-dup
-    * blocking) and [[Prep.contamination]] (train/test overlap).
+    * shingle)`, materialized once PER SESSION+DIRECTORY and memoized:
+    * [[ngramJaccard]] (near-dup blocking), [[Prep.contamination]] and its
+    * removal filter all consume the same frame, so a driver that runs
+    * several of them (Verify, Bench) pays the shingle pipeline (md5 +
+    * two window shuffles + distinct) exactly once. The memo holds a
+    * localCheckpointed frame — a few longs per shingle — for the session
+    * lifetime; at 100 TB the same role is played by writing the shingle
+    * table once and scanning it per consumer.
     *
     * Fully-relational shingle construction — no array columns at all.
     * (An earlier array formulation bound the token-hash array and read
@@ -119,7 +125,15 @@ object Dedup {
     * distinct — each step a plain relational op Catalyst can't
     * pessimize.
     */
-  private[ext] def shingleFrame(spark: SparkSession, sfDir: String): DataFrame = {
+  private val shingleMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  private[ext] def shingleFrame(spark: SparkSession, sfDir: String): DataFrame =
+    shingleMemo.computeIfAbsent(
+      (System.identityHashCode(spark), sfDir),
+      _ => buildShingleFrame(spark, sfDir))
+
+  private def buildShingleFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val tokHashes = docs(spark, sfDir)
@@ -142,23 +156,44 @@ object Dedup {
     * pair join runs per block, so cost is Σ block² not n². The global
     * (unblocked) variant at scale is d3.
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    // Posting-list (inverted index) formulation: explode distinct shingle
-    // hashes, self-join postings on (source, shingle) so only pairs that
-    // SHARE a shingle materialize, and the intersection size is a count —
-    // never a per-pair array intersection. Shingles are rare (max
-    // document-frequency 6 at sf0.1), so the co-occurrence join emits
-    // ~62k rows where blocked all-pairs would intersect 623k array pairs.
-    // This is the exact-Jaccard shape that scales: cost follows shared
-    // structure, not block². (A corpus with stopword-like hot shingles
-    // would cap posting length first — not needed on this data.)
-    val sh = shingleFrame(spark, sfDir)
-    val sized = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+  /** Posting-list cap: shingles whose per-block document frequency
+    * exceeds this are dropped from the index entirely (both from the
+    * co-occurrence join AND from the per-doc set sizes — standard
+    * stopword-shingle removal, mirrored 1:1 in the oracle). A df-`f`
+    * shingle contributes f·(f-1)/2 co-occurrence rows, so one
+    * stopword-like shingle in an adversarial corpus turns the linear
+    * posting join quadratic; the cap bounds any shingle's contribution at
+    * cap²/2. NOT binding on the test corpora (max df 6 at sf0.1) — the
+    * oracle hash is unchanged there; the synthetic-hot-shingle unit test
+    * exercises the binding case.
+    */
+  private[ext] val HotShingleCap = 128L
+
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardOf(shingleFrame(spark, sfDir), HotShingleCap)
+
+  /** Exact blocked Jaccard over an arbitrary `(doc_id, source, shingle)`
+    * frame — the injectable core of d2.
+    */
+  private[ext] def ngramJaccardOf(sh: DataFrame, cap: Long): DataFrame = {
+    // Posting-list (inverted index) formulation: self-join postings on
+    // (source, shingle) so only pairs that SHARE a shingle materialize,
+    // and the intersection size is a count — never a per-pair array
+    // intersection. Shingles are rare (max document-frequency 6 at
+    // sf0.1), so the co-occurrence join emits ~62k rows where blocked
+    // all-pairs would intersect 623k array pairs. This is the
+    // exact-Jaccard shape that scales: cost follows shared structure,
+    // not block², and the df cap bounds what any one shingle can
+    // contribute.
+    val dfreq = sh.groupBy("source", "shingle").agg(count(lit(1)).as("df"))
+    val kept = sh.join(dfreq.filter(col("df") <= cap).select("source", "shingle"),
+      Seq("source", "shingle"))
+    val sized = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // sized is one row per document — corpus-sized, so no broadcast hint:
     // the join keys on doc_id and shuffles narrowly (two longs per row).
     // At local scale AQE still turns it into a broadcast from its size
     // ESTIMATE, which is the correct, scale-gated behavior.
-    val postings = sh.join(sized, Seq("doc_id"))
+    val postings = kept.join(sized, Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("n"), col("shingle"))
     val co = postings.alias("a")
       .join(postings.alias("b"),
@@ -529,11 +564,22 @@ object Dedup {
         |  count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "d2_ngram_jaccard" ->
-      s"""WITH s AS (
+      s"""WITH s0 AS (
          |  SELECT doc_id, source, $shingleHashesSql AS sh
          |  FROM (SELECT doc_id, source,
          |          list_transform(${tokensSql("text")}, t -> ${tokenHashSql("t")}) AS hs
-         |        FROM documents))
+         |        FROM documents)),
+         |post AS (SELECT doc_id, source, unnest(sh) AS shingle FROM s0),
+         |dfreq AS (SELECT source, shingle, count(*) AS cnt
+         |          FROM post GROUP BY source, shingle),
+         |s AS (
+         |  -- hot-shingle cap mirrored from the Spark side: shingles with
+         |  -- per-block df > $HotShingleCap leave the index AND the set sizes
+         |  SELECT p.doc_id, p.source, list(p.shingle) AS sh
+         |  FROM post p JOIN dfreq d
+         |    ON d.source = p.source AND d.shingle = p.shingle
+         |  WHERE d.cnt <= $HotShingleCap
+         |  GROUP BY p.doc_id, p.source)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  round(${jaccardSql("a.sh", "b.sh")}, 6) AS jac
          |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id

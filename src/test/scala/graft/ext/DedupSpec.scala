@@ -86,6 +86,24 @@ class DedupSpec extends SparkSpec {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("d2: a stopword-like hot shingle is capped out of the posting index") {
+    import spark.implicits._
+    // 200 docs that share ONLY one hot shingle (df=200), plus two docs
+    // sharing three rare shingles. Uncapped, the hot shingle alone makes
+    // every hot-doc pair jac=1 (19 900 pairs); capped, those docs have no
+    // indexed shingles left and only the rare pair survives.
+    val hot = (100L until 300L).map(id => (id, "web", 777L))
+    val rare = Seq((1L, "web", 11L), (1L, "web", 12L), (1L, "web", 13L),
+      (2L, "web", 11L), (2L, "web", 12L), (2L, "web", 13L))
+    val sh = (hot ++ rare).toDF("doc_id", "source", "shingle")
+    val capped = Dedup.ngramJaccardOf(sh, cap = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), s"cap failed to drop the hot shingle: $capped")
+    val uncapped = Dedup.ngramJaccardOf(sh, cap = Long.MaxValue).count()
+    assert(uncapped == 200L * 199L / 2 + 1,
+      s"uncapped should be quadratic in the hot df: $uncapped")
+  }
+
   test("d2/d3/d5/d6: no forced broadcast of a corpus-sized frame") {
     // The 100 TB invariant: every frame in the dedup family is one row
     // per document/vector, so a broadcast may only ever be chosen by the
