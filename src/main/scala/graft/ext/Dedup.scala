@@ -286,6 +286,47 @@ object Dedup {
       col("ta"), col("tb"), 0.9, (9, 10))
   }
 
+  /** d8 — sketch-ONLY near-dup estimate: same banding candidates as d3,
+    * but similarity comes from the MinHash signatures themselves —
+    * est = |{i : sigA_i = sigB_i}| / 16, the unbiased MinHash estimator
+    * of Jaccard — so the token arrays are NEVER revisited after the one
+    * sketch pass. This is the true 100 TB confirm path: per document the
+    * pipeline carries 16 longs (128 B) instead of the token set, the
+    * candidate join still shuffles only ids + band keys, and the
+    * estimate join moves sketches, not text. d3 (exact confirm) is the
+    * precision path; d8 trades ±1/√16 estimator noise for never touching
+    * tokens twice. est is k/16 with 16 = 2⁴, exact in binary floating
+    * point — hash-identical in the oracle.
+    */
+  def minhashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    val exploded = docs(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(tokenSet(col("text")),
+          t => tokenHash(t)))).as("h"))
+    val per = exploded.groupBy("doc_id")
+      .agg(min(affine(0, col("h"))).as("s0"),
+        (1 until 16).map(i => min(affine(i, col("h"))).as(s"s$i")): _*)
+      .select(col("doc_id"), bandKey(0).as("bk0"), bandKey(8).as("bk1"),
+        array((0 until 16).map(i => col(s"s$i")): _*).as("sig"))
+      .localCheckpoint()
+    val l = per.select(col("doc_id").as("doc_a"),
+      col("bk0").as("abk0"), col("bk1").as("abk1"))
+    val r = per.select(col("doc_id").as("doc_b"),
+      col("bk0").as("bbk0"), col("bk1").as("bbk1"))
+    val cand0 = l.join(r, col("abk0") === col("bbk0") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val cand1 = l.join(r, col("abk1") === col("bbk1") &&
+        col("abk0") =!= col("bbk0") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val est = aggregate(
+      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), _ + _).cast("double") / 16.0
+    cand0.unionByName(cand1)
+      .join(per.select(col("doc_id").as("doc_a"), col("sig").as("sa")), Seq("doc_a"))
+      .join(per.select(col("doc_id").as("doc_b"), col("sig").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), est.as("est_jac"))
+  }
+
   /** d7 — dedup CLUSTER resolution: connected components over the
     * near-dup pair graph (edges = [[minhashLsh]] output), assigning every
     * document the minimum doc_id of its component as canonical — the step
@@ -513,7 +554,8 @@ object Dedup {
     "d4_simhash" -> (simhashSketch _),
     "d5_simhash_neardup" -> (simhashNearDup _),
     "d6_embed_neardup" -> (embedNearDup _),
-    "d7_dedup_clusters" -> (dedupClusters _)
+    "d7_dedup_clusters" -> (dedupClusters _),
+    "d8_minhash_estimate" -> (minhashEstimate _)
   )
 
   // ---- oracle SQL -------------------------------------------------------
@@ -585,6 +627,31 @@ object Dedup {
          |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE ${jaccardSql("a.sh", "b.sh")} >= 0.5""".stripMargin,
     "d3_minhash_lsh" -> d3Sql,
+    "d8_minhash_estimate" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(${tokenSetSql("text")}, t -> ${tokenHashSql("t")})) AS toks
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id,
+         |    ${sigSqls.zipWithIndex.map { case (s, i) => s"$s AS s$i" }.mkString(", ")}
+         |  FROM d),
+         |sigv AS (
+         |  SELECT doc_id,
+         |    ${(0 until 16).map(i => s"s$i").mkString("[", ", ", "]")} AS sig,
+         |    ${bandKeySql(0)} AS bk0, ${bandKeySql(8)} AS bk1
+         |  FROM sig),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+         |  FROM sigv a JOIN sigv b ON a.bk0 = b.bk0 AND a.doc_id < b.doc_id
+         |  UNION ALL
+         |  SELECT a.doc_id, b.doc_id, a.sig, b.sig
+         |  FROM sigv a JOIN sigv b
+         |    ON a.bk1 = b.bk1 AND a.bk0 <> b.bk0 AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(list_sum(list_transform(range(1, 17),
+         |    i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 AS est_jac
+         |FROM cand""".stripMargin,
     "d4_simhash" ->
       s"""SELECT doc_id, ${simhashSql("hs")} AS simhash
          |FROM (SELECT doc_id,

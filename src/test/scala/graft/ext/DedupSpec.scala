@@ -86,6 +86,23 @@ class DedupSpec extends SparkSpec {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("d8: sketch estimate is bounded, and high for every exact near-dup") {
+    val est = Dedup.minhashEstimate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est.nonEmpty)
+    assert(est.values.forall(e => e >= 0.0 && e <= 1.0))
+    // every exact-confirmed pair (jac >= 0.9) is a banding candidate by
+    // construction, and its 16-perm estimate should not collapse: with
+    // one band of 8 mins equal, est >= 0.5 deterministically
+    val exact = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.nonEmpty)
+    for (p <- exact) {
+      assert(est.contains(p), s"exact pair $p missing from sketch candidates")
+      assert(est(p) >= 0.5, s"pair $p: estimate ${est(p)} too low for jac>=0.9")
+    }
+  }
+
   test("d2: a stopword-like hot shingle is capped out of the posting index") {
     import spark.implicits._
     // 200 docs that share ONLY one hot shingle (df=200), plus two docs
