@@ -153,12 +153,50 @@ object Similarity {
     topkOut(scored, 3)
   }
 
+  /** s6 — scalar-quantized retrieve + exact rerank: the two-stage shape
+    * every production ANN serves. Stage 1 scores ALL vectors against the
+    * query with an INTEGER dot product over per-dim quantized codes
+    * (floor(x·64) — at 100 TB the coarse pass reads an int8-packed
+    * projection, an 8× IO cut vs the float vectors, and integer MACs
+    * vectorize) and keeps a 16-deep shortlist per query; stage 2 re-reads
+    * full vectors ONLY for the shortlist and reranks by exact cosine.
+    * Everything is deterministic: integer scores are exact in both
+    * engines, ties break on neighbor id, and the rerank is the same
+    * ordered-fold cosine as s1 — so the oracle hash-matches despite the
+    * two-stage approximation.
+    */
+  def sqRerankTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+      .withColumn("qz", transform(col("v"), x => floor(x * 64).cast("long")))
+      // referenced by the query side, the coarse scan, and the rerank join
+      .localCheckpoint()
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qz").as("qqz"), col("v").as("qv"))
+    val coarse = e.crossJoin(broadcast(q.select(col("query_id"), col("qqz"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(zip_with(col("qz"), col("qqz"), (a, b) => a * b),
+          lit(0L), _ + _).as("iscore"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("iscore").desc, col("neighbor_id"))
+    val shortlist = coarse.withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= 16)
+      .select("query_id", "neighbor_id")
+    val scored = shortlist
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("nv"), col("qv")).as("cos_raw"))
+    topkOut(scored, 3)
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_brute_topk" -> (bruteTopk _),
     "s2_ivf_topk" -> (ivfTopk _),
     "s3_lsh_topk" -> (lshTopk _),
     "s4_ivf_centroids" -> (ivfCentroids _),
-    "s5_ivf_nprobe" -> (ivfNprobeTopk _)
+    "s5_ivf_nprobe" -> (ivfNprobeTopk _),
+    "s6_sq_rerank" -> (sqRerankTopk _)
   )
 
   private val cosSql =
@@ -244,6 +282,30 @@ object Similarity {
          |  (list_dot_product(e.v, cells.qv) /
          |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cells.qv, cells.qv)))) AS cos_raw
          |FROM cells JOIN ev e
-         |  ON e.label = cells.label AND e.vec_id <> cells.query_id""".stripMargin, 3)
+         |  ON e.label = cells.label AND e.vec_id <> cells.query_id""".stripMargin, 3),
+    "s6_sq_rerank" -> topkSql(
+      s"""WITH ev AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |qz AS (
+         |  SELECT vec_id, v,
+         |    list_transform(v, x -> CAST(floor(x * 64) AS BIGINT)) AS qz
+         |  FROM ev),
+         |q AS (SELECT vec_id AS query_id, v AS qv, qz AS qqz
+         |      FROM qz WHERE vec_id < $nQueries),
+         |coarse AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id, e.v AS nv, q.qv,
+         |    list_sum(list_transform(range(1, 65), i -> e.qz[i] * q.qqz[i])) AS iscore
+         |  FROM qz e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id, nv, qv FROM (
+         |    SELECT query_id, neighbor_id, nv, qv,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY iscore DESC, neighbor_id) AS crk
+         |    FROM coarse) WHERE crk <= 16)
+         |SELECT query_id, neighbor_id,
+         |  (list_dot_product(nv, qv) /
+         |    (sqrt(list_dot_product(nv, nv)) * sqrt(list_dot_product(qv, qv)))) AS cos_raw
+         |FROM short""".stripMargin, 3)
   )
 }

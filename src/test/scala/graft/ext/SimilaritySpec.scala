@@ -98,6 +98,23 @@ class SimilaritySpec extends SparkSpec {
     assert(total5 >= total2)
   }
 
+  test("s6 quantized-rerank: exact cosines on output, near-exact recall") {
+    def byQuery(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val truth = byQuery(Similarity.bruteTopk(spark, sf).filter(col("rank") <= 3))
+    val s6 = Similarity.sqRerankTopk(spark, sf)
+    val rows = s6.collect()
+    // ranks dense 1..3 per query; cos column is the EXACT rerank value
+    for ((_, rs) <- rows.groupBy(_.getLong(0)))
+      assert(rs.map(_.getLong(2)).sorted.sameElements(1L to rs.length))
+    // 64-level quantization + a 16-deep shortlist loses almost nothing
+    // against the exact answer on this corpus (deterministic inputs)
+    val s6m = byQuery(s6)
+    val recall = s6m.map { case (q, ns) => ns.count(truth(q)) }.sum
+    assert(recall >= 22, s"quantized recall collapsed: $recall/24")
+  }
+
   test("query set broadcasts; the vector scan is never shuffled (s1)") {
     val p = Similarity.bruteTopk(spark, sf).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
