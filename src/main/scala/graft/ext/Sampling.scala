@@ -68,11 +68,33 @@ object Sampling {
         element_at(col("pcts"), 2).as("p50"),
         element_at(col("pcts"), 3).as("p90"))
 
+  /** r5 — weighted sample without replacement, one pass: PRIORITY
+    * sampling (Duffield/Lund/Thorup). Each doc gets priority
+    * w / u — weight (`n_chars`) over a hash-derived uniform — and the
+    * top-64 priorities are the sample; inclusion probability is
+    * ∝ weight, and the whole thing is a pure function of the data (no
+    * `rand()`), so retries/re-partitions/engines agree exactly. The
+    * priority is ONE IEEE division of exact integer inputs — both
+    * engines produce the identical double, no libm anywhere (pow/log
+    * rankings are the classic cross-engine trap). At 100 TB the top-k
+    * is `TakeOrderedAndProject`: per-partition heaps, then one tiny
+    * merge — no global sort.
+    */
+  def prioritySample(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        (col("n_chars").cast("double") /
+          (tokenHash(col("doc_id").cast("string")) + 1L)).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(64)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
   val queries: Map[String, Q] = Map(
     "r1_hash_sample" -> (hashSample _),
     "r2_stratified_sample" -> (stratifiedSample _),
     "r3_mixture_summary" -> (mixtureSummary _),
-    "r4_corpus_stats" -> (corpusStats _)
+    "r4_corpus_stats" -> (corpusStats _),
+    "r5_priority_sample" -> (prioritySample _)
   )
 
   private val gate = s"${tokenHashSql("CAST(doc_id AS VARCHAR)")} % 100"
@@ -98,6 +120,15 @@ object Sampling {
         |  quantile_cont(x, 0.9)  AS p90
         |FROM (SELECT lang, CAST(len(string_split(text, ' ')) AS DOUBLE) AS x
         |      FROM documents)
-        |GROUP BY lang""".stripMargin
+        |GROUP BY lang""".stripMargin,
+    "r5_priority_sample" ->
+      s"""SELECT doc_id, lang, source, n_chars
+         |FROM (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    CAST(n_chars AS DOUBLE) /
+         |      (${tokenHashSql("CAST(doc_id AS VARCHAR)")} + 1) AS priority
+         |  FROM documents)
+         |ORDER BY priority DESC, doc_id
+         |LIMIT 64""".stripMargin
   )
 }

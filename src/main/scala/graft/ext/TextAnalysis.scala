@@ -146,13 +146,45 @@ object TextAnalysis {
         regexp_count(col("text"), lit(pat)), 6).as("chars_per_subtoken"))
   }
 
+  // ---- x10: TF-IDF top terms -------------------------------------------
+
+  /** x10 — top-5 characteristic terms per document by a RATIONAL tf-idf
+    * (tf · N / df, no logarithm): rankings from `log` differ between
+    * engines by final-ulp libm disagreements, while this rational score
+    * is the same three exact-input float ops on both sides, so the
+    * ranking — and the oracle hash — is deterministic. Shape at scale:
+    * tf and df are map-side-combined aggregations, the score join
+    * shuffles (term, counts) pairs only, and the per-doc top-5 is a
+    * window the optimizer executes as WindowGroupLimit (per-partition
+    * limits before the exchange).
+    */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val n = docs(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val score = col("tf").cast("double") * col("n_docs") / col("df")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n)) // one-row frame: the correct broadcast
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("rank").cast("long").as("rank"),
+        round(col("score"), 6).as("score"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x1_token_stats" -> (tokenStats _),
     "x2_quality_score" -> (qualityScore _),
     "x3_lang_id" -> (langId _),
     "x4_fingerprint" -> (fingerprint _),
     "x5_lang_source_rollup" -> (langSourceRollup _),
-    "x6_subtoken_count" -> (subtokenCount _)
+    "x6_subtoken_count" -> (subtokenCount _),
+    "x10_tfidf_terms" -> (tfidfTopTerms _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -205,6 +237,22 @@ object TextAnalysis {
         |  round(len(text) * 1.0 / len(regexp_extract_all(text,
         |    '[bcdfghjklmnpqrstvwxyz]*[aeiou]+[bcdfghjklmnpqrstvwxyz]*')), 6)
         |    AS chars_per_subtoken
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "x10_tfidf_terms" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank,
+         |  round(score, 6) AS score
+         |FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         |    CAST(tf.tf AS DOUBLE) * n.n_docs / dfreq.df AS score,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY CAST(tf.tf AS DOUBLE) * n.n_docs / dfreq.df DESC, tf.term)
+         |      AS rank
+         |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+         |WHERE rank <= 5""".stripMargin
   )
 }

@@ -38,4 +38,25 @@ class SamplingSpec extends SparkSpec {
     val r1 = Sampling.hashSample(spark, sf).count()
     assert(totalPicked == r1)
   }
+
+  test("priority sample is weight-biased, deterministic, and heap-shaped") {
+    val df = Sampling.prioritySample(spark, sf)
+    val s1 = df.collect().map(_.getLong(0)).toSeq
+    assert(s1.length == 64 && s1.distinct.length == 64)
+    // pure function of the data: a second evaluation is identical
+    assert(Sampling.prioritySample(spark, sf).collect()
+      .map(_.getLong(0)).toSeq == s1)
+    // inclusion ∝ n_chars: the sample's mean weight must sit well above
+    // the corpus mean (weight range here is wide enough that this is
+    // deterministic, not a statistical accident)
+    val sampleMean = df.agg(avg("n_chars")).head().getDouble(0)
+    val corpusMean = graft.Tables.documents(spark, sf)
+      .agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample not weight-biased: $sampleMean <= $corpusMean")
+    // scale shape: global top-k plans as TakeOrderedAndProject
+    // (per-partition heaps + tiny merge), never a full sort
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not heap-shaped:\n$p")
+  }
 }
