@@ -339,15 +339,26 @@ object Dedup {
     * (min over reachable nodes) is iteration-order independent, so it
     * hash-matches the oracle's recursive-CTE closure exactly.
     */
-  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    // Mirror each LSH pair into both orientations IN the projection
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    minLabelClusters(minhashLsh(spark, sfDir), "doc_a", "doc_b",
+      docs(spark, sfDir), "doc_id")
+
+  /** Connected components over an arbitrary undirected pair frame —
+    * the shared engine of d7 (text near-dup clusters) and d9 (embedding
+    * near-dup clusters). `pairs(aCol, bCol)` are the edges; every id in
+    * `ids(idCol)` gets its component's minimum id as `canonical`
+    * (isolated ids map to themselves).
+    */
+  private[ext] def minLabelClusters(pairs: DataFrame, aCol: String,
+      bCol: String, ids: DataFrame, idCol: String): DataFrame = {
+    // Mirror each pair into both orientations IN the projection
     // (explode of a 2-struct array) — one pass over the edge derivation,
     // one materialization, instead of checkpointing the edges and again
     // their mirrored union.
-    val und = minhashLsh(spark, sfDir)
+    val und = pairs
       .select(explode(array(
-        struct(col("doc_a").as("u"), col("doc_b").as("v")),
-        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+        struct(col(aCol).as("u"), col(bCol).as("v")),
+        struct(col(bCol).as("u"), col(aCol).as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .localCheckpoint()
     // Iterate ONLY over nodes that touch an edge; isolated documents are
@@ -401,11 +412,24 @@ object Dedup {
       labels = next.select("doc_id", "canonical")
       rounds += 1
     }
-    docs(spark, sfDir).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("canonical"), col("doc_id")).as("canonical"))
+    ids.select(col(idCol))
+      .join(labels.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("canonical"), col(idCol)).as("canonical"))
   }
+
+  /** d9 — SEMANTIC dedup clusters: connected components over the
+    * embedding near-dup graph (edges = [[embedNearDup]] pairs, cosine ≥
+    * 0.4 within shared LSH buckets), canonical = minimum vec_id of the
+    * component — the SemDeDup-style decision step that collapses
+    * semantically-duplicated content the text-level pipeline (d7) cannot
+    * see. Same scale-safe min-label engine as d7: shuffle joins on long
+    * keys only, multi-hop composition per round, no corpus-sized
+    * broadcasts.
+    */
+  def embedClusters(spark: SparkSession, sfDir: String): DataFrame =
+    minLabelClusters(embedNearDup(spark, sfDir), "vec_a", "vec_b",
+      Tables.embeddings(spark, sfDir), "vec_id")
 
   // ---- d4: SimHash ------------------------------------------------------
 
@@ -555,7 +579,8 @@ object Dedup {
     "d5_simhash_neardup" -> (simhashNearDup _),
     "d6_embed_neardup" -> (embedNearDup _),
     "d7_dedup_clusters" -> (dedupClusters _),
-    "d8_minhash_estimate" -> (minhashEstimate _)
+    "d8_minhash_estimate" -> (minhashEstimate _),
+    "d9_embed_clusters" -> (embedClusters _)
   )
 
   // ---- oracle SQL -------------------------------------------------------
@@ -599,6 +624,27 @@ object Dedup {
        |FROM cand JOIN d x ON x.doc_id = cand.doc_a
        |          JOIN d y ON y.doc_id = cand.doc_b
        |WHERE ${jaccardSql("x.toks", "y.toks")} >= 0.9""".stripMargin
+
+  /** d6's full oracle SQL — also the edge set of d9's closure. */
+  private val d6Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |bucketed AS (
+       |  ${(0 until 4).map(t =>
+           s"SELECT vec_id, v, $t AS tbl, ${bucketSql("v", t)} AS bkt FROM e")
+           .mkString("\n  UNION ALL\n  ")}),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b,
+       |  round(list_dot_product(x.v, y.v) /
+       |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cos
+       |FROM cand JOIN e x ON x.vec_id = cand.vec_a
+       |          JOIN e y ON y.vec_id = cand.vec_b
+       |WHERE list_dot_product(x.v, y.v) /
+       |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.4""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "d1_exact_dedup" ->
@@ -673,25 +719,19 @@ object Dedup {
          |  FROM banded a JOIN banded b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 4""".stripMargin,
-    "d6_embed_neardup" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |bucketed AS (
-         |  ${(0 until 4).map(t =>
-             s"SELECT vec_id, v, $t AS tbl, ${bucketSql("v", t)} AS bkt FROM e")
-             .mkString("\n  UNION ALL\n  ")}),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM bucketed a JOIN bucketed b
-         |    ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
-         |SELECT vec_a, vec_b,
-         |  round(list_dot_product(x.v, y.v) /
-         |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cos
-         |FROM cand JOIN e x ON x.vec_id = cand.vec_a
-         |          JOIN e y ON y.vec_id = cand.vec_b
-         |WHERE list_dot_product(x.v, y.v) /
-         |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.4""".stripMargin,
+    "d6_embed_neardup" -> d6Sql,
+    "d9_embed_clusters" ->
+      s"""WITH pairs AS ($d6Sql),
+         |und AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+         |        UNION ALL SELECT vec_b, vec_a FROM pairs),
+         |reach AS (
+         |  WITH RECURSIVE r(src, dst) AS (
+         |    SELECT vec_id, vec_id FROM embeddings
+         |    UNION
+         |    SELECT r.src, e.v FROM r JOIN und e ON r.dst = e.u)
+         |  SELECT src, dst FROM r)
+         |SELECT src AS vec_id, min(dst) AS canonical
+         |FROM reach GROUP BY src""".stripMargin,
     "d7_dedup_clusters" ->
       s"""WITH pairs AS ($d3Sql),
          |und AS (SELECT doc_a AS u, doc_b AS v FROM pairs

@@ -78,6 +78,19 @@ class DedupSpec extends SparkSpec {
     assert(labels.size == graft.Tables.documents(spark, sf).count())
   }
 
+  test("d9: embedding clusters — every near-dup pair shares a canonical") {
+    val labels = Dedup.embedClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.embedNearDup(spark, sf).select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => labels(a) == labels(b) },
+      "a semantic near-dup pair landed in two different clusters")
+    val byCluster = labels.groupBy(_._2).map { case (c, m) => c -> m.keys.min }
+    assert(byCluster.forall { case (c, minMember) => c == minMember })
+    assert(labels.size == graft.Tables.embeddings(spark, sf).count())
+  }
+
   test("embedding near-dup pairs all meet the cosine threshold") {
     val rows = Dedup.embedNearDup(spark, sf).collect()
     assert(rows.forall(_.getDouble(2) >= 0.4))
