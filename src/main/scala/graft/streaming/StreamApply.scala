@@ -271,6 +271,54 @@ object StreamApply {
       }
   }
 
+  /** The keyed view on the MODERN state API (Spark 4
+    * `transformWithState`): same last-write-wins fold as [[statefulView]],
+    * but state lives in a named `ValueState` variable whose TTL is
+    * enforced BY THE STATE STORE itself (`TTLConfig`) rather than by
+    * hand-managed timers — every update refreshes the key's TTL, so hot
+    * keys persist and idle keys age out without any timer bookkeeping in
+    * the fold. Requires the RocksDB state-store provider (the engine
+    * rejects the HDFS-backed one for this operator), which is also the
+    * provider a 100 TB deployment runs: state spills to disk per
+    * partition instead of living on the executor heap, and changelog
+    * checkpointing ships deltas, not snapshots.
+    */
+  class KeyedViewProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Int, KeyedEvent, (Int, KeyState)] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[KeyState] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[KeyState]("view",
+        org.apache.spark.sql.Encoders.product[KeyState],
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+
+    override def handleInputRows(key: Int, rows: Iterator[KeyedEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Int, KeyState)] = {
+      val init =
+        if (state.exists()) state.get()
+        else KeyState(Long.MinValue, 0.0, deleted = true)
+      val next = rows.foldLeft(init) { (s, e) =>
+        if (e.seq <= s.seq) s // stale replay — state already newer
+        else if (e.op == "d") KeyState(e.seq, 0.0, deleted = true)
+        else KeyState(e.seq, e.value, deleted = false)
+      }
+      state.update(next)
+      Iterator.single(key -> next)
+    }
+  }
+
+  /** [[statefulView]] rebuilt on [[KeyedViewProcessor]]. */
+  def statefulViewTws(events: Dataset[KeyedEvent],
+      ttl: java.time.Duration = java.time.Duration.ofMinutes(10)): Dataset[(Int, KeyState)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .transformWithState(new KeyedViewProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** [[statefulView]] with a tombstone TTL: a deleted key keeps its
     * tombstone (still blocking stale replays) for `ttlMs` of processing
     * time, then its state is REMOVED. Without eviction, dead keys
