@@ -125,13 +125,22 @@ object Dedup {
     * distinct — each step a plain relational op Catalyst can't
     * pessimize.
     */
-  private val shingleMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private val frameMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, String), DataFrame]()
+
+  /** Memoize a small derived frame per (name, session, directory). The
+    * builds materialize via localCheckpoint, so each shared intermediate
+    * (shingle postings, near-dup pair sets) is computed once per driver
+    * run no matter how many queries consume it — the local stand-in for
+    * writing the intermediate table once and scanning it per consumer.
+    */
+  private def memoFrame(name: String, spark: SparkSession, sfDir: String)(
+      build: => DataFrame): DataFrame =
+    frameMemo.computeIfAbsent((name, System.identityHashCode(spark), sfDir),
+      _ => build)
 
   private[ext] def shingleFrame(spark: SparkSession, sfDir: String): DataFrame =
-    shingleMemo.computeIfAbsent(
-      (System.identityHashCode(spark), sfDir),
-      _ => buildShingleFrame(spark, sfDir))
+    memoFrame("shingles", spark, sfDir)(buildShingleFrame(spark, sfDir))
 
   private def buildShingleFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -223,7 +232,14 @@ object Dedup {
     * candidate join shuffles (band, 64-bit key) pairs — the text stays in
     * the scan until the final check.
     */
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    // memoized + materialized: d3's output is also d7's edge set, and the
+    // confirmed pair frame is tiny (near-dup hits), so one driver run
+    // computes the LSH pipeline once however many consumers follow
+    memoFrame("lshPairs", spark, sfDir)(
+      buildMinhashLsh(spark, sfDir).localCheckpoint())
+
+  private[ext] def buildMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     // Token sets are carried as md5-hash longs end to end: the signature
     // permutations consume them directly and the exact-Jaccard confirm
     // intersects long arrays (same hash in the oracle — collision-exact).
@@ -536,7 +552,13 @@ object Dedup {
     * 1-(1-(1-θ/π)⁴)⁴ — the classic ANN recall/candidate-count dial. At
     * 100 TB the O(n²) exact check is gone; only per-bucket pairs remain.
     */
-  def embedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+  def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    // memoized + materialized, as with [[minhashLsh]]: d6's output is
+    // d9's edge set
+    memoFrame("embedPairs", spark, sfDir)(
+      buildEmbedNearDup(spark, sfDir).localCheckpoint())
+
+  private[ext] def buildEmbedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))

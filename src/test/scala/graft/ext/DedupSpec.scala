@@ -148,9 +148,16 @@ class DedupSpec extends SparkSpec {
     val prev = spark.conf.get(key)
     spark.conf.set(key, "-1")
     try {
-      for (q <- Seq("d2_ngram_jaccard", "d3_minhash_lsh",
-          "d5_simhash_neardup", "d6_embed_neardup")) {
-        val p = Dedup.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      // d3/d6 via their BUILDERS: the public entry points memoize a
+      // checkpointed frame whose plan is a bare RDD scan — the invariant
+      // lives in the build DAG
+      val plans = Seq(
+        "d2_ngram_jaccard" -> Dedup.ngramJaccard(spark, sf),
+        "d3_minhash_lsh" -> Dedup.buildMinhashLsh(spark, sf),
+        "d5_simhash_neardup" -> Dedup.simhashNearDup(spark, sf),
+        "d6_embed_neardup" -> Dedup.buildEmbedNearDup(spark, sf))
+      for ((q, df) <- plans) {
+        val p = df.queryExecution.executedPlan.toString
         assert(!p.contains("BroadcastExchange") && !p.contains("BroadcastHashJoin")
             && !p.contains("BroadcastNestedLoopJoin"),
           s"$q forces a corpus-sized broadcast:\n$p")
@@ -163,7 +170,7 @@ class DedupSpec extends SparkSpec {
     // join at larger SF), it moves ids and band keys — never the token
     // arrays or raw text. Those must stay in scan-side projections and
     // re-join onto the small candidate set.
-    val p = Dedup.minhashLsh(spark, sf).queryExecution.executedPlan.toString
+    val p = Dedup.buildMinhashLsh(spark, sf).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
     // At sf0.001 every join broadcasts, so zero shuffles is valid (and
