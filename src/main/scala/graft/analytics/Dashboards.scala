@@ -20,8 +20,17 @@ object Dashboards {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def view(spark: SparkSession, sfDir: String): DataFrame =
-    Materialize.customerView(Tables.events(spark, sfDir))
+  /** The shared view, pruned to the payload columns the panel reads —
+    * max_by materialization is opaque to column pruning, so the pruning
+    * must happen at view construction (the scan then reads only those
+    * columns; see the ReadSchema assertions in `DashboardsPlanSpec`).
+    * `event_type` always rides along: it is the op column the
+    * delete-filter consumes.
+    */
+  private def view(spark: SparkSession, sfDir: String,
+      payload: Seq[String]): DataFrame =
+    Materialize.customerView(Tables.events(spark, sfDir),
+      (payload :+ "event_type").distinct)
 
   private def termsOf(v: DataFrame): DataFrame =
     v.groupBy(col("event_type"))
@@ -44,19 +53,19 @@ object Dashboards {
     * oracle hash is deterministic.
     */
   def termsCount(spark: SparkSession, sfDir: String): DataFrame =
-    termsOf(view(spark, sfDir))
+    termsOf(view(spark, sfDir, Seq("event_type")))
 
   /** Q2 — "New Customers Over Time" date histogram (`README.md:154-156`):
     * daily tumbling buckets of the view's event-time column.
     */
   def dateHistogram(spark: SparkSession, sfDir: String): DataFrame =
-    histogramOf(view(spark, sfDir))
+    histogramOf(view(spark, sfDir, Seq("ts")))
 
   /** Q3 — "Recent 10 Customers" saved search (`README.md:158-160`):
     * sort by event time desc, keep 10; seq breaks ties deterministically.
     */
   def recentTopK(spark: SparkSession, sfDir: String): DataFrame =
-    recentOf(view(spark, sfDir))
+    recentOf(view(spark, sfDir, Seq("ts", "event_type", "value")))
 
   /** Q4 — dashboard composition (`README.md:162-163`): the three panels
     * over one shared view, as a single typed union `(panel, k, n)`. The
@@ -64,7 +73,7 @@ object Dashboards {
     * alone would still run the materializing aggregation once per panel.
     */
   def dashboard(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = view(spark, sfDir).localCheckpoint()
+    val v = view(spark, sfDir, Seq("ts", "event_type", "value")).localCheckpoint()
     val q1 = termsOf(v)
       .select(lit("by_class").as("panel"), col("event_type").as("k"), col("n"))
     val q2 = histogramOf(v)

@@ -44,9 +44,15 @@ object Materialize {
   }
 
   /** The view over the testdata `events` stream analog: latest non-deleted
-    * state per `user_id` (event_type `error` = delete).
+    * state per `user_id` (event_type `error` = delete). `payloadCols`
+    * prunes the materialization to what the consumer actually reads: the
+    * max_by struct is opaque to Catalyst's column pruning, so an
+    * unpruned view drags every payload column through the shuffle even
+    * when the query touches one — at 100 TB the difference between
+    * shuffling (key, seq, type) and shuffling whole rows.
     */
-  def customerView(events: DataFrame): DataFrame =
+  def customerView(events: DataFrame,
+      payloadCols: Seq[String] = Seq("ts", "event_type", "value", "props")): DataFrame =
     view(events, key = "user_id", seq = "event_id", op = col("event_type"),
-      deleteOp = "error", payloadCols = Seq("ts", "event_type", "value", "props"))
+      deleteOp = "error", payloadCols = payloadCols)
 }

@@ -161,8 +161,13 @@ object TextAnalysis {
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = docs(spark, sfDir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    // ONE tokenize+explode pass: df (docs containing a term) is exactly
+    // the per-term row count of tf, since tf is unique per (doc, term) —
+    // deriving it from tf replaces a second corpus scan + countDistinct
+    // expand with a cheap reaggregation of the (already small) tf frame.
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs(spark, sfDir).agg(count(lit(1)).as("n_docs"))
     val score = col("tf").cast("double") * col("n_docs") / col("df")
     val w = org.apache.spark.sql.expressions.Window
