@@ -139,6 +139,14 @@ object Dedup {
     frameMemo.computeIfAbsent((name, System.identityHashCode(spark), sfDir),
       _ => build)
 
+  /** Drop all memoized frames. The bench calls this before each timed
+    * pass so every pass pays each shared intermediate exactly once —
+    * otherwise min-of-passes would silently exclude the build costs
+    * (pass 2 reads pass 1's cache) and the total would understate a
+    * cold driver run.
+    */
+  private[graft] def clearMemos(): Unit = frameMemo.clear()
+
   private[ext] def shingleFrame(spark: SparkSession, sfDir: String): DataFrame =
     memoFrame("shingles", spark, sfDir)(buildShingleFrame(spark, sfDir))
 
