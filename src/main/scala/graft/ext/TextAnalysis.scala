@@ -182,6 +182,34 @@ object TextAnalysis {
         round(col("score"), 6).as("score"))
   }
 
+  // ---- x11: bigram statistics ------------------------------------------
+
+  /** x11 — top-20 corpus bigrams with conditional probability
+    * P(w2|w1) = c(w1,w2)/c(w1) — the n-gram LM statistic a corpus
+    * auditor reads before training. Bigrams come from the same
+    * lead-window formulation as the shingle pipeline (relational, no
+    * array cross-reference — see the CollapseProject hazard note on
+    * [[Dedup.shingleFrame]]); both counts aggregate with map-side
+    * partials, and the probability is one exact-input IEEE division so
+    * the oracle hash-matches. Top-20 with a total tie-break order plans
+    * as TakeOrderedAndProject.
+    */
+  def bigramStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val bi = docs(spark, sfDir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
+      .withColumn("w2", lead("w1", 1).over(w))
+      .filter(col("w2").isNotNull)
+    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    big.join(uni, Seq("w1"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        round(col("c12").cast("double") / col("c1"), 6).as("p_cond"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "x1_token_stats" -> (tokenStats _),
     "x2_quality_score" -> (qualityScore _),
@@ -189,7 +217,8 @@ object TextAnalysis {
     "x4_fingerprint" -> (fingerprint _),
     "x5_lang_source_rollup" -> (langSourceRollup _),
     "x6_subtoken_count" -> (subtokenCount _),
-    "x10_tfidf_terms" -> (tfidfTopTerms _)
+    "x10_tfidf_terms" -> (tfidfTopTerms _),
+    "x11_bigram_stats" -> (bigramStats _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -258,6 +287,19 @@ object TextAnalysis {
          |      ORDER BY CAST(tf.tf AS DOUBLE) * n.n_docs / dfreq.df DESC, tf.term)
          |      AS rank
          |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
-         |WHERE rank <= 5""".stripMargin
+         |WHERE rank <= 5""".stripMargin,
+    "x11_bigram_stats" ->
+      s"""WITH d AS (SELECT doc_id, ${tokensSql("text")} AS ws FROM documents),
+         |bi AS (
+         |  -- parallel equal-length unnests zip positionally
+         |  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+         |         unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+         |  FROM d),
+         |big AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+         |uni AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1)
+         |SELECT w1, w2, c12, c1,
+         |  round(CAST(c12 AS DOUBLE) / c1, 6) AS p_cond
+         |FROM big JOIN uni USING (w1)
+         |ORDER BY c12 DESC, w1, w2 LIMIT 20""".stripMargin
   )
 }
