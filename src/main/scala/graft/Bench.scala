@@ -69,23 +69,25 @@ object Bench {
     val errs = results.collect { case (k, (false, _)) => "\"" + k + "\"" }
     val total = results.values.collect { case (true, v) => v }.sum
     val errField = if (errs.isEmpty) "" else s""","errors":${errs.mkString("[", ",", "]")}"""
-    val (upsertRate, dedupRate) = streamingMetrics(spark)
+    val (upsertRate, dedupRate, twsRate) = streamingMetrics(spark)
     val streamField =
-      s""","streaming":{"upsert_rows_per_sec":$upsertRate,"dedup_rows_per_sec":$dedupRate}"""
+      s""","streaming":{"upsert_rows_per_sec":$upsertRate,"dedup_rows_per_sec":$dedupRate,"tws_view_rows_per_sec":$twsRate}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errField$streamField}""")
     spark.stop()
   }
 
-  /** Streaming throughput (rows/s) through the two hot streaming paths —
-    * the upsert merge ([[streaming.StreamApply.upsertWriter]]) and the
-    * watermarked redelivery dedup ([[streaming.StreamApply.dedupped]]) —
-    * over a MemoryStream feed, so streaming regressions show up in the
-    * round-over-round bench exactly like batch ones. Rates are micro-
-    * batch wall-clock (source add → processAllAvailable), after a small
-    * warmup stream to take classloading/codegen out of the number. A
-    * failed stream reports -1.
+  /** Streaming throughput (rows/s) through the three hot streaming paths
+    * — the upsert merge ([[streaming.StreamApply.upsertWriter]]), the
+    * watermarked redelivery dedup ([[streaming.StreamApply.dedupped]]),
+    * and the transformWithState keyed view on the RocksDB provider
+    * ([[streaming.StreamApply.statefulViewTws]]) — over a MemoryStream
+    * feed, so streaming regressions show up in the round-over-round
+    * bench exactly like batch ones. Rates are micro-batch wall-clock
+    * (source add → processAllAvailable), after a small warmup stream to
+    * take classloading/codegen out of the number. A failed stream
+    * reports -1.
     */
-  private def streamingMetrics(spark: SparkSession): (Double, Double) = {
+  private def streamingMetrics(spark: SparkSession): (Double, Double, Double) = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -121,6 +123,38 @@ object Bench {
       2L * n / ((System.nanoTime() - t0) / 1e9)
     }
 
+    def timeTws(n: Int, nKeys: Int, nBatches: Int): Double = {
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(provKey)
+      spark.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = MemoryStream[streaming.StreamApply.KeyedEvent]
+        val q = streaming.StreamApply.statefulViewTws(in.toDS())
+          .writeStream.outputMode("update").format("noop").start()
+        val batches = (0 until n)
+          .map(i => streaming.StreamApply.KeyedEvent(i.toLong, i % nKeys,
+            if (i % 17 == 0) "d" else "u", i * 0.5))
+          .grouped(n / nBatches).toSeq
+        // A ProcessingTime-mode query with TTL state never quiesces, so
+        // processAllAvailable blocks forever — poll the processed-row
+        // progress counters instead.
+        val t0 = System.nanoTime()
+        try {
+          batches.foreach(in.addData(_))
+          def processed(): Long = q.recentProgress.map(_.numInputRows).sum
+          val deadline = System.currentTimeMillis() + 120000
+          while (processed() < n && System.currentTimeMillis() < deadline)
+            Thread.sleep(50)
+          require(processed() >= n, s"tws bench timed out: ${processed()}/$n")
+        } finally q.stop()
+        n / ((System.nanoTime() - t0) / 1e9)
+      } finally prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+
     def safe(f: => Double): Double =
       try f catch { case e: Throwable =>
         System.err.println(s"BENCH STREAM FAIL: ${e.getClass.getName}: ${e.getMessage}")
@@ -128,7 +162,9 @@ object Bench {
       }
     safe { timeUpsert(1000, 100, 2) }  // warmup
     safe { timeDedup(1000, 100, 2) }   // warmup
+    safe { timeTws(1000, 100, 2) }     // warmup
     (safe { timeUpsert(100000, 10000, 5) },
-      safe { timeDedup(100000, 10000, 5) })
+      safe { timeDedup(100000, 10000, 5) },
+      safe { timeTws(100000, 10000, 5) })
   }
 }
