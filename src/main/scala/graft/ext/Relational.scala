@@ -63,6 +63,27 @@ object Relational {
       .cube("event_type", "weekday")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("value_sum"))
 
+  /** u2 — explicit GROUPING SETS: exactly the marginal totals a report
+    * wants — per type, per weekday, and the grand total — without the
+    * 2^k subsets a cube materializes (at 100 TB the difference between
+    * 3 aggregation levels and every subset of the grouping columns).
+    * Spark's `groupingSets` plans the same single-shuffle Expand as
+    * cube, just with fewer projections. NULL group keys are coalesced to
+    * a sentinel on BOTH sides so the set level is unambiguous in the
+    * hash compare.
+    */
+  def groupingSetsTotals(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), dayofweek(col("ts")).as("weekday"),
+        col("value"))
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("weekday")), Seq()),
+        col("event_type"), col("weekday"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("value_sum"))
+      .select(coalesce(col("event_type"), lit("__all__")).as("etype"),
+        coalesce(col("weekday").cast("string"), lit("__all__")).as("weekday"),
+        col("n"), col("value_sum"))
+
   /** p2 — pivot: per-user event counts spread into one column per event
     * type. Written as conditional aggregation (`count(when(...))`), the
     * portable form `.pivot()` compiles to when the value set is known —
@@ -82,6 +103,7 @@ object Relational {
     "w1_window_suite" -> (windowSuite _),
     "u1_set_ops" -> (setOps _),
     "x8_type_day_cube" -> (typeDayCube _),
+    "u2_grouping_sets" -> (groupingSetsTotals _),
     "p2_event_pivot" -> (eventPivot _)
   )
 
@@ -115,6 +137,16 @@ object Relational {
         |SELECT event_type, weekday, count(*) AS n,
         |  round(sum(value), 6) AS value_sum
         |FROM e GROUP BY CUBE (event_type, weekday)""".stripMargin,
+    "u2_grouping_sets" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INTEGER) AS weekday,
+        |    value
+        |  FROM events)
+        |SELECT coalesce(event_type, '__all__') AS etype,
+        |  coalesce(CAST(weekday AS VARCHAR), '__all__') AS weekday,
+        |  count(*) AS n, round(sum(value), 6) AS value_sum
+        |FROM e GROUP BY GROUPING SETS ((event_type), (weekday), ())""".stripMargin,
     "p2_event_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
