@@ -46,4 +46,22 @@ class RelationalSpec extends SparkSpec {
       assert(out.filter(col("event_type").isNotNull && col("weekday").isNotNull).count() > 0)
     } finally out.unpersist()
   }
+
+  test("grouping sets emits exactly the three requested levels, one Expand") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.groupingSetsTotals(spark, sf).cache()
+    try {
+      // marginals only: never both keys concrete, grand total exactly once
+      assert(out.filter(col("etype") =!= "__all__" && col("weekday") =!= "__all__").count() == 0)
+      assert(out.filter(col("etype") === "__all__" && col("weekday") === "__all__").count() == 1)
+      assert(out.filter(col("etype") =!= "__all__").count() > 0)
+      assert(out.filter(col("weekday") =!= "__all__").count() > 0)
+      // one Expand with 3 projections (the requested sets), not cube's 2^k
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("Expand"), s"grouping sets did not plan an Expand:\n$p")
+      val rowsTotal = out.filter(col("etype") === "__all__" && col("weekday") === "__all__")
+        .select("n").first.getLong(0)
+      assert(rowsTotal == graft.Tables.events(spark, sf).count())
+    } finally out.unpersist()
+  }
 }
