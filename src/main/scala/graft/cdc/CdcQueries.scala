@@ -174,6 +174,26 @@ object CdcQueries {
         col("parsed.k").as("k"))
   }
 
+  /** O16 — changelog compaction: rewrite the event log keeping only the
+    * last `keep` versions per key — Kafka log compaction generalized
+    * from keep-latest (that limit is exactly O10's materialization) to
+    * keep-N, the bounded-history retention a CDC store actually runs so
+    * the log's size tracks the live-key set, not all history. Plans as
+    * WindowGroupLimit: each partition discards beyond-k rows BEFORE the
+    * exchange, so the shuffle carries at most k rows per key — at 100 TB
+    * the compaction writes amplify by retained versions, never by
+    * history length.
+    */
+  def logCompact(spark: SparkSession, sfDir: String, keep: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= keep)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+  }
+
   val queries: Map[String, Q] = Map(
     "o01_cdc_scan" -> (cdcScan _),
     "o02_insert_writer" -> (insertWriter _),
@@ -189,7 +209,8 @@ object CdcQueries {
     "o12_peek" -> (peek _),
     "o13_redelivery_dedup" -> (redeliveryDedup _),
     "o14_snapshot_asof" -> (snapshotAsof _),
-    "o15_dlq_route" -> (dlqRoute _)
+    "o15_dlq_route" -> (dlqRoute _),
+    "o16_log_compact" -> ((s, d) => logCompact(s, d))
   )
 
   private val opCase =
@@ -275,6 +296,13 @@ object CdcQueries {
         |  CASE WHEN event_id % 13 = 0 THEN 'dlq' ELSE 'ok' END AS status,
         |  CASE WHEN event_id % 13 = 0 THEN NULL
         |       ELSE CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    "o16_log_compact" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn <= 3""".stripMargin
   )
 }

@@ -63,4 +63,24 @@ class MaterializeSpec extends SparkSpec {
     assert(aggregates >= 2, s"expected partial+final aggregate pair in:\n$plan")
     assert(!plan.contains("Window"), s"unexpected Window operator in:\n$plan")
   }
+
+  test("log compaction keeps exactly the newest k per key, pre-shuffle limited") {
+    val out = CdcQueries.logCompact(spark, sf, keep = 3)
+    val byKey = out.collect().groupBy(_.getLong(0))
+    assert(byKey.nonEmpty)
+    for ((k, rows) <- byKey) {
+      assert(rows.length <= 3, s"key $k kept ${rows.length} versions")
+      // kept versions are the TOP event_ids for the key
+      val keptIds = rows.map(_.getLong(1)).sorted.reverse.toSeq
+      val allIds = graft.Tables.events(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("user_id") === k)
+        .select("event_id").collect().map(_.getLong(0)).sorted.reverse.toSeq
+      assert(keptIds == allIds.take(3), s"key $k kept $keptIds, wanted ${allIds.take(3)}")
+    }
+    // WindowGroupLimit: each partition discards beyond-k rows BEFORE the
+    // exchange — the compaction shuffle carries ≤ k rows per key
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank limit not pushed below the exchange:\n$plan")
+  }
 }
