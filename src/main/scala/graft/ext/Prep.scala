@@ -166,6 +166,40 @@ object Prep {
           .as("top_token_share"))
   }
 
+  /** c7 — the quality GATE with drop reasons: every train-split document
+    * annotated with WHY it would be dropped — length, quality score,
+    * benchmark contamination, exact duplication — plus the final `kept`
+    * verdict. Real pipelines ship this audit view alongside the filtered
+    * corpus (drop-rate dashboards, filter ablations); it composes the
+    * already-verified c2/c6 contamination set, x2's quality score, and
+    * d1's canonical assignment with left joins against the (small)
+    * flagged-id sets, so the plan stays scan-shaped: one pass over the
+    * corpus, flags hash-joined on.
+    */
+  def qualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val quality = TextAnalysis.qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("quality"))
+    val contaminated = contamination(spark, sfDir)
+      .filter(col("n_shared_shingles") >= 3)
+      .select(col("doc_id"), lit(true).as("contam"))
+    val canon = Dedup.exactDedup(spark, sfDir)
+      .select(col("text_md5"), col("canonical_doc_id"))
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 97 =!= 0) // train split, as c6
+      .withColumn("text_md5", md5(col("text")))
+      .join(canon, Seq("text_md5"))
+      .join(quality, Seq("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (size(tokens(col("text"))) < 20).as("too_short"),
+        (col("quality") < 0.6).as("low_quality"),
+        coalesce(col("contam"), lit(false)).as("contaminated"),
+        (col("doc_id") =!= col("canonical_doc_id")).as("exact_dup"))
+      .withColumn("kept",
+        !col("too_short") && !col("low_quality") &&
+          !col("contaminated") && !col("exact_dup"))
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -175,6 +209,7 @@ object Prep {
     "c4_chunks" -> (chunks _),
     "c5_bpe_pairs" -> (bpePairs _),
     "c6_decontaminated" -> (decontaminated _),
+    "c7_quality_gate" -> (qualityGate _),
     "x9_repetition" -> (repetition _)
   )
 
@@ -250,6 +285,40 @@ object Prep {
          |FROM documents d
          |WHERE d.doc_id % 97 <> 0
          |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+    "c7_quality_gate" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, ${Dedup.shingleHashesSql} AS sh
+         |  FROM (SELECT doc_id,
+         |          list_transform(${tokensSql("text")}, t -> ${tokenHashSql("t")}) AS hs
+         |        FROM documents)),
+         |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         |tr AS (SELECT doc_id, shingle FROM e WHERE doc_id % 97 <> 0),
+         |te AS (SELECT doc_id AS test_doc, shingle FROM e WHERE doc_id % 97 = 0),
+         |bad AS (
+         |  SELECT tr.doc_id FROM tr JOIN te ON tr.shingle = te.shingle
+         |  GROUP BY tr.doc_id HAVING count(DISTINCT tr.shingle) >= 3),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(least(n / 50.0, 1.0) * 0.5 + (1.0 - stop_n / n) * 0.5, 6) AS quality
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(len(toks) AS DOUBLE) AS n,
+         |      CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS DOUBLE) AS stop_n
+         |    FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents))),
+         |canon AS (
+         |  SELECT md5(text) AS h, min(doc_id) AS cid FROM documents GROUP BY md5(text))
+         |SELECT doc_id, too_short, low_quality, contaminated, exact_dup,
+         |  (NOT (too_short OR low_quality OR contaminated OR exact_dup)) AS kept
+         |FROM (
+         |  SELECT d.doc_id,
+         |    (len(${tokensSql("d.text")}) < 20) AS too_short,
+         |    (q.quality < 0.6) AS low_quality,
+         |    (d.doc_id IN (SELECT doc_id FROM bad)) AS contaminated,
+         |    (d.doc_id <> c.cid) AS exact_dup
+         |  FROM documents d
+         |  JOIN q ON q.doc_id = d.doc_id
+         |  JOIN canon c ON md5(d.text) = c.h
+         |  WHERE d.doc_id % 97 <> 0)""".stripMargin,
     "x9_repetition" ->
       s"""WITH tc AS (
          |  SELECT doc_id, t, count(*) AS n FROM (

@@ -64,4 +64,20 @@ class PrepSpec extends SparkSpec {
     val counts = rows.map(_.getLong(1))
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
+
+  test("quality gate: kept == no flag set; flags agree with their sources") {
+    val rows = Prep.qualityGate(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    assert(rows.nonEmpty)
+    for ((_, (short, lowq, contam, dup, kept)) <- rows)
+      assert(kept == !(short || lowq || contam || dup))
+    // the contaminated flag set is exactly the set c6 removes
+    val c6Kept = Prep.decontaminated(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val contamIds = rows.collect { case (id, (_, _, true, _, _)) => id }.toSet
+    assert(contamIds == rows.keySet -- c6Kept,
+      "contaminated flags disagree with the c6 removal set")
+  }
 }
