@@ -89,12 +89,29 @@ object Sampling {
       .limit(64)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
 
+  /** r6 — sketch statistics. Deliberately has NO SQL oracle entry:
+    * different engines' sketches (HyperLogLog++, quantile summaries)
+    * legitimately differ, so the driver records a rows-only check here
+    * while the accuracy contract — error bounds against the exact
+    * computation — lives in `ApproxSpec`. These are the constant-memory
+    * plan shapes a 100 TB profiling job runs: HLL distinct without a
+    * distinct Expand/shuffle of the key, quantiles without a global
+    * sort.
+    */
+  def approxStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id", rsd = 0.02).as("approx_users"),
+        percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(1000))
+          .as("value_quantiles"))
+
   val queries: Map[String, Q] = Map(
     "r1_hash_sample" -> (hashSample _),
     "r2_stratified_sample" -> (stratifiedSample _),
     "r3_mixture_summary" -> (mixtureSummary _),
     "r4_corpus_stats" -> (corpusStats _),
-    "r5_priority_sample" -> (prioritySample _)
+    "r5_priority_sample" -> (prioritySample _),
+    "r6_approx_stats" -> (approxStats _) // rows-only: no oracle entry
   )
 
   private val gate = s"${tokenHashSql("CAST(doc_id AS VARCHAR)")} % 100"

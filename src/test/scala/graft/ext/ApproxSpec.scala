@@ -34,6 +34,21 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(rankOf(p95) - 0.95) <= 0.01, s"p95=$p95 rank=${rankOf(p95)}")
   }
 
+  test("r6 registered query: one row per type, users within HLL tolerance") {
+    val rows = Sampling.approxStats(spark, sf).collect()
+    val exact = graft.Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet == exact.keySet)
+    for (r <- rows) {
+      val (t, approx) = (r.getString(0), r.getLong(1))
+      assert(math.abs(approx - exact(t)).toDouble / exact(t) <= 0.05,
+        s"$t: approx=$approx exact=${exact(t)}")
+      val qs = r.getSeq[Double](2)
+      assert(qs.length == 2 && qs(0) <= qs(1))
+    }
+  }
+
   test("approx distinct plans without a distinct shuffle of the key") {
     val p = graft.Tables.events(spark, sf)
       .select(approx_count_distinct("user_id"))
