@@ -130,24 +130,40 @@ object Bench {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
         val in = MemoryStream[streaming.StreamApply.KeyedEvent]
+        // A ProcessingTime-mode query with TTL state never quiesces, so
+        // processAllAvailable blocks forever — count processed rows
+        // instead. recentProgress is a bounded ring (~100 entries) that
+        // TTL-driven EMPTY micro-batches can flood, evicting the
+        // data-bearing entries and undercounting; a listener sees every
+        // progress event exactly once, so the count cannot go backwards.
+        val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+        val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryProgress(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+            seen.addAndGet(e.progress.numInputRows)
+          override def onQueryTerminated(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        }
+        spark.streams.addListener(listener) // before start: miss no event
         val q = streaming.StreamApply.statefulViewTws(in.toDS())
           .writeStream.outputMode("update").format("noop").start()
         val batches = (0 until n)
           .map(i => streaming.StreamApply.KeyedEvent(i.toLong, i % nKeys,
             if (i % 17 == 0) "d" else "u", i * 0.5))
           .grouped(n / nBatches).toSeq
-        // A ProcessingTime-mode query with TTL state never quiesces, so
-        // processAllAvailable blocks forever — poll the processed-row
-        // progress counters instead.
         val t0 = System.nanoTime()
         try {
           batches.foreach(in.addData(_))
-          def processed(): Long = q.recentProgress.map(_.numInputRows).sum
           val deadline = System.currentTimeMillis() + 120000
-          while (processed() < n && System.currentTimeMillis() < deadline)
+          while (seen.get() < n && System.currentTimeMillis() < deadline)
             Thread.sleep(50)
-          require(processed() >= n, s"tws bench timed out: ${processed()}/$n")
-        } finally q.stop()
+          require(seen.get() >= n, s"tws bench timed out: ${seen.get()}/$n")
+        } finally {
+          q.stop()
+          spark.streams.removeListener(listener)
+        }
         n / ((System.nanoTime() - t0) / 1e9)
       } finally prev match {
         case Some(v) => spark.conf.set(provKey, v)

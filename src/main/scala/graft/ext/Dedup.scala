@@ -126,18 +126,40 @@ object Dedup {
     * pessimize.
     */
   private val frameMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+
+  /** Session key for the memo: a UUID minted once per session object,
+    * held in a weak map keyed on the session REFERENCE. Reference
+    * identity cannot collide across live sessions (an identity hash
+    * can be reused by a later session, which would serve it another
+    * session's frame), and the weak key lets a collected session's id
+    * mapping go with it.
+    */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  private def sessionKey(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
+
+  private def ownerStopped(df: DataFrame): Boolean = df.sparkSession match {
+    case c: org.apache.spark.sql.classic.SparkSession => c.sparkContext.isStopped
+    case _ => false
+  }
 
   /** Memoize a small derived frame per (name, session, directory). The
     * builds materialize via localCheckpoint, so each shared intermediate
     * (shingle postings, near-dup pair sets) is computed once per driver
     * run no matter how many queries consume it — the local stand-in for
     * writing the intermediate table once and scanning it per consumer.
+    * Each access first evicts frames whose owning session has stopped:
+    * they can never be served again, and dropping them releases the
+    * checkpoint blocks instead of pinning them for the JVM lifetime.
     */
   private def memoFrame(name: String, spark: SparkSession, sfDir: String)(
-      build: => DataFrame): DataFrame =
-    frameMemo.computeIfAbsent((name, System.identityHashCode(spark), sfDir),
-      _ => build)
+      build: => DataFrame): DataFrame = {
+    frameMemo.entrySet().removeIf(e => ownerStopped(e.getValue))
+    frameMemo.computeIfAbsent((name, sessionKey(spark), sfDir), _ => build)
+  }
 
   /** Drop all memoized frames. The bench calls this before each timed
     * pass so every pass pays each shared intermediate exactly once —

@@ -96,14 +96,20 @@ object Sampling {
     * computation — lives in `ApproxSpec`. These are the constant-memory
     * plan shapes a 100 TB profiling job runs: HLL distinct without a
     * distinct Expand/shuffle of the key, quantiles without a global
-    * sort.
+    * sort. Quantiles come back as scalar columns (p50/p95), never an
+    * array: the verification driver hashes cell values, and array cells
+    * are unhashable on its side — scalars keep even the rows-only check
+    * meaningful.
     */
   def approxStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy("event_type")
       .agg(approx_count_distinct("user_id", rsd = 0.02).as("approx_users"),
         percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(1000))
-          .as("value_quantiles"))
+          .as("qs"))
+      .select(col("event_type"), col("approx_users"),
+        element_at(col("qs"), 1).as("value_p50"),
+        element_at(col("qs"), 2).as("value_p95"))
 
   val queries: Map[String, Q] = Map(
     "r1_hash_sample" -> (hashSample _),

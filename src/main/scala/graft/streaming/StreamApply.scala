@@ -54,6 +54,12 @@ object StreamApply {
     * production the body of `merge` is a Delta/Iceberg `MERGE WHEN
     * MATCHED UPDATE WHEN NOT MATCHED INSERT` — same commit protocol,
     * scaled out.
+    *
+    * Concurrency contract: ONE writer at a time (Structured Streaming
+    * guarantees this per checkpoint); any number of readers. Readers
+    * never delete anything — garbage collection runs only inside
+    * [[merge]] — so a concurrent reader can never unlink a version a
+    * writer has written but not yet committed.
     */
   final class ParquetUpsertStore(spark: SparkSession, dir: String,
       key: String, seq: String, opCol: String, deleteOp: String,
@@ -78,28 +84,40 @@ object StreamApply {
       finally w.close()
     }
 
-    /** Garbage-collect everything the pointer does not reference:
-      * version dirs other than the live one (torn writes, superseded
-      * states) and orphaned pointer tmp files. Purely an space matter —
-      * correctness never depends on cleanup having run, because readers
-      * only ever follow `CURRENT`. Idempotent; called from every entry
-      * point.
+    /** Garbage-collect version dirs the pointer does not reference
+      * (torn writes, superseded states) and orphaned pointer tmp files.
+      * Purely a space matter — correctness never depends on cleanup
+      * having run, because readers only ever follow `CURRENT`.
+      * Idempotent; called ONLY from the writer path (`merge`): a reader
+      * must never delete — another process's writer may have written a
+      * version dir it has not pointer-committed yet, and collecting it
+      * from a read entry point would leave that writer's `CURRENT`
+      * naming a deleted directory. The immediately superseded version
+      * (epoch = live epoch − 1) is retained one merge longer, so a lazy
+      * `snapshot()` frame handed out before the latest commit still has
+      * its files for one more cycle.
       */
     private def clean(): Unit = {
       val d = Paths.get(dir)
       if (!Files.isDirectory(d)) return
       val live = currentVersion()
+      val liveEpoch = live.map(epochOf)
       import scala.jdk.CollectionConverters._
       val s = Files.list(d)
       val strays =
         try s.iterator().asScala.toList.filter { f =>
           val n = f.getFileName.toString
-          (n.startsWith(VersionPrefix) && !live.contains(n)) ||
-            n.startsWith(PointerTmpPrefix)
+          val superseded = n.startsWith(VersionPrefix) && !live.contains(n)
+          val keepForLazyReaders = superseded &&
+            liveEpoch.exists(le => epochOf(n) == le - 1)
+          (superseded && !keepForLazyReaders) || n.startsWith(PointerTmpPrefix)
         }
         finally s.close()
       strays.foreach(deleteRecursively)
     }
+
+    private def epochOf(ver: String): Long =
+      ver.substring(ver.lastIndexOf('e') + 1).toLong
 
     /** The commit point: publish `ver` by atomically replacing `CURRENT`.
       * The pointer content is fsync'd into a tmp file first, so the
@@ -121,7 +139,6 @@ object StreamApply {
     }
 
     def snapshot(): DataFrame = {
-      clean()
       currentVersion() match {
         case Some(v) => spark.read.parquet(s"$dir/$v")
         case None    => spark.emptyDataFrame
@@ -145,8 +162,7 @@ object StreamApply {
         case None    => incoming
       }
       val next = Materialize.latestByKey(merged, key, seq, Seq(opCol) ++ payloadCols)
-      val epoch = live.map(v => v.substring(v.lastIndexOf('e') + 1).toLong + 1)
-        .getOrElse(0L)
+      val epoch = live.map(epochOf(_) + 1).getOrElse(0L)
       val ver = s"$VersionPrefix${batchId}_e$epoch"
       next.write.mode("overwrite").parquet(s"$dir/$ver")
       commitPointer(ver) // the single atomic step

@@ -44,8 +44,8 @@ class ApproxSpec extends SparkSpec {
       val (t, approx) = (r.getString(0), r.getLong(1))
       assert(math.abs(approx - exact(t)).toDouble / exact(t) <= 0.05,
         s"$t: approx=$approx exact=${exact(t)}")
-      val qs = r.getSeq[Double](2)
-      assert(qs.length == 2 && qs(0) <= qs(1))
+      val (p50, p95) = (r.getDouble(2), r.getDouble(3))
+      assert(p50 <= p95, s"$t: p50=$p50 > p95=$p95")
     }
   }
 

@@ -64,10 +64,14 @@ class StreamApplySpec extends SparkSpec {
     java.nio.file.Files.createDirectory(torn)
     java.nio.file.Files.write(torn.resolve("part-00000.parquet"),
       Array[Byte](1, 2, 3)) // garbage — unreadable as parquet
-    // the reader follows the pointer: old state, torn dir collected
+    // the reader follows the pointer: old state visible; readers never
+    // delete (another process's writer may own the un-committed dir)
     val keys = store.view().select("key").collect().map(_.getInt(0)).toSet
     assert(keys == Set(1, 2), s"torn version leaked into the view: $keys")
-    assert(!java.nio.file.Files.exists(torn))
+    assert(java.nio.file.Files.exists(torn), "reader deleted a version dir")
+    // the replayed merge collects the torn dir on entry and commits fresh
+    store.merge(batch2.toDF(), 1)
+    assert(store.view().select("key").collect().map(_.getInt(0)).toSet == Set(1, 3))
   }
 
   test("crash between pointer-tmp write and the rename keeps the old state live") {
@@ -87,13 +91,11 @@ class StreamApplySpec extends SparkSpec {
       "state_v1_e1".getBytes)
     val keys = store.view().select("key").collect().map(_.getInt(0)).toSet
     assert(keys == Set(1, 2), s"uncommitted version leaked into the view: $keys")
-    // both strays collected; a replayed merge then commits normally
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$dir/CURRENT.tmp.state_v1_e1")))
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$dir/state_v1_e1")))
+    // the replayed merge collects both strays on entry and commits normally
     store.merge(batch2.toDF(), 1)
     assert(store.view().select("key").collect().map(_.getInt(0)).toSet == Set(1, 3))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/CURRENT.tmp.state_v1_e1")))
   }
 
   test("crash between the pointer rename and cleanup serves the NEW state") {
@@ -116,13 +118,19 @@ class StreamApplySpec extends SparkSpec {
     // committed = visible, regardless of cleanup having run
     val keys = store.view().select("key").collect().map(_.getInt(0)).toSet
     assert(keys == Set(1, 3), s"commit point not honored: $keys")
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$dir/state_v0_e0")), "superseded state not collected")
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$dir/CURRENT.tmp.state_v1_e1")))
-    // and the next merge continues from the committed state
+    // the next merge continues from the committed state and collects the
+    // strays: the orphan tmp at once, the superseded v0 dir after one
+    // further commit (the previous version is kept one merge longer to
+    // protect lazy snapshot() frames handed out before the last commit)
     store.merge(batch3.toDF(), 2)
     assert(store.view().select("key").collect().map(_.getInt(0)).toSet == Set(1, 2))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/CURRENT.tmp.state_v1_e1")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/state_v0_e0")), "superseded state not collected")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/state_v1_e1")),
+      "previous version must survive one merge for lazy readers")
   }
 
   test("restart-and-replay of an old batch cannot resurrect a deleted key") {
