@@ -21,12 +21,14 @@ object SparkEntry {
       ext.Tpch.queries ++ ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.TextAnalysis.queries ++ ext.Multimodal.queries ++
       ext.Sessions.queries ++ ext.Sampling.queries ++ ext.Pipeline.queries ++
-      ext.Temporal.queries ++ ext.Prep.queries ++ ext.Relational.queries
+      ext.Temporal.queries ++ ext.Prep.queries ++ ext.Relational.queries ++
+      ext.Search.queries
 
   def oracleSql: Map[String, String] =
     cdc.CdcQueries.oracle ++ analytics.Dashboards.oracle ++
       ext.Tpch.oracle ++ ext.Dedup.oracle ++ ext.Similarity.oracle ++
       ext.TextAnalysis.oracle ++ ext.Multimodal.oracle ++
       ext.Sessions.oracle ++ ext.Sampling.oracle ++ ext.Pipeline.oracle ++
-      ext.Temporal.oracle ++ ext.Prep.oracle ++ ext.Relational.oracle
+      ext.Temporal.oracle ++ ext.Prep.oracle ++ ext.Relational.oracle ++
+      ext.Search.oracle
 }

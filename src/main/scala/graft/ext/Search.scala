@@ -1,0 +1,167 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Portable._
+
+/** Query-time search over the document corpus — the retrieval side of
+  * the reference's serving layer. The reference materializes CDC state
+  * into OpenSearch (`consumer_to_opensearch.py:94-95`), whose index
+  * mapping declares analyzed `text` fields precisely so they can be
+  * SEARCHED (`full_name: text`, `consumer_to_opensearch.py:17-24`); the
+  * dashboards (`README.md:144-163`) only aggregate, but the engine
+  * underneath is a search engine, and a user of the reference can issue
+  * `match` and `match_phrase` queries against it. These operators are
+  * that surface, Spark-first:
+  *
+  *  - [[matchSearch]] (x12) = OpenSearch `match` (OR semantics, ranked):
+  *    posting-list join + rational tf-idf scoring, top-k per query.
+  *  - [[phraseSearch]] (x13) = OpenSearch `match_phrase`: positional
+  *    adjacency via the same lead-window n-gram formulation as the
+  *    shingle pipeline, occurrence counts, top-k per query.
+  *
+  * Scale shape (the distributed-search classic): the corpus side stays a
+  * posting list keyed by term/gram — ids and counts, never text — and
+  * shuffles on that key; the ONLY broadcast sides are the query set
+  * (a few literal rows) and the one-row corpus count. Per-query top-k is
+  * a bounded window (WindowGroupLimit: per-partition limits before the
+  * exchange), never a global sort.
+  *
+  * Scoring is integer micro-units: `tf · N · 10^6 div df` summed as
+  * longs. A double sum's value depends on addend order, which neither
+  * engine pins; floor-quantizing each addend makes the sum — and the
+  * ranking and the oracle hash — exact and order-independent.
+  */
+object Search {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+
+  /** The query workload: multi-term OR queries (q1 mixes the rarest
+    * corpus term with a common one — the idf discrimination case; q4 is
+    * single-rare-term; q2/q3 are common-term queries).
+    */
+  private[ext] val matchQueries: Seq[(Int, String)] = Seq(
+    1 -> "dup", 1 -> "scan",
+    2 -> "vector", 2 -> "window", 2 -> "spark",
+    3 -> "customer", 3 -> "order",
+    4 -> "dup")
+
+  /** Phrase workload: two frequent bigrams, two selective trigrams. */
+  private[ext] val phraseQueries: Seq[(Int, String)] = Seq(
+    1 -> "table hash", 2 -> "customer join",
+    3 -> "slow hash batch", 4 -> "part filter scan")
+
+  /** x12 — ranked boolean match: for each query, the top-10 documents
+    * containing any query term, scored by summed rational tf-idf in
+    * integer micro-units. One tokenize pass; df derived from tf (same
+    * single-scan trick as x10).
+    */
+  def matchSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = matchQueries.toDF("query_id", "term")
+    val tf = docs(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // referenced twice: df derivation + scoring join
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val hits = tf
+      .join(dfreq, Seq("term"))
+      .join(broadcast(q), Seq("term")) // tiny literal side: correct broadcast
+      .crossJoin(broadcast(n))         // one-row frame: correct broadcast
+      .withColumn("w_micro", expr("tf * n_docs * 1000000 DIV df"))
+    val scored = hits.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("w_micro").as("score_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        col("score_micro"), col("rank").cast("long").as("rank"))
+  }
+
+  /** x13 — phrase match: contiguous-token phrases located through the
+    * lead-window n-gram posting list (relational — no array
+    * cross-reference, see the CollapseProject hazard on
+    * [[Dedup.shingleFrame]]), counted per document, top-10 documents per
+    * phrase by occurrence count.
+    */
+  def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = phraseQueries.toDF("query_id", "phrase")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val base = docs(spark, sfDir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
+      .withColumn("w2", lead("w1", 1).over(w))
+      .withColumn("w3", lead("w1", 2).over(w))
+    val g2 = base.filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w1"), col("w2")).as("gram"))
+    val g3 = base.filter(col("w3").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("w1"), col("w2"), col("w3")).as("gram"))
+    val hits = g2.unionByName(g3)
+      .join(broadcast(q), col("gram") === col("phrase"))
+      .groupBy("query_id", "phrase", "doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+    hits
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("phrase"), col("doc_id"),
+        col("n_occurrences"), col("rank").cast("long").as("rank"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x12_match_search" -> (matchSearch _),
+    "x13_phrase_search" -> (phraseSearch _)
+  )
+
+  private def valuesSql(rows: Seq[(Int, String)]): String =
+    rows.map { case (id, s) => s"($id, '$s')" }.mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "x12_match_search" ->
+      s"""WITH q(query_id, term) AS (VALUES ${valuesSql(matchQueries)}),
+         |toks AS (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT query_id, doc_id, n_terms, score_micro, CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT query_id, doc_id, n_terms, score_micro,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_micro DESC, doc_id) AS rank
+         |  FROM (
+         |    SELECT q.query_id, tf.doc_id, count(*) AS n_terms,
+         |      CAST(sum(tf.tf * n.n_docs * 1000000 // dfreq.df) AS BIGINT)
+         |        AS score_micro
+         |    FROM tf JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN n
+         |    GROUP BY q.query_id, tf.doc_id))
+         |WHERE rank <= 10""".stripMargin,
+    "x13_phrase_search" ->
+      s"""WITH q(query_id, phrase) AS (VALUES ${valuesSql(phraseQueries)}),
+         |d AS (SELECT doc_id, ${tokensSql("text")} AS ws FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |    i -> ws[i] || ' ' || ws[i + 1])) AS gram FROM d
+         |  UNION ALL
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+         |    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS gram FROM d),
+         |hits AS (
+         |  SELECT query_id, phrase, doc_id, count(*) AS n_occurrences
+         |  FROM grams JOIN q ON gram = phrase
+         |  GROUP BY query_id, phrase, doc_id)
+         |SELECT query_id, phrase, doc_id, n_occurrences, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY n_occurrences DESC, doc_id) AS rank
+         |      FROM hits)
+         |WHERE rank <= 10""".stripMargin
+  )
+}

@@ -1,0 +1,80 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Search operators (x12 match, x13 phrase) against brute-force
+  * re-computations in plain Scala, plus plan-shape checks: the corpus
+  * posting list must shuffle, never broadcast — only the literal query
+  * frames may — and the per-query top-k must plan as WindowGroupLimit.
+  */
+class SearchSpec extends SparkSpec {
+
+  private def corpus(): Seq[(Long, Array[String])] =
+    graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" "))).toSeq
+
+  test("x12 match search equals a brute-force tf-idf ranking") {
+    val docs = corpus()
+    val n = docs.size.toLong
+    val tf = docs.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (w, o) => ((id, w), o.length.toLong) }
+    }.toMap
+    val df = tf.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    val expected = Search.matchQueries.groupBy(_._1).flatMap { case (qid, qs) =>
+      val terms = qs.map(_._2)
+      val scored = docs.flatMap { case (id, _) =>
+        val matched = terms.filter(t => tf.contains((id, t)))
+        if (matched.isEmpty) None
+        else Some((id, matched.size.toLong,
+          matched.map(t => tf((id, t)) * n * 1000000L / df(t)).sum))
+      }
+      scored.sortBy { case (id, _, s) => (-s, id) }.take(10).zipWithIndex
+        .map { case ((id, nt, s), i) => (qid, id, nt, s, i + 1L) }
+    }.toSet
+    val got = Search.matchSearch(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
+  test("x13 phrase search equals a brute-force sliding-window count") {
+    val docs = corpus()
+    val expected = Search.phraseQueries.flatMap { case (qid, phrase) =>
+      val p = phrase.split(" ")
+      val hits = docs.flatMap { case (id, ws) =>
+        val occ = ws.sliding(p.length).count(_.sameElements(p)).toLong
+        if (occ > 0) Some((id, occ)) else None
+      }
+      hits.sortBy { case (id, occ) => (-occ, id) }.take(10).zipWithIndex
+        .map { case ((id, occ), i) => (qid, phrase, id, occ, i + 1L) }
+    }.toSet
+    val got = Search.phraseSearch(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
+  test("only the literal query frames broadcast; top-k is WindowGroupLimit") {
+    // With auto-broadcast disabled, every BroadcastExchange in the plan
+    // is an explicit hint — so the count must equal the hint sites on
+    // the literal frames (x12: query set + one-row corpus count; x13:
+    // phrase set), proving the corpus posting list itself shuffles.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p12 = Search.matchSearch(spark, sf).queryExecution.executedPlan.toString
+      val p13 = Search.phraseSearch(spark, sf).queryExecution.executedPlan.toString
+      def nBroadcasts(p: String): Int =
+        "BroadcastExchange".r.findAllIn(p).size
+      assert(nBroadcasts(p12) == 2, s"x12 broadcasts != 2:\n$p12")
+      assert(nBroadcasts(p13) == 1, s"x13 broadcasts != 1:\n$p13")
+      assert(p12.contains("WindowGroupLimit"), s"x12 top-k not limited:\n$p12")
+      assert(p13.contains("WindowGroupLimit"), s"x13 top-k not limited:\n$p13")
+    } finally spark.conf.set(key, prev)
+  }
+}
