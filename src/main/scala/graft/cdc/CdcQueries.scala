@@ -194,6 +194,66 @@ object CdcQueries {
         col("event_type"), col("value"))
   }
 
+  /** O17 — incremental view maintenance: the dashboard aggregate (live
+    * keys per latest event type — Q1's shape) maintained from a CDC
+    * delta instead of recomputed. A running system stores the base view
+    * and its aggregate; when a delta batch arrives it touches ONLY the
+    * affected keys: retract their old contributions, re-materialize just
+    * those keys over the log, re-add the new contributions, and fold the
+    * signed deltas into the stored aggregate. At 100 TB this is the
+    * difference between shuffling the live-key set per refresh and
+    * shuffling the delta's key set — the whole point of capturing
+    * changes rather than snapshots (the reference's pipeline exists to
+    * avoid re-reading the source table; this extends the same economy to
+    * the serving aggregate). The oracle is the FULL recompute, so the
+    * hash match proves maintenance ≡ recomputation.
+    */
+  def incrementalAgg(spark: SparkSession, sfDir: String,
+      cutoff: Long = 8000): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val base = ev.filter(col("event_id") <= cutoff)
+    val delta = ev.filter(col("event_id") > cutoff)
+    // the stored state of the running system: base view + its aggregate
+    // (localCheckpoint = the local stand-in for the stored table)
+    val v0 = Materialize.customerView(base, Seq("event_type")).localCheckpoint()
+    val a0 = v0.groupBy("event_type").agg(count(lit(1)).as("d"))
+    val keys = delta.select("user_id").distinct()
+    val retract = v0.join(keys, Seq("user_id"), "left_semi")
+      .groupBy("event_type").agg((count(lit(1)) * lit(-1L)).as("d"))
+    val readd = Materialize
+      .customerView(ev.join(keys, Seq("user_id"), "left_semi"), Seq("event_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("d"))
+    a0.unionByName(retract).unionByName(readd)
+      .groupBy("event_type").agg(sum("d").as("n_keys"))
+      .filter(col("n_keys") > 0)
+  }
+
+  /** O18 — the reference's SKIPPED bonus, built: secure data sharing.
+    * The challenge provisions a `cdc-sharing` topic it never uses
+    * (`terraform/main.tf:75-92`) and a `classification IN
+    * ('public','private')` CHECK whose whole purpose is share gating
+    * (`setup_cdc.pgsql:7`, `README.md:6`). The share view an external
+    * audience receives applies, over the materialized state — never the
+    * raw log:
+    *   - a ROW policy: only shareable classes pass (here: the
+    *     `click`/`view` interaction types play `public`);
+    *   - key PSEUDONYMIZATION: the stable keyed hash replaces the key,
+    *     so the audience can join their own share-side data but cannot
+    *     recover ids;
+    *   - GENERALIZATION of quasi-identifiers: timestamps to day,
+    *     values floored to integers.
+    * All three are scan-level projections/filters — the gate costs
+    * nothing at scale and composes with any downstream query.
+    */
+  def shareGate(spark: SparkSession, sfDir: String): DataFrame =
+    Materialize.customerView(Tables.events(spark, sfDir))
+      .filter(col("event_type").isin("click", "view"))
+      .select(
+        graft.ext.Portable.tokenHash(col("user_id").cast("string")).as("user_token"),
+        col("event_type"),
+        date_trunc("day", col("ts")).as("day"),
+        floor(col("value")).cast("long").as("value_floor"))
+
   val queries: Map[String, Q] = Map(
     "o01_cdc_scan" -> (cdcScan _),
     "o02_insert_writer" -> (insertWriter _),
@@ -210,7 +270,9 @@ object CdcQueries {
     "o13_redelivery_dedup" -> (redeliveryDedup _),
     "o14_snapshot_asof" -> (snapshotAsof _),
     "o15_dlq_route" -> (dlqRoute _),
-    "o16_log_compact" -> ((s, d) => logCompact(s, d))
+    "o16_log_compact" -> ((s, d) => logCompact(s, d)),
+    "o17_incremental_agg" -> ((s, d) => incrementalAgg(s, d)),
+    "o18_share_gate" -> (shareGate _)
   )
 
   private val opCase =
@@ -303,6 +365,27 @@ object CdcQueries {
         |  SELECT user_id, event_id, ts, event_type, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events)
-        |WHERE rn <= 3""".stripMargin
+        |WHERE rn <= 3""".stripMargin,
+    // the oracle is the FULL recompute: hash-match proves the
+    // incremental maintenance converges to recomputation
+    "o17_incremental_agg" ->
+      """SELECT event_type, count(*) AS n_keys
+        |FROM (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'
+        |GROUP BY event_type""".stripMargin,
+    "o18_share_gate" ->
+      s"""SELECT ${graft.ext.Portable.tokenHashSql("CAST(user_id AS VARCHAR)")}
+         |    AS user_token,
+         |  event_type,
+         |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         |  CAST(floor(value) AS BIGINT) AS value_floor
+         |FROM (
+         |  SELECT user_id, event_type, ts, value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND event_type IN ('click', 'view')""".stripMargin
   )
 }

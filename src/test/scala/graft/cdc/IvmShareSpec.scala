@@ -1,0 +1,48 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** O17 incremental view maintenance and O18 share gating: the IVM fold
+  * must equal full recomputation at ANY cutoff (not just the registered
+  * one), and the share view must leak neither raw keys nor ungated rows.
+  */
+class IvmShareSpec extends SparkSpec {
+
+  private def recompute(): Map[String, Long] =
+    Materialize.customerView(graft.Tables.events(spark, sf), Seq("event_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("o17 incremental maintenance equals recomputation at several cutoffs") {
+    val full = recompute()
+    // cutoff 0 = everything is delta; max = everything is base (empty
+    // delta); middles = the real mixed case
+    for (cutoff <- Seq(0L, 300L, 700L, Long.MaxValue)) {
+      val inc = CdcQueries.incrementalAgg(spark, sf, cutoff)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(inc == full, s"cutoff=$cutoff inc=$inc full=$full")
+    }
+  }
+
+  test("o18 share view passes only gated types and no raw keys") {
+    val shared = CdcQueries.shareGate(spark, sf)
+    assert(shared.columns.toSet ==
+      Set("user_token", "event_type", "day", "value_floor"),
+      s"unexpected share columns: ${shared.columns.mkString(",")}")
+    val rows = shared.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(1)).toSet.subsetOf(Set("click", "view")),
+      "ungated event type leaked")
+    // the token is the keyed hash, not the id: no shared token may equal
+    // a raw user id unless the hash happens to collide with it — check
+    // the tokens differ from ids as a set (150 ids, 31-bit hash space)
+    val ids = graft.Tables.events(spark, sf)
+      .select(col("user_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val tokens = rows.map(_.getLong(0)).toSet
+    assert((tokens intersect ids).isEmpty, "raw ids leaked as tokens")
+    // one row per shared key: the view is the materialized state
+    assert(tokens.size == rows.length, "duplicate keys in share view")
+  }
+}
