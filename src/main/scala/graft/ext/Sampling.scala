@@ -111,13 +111,38 @@ object Sampling {
         element_at(col("qs"), 1).as("value_p50"),
         element_at(col("qs"), 2).as("value_p95"))
 
+  /** r7 — distinct-count sketch REGISTERS, engine-portably. HLL-family
+    * sketches summarize a key set as per-bucket maxima of a geometric
+    * hash statistic; the estimate differs between engines (alpha
+    * constants, bias tables, libm), but the REGISTERS are exact
+    * integers, so the query returns the sketch itself: bucket = low 6
+    * hash bits, statistic = the lowest set bit of the remaining bits
+    * (`rest & -rest`, an exact power of two standing in for 2^(trailing
+    * zeros) — monotone in the trailing-zero count, so the per-bucket max
+    * is the same register ranking as classic Flajolet-Martin/HLL).
+    * Everything an engine needs at 100 TB is in this shape: one
+    * scan, map-side-combined `max` per (group, bucket) — constant
+    * memory, no distinct Expand, no shuffle of the key set — and the
+    * registers MERGE by max, so per-partition/per-day sketches combine
+    * without touching raw keys (the merge law is `ApproxSpec`'d).
+    */
+  def hllRegisters(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        tokenHash(col("user_id").cast("string")).as("h"))
+      .select(col("event_type"), (col("h") % 64).as("bucket"),
+        expr("h DIV 64").as("rest"))
+      .groupBy("event_type", "bucket")
+      .agg(max(expr("rest & -rest")).as("register"))
+
   val queries: Map[String, Q] = Map(
     "r1_hash_sample" -> (hashSample _),
     "r2_stratified_sample" -> (stratifiedSample _),
     "r3_mixture_summary" -> (mixtureSummary _),
     "r4_corpus_stats" -> (corpusStats _),
     "r5_priority_sample" -> (prioritySample _),
-    "r6_approx_stats" -> (approxStats _) // rows-only: no oracle entry
+    "r6_approx_stats" -> (approxStats _), // rows-only: no oracle entry
+    "r7_hll_registers" -> (hllRegisters _)
   )
 
   private val gate = s"${tokenHashSql("CAST(doc_id AS VARCHAR)")} % 100"
@@ -152,6 +177,15 @@ object Sampling {
          |      (${tokenHashSql("CAST(doc_id AS VARCHAR)")} + 1) AS priority
          |  FROM documents)
          |ORDER BY priority DESC, doc_id
-         |LIMIT 64""".stripMargin
+         |LIMIT 64""".stripMargin,
+    "r7_hll_registers" ->
+      s"""SELECT event_type, bucket, max(rest & -rest) AS register
+         |FROM (
+         |  SELECT event_type, h % 64 AS bucket, h // 64 AS rest
+         |  FROM (
+         |    SELECT event_type,
+         |      ${tokenHashSql("CAST(user_id AS VARCHAR)")} AS h
+         |    FROM events))
+         |GROUP BY event_type, bucket""".stripMargin
   )
 }

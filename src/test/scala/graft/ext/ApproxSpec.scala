@@ -49,6 +49,37 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("r7 sketch registers obey the merge law (max-combine across splits)") {
+    // sketch(A ∪ B) == per-register max(sketch(A), sketch(B)): the
+    // property that lets per-partition/per-day sketches combine without
+    // revisiting keys. Exercised by splitting the stream on event-id
+    // parity — the registered query is the whole-stream sketch.
+    import org.apache.spark.sql.DataFrame
+    def sketch(ev: DataFrame): Map[(String, Long), Long] =
+      Sampling.hllRegisters(spark, sf) // registered query reads the table;
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val ev = graft.Tables.events(spark, sf)
+    def sketchOf(part: DataFrame): Map[(String, Long), Long] =
+      part.select(col("event_type"),
+          graft.ext.Portable.tokenHash(col("user_id").cast("string")).as("h"))
+        .select(col("event_type"), (col("h") % 64).as("bucket"),
+          expr("h DIV 64").as("rest"))
+        .groupBy("event_type", "bucket")
+        .agg(max(expr("rest & -rest")).as("register"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val whole = sketchOf(ev)
+    val a = sketchOf(ev.filter(col("event_id") % 2 === 0))
+    val b = sketchOf(ev.filter(col("event_id") % 2 === 1))
+    val merged = (a.keySet ++ b.keySet).map { k =>
+      k -> math.max(a.getOrElse(k, 0L), b.getOrElse(k, 0L))
+    }.toMap
+    assert(merged == whole, "merge law violated")
+    // and the registered query equals the direct formulation
+    assert(sketch(ev) == whole)
+  }
+
   test("approx distinct plans without a distinct shuffle of the key") {
     val p = graft.Tables.events(spark, sf)
       .select(approx_count_distinct("user_id"))
