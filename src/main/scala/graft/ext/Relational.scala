@@ -99,12 +99,30 @@ object Relational {
           count(when(col("event_type") === t, 1)).as(s"n_$t")): _*)
   }
 
+  /** u3 — unpivot (melt): p2's inverse, folding the per-type count
+    * columns of the pivoted frame back into (key, metric, value) rows.
+    * `Dataset.unpivot` plans as a single Expand — a projection that
+    * emits one row per metric with NO shuffle beyond the one the pivot
+    * aggregation already did, so at 100 TB melting is free relative to
+    * the aggregate it reads. The oracle is the explicit UNION ALL
+    * formulation, which is exactly what Expand computes.
+    */
+  def eventUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    eventPivot(spark, sfDir).unpivot(
+      ids = Array(col("user_id")),
+      values = types.map(t => col(s"n_$t")).toArray,
+      variableColumnName = "metric",
+      valueColumnName = "n")
+  }
+
   val queries: Map[String, Q] = Map(
     "w1_window_suite" -> (windowSuite _),
     "u1_set_ops" -> (setOps _),
     "x8_type_day_cube" -> (typeDayCube _),
     "u2_grouping_sets" -> (groupingSetsTotals _),
-    "p2_event_pivot" -> (eventPivot _)
+    "p2_event_pivot" -> (eventPivot _),
+    "u3_event_unpivot" -> (eventUnpivot _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -154,6 +172,18 @@ object Relational {
         |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
         |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
         |  count(*) FILTER (WHERE event_type = 'error') AS n_error
-        |FROM events GROUP BY user_id""".stripMargin
+        |FROM events GROUP BY user_id""".stripMargin,
+    "u3_event_unpivot" -> {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val arms = types.map(t =>
+        s"SELECT user_id, 'n_$t' AS metric, n_$t AS n FROM p")
+      s"""WITH p AS (
+         |  SELECT user_id,
+         |    ${types.map(t =>
+               s"count(*) FILTER (WHERE event_type = '$t') AS n_$t")
+               .mkString(",\n    ")}
+         |  FROM events GROUP BY user_id)
+         |${arms.mkString("\nUNION ALL\n")}""".stripMargin
+    }
   )
 }

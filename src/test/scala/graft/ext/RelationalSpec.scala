@@ -64,4 +64,22 @@ class RelationalSpec extends SparkSpec {
       assert(rowsTotal == graft.Tables.events(spark, sf).count())
     } finally out.unpersist()
   }
+
+  test("unpivot inverts the pivot and plans as Expand without a new shuffle") {
+    import org.apache.spark.sql.functions._
+    val melted = Relational.eventUnpivot(spark, sf)
+    // re-pivoting the melted frame recovers the original wide rows
+    val metrics = Seq("n_click", "n_view", "n_purchase", "n_signup", "n_error")
+    val wide = Relational.eventPivot(spark, sf).collect()
+      .map(r => r.getLong(0) -> (1 to 5).map(r.getLong).toSeq).toMap
+    val back = melted.groupBy("user_id").pivot("metric").sum("n").collect()
+      .map(r => r.getLong(0) -> metrics.map(m => r.getLong(r.fieldIndex(m))))
+      .toMap
+    assert(back == wide)
+    // one Expand, and no exchange beyond the pivot aggregation's single one
+    val plan = melted.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"no Expand in unpivot plan:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"unpivot added a shuffle:\n$plan")
+  }
 }
