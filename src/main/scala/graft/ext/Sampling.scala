@@ -135,6 +135,39 @@ object Sampling {
       .groupBy("event_type", "bucket")
       .agg(max(expr("rest & -rest")).as("register"))
 
+  private val CmRows = 4
+  private val CmWidth = 32
+
+  /** r8 — count-min heavy hitters, engine-portably. The sketch is
+    * `CmRows` hash rows × `CmWidth` counters, each counter the exact sum
+    * of occurrences hashing into it — integers, so unlike estimate-side
+    * sketches nothing here depends on libm or float order, and counters
+    * MERGE by plain addition (per-partition/per-shard sketches sum,
+    * which is what the map-side partial aggregation already does). The
+    * frequency estimate for a term is the MIN of its `CmRows` counters —
+    * an overestimate by construction (collisions only add), which the
+    * query exposes by returning `true_count` next to `cm_estimate` per
+    * vocabulary term. At 100 TB the point is the shape: the sketch is
+    * `CmRows·CmWidth` cells regardless of corpus size, built in one
+    * scan, and frequency queries never rescan the corpus.
+    */
+  def cmHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    def buckets = array((0 until CmRows).map(i =>
+      tokenHash(concat(lit(s"cm$i:"), col("term"))) % CmWidth): _*)
+    val toks = docs(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val counters = toks
+      .select(posexplode(buckets).as(Seq("row", "bucket")))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("c"))
+    val terms = toks.groupBy("term").agg(count(lit(1)).as("true_count"))
+    terms
+      .select(col("term"), col("true_count"),
+        posexplode(buckets).as(Seq("row", "bucket")))
+      .join(counters, Seq("row", "bucket"))
+      .groupBy("term", "true_count")
+      .agg(min("c").as("cm_estimate"))
+  }
+
   val queries: Map[String, Q] = Map(
     "r1_hash_sample" -> (hashSample _),
     "r2_stratified_sample" -> (stratifiedSample _),
@@ -142,7 +175,8 @@ object Sampling {
     "r4_corpus_stats" -> (corpusStats _),
     "r5_priority_sample" -> (prioritySample _),
     "r6_approx_stats" -> (approxStats _), // rows-only: no oracle entry
-    "r7_hll_registers" -> (hllRegisters _)
+    "r7_hll_registers" -> (hllRegisters _),
+    "r8_cm_heavy_hitters" -> (cmHeavyHitters _)
   )
 
   private val gate = s"${tokenHashSql("CAST(doc_id AS VARCHAR)")} % 100"
@@ -186,6 +220,24 @@ object Sampling {
          |    SELECT event_type,
          |      ${tokenHashSql("CAST(user_id AS VARCHAR)")} AS h
          |    FROM events))
-         |GROUP BY event_type, bucket""".stripMargin
+         |GROUP BY event_type, bucket""".stripMargin,
+    "r8_cm_heavy_hitters" -> {
+      val rows = (0 until CmRows).map { i =>
+        s"SELECT term, CAST($i AS INTEGER) AS row, " +
+          s"${tokenHashSql(s"'cm$i:' || term")} % $CmWidth AS bucket FROM toks"
+      }
+      s"""WITH toks AS (
+         |  SELECT unnest(${tokensSql("text")}) AS term FROM documents),
+         |b AS (
+         |  ${rows.mkString("\n  UNION ALL\n  ")}),
+         |counters AS (
+         |  SELECT row, bucket, count(*) AS c FROM b GROUP BY row, bucket),
+         |terms AS (
+         |  SELECT term, count(*) AS true_count FROM toks GROUP BY term),
+         |tb AS (SELECT DISTINCT term, row, bucket FROM b)
+         |SELECT term, true_count, min(c) AS cm_estimate
+         |FROM tb JOIN counters USING (row, bucket) JOIN terms USING (term)
+         |GROUP BY term, true_count""".stripMargin
+    }
   )
 }

@@ -80,6 +80,31 @@ class ApproxSpec extends SparkSpec {
     assert(sketch(ev) == whole)
   }
 
+  test("r8 count-min estimates dominate true counts and sketches merge by sum") {
+    val rows = Sampling.cmHeavyHitters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // CM never underestimates (collisions only add)
+    for ((t, truth, est) <- rows)
+      assert(est >= truth, s"$t: est=$est < true=$truth")
+    // merge law: per-split sketches SUM to the whole-corpus sketch
+    import org.apache.spark.sql.DataFrame
+    def counters(part: DataFrame): Map[(Int, Long), Long] =
+      part.select(explode(split(col("text"), " ")).as("term"))
+        .select(posexplode(array((0 until 4).map(i =>
+          graft.ext.Portable.tokenHash(concat(lit(s"cm$i:"), col("term"))) % 32): _*))
+          .as(Seq("row", "bucket")))
+        .groupBy("row", "bucket").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val d = graft.Tables.documents(spark, sf)
+    val whole = counters(d)
+    val a = counters(d.filter(col("doc_id") % 2 === 0))
+    val b = counters(d.filter(col("doc_id") % 2 === 1))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == whole, "count-min merge law violated")
+  }
+
   test("approx distinct plans without a distinct shuffle of the key") {
     val p = graft.Tables.events(spark, sf)
       .select(approx_count_distinct("user_id"))
