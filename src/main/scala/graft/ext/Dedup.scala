@@ -544,6 +544,59 @@ object Dedup {
     perBand.reduce(_ unionByName _)
   }
 
+  /** d10 — triangle census of the near-dup graph (edges = tight SimHash
+    * pairs, Hamming ≤ 2): global triangle count, wedge count, and
+    * transitivity 3·T/W — the structural audit that tells a dedup
+    * pipeline whether its near-dup relation is clique-like (true
+    * duplicate clusters — safe to collapse to one canonical) or
+    * path-like (similarity chains, where collapsing a whole component
+    * overshoots; cf. the chain-vs-clique caveat every dedup paper
+    * carries).
+    *
+    * Degree-ORIENTED join formulation, the shape that survives skew at
+    * scale: each undirected edge is directed from its lower-(degree, id)
+    * endpoint to the higher, so wedge candidates enumerate pairs of
+    * OUT-neighbors only — a hub of degree d contributes its out-degree
+    * (bounded by O(√m) after orientation) squared, not d², which is the
+    * difference between O(m^{3/2}) and O(m·d_max) work. All joins key on
+    * node ids (plain shuffle joins, no corpus broadcast); the counts are
+    * exact integers and transitivity is one exact-input IEEE division,
+    * so the oracle hash-matches.
+    */
+  def triangleStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = simhashNearDup(spark, sfDir)
+      .filter(col("hamming") <= 2)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint() // feeds degrees + both rank joins
+    val deg = edges.select(col("a").as("id"))
+      .unionByName(edges.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orientation rank, degree-major / id-minor, encoded arithmetically
+    // (ids are far below 1e9 here; at larger id spaces use a computed
+    // dense rank instead of the arithmetic packing)
+    val rk = deg.select(col("id"),
+      (col("deg") * lit(1000000000L) + col("id")).as("rk"))
+    val oriented = edges
+      .join(rk.select(col("id").as("a"), col("rk").as("rka")), Seq("a"))
+      .join(rk.select(col("id").as("b"), col("rk").as("rkb")), Seq("b"))
+      .select(
+        when(col("rka") < col("rkb"), col("a")).otherwise(col("b")).as("u"),
+        when(col("rka") < col("rkb"), col("b")).otherwise(col("a")).as("v"),
+        greatest(col("rka"), col("rkb")).as("rkv"))
+      .localCheckpoint() // referenced three times in the wedge-close join
+    val e1 = oriented.select(col("u"), col("v").as("v1"), col("rkv").as("rk1"))
+    val e2 = oriented.select(col("u"), col("v").as("v2"), col("rkv").as("rk2"))
+    val tri = e1.join(e2, Seq("u")).filter(col("rk1") < col("rk2"))
+      .join(oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = deg.agg(sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
+    tri.crossJoin(wedges) // two one-row frames: the correct cross join
+      .select(col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") > 0,
+          lit(3.0) * col("n_triangles") / col("n_wedges"))
+          .otherwise(lit(null).cast("double")).as("transitivity"))
+  }
+
   // ---- d6: embedding cosine near-dup (hyperplane LSH) -------------------
 
   /** Deterministic ±1 hyperplanes: plane t·16+p, dim d gets sign from
@@ -632,7 +685,8 @@ object Dedup {
     "d6_embed_neardup" -> (embedNearDup _),
     "d7_dedup_clusters" -> (dedupClusters _),
     "d8_minhash_estimate" -> (minhashEstimate _),
-    "d9_embed_clusters" -> (embedClusters _)
+    "d9_embed_clusters" -> (embedClusters _),
+    "d10_triangle_census" -> (triangleStats _)
   )
 
   // ---- oracle SQL -------------------------------------------------------
@@ -795,6 +849,41 @@ object Dedup {
          |    SELECT r.src, e.v FROM r JOIN und e ON r.dst = e.u)
          |  SELECT src, dst FROM r)
          |SELECT src AS doc_id, min(dst) AS canonical
-         |FROM reach GROUP BY src""".stripMargin
+         |FROM reach GROUP BY src""".stripMargin,
+    "d10_triangle_census" ->
+      s"""WITH sk AS (
+         |  SELECT doc_id, ${simhashSql("hs")} AS simhash
+         |  FROM (SELECT doc_id,
+         |          list_transform(${tokenSetSql("text")}, t -> ${tokenHashSql("t")}) AS hs
+         |        FROM documents)),
+         |banded AS (
+         |  ${(0 until 4).map(b =>
+             s"SELECT doc_id, simhash, $b AS band, (simhash >> ${8 * b}) % 256 AS bkey FROM sk")
+             .mkString("\n  UNION ALL\n  ")}),
+         |edges AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+         |deg AS (
+         |  SELECT id, count(*) AS deg
+         |  FROM (SELECT a AS id FROM edges UNION ALL SELECT b FROM edges)
+         |  GROUP BY id),
+         |rk AS (SELECT id, deg * 1000000000 + id AS rk FROM deg),
+         |o AS (
+         |  SELECT CASE WHEN ra.rk < rb.rk THEN e.a ELSE e.b END AS u,
+         |         CASE WHEN ra.rk < rb.rk THEN e.b ELSE e.a END AS v,
+         |         greatest(ra.rk, rb.rk) AS rkv
+         |  FROM edges e JOIN rk ra ON e.a = ra.id JOIN rk rb ON e.b = rb.id),
+         |tri AS (
+         |  SELECT count(*) AS n_triangles
+         |  FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.rkv < e2.rkv
+         |  JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
+         |w AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+         |      FROM deg)
+         |SELECT n_triangles, n_wedges,
+         |  CASE WHEN n_wedges > 0 THEN 3.0 * n_triangles / n_wedges
+         |       ELSE NULL END AS transitivity
+         |FROM tri, w""".stripMargin
   )
 }

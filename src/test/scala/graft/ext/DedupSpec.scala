@@ -192,4 +192,25 @@ class DedupSpec extends SparkSpec {
     val md5Count = "conv\\(substring\\(md5\\(".r.findAllIn(p).size
     assert(md5Count == 0, s"md5 inlined $md5Count times — sketch frame not reused:\n$p")
   }
+
+  test("d10 triangle census equals brute-force enumeration over the edge set") {
+    import org.apache.spark.sql.functions._
+    val edges = Dedup.simhashNearDup(spark, sf)
+      .filter(col("hamming") <= 2)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val triBrute = edges.toSeq.map { case (a, b) =>
+      (adj(a) intersect adj(b)).size.toLong
+    }.sum / 3 // each triangle counted once per edge
+    val wedgeBrute = adj.values.map(n => n.size.toLong * (n.size - 1) / 2).sum
+    val row = Dedup.triangleStats(spark, sf).collect().head
+    assert(row.getLong(0) == triBrute,
+      s"triangles ${row.getLong(0)} != brute $triBrute")
+    assert(row.getLong(1) == wedgeBrute,
+      s"wedges ${row.getLong(1)} != brute $wedgeBrute")
+    if (wedgeBrute > 0)
+      assert(row.getDouble(2) == 3.0 * triBrute / wedgeBrute)
+  }
 }
