@@ -31,6 +31,95 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object StreamApply {
 
+  /** The manifest-pointer commit machinery shared by the versioned
+    * stores: append-only version directories plus one `CURRENT` file
+    * replaced by an atomic rename. See [[ParquetUpsertStore]] for the
+    * full protocol description.
+    */
+  private[streaming] final class ManifestDir(dir: String) extends Serializable {
+
+    private val VersionPrefix = "state_v"
+    private val PointerTmpPrefix = "CURRENT.tmp."
+
+    private def currentPath = Paths.get(dir, "CURRENT")
+
+    /** Name of the live version directory, if any commit has happened. */
+    def currentVersion(): Option[String] =
+      if (Files.exists(currentPath))
+        Some(new String(Files.readAllBytes(currentPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      else None
+
+    def versionPath(ver: String): String = s"$dir/$ver"
+
+    /** Next version name: the triggering batch id plus a monotone epoch,
+      * so a replayed batch id never reuses a directory name.
+      */
+    def nextVersionName(batchId: Long): String = {
+      val epoch = currentVersion().map(epochOf(_) + 1).getOrElse(0L)
+      s"$VersionPrefix${batchId}_e$epoch"
+    }
+
+    def epochOf(ver: String): Long =
+      ver.substring(ver.lastIndexOf('e') + 1).toLong
+
+    private def deleteRecursively(p: java.nio.file.Path): Unit = {
+      val w = Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally w.close()
+    }
+
+    /** Garbage-collect version dirs the pointer does not reference
+      * (torn writes, superseded states) and orphaned pointer tmp files.
+      * Purely a space matter — correctness never depends on cleanup
+      * having run, because readers only ever follow `CURRENT`.
+      * Idempotent; called ONLY from writer paths: a reader must never
+      * delete — another process's writer may have written a version dir
+      * it has not pointer-committed yet. The immediately superseded
+      * version (epoch = live epoch − 1) is retained one merge longer,
+      * so a lazy snapshot frame handed out before the latest commit
+      * still has its files for one more cycle.
+      */
+    def clean(): Unit = {
+      val d = Paths.get(dir)
+      if (!Files.isDirectory(d)) return
+      val live = currentVersion()
+      val liveEpoch = live.map(epochOf)
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(d)
+      val strays =
+        try s.iterator().asScala.toList.filter { f =>
+          val n = f.getFileName.toString
+          val superseded = n.startsWith(VersionPrefix) && !live.contains(n)
+          val keepForLazyReaders = superseded &&
+            liveEpoch.exists(le => epochOf(n) == le - 1)
+          (superseded && !keepForLazyReaders) || n.startsWith(PointerTmpPrefix)
+        }
+        finally s.close()
+      strays.foreach(deleteRecursively)
+    }
+
+    /** The commit point: publish `ver` by atomically replacing `CURRENT`.
+      * The pointer content is fsync'd into a tmp file first, so the
+      * rename never publishes a torn pointer; POSIX `rename(2)` replaces
+      * the old pointer atomically.
+      */
+    def commitPointer(ver: String): Unit = {
+      val tmp = Paths.get(dir, PointerTmpPrefix + ver)
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        ch.write(java.nio.ByteBuffer.wrap(
+          ver.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        ch.force(true)
+      } finally ch.close()
+      Files.move(tmp, currentPath, StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
   /** Micro-batch merge: new state = last-write-wins over (old state ∪
     * batch), committed with a MANIFEST POINTER — the single-pointer
     * design every transactional table format (Delta's `_last_checkpoint`,
@@ -65,82 +154,11 @@ object StreamApply {
       key: String, seq: String, opCol: String, deleteOp: String,
       payloadCols: Seq[String]) extends Serializable {
 
-    private val VersionPrefix = "state_v"
-    private val PointerTmpPrefix = "CURRENT.tmp."
-
-    private def currentPath = Paths.get(dir, "CURRENT")
-
-    /** Name of the live version directory, if any commit has happened. */
-    private def currentVersion(): Option[String] =
-      if (Files.exists(currentPath))
-        Some(new String(Files.readAllBytes(currentPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim)
-      else None
-
-    private def deleteRecursively(p: java.nio.file.Path): Unit = {
-      val w = Files.walk(p)
-      try w.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-      finally w.close()
-    }
-
-    /** Garbage-collect version dirs the pointer does not reference
-      * (torn writes, superseded states) and orphaned pointer tmp files.
-      * Purely a space matter — correctness never depends on cleanup
-      * having run, because readers only ever follow `CURRENT`.
-      * Idempotent; called ONLY from the writer path (`merge`): a reader
-      * must never delete — another process's writer may have written a
-      * version dir it has not pointer-committed yet, and collecting it
-      * from a read entry point would leave that writer's `CURRENT`
-      * naming a deleted directory. The immediately superseded version
-      * (epoch = live epoch − 1) is retained one merge longer, so a lazy
-      * `snapshot()` frame handed out before the latest commit still has
-      * its files for one more cycle.
-      */
-    private def clean(): Unit = {
-      val d = Paths.get(dir)
-      if (!Files.isDirectory(d)) return
-      val live = currentVersion()
-      val liveEpoch = live.map(epochOf)
-      import scala.jdk.CollectionConverters._
-      val s = Files.list(d)
-      val strays =
-        try s.iterator().asScala.toList.filter { f =>
-          val n = f.getFileName.toString
-          val superseded = n.startsWith(VersionPrefix) && !live.contains(n)
-          val keepForLazyReaders = superseded &&
-            liveEpoch.exists(le => epochOf(n) == le - 1)
-          (superseded && !keepForLazyReaders) || n.startsWith(PointerTmpPrefix)
-        }
-        finally s.close()
-      strays.foreach(deleteRecursively)
-    }
-
-    private def epochOf(ver: String): Long =
-      ver.substring(ver.lastIndexOf('e') + 1).toLong
-
-    /** The commit point: publish `ver` by atomically replacing `CURRENT`.
-      * The pointer content is fsync'd into a tmp file first, so the
-      * rename never publishes a torn pointer; POSIX `rename(2)` replaces
-      * the old pointer atomically.
-      */
-    private def commitPointer(ver: String): Unit = {
-      val tmp = Paths.get(dir, PointerTmpPrefix + ver)
-      val ch = java.nio.channels.FileChannel.open(tmp,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE,
-        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
-      try {
-        ch.write(java.nio.ByteBuffer.wrap(
-          ver.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-        ch.force(true)
-      } finally ch.close()
-      Files.move(tmp, currentPath, StandardCopyOption.ATOMIC_MOVE)
-    }
+    private val manifest = new ManifestDir(dir)
 
     def snapshot(): DataFrame = {
-      currentVersion() match {
-        case Some(v) => spark.read.parquet(s"$dir/$v")
+      manifest.currentVersion() match {
+        case Some(v) => spark.read.parquet(manifest.versionPath(v))
         case None    => spark.emptyDataFrame
       }
     }
@@ -153,20 +171,19 @@ object StreamApply {
       * state is never touched until the pointer swings.
       */
     def merge(batch: DataFrame, batchId: Long): Unit = {
-      clean()
+      manifest.clean()
       val cols = (key +: seq +: opCol +: payloadCols).distinct
       val incoming = batch.select(cols.map(col): _*)
-      val live = currentVersion()
-      val merged = live match {
-        case Some(v) => spark.read.parquet(s"$dir/$v").unionByName(incoming)
+      val merged = manifest.currentVersion() match {
+        case Some(v) => spark.read.parquet(manifest.versionPath(v))
+          .unionByName(incoming)
         case None    => incoming
       }
       val next = Materialize.latestByKey(merged, key, seq, Seq(opCol) ++ payloadCols)
-      val epoch = live.map(epochOf(_) + 1).getOrElse(0L)
-      val ver = s"$VersionPrefix${batchId}_e$epoch"
-      next.write.mode("overwrite").parquet(s"$dir/$ver")
-      commitPointer(ver) // the single atomic step
-      clean()            // superseded version is now garbage
+      val ver = manifest.nextVersionName(batchId)
+      next.write.mode("overwrite").parquet(manifest.versionPath(ver))
+      manifest.commitPointer(ver) // the single atomic step
+      manifest.clean()            // superseded version is now garbage
     }
 
     /** Serving view: live (non-deleted) rows only. */
@@ -178,6 +195,86 @@ object StreamApply {
 
   /** foreachBatch upsert writer over a normalized CDC event stream. */
   def upsertWriter(events: DataFrame, store: ParquetUpsertStore,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, id: Long) => store.merge(batch, id))
+
+  /** Streaming incremental view maintenance — the streaming twin of the
+    * batch `o17` operator: the store keeps BOTH the keyed state and a
+    * maintained aggregate (live keys per `aggCol` value), and each
+    * micro-batch updates the aggregate from signed deltas over the
+    * batch's keys only — retract the affected keys' old contributions,
+    * merge, re-add their new ones — never rescanning the full state.
+    *
+    * Both tables live in the SAME version directory (`state/`, `agg/`)
+    * and commit with the ONE pointer rename, so they can never diverge:
+    * a crash between the two parquet writes leaves an unreferenced torn
+    * version, and a crash after the pointer swing leaves both updated.
+    * Replay is self-correcting without any batch-id bookkeeping — a
+    * replayed merge finds the state unchanged by the replayed batch
+    * (last-write-wins is idempotent), so retract and re-add cancel
+    * exactly and the aggregate is untouched.
+    */
+  final class IvmUpsertStore(spark: SparkSession, dir: String,
+      key: String, seq: String, opCol: String, deleteOp: String,
+      payloadCols: Seq[String], aggCol: String) extends Serializable {
+
+    private val manifest = new ManifestDir(dir)
+
+    private def stateAt(v: String): DataFrame =
+      spark.read.parquet(s"${manifest.versionPath(v)}/state")
+    private def aggAt(v: String): DataFrame =
+      spark.read.parquet(s"${manifest.versionPath(v)}/agg")
+
+    /** Live (non-deleted) keyed state. */
+    def view(): DataFrame = manifest.currentVersion() match {
+      case Some(v) => stateAt(v).filter(col(opCol) =!= deleteOp)
+      case None    => spark.emptyDataFrame
+    }
+
+    /** The maintained aggregate: live-key count per `aggCol` value. */
+    def aggView(): DataFrame = manifest.currentVersion() match {
+      case Some(v) => aggAt(v)
+      case None    => spark.emptyDataFrame
+    }
+
+    def merge(batch: DataFrame, batchId: Long): Unit = {
+      manifest.clean()
+      val cols = (key +: seq +: opCol +: payloadCols).distinct
+      val incoming = batch.select(cols.map(col): _*)
+      val live = manifest.currentVersion()
+      val curState = live.map(stateAt).getOrElse(incoming.limit(0))
+      val curAgg = live.map(aggAt).getOrElse(
+        incoming.select(col(aggCol)).limit(0).withColumn("n", lit(0L)))
+      val keys = incoming.select(key).distinct()
+      def liveOf(state: DataFrame) = state.filter(col(opCol) =!= deleteOp)
+      val retract = liveOf(curState).join(keys, Seq(key), "left_semi")
+        .groupBy(aggCol).agg((count(lit(1)) * lit(-1L)).as("n"))
+      val newState = Materialize.latestByKey(curState.unionByName(incoming),
+        key, seq, Seq(opCol) ++ payloadCols)
+      val ver = manifest.nextVersionName(batchId)
+      newState.write.mode("overwrite")
+        .parquet(s"${manifest.versionPath(ver)}/state")
+      // re-add reads the state JUST written — no second computation of
+      // the merge, and the aggregate is derived from exactly the bytes
+      // the pointer is about to publish
+      val readd = liveOf(spark.read.parquet(s"${manifest.versionPath(ver)}/state"))
+        .join(keys, Seq(key), "left_semi")
+        .groupBy(aggCol).agg(count(lit(1)).as("n"))
+      val newAgg = curAgg.unionByName(retract).unionByName(readd)
+        .groupBy(aggCol).agg(sum("n").as("n"))
+        .filter(col("n") > 0)
+      newAgg.write.mode("overwrite")
+        .parquet(s"${manifest.versionPath(ver)}/agg")
+      manifest.commitPointer(ver) // ONE atomic step commits both tables
+      manifest.clean()
+    }
+  }
+
+  /** foreachBatch writer maintaining state + aggregate incrementally. */
+  def ivmWriter(events: DataFrame, store: IvmUpsertStore,
       checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .outputMode("update")
