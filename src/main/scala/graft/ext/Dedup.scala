@@ -125,49 +125,20 @@ object Dedup {
     * distinct — each step a plain relational op Catalyst can't
     * pessimize.
     */
-  private val frameMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
-
-  /** Session key for the memo: a UUID minted once per session object,
-    * held in a weak map keyed on the session REFERENCE. Reference
-    * identity cannot collide across live sessions (an identity hash
-    * can be reused by a later session, which would serve it another
-    * session's frame), and the weak key lets a collected session's id
-    * mapping go with it.
-    */
-  private val sessionIds = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, String]())
-
-  private def sessionKey(spark: SparkSession): String =
-    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
-
-  private def ownerStopped(df: DataFrame): Boolean = df.sparkSession match {
-    case c: org.apache.spark.sql.classic.SparkSession => c.sparkContext.isStopped
-    case _ => false
-  }
-
-  /** Memoize a small derived frame per (name, session, directory). The
-    * builds materialize via localCheckpoint, so each shared intermediate
-    * (shingle postings, near-dup pair sets) is computed once per driver
-    * run no matter how many queries consume it — the local stand-in for
-    * writing the intermediate table once and scanning it per consumer.
-    * Each access first evicts frames whose owning session has stopped:
-    * they can never be served again, and dropping them releases the
-    * checkpoint blocks instead of pinning them for the JVM lifetime.
+  /** Memoize a small derived frame per (name, session, directory) —
+    * see [[FrameMemo]] (shared with the text/search posting frames).
     */
   private def memoFrame(name: String, spark: SparkSession, sfDir: String)(
-      build: => DataFrame): DataFrame = {
-    frameMemo.entrySet().removeIf(e => ownerStopped(e.getValue))
-    frameMemo.computeIfAbsent((name, sessionKey(spark), sfDir), _ => build)
-  }
+      build: => DataFrame): DataFrame =
+    FrameMemo(name, spark, sfDir)(build)
 
-  /** Drop all memoized frames. The bench calls this before each timed
-    * pass so every pass pays each shared intermediate exactly once —
-    * otherwise min-of-passes would silently exclude the build costs
-    * (pass 2 reads pass 1's cache) and the total would understate a
-    * cold driver run.
+  /** Drop ALL memoized frames (every [[FrameMemo]] user, not just this
+    * file's). The bench calls this before each timed pass so every pass
+    * pays each shared intermediate exactly once — otherwise
+    * min-of-passes would silently exclude the build costs (pass 2 reads
+    * pass 1's cache) and the total would understate a cold driver run.
     */
-  private[graft] def clearMemos(): Unit = frameMemo.clear()
+  private[graft] def clearMemos(): Unit = FrameMemo.clear()
 
   private[ext] def shingleFrame(spark: SparkSession, sfDir: String): DataFrame =
     memoFrame("shingles", spark, sfDir)(buildShingleFrame(spark, sfDir))
@@ -544,14 +515,18 @@ object Dedup {
     perBand.reduce(_ unionByName _)
   }
 
-  /** d10 — triangle census of the near-dup graph (edges = tight SimHash
-    * pairs, Hamming ≤ 2): global triangle count, wedge count, and
-    * transitivity 3·T/W — the structural audit that tells a dedup
-    * pipeline whether its near-dup relation is clique-like (true
-    * duplicate clusters — safe to collapse to one canonical) or
-    * path-like (similarity chains, where collapsing a whole component
-    * overshoots; cf. the chain-vs-clique caveat every dedup paper
-    * carries).
+  /** d10 — triangle census of the near-dup graph (edges =
+    * [[embedNearDup]]'s cosine pairs, the same memoized frame d9
+    * clusters): global triangle count, wedge count, and transitivity
+    * 3·T/W — the structural audit that tells a dedup pipeline whether
+    * its near-dup relation is clique-like (true duplicate clusters —
+    * safe to collapse to one canonical) or path-like (similarity
+    * chains, where collapsing a whole component overshoots; cf. the
+    * chain-vs-clique caveat every dedup paper carries). The SimHash
+    * pair graph was rejected as the edge set: on this tiny-vocabulary
+    * corpus byte-band sketches collide pathologically (76k pairs at
+    * Hamming 0, sf0.1), which is a property of the synthetic corpus,
+    * not of the operator — the embedding graph has organic sparsity.
     *
     * Degree-ORIENTED join formulation, the shape that survives skew at
     * scale: each undirected edge is directed from its lower-(degree, id)
@@ -564,9 +539,8 @@ object Dedup {
     * so the oracle hash-matches.
     */
   def triangleStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = simhashNearDup(spark, sfDir)
-      .filter(col("hamming") <= 2)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val edges = embedNearDup(spark, sfDir)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
       .localCheckpoint() // feeds degrees + both rank joins
     val deg = edges.select(col("a").as("id"))
       .unionByName(edges.select(col("b").as("id")))
@@ -851,20 +825,8 @@ object Dedup {
          |SELECT src AS doc_id, min(dst) AS canonical
          |FROM reach GROUP BY src""".stripMargin,
     "d10_triangle_census" ->
-      s"""WITH sk AS (
-         |  SELECT doc_id, ${simhashSql("hs")} AS simhash
-         |  FROM (SELECT doc_id,
-         |          list_transform(${tokenSetSql("text")}, t -> ${tokenHashSql("t")}) AS hs
-         |        FROM documents)),
-         |banded AS (
-         |  ${(0 until 4).map(b =>
-             s"SELECT doc_id, simhash, $b AS band, (simhash >> ${8 * b}) % 256 AS bkey FROM sk")
-             .mkString("\n  UNION ALL\n  ")}),
-         |edges AS (
-         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+      s"""WITH pairs AS ($d6Sql),
+         |edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs),
          |deg AS (
          |  SELECT id, count(*) AS deg
          |  FROM (SELECT a AS id FROM edges UNION ALL SELECT b FROM edges)

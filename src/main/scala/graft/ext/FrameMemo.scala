@@ -1,0 +1,50 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Memoization of small derived frames per (name, session, directory) —
+  * the local stand-in for writing a shared intermediate table once and
+  * scanning it per consumer. Builders materialize via `localCheckpoint`,
+  * so each shared intermediate (shingle postings, near-dup pair sets,
+  * term frequencies, n-gram bases) is computed once per driver run no
+  * matter how many queries consume it.
+  *
+  * Sessions key on a UUID minted once per session OBJECT, held in a
+  * weak map keyed on the session reference: reference identity cannot
+  * collide across live sessions (an identity hash can be reused by a
+  * later session, which would serve it another session's frame), and
+  * the weak key lets a collected session's id mapping go with it. Each
+  * access first evicts frames whose owning session has stopped — they
+  * can never be served again, and dropping them releases the checkpoint
+  * blocks instead of pinning them for the JVM lifetime.
+  */
+private[ext] object FrameMemo {
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  private def sessionKey(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
+
+  private def ownerStopped(df: DataFrame): Boolean = df.sparkSession match {
+    case c: org.apache.spark.sql.classic.SparkSession => c.sparkContext.isStopped
+    case _ => false
+  }
+
+  def apply(name: String, spark: SparkSession, sfDir: String)(
+      build: => DataFrame): DataFrame = {
+    memo.entrySet().removeIf(e => ownerStopped(e.getValue))
+    memo.computeIfAbsent((name, sessionKey(spark), sfDir), _ => build)
+  }
+
+  /** Drop all memoized frames. The bench calls this before each timed
+    * pass so every pass pays each shared intermediate exactly once —
+    * otherwise min-of-passes would silently exclude the build costs
+    * (pass 2 reads pass 1's cache) and the total would understate a
+    * cold driver run.
+    */
+  def clear(): Unit = memo.clear()
+}

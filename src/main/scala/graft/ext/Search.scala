@@ -64,10 +64,9 @@ object Search {
   def matchSearch(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val q = matchQueries.toDF("query_id", "term")
-    val tf = docs(spark, sfDir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // referenced twice: df derivation + scoring join
+    // the same memoized posting frame x10's TF-IDF reads — built once
+    // per driver run (at 100 TB: the written term-frequency table)
+    val tf = TextAnalysis.termFreq(spark, sfDir)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs(spark, sfDir).agg(count(lit(1)).as("n_docs"))
     val hits = tf
@@ -95,11 +94,8 @@ object Search {
   def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val q = phraseQueries.toDF("query_id", "phrase")
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val base = docs(spark, sfDir)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
-      .withColumn("w2", lead("w1", 1).over(w))
-      .withColumn("w3", lead("w1", 2).over(w))
+    // shared lead-window n-gram base (memoized with x11's bigrams)
+    val base = TextAnalysis.gramBase(spark, sfDir)
     val g2 = base.filter(col("w2").isNotNull)
       .select(col("doc_id"), concat_ws(" ", col("w1"), col("w2")).as("gram"))
     val g3 = base.filter(col("w3").isNotNull)

@@ -158,15 +158,38 @@ object TextAnalysis {
     * window the optimizer executes as WindowGroupLimit (per-partition
     * limits before the exchange).
     */
+  /** Per-(doc, term) frequency postings, memoized across consumers (x10
+    * TF-IDF, x12 match search) — one tokenize+explode+aggregate pass per
+    * driver run. df (docs containing a term) is exactly the per-term row
+    * count of tf, since tf is unique per (doc, term) — deriving it from
+    * tf replaces a second corpus scan + countDistinct expand with a
+    * cheap reaggregation of the (already small) tf frame.
+    */
+  private[ext] def termFreq(spark: SparkSession, sfDir: String): DataFrame =
+    FrameMemo("termTf", spark, sfDir)(
+      docs(spark, sfDir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint())
+
+  /** Positional unigram/bigram/trigram base — the lead-window n-gram
+    * formulation, memoized across consumers (x11 bigram stats, x13
+    * phrase search): the tokenize + posexplode + per-doc window shuffle
+    * is paid once per driver run.
+    */
+  private[ext] def gramBase(spark: SparkSession, sfDir: String): DataFrame =
+    FrameMemo("gramBase", spark, sfDir) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      docs(spark, sfDir)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
+        .withColumn("w2", lead("w1", 1).over(w))
+        .withColumn("w3", lead("w1", 2).over(w))
+        .localCheckpoint()
+    }
+
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = docs(spark, sfDir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    // ONE tokenize+explode pass: df (docs containing a term) is exactly
-    // the per-term row count of tf, since tf is unique per (doc, term) —
-    // deriving it from tf replaces a second corpus scan + countDistinct
-    // expand with a cheap reaggregation of the (already small) tf frame.
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val tf = termFreq(spark, sfDir)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs(spark, sfDir).agg(count(lit(1)).as("n_docs"))
     val score = col("tf").cast("double") * col("n_docs") / col("df")
@@ -195,12 +218,7 @@ object TextAnalysis {
     * as TakeOrderedAndProject.
     */
   def bigramStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val bi = docs(spark, sfDir)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
-      .withColumn("w2", lead("w1", 1).over(w))
-      .filter(col("w2").isNotNull)
+    val bi = gramBase(spark, sfDir).filter(col("w2").isNotNull)
     val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val uni = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
     big.join(uni, Seq("w1"))

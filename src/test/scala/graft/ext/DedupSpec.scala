@@ -195,9 +195,8 @@ class DedupSpec extends SparkSpec {
 
   test("d10 triangle census equals brute-force enumeration over the edge set") {
     import org.apache.spark.sql.functions._
-    val edges = Dedup.simhashNearDup(spark, sf)
-      .filter(col("hamming") <= 2)
-      .select("doc_a", "doc_b").collect()
+    val edges = Dedup.embedNearDup(spark, sf)
+      .select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
