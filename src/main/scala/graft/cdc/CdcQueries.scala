@@ -254,6 +254,36 @@ object CdcQueries {
         date_trunc("day", col("ts")).as("day"),
         floor(col("value")).cast("long").as("value_floor"))
 
+  /** O19 — additive schema evolution on the wire: Debezium emits the
+    * NEW shape the moment the source table gains a column, while the
+    * log's history keeps the old shape forever — so a consumer must
+    * read BOTH with one schema. The Spark answer is the lakehouse one:
+    * parse with the LATEST (widest) schema and let absent fields
+    * surface as nulls (the old records' default), never rewriting
+    * history and never branching the pipeline per generation. Here
+    * every third event carries the evolved wire (an added `region`
+    * field); one `from_json` against the wide schema handles both, and
+    * the oracle hash-match proves old-generation rows come out with
+    * exactly-null evolution columns.
+    */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val gen2 = col("event_id") % 3 === 0
+    val wired = Tables.events(spark, sfDir).select(
+      col("event_id"),
+      when(gen2,
+        concat(lit("{\"k\":"), get_json_object(col("props"), "$.k"),
+          lit(",\"region\":\"r"), (col("user_id") % 4).cast("string"), lit("\"}")))
+        .otherwise(concat(lit("{\"k\":"),
+          get_json_object(col("props"), "$.k"), lit("}"))).as("wire"))
+    val wide = org.apache.spark.sql.types.StructType
+      .fromDDL("k INT, region STRING")
+    wired
+      .select(col("event_id"), from_json(col("wire"), wide).as("p"))
+      .select(col("event_id"), col("p.k").as("k"), col("p.region").as("region"),
+        when(col("p.region").isNotNull, 2).otherwise(1)
+          .cast("int").as("schema_gen"))
+  }
+
   val queries: Map[String, Q] = Map(
     "o01_cdc_scan" -> (cdcScan _),
     "o02_insert_writer" -> (insertWriter _),
@@ -272,7 +302,8 @@ object CdcQueries {
     "o15_dlq_route" -> (dlqRoute _),
     "o16_log_compact" -> ((s, d) => logCompact(s, d)),
     "o17_incremental_agg" -> ((s, d) => incrementalAgg(s, d)),
-    "o18_share_gate" -> (shareGate _)
+    "o18_share_gate" -> (shareGate _),
+    "o19_schema_evolution" -> (schemaEvolution _)
   )
 
   private val opCase =
@@ -386,6 +417,17 @@ object CdcQueries {
          |  SELECT user_id, event_type, ts, value,
          |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
          |  FROM events)
-         |WHERE rn = 1 AND event_type IN ('click', 'view')""".stripMargin
+         |WHERE rn = 1 AND event_type IN ('click', 'view')""".stripMargin,
+    // values only — the oracle need not re-enact the JSON round-trip;
+    // the hash match is what proves the wide-schema parse fills
+    // old-generation records with exactly-null evolution columns
+    "o19_schema_evolution" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  CASE WHEN event_id % 3 = 0
+        |       THEN 'r' || CAST(user_id % 4 AS VARCHAR) END AS region,
+        |  CAST(CASE WHEN event_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER)
+        |    AS schema_gen
+        |FROM events""".stripMargin
   )
 }

@@ -45,4 +45,20 @@ class IvmShareSpec extends SparkSpec {
     // one row per shared key: the view is the materialized state
     assert(tokens.size == rows.length, "duplicate keys in share view")
   }
+
+  test("o19 wide-schema parse reads both wire generations in one pass") {
+    val rows = CdcQueries.schemaEvolution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (id, gen) = (r.getLong(0), r.getInt(3))
+      assert(!r.isNullAt(1), s"k must parse in both generations (event $id)")
+      if (id % 3 == 0) {
+        assert(gen == 2 && r.getString(2).startsWith("r"),
+          s"evolved record $id lost its new field")
+      } else {
+        assert(gen == 1 && r.isNullAt(2),
+          s"old-generation record $id must null-fill the evolved column")
+      }
+    }
+  }
 }
