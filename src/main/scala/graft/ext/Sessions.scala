@@ -86,10 +86,48 @@ object Sessions {
       .agg(count(lit(1)).as("n_events"), min("first_seq").as("first_seq"))
   }
 
+  /** k4 — ordered conversion funnel: per user, the first qualifying
+    * signup, then the first high-value click STRICTLY AFTER it, then
+    * the first high-value purchase strictly after that — funnel depth
+    * 0-3, reported as users per depth. The event-sequence analytic
+    * every product dashboard runs, built without any per-user event
+    * sort: each stage is a keyed min-aggregation (map-side partials)
+    * joined to the previous stage on the user key, so the work per
+    * stage is one shuffle of one row per surviving user — at 100 TB
+    * the funnel narrows the data stage by stage instead of windowing
+    * the whole event history. Strict `>` comparisons are safe:
+    * (user_id, ts) is unique in the stream.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click" && col("value") > 200)
+      .join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase" && col("value") > 400)
+      .join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    ev.select("user_id").distinct()
+      .join(s1.select(col("user_id"), lit(1).as("d1")), Seq("user_id"), "left")
+      .join(s2.select(col("user_id"), lit(1).as("d2")), Seq("user_id"), "left")
+      .join(s3.select(col("user_id"), lit(1).as("d3")), Seq("user_id"), "left")
+      .select(
+        when(col("d3").isNotNull, 3)
+          .when(col("d2").isNotNull, 2)
+          .when(col("d1").isNotNull, 1)
+          .otherwise(0).cast("int").as("depth"))
+      .groupBy("depth").agg(count(lit(1)).as("n_users"))
+  }
+
   val queries: Map[String, Q] = Map(
     "k1_session_stats" -> (sessionStats _),
     "k2_distinct_types" -> (distinctTypes _),
-    "k3_salted_join" -> (saltedJoin _)
+    "k3_salted_join" -> (saltedJoin _),
+    "k4_funnel" -> (funnel _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -123,6 +161,33 @@ object Sessions {
         |  FROM events GROUP BY user_id)
         |SELECT e.user_id, count(*) AS n_events, min(d.first_seq) AS first_seq
         |FROM events e JOIN dim d ON e.user_id = d.user_id
-        |GROUP BY e.user_id""".stripMargin
+        |GROUP BY e.user_id""".stripMargin,
+    "k4_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.value > 200 AND e.ts > s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.value > 400 AND e.ts > s2.t2
+        |  GROUP BY e.user_id)
+        |SELECT CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |                 WHEN s2.user_id IS NOT NULL THEN 2
+        |                 WHEN s1.user_id IS NOT NULL THEN 1
+        |                 ELSE 0 END AS INTEGER) AS depth,
+        |  count(*) AS n_users
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN s1 ON u.user_id = s1.user_id
+        |LEFT JOIN s2 ON u.user_id = s2.user_id
+        |LEFT JOIN s3 ON u.user_id = s3.user_id
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -53,4 +53,25 @@ class SessionsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(twoPhase == direct)
   }
+
+  test("k4 funnel depths match a per-user sequential fold") {
+    import org.apache.spark.sql.functions._
+    val evs = graft.Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime,
+        r.getDouble(3)))
+    val byUser = evs.groupBy(_._1)
+    val expected = byUser.map { case (_, es) =>
+      val t1 = es.filter(_._2 == "signup").map(_._3).minOption
+      val t2 = t1.flatMap(t => es.filter(e =>
+        e._2 == "click" && e._4 > 200 && e._3 > t).map(_._3).minOption)
+      val t3 = t2.flatMap(t => es.filter(e =>
+        e._2 == "purchase" && e._4 > 400 && e._3 > t).map(_._3).minOption)
+      if (t3.isDefined) 3 else if (t2.isDefined) 2
+      else if (t1.isDefined) 1 else 0
+    }.groupBy(identity).map { case (d, us) => d -> us.size.toLong }
+    val got = Sessions.funnel(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+  }
 }
