@@ -114,18 +114,61 @@ object Search {
         col("n_occurrences"), col("rank").cast("long").as("rank"))
   }
 
+  /** x14 — HYBRID retrieval: reciprocal-rank fusion of the lexical arm
+    * (x12's tf-idf ranking) and a dense vector arm (brute cosine top-10
+    * for the query vectors `vec_id == query_id`). RRF is the fusion
+    * every hybrid search engine defaults to because it needs only the
+    * RANKS, which are exact integers — here the classic
+    * `Σ 1/(60 + rank)` is kept in integer micro-units
+    * (`10^6 div (60 + rank)` summed as longs) so the fused ordering is
+    * order-independent and engine-exact, where a float sum would hang
+    * the oracle hash on addend order. Each arm is itself a bounded
+    * top-k, so the fusion join touches ≤ 2k rows per query regardless
+    * of corpus size.
+    */
+  def hybridSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    val text = matchSearch(spark, sfDir)
+      .select(col("query_id"), col("doc_id").as("id"),
+        expr("1000000 DIV (60 + rank)").as("arm_score"))
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val qids = matchQueries.map(_._1).distinct.map(_.toLong)
+    val q = e.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val vw = Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("id"))
+    val vec = e.crossJoin(broadcast(q)) // query side: 4 rows
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id"),
+        cosineSim(col("v"), col("qv")).as("cos_raw"))
+      .withColumn("vec_rank", row_number().over(vw))
+      .filter(col("vec_rank") <= 10)
+      .select(col("qid").cast("int").as("query_id"), col("id"),
+        expr("1000000 DIV (60 + vec_rank)").as("arm_score"))
+    val fw = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("id"))
+    text.unionByName(vec)
+      .groupBy("query_id", "id")
+      .agg(count(lit(1)).as("n_arms"), sum("arm_score").as("rrf_micro"))
+      .withColumn("rank", row_number().over(fw))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("id"), col("n_arms"), col("rrf_micro"),
+        col("rank").cast("long").as("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x12_match_search" -> (matchSearch _),
-    "x13_phrase_search" -> (phraseSearch _)
+    "x13_phrase_search" -> (phraseSearch _),
+    "x14_hybrid_rrf" -> (hybridSearch _)
   )
 
   private def valuesSql(rows: Seq[(Int, String)]): String =
     rows.map { case (id, s) => s"($id, '$s')" }.mkString(", ")
 
-  val oracle: Map[String, String] = Map(
-    "x12_match_search" ->
-      s"""WITH q(query_id, term) AS (VALUES ${valuesSql(matchQueries)}),
-         |toks AS (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents),
+  private val x12Sql =
+    s"""WITH q(query_id, term) AS (VALUES ${valuesSql(matchQueries)}),
+       |toks AS (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
          |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
          |n AS (SELECT count(*) AS n_docs FROM documents)
@@ -140,7 +183,10 @@ object Search {
          |        AS score_micro
          |    FROM tf JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN n
          |    GROUP BY q.query_id, tf.doc_id))
-         |WHERE rank <= 10""".stripMargin,
+         |WHERE rank <= 10""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "x12_match_search" -> x12Sql,
     "x13_phrase_search" ->
       s"""WITH q(query_id, phrase) AS (VALUES ${valuesSql(phraseQueries)}),
          |d AS (SELECT doc_id, ${tokensSql("text")} AS ws FROM documents),
@@ -158,6 +204,38 @@ object Search {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY n_occurrences DESC, doc_id) AS rank
          |      FROM hits)
+         |WHERE rank <= 10""".stripMargin,
+    "x14_hybrid_rrf" -> {
+      val qids = matchQueries.map(_._1).distinct.mkString(", ")
+      val cos = "(list_dot_product(e.v, q.qv) / " +
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))))"
+      s"""WITH textarm AS (
+         |  SELECT query_id, doc_id AS id, 1000000 // (60 + rank) AS arm_score
+         |  FROM ($x12Sql)),
+         |ev AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |vecarm AS (
+         |  SELECT CAST(query_id AS INTEGER) AS query_id, id,
+         |    1000000 // (60 + vec_rank) AS arm_score
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $cos DESC, e.vec_id) AS vec_rank
+         |    FROM ev e CROSS JOIN
+         |      (SELECT vec_id, v AS qv FROM ev WHERE vec_id IN ($qids)) q
+         |    WHERE e.vec_id <> q.vec_id)
+         |  WHERE vec_rank <= 10),
+         |fused AS (
+         |  SELECT query_id, id, count(*) AS n_arms,
+         |    CAST(sum(arm_score) AS BIGINT) AS rrf_micro
+         |  FROM (SELECT * FROM textarm UNION ALL SELECT * FROM vecarm)
+         |  GROUP BY query_id, id)
+         |SELECT query_id, id, n_arms, rrf_micro, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rrf_micro DESC, id) AS rank
+         |      FROM fused)
          |WHERE rank <= 10""".stripMargin
+    }
   )
 }

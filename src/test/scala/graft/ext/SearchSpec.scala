@@ -58,6 +58,42 @@ class SearchSpec extends SparkSpec {
       s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("x14 hybrid fusion equals RRF recomputed from its two arms") {
+    val text = Search.matchSearch(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(4))).toMap
+    import graft.functions.CosineSimilarity.cosineSim
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val qids = Search.matchQueries.map(_._1).distinct
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val vecArm = qids.flatMap { q =>
+      vecs.toSeq.filter(_._1 != q.toLong)
+        .map { case (id, v) => (id, cos(vecs(q.toLong), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).zipWithIndex
+        .map { case ((id, _), i) => ((q, id), i + 1L) }
+    }.toMap
+    val expected = (text.keySet ++ vecArm.keySet).groupBy(_._1).flatMap {
+      case (qid, keys) =>
+        val scored = keys.map { k =>
+          val s = text.get(k).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+            vecArm.get(k).map(r => 1000000L / (60 + r)).getOrElse(0L)
+          val nArms = text.contains(k).compare(false) + vecArm.contains(k).compare(false)
+          (k._2, nArms.toLong, s)
+        }.toSeq
+        scored.sortBy { case (id, _, s) => (-s, id) }.take(10).zipWithIndex
+          .map { case ((id, n, s), i) => (qid, id, n, s, i + 1L) }
+    }.toSet
+    val got = Search.hybridSearch(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("only the literal query frames broadcast; top-k is WindowGroupLimit") {
     // With auto-broadcast disabled, every BroadcastExchange in the plan
     // is an explicit hint — so the count must equal the hint sites on
