@@ -5,6 +5,10 @@ import org.apache.spark.sql.SparkSession
 case class BenchEv(seq: Long, key: Int, op: String, value: Double,
   ts: java.sql.Timestamp)
 
+/** Categorized CDC event for the incremental-view-maintenance bench. */
+case class BenchCatEv(seq: Long, key: Int, op: String, cat: String,
+  value: Double)
+
 /** Per-round benchmark: one JSON line with per-query and total seconds.
   *
   * A warmup pass at the smallest scale factor runs every query once
@@ -69,9 +73,9 @@ object Bench {
     val errs = results.collect { case (k, (false, _)) => "\"" + k + "\"" }
     val total = results.values.collect { case (true, v) => v }.sum
     val errField = if (errs.isEmpty) "" else s""","errors":${errs.mkString("[", ",", "]")}"""
-    val (upsertRate, dedupRate, twsRate) = streamingMetrics(spark)
+    val (upsertRate, dedupRate, twsRate, ivmRate) = streamingMetrics(spark)
     val streamField =
-      s""","streaming":{"upsert_rows_per_sec":$upsertRate,"dedup_rows_per_sec":$dedupRate,"tws_view_rows_per_sec":$twsRate}"""
+      s""","streaming":{"upsert_rows_per_sec":$upsertRate,"dedup_rows_per_sec":$dedupRate,"tws_view_rows_per_sec":$twsRate,"ivm_rows_per_sec":$ivmRate}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errField$streamField}""")
     spark.stop()
   }
@@ -87,7 +91,8 @@ object Bench {
     * take classloading/codegen out of the number. A failed stream
     * reports -1.
     */
-  private def streamingMetrics(spark: SparkSession): (Double, Double, Double) = {
+  private def streamingMetrics(spark: SparkSession)
+      : (Double, Double, Double, Double) = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -171,6 +176,22 @@ object Bench {
       }
     }
 
+    def timeIvm(n: Int, nKeys: Int, nBatches: Int): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bench-ivm").toString
+      val store = new streaming.StreamApply.IvmUpsertStore(spark, dir,
+        key = "key", seq = "seq", opCol = "op", deleteOp = "d",
+        payloadCols = Seq("cat", "value"), aggCol = "cat")
+      val in = MemoryStream[BenchCatEv]
+      val q = streaming.StreamApply.ivmWriter(in.toDF(), store, s"$dir/ckpt").start()
+      val batches = (0 until n).map(i => BenchCatEv(i.toLong, i % nKeys,
+          if (i % 17 == 0) "d" else "u", s"c${i % 5}", i * 0.5))
+        .grouped(n / nBatches).toSeq
+      val t0 = System.nanoTime()
+      try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      n / ((System.nanoTime() - t0) / 1e9)
+    }
+
     def safe(f: => Double): Double =
       try f catch { case e: Throwable =>
         System.err.println(s"BENCH STREAM FAIL: ${e.getClass.getName}: ${e.getMessage}")
@@ -179,8 +200,10 @@ object Bench {
     safe { timeUpsert(1000, 100, 2) }  // warmup
     safe { timeDedup(1000, 100, 2) }   // warmup
     safe { timeTws(1000, 100, 2) }     // warmup
+    safe { timeIvm(1000, 100, 2) }     // warmup
     (safe { timeUpsert(100000, 10000, 5) },
       safe { timeDedup(100000, 10000, 5) },
-      safe { timeTws(100000, 10000, 5) })
+      safe { timeTws(100000, 10000, 5) },
+      safe { timeIvm(100000, 10000, 5) })
   }
 }

@@ -154,15 +154,18 @@ object Sampling {
   def cmHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
     def buckets = array((0 until CmRows).map(i =>
       tokenHash(concat(lit(s"cm$i:"), col("term"))) % CmWidth): _*)
-    val toks = docs(spark, sfDir)
-      .select(explode(split(col("text"), " ")).as("term"))
-    val counters = toks
-      .select(posexplode(buckets).as(Seq("row", "bucket")))
-      .groupBy("row", "bucket").agg(count(lit(1)).as("c"))
-    val terms = toks.groupBy("term").agg(count(lit(1)).as("true_count"))
-    terms
+    // both the counters and the truth reaggregate the memoized
+    // per-(doc, term) posting frame — zero additional corpus scans; a
+    // counter cell is the sum of tf over the terms hashing into it,
+    // identical to counting occurrences directly
+    val terms = TextAnalysis.termFreq(spark, sfDir)
+      .groupBy("term").agg(sum("tf").as("true_count"))
       .select(col("term"), col("true_count"),
         posexplode(buckets).as(Seq("row", "bucket")))
+      .localCheckpoint() // vocabulary-sized; feeds counters AND the probe
+    val counters = terms.groupBy("row", "bucket")
+      .agg(sum("true_count").as("c"))
+    terms
       .join(counters, Seq("row", "bucket"))
       .groupBy("term", "true_count")
       .agg(min("c").as("cm_estimate"))
