@@ -46,6 +46,39 @@ object Layout {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Interchange-format round trips: CSV and JSON-lines sinks/sources
+    * with an EXPLICIT read schema (never `inferSchema` — at 100 TB
+    * inference is an extra full scan, and its guesses drift with the
+    * sample; the declared `StructType` is the single source of truth,
+    * exactly as the engine treats the CDC wire in `cdc/CdcModel`). The
+    * reference's wire format is JSON-lines over Kafka; these are the
+    * same records as files. CSV needs the timestamp format pinned so
+    * the round trip is lossless at microsecond precision.
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .csv(path)
+
+  def readCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .csv(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(path)
+
+  def readJsonl(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(path)
+
   /** Write `df` as a bucketed (and bucket-sorted) catalog table: `n`
     * buckets on `key`, rows sorted by `key` within each bucket file. The
     * `repartition` on the bucket key first means exactly one file per

@@ -81,4 +81,30 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ev_user_stats")
     }
   }
+
+  test("CSV and JSON-lines round trips are lossless under the declared schema") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts", "value", "props")
+    val schema = ev.schema
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val want = rows(ev)
+
+    val csvDir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    Layout.writeCsv(ev, csvDir)
+    val csvBack = Layout.readCsv(spark, csvDir, schema)
+    assert(csvBack.schema == schema, "csv schema drifted")
+    assert(rows(csvBack) == want, "csv round trip lost data")
+
+    val jsonDir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    Layout.writeJsonl(ev, jsonDir)
+    val jsonBack = Layout.readJsonl(spark, jsonDir, schema)
+    assert(rows(jsonBack) == want, "jsonl round trip lost data")
+
+    // explicit-schema reads must not scan for inference: both plans are
+    // a single FileScan with the declared ReadSchema
+    val p = csvBack.queryExecution.executedPlan.toString
+    assert(p.contains("FileScan csv"), s"unexpected csv plan:\n$p")
+  }
 }
