@@ -228,6 +228,33 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** x15 — n-gram LM score, the perplexity-proxy quality filter (the
+    * CCNet-style gate: documents whose n-grams are improbable under the
+    * corpus LM are boilerplate/garbage candidates). Score = mean bigram
+    * conditional probability P(w2|w1), each probability floor-quantized
+    * to integer micro-units BEFORE summing — a double sum's value
+    * depends on addend order, which neither engine pins, while a long
+    * sum is exact; the single final division is exact-input IEEE and
+    * portable. (True perplexity exponentiates a log sum — libm, the
+    * cross-engine hash trap; the rational mean ranks documents the same
+    * way for gating purposes.) Reuses the memoized gram base and the
+    * bigram/unigram counts — corpus scanned zero extra times.
+    */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val bi = gramBase(spark, sfDir).filter(col("w2").isNotNull)
+    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bi.select(col("doc_id"), col("w1"), col("w2"))
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .withColumn("p_micro", expr("c12 * 1000000 DIV c1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p_micro").as("score_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("score_sum").cast("double") / col("n_bigrams"), 6)
+          .as("lm_score_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x1_token_stats" -> (tokenStats _),
     "x2_quality_score" -> (qualityScore _),
@@ -236,7 +263,8 @@ object TextAnalysis {
     "x5_lang_source_rollup" -> (langSourceRollup _),
     "x6_subtoken_count" -> (subtokenCount _),
     "x10_tfidf_terms" -> (tfidfTopTerms _),
-    "x11_bigram_stats" -> (bigramStats _)
+    "x11_bigram_stats" -> (bigramStats _),
+    "x15_lm_score" -> (lmScore _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -318,6 +346,20 @@ object TextAnalysis {
          |SELECT w1, w2, c12, c1,
          |  round(CAST(c12 AS DOUBLE) / c1, 6) AS p_cond
          |FROM big JOIN uni USING (w1)
-         |ORDER BY c12 DESC, w1, w2 LIMIT 20""".stripMargin
+         |ORDER BY c12 DESC, w1, w2 LIMIT 20""".stripMargin,
+    "x15_lm_score" ->
+      s"""WITH d AS (SELECT doc_id, ${tokensSql("text")} AS ws FROM documents),
+         |bi AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+         |    unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+         |  FROM d),
+         |big AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+         |uni AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(CAST(CAST(sum(c12 * 1000000 // c1) AS BIGINT) AS DOUBLE)
+         |    / count(*), 6) AS lm_score_micro
+         |FROM bi JOIN big USING (w1, w2) JOIN uni USING (w1)
+         |GROUP BY doc_id""".stripMargin
   )
 }

@@ -82,4 +82,26 @@ class RelationalSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1,
       s"unpivot added a shuffle:\n$plan")
   }
+
+  test("x15 LM score equals the brute integer-quantized bigram mean") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+    val bigrams = docs.flatMap { case (id, ws) =>
+      ws.zip(ws.drop(1)).map(b => (id, b))
+    }
+    val c12 = bigrams.groupBy(_._2).map { case (b, xs) => b -> xs.size.toLong }
+    val c1 = bigrams.groupBy(_._2._1).map { case (w, xs) => w -> xs.size.toLong }
+    val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val ps = bs.map { case (_, b) => c12(b) * 1000000L / c1(b._1) }
+      id -> (ps.size.toLong,
+        BigDecimal(ps.sum.toDouble / ps.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = graft.ext.TextAnalysis.lmScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expected,
+      s"diff=${(got.toSet diff expected.toSet).take(3)}")
+  }
 }
