@@ -123,11 +123,38 @@ object Sessions {
       .groupBy("depth").agg(count(lit(1)).as("n_users"))
   }
 
+  /** k5 — retention cohorts: users grouped by first-activity week, then
+    * for each (cohort, weeks-since-cohort) the count of distinct users
+    * active that week — the analytics-warehouse classic behind every
+    * retention curve. Weeks are integer day arithmetic from a fixed
+    * epoch (`datediff div 7` — identical integers in both engines; a
+    * date_trunc week would hang the oracle on engine week-start
+    * conventions). Two keyed aggregations and one join on user_id: the
+    * cohort frame is one row per user, the activity frame one row per
+    * (user, week) — at 100 TB nothing here is bigger than the
+    * user×week matrix, and every aggregation map-side combines.
+    */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    // integer DIV, not `/` (double division on long columns); all events
+    // are on/after the epoch, so truncation == floor on both engines
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE'2024-01-01') AS BIGINT) DIV 7")
+          .as("week"))
+    val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val active = ev.distinct()
+    active.join(cohort, Seq("user_id"))
+      .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active_users"))
+  }
+
   val queries: Map[String, Q] = Map(
     "k1_session_stats" -> (sessionStats _),
     "k2_distinct_types" -> (distinctTypes _),
     "k3_salted_join" -> (saltedJoin _),
-    "k4_funnel" -> (funnel _)
+    "k4_funnel" -> (funnel _),
+    "k5_retention_cohorts" -> (retentionCohorts _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -188,6 +215,18 @@ object Sessions {
         |LEFT JOIN s1 ON u.user_id = s1.user_id
         |LEFT JOIN s2 ON u.user_id = s2.user_id
         |LEFT JOIN s3 ON u.user_id = s3.user_id
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "k5_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '2024-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7 AS week
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  count(*) AS n_active_users
+        |FROM ev JOIN cohort USING (user_id)
+        |GROUP BY 1, 2""".stripMargin
   )
 }

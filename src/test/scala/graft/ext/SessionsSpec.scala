@@ -74,4 +74,22 @@ class SessionsSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(got == expected, s"got=$got expected=$expected")
   }
+
+  test("k5 retention cohorts match a per-user week fold") {
+    import org.apache.spark.sql.functions._
+    val epoch = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    val weeks = graft.Tables.events(spark, sf)
+      .select("user_id", "ts").collect()
+      .map { r =>
+        val day = r.getTimestamp(1).toInstant
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate.toEpochDay
+        (r.getLong(0), (day - epoch) / 7)
+      }.distinct
+    val cohort = weeks.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).min }
+    val expected = weeks.groupBy { case (u, w) => (cohort(u), w - cohort(u)) }
+      .map { case (k, vs) => k -> vs.size.toLong }
+    val got = Sessions.retentionCohorts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+  }
 }
