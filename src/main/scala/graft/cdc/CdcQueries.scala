@@ -284,6 +284,39 @@ object CdcQueries {
           .cast("int").as("schema_gen"))
   }
 
+  /** O20 — field-level change audit + no-op update suppression: for
+    * every event with a predecessor on its key, diff the record against
+    * that predecessor and emit WHICH fields changed; events whose
+    * payload is byte-identical to the previous version (redeliveries,
+    * no-op writes) drop out entirely. Debezium computes exactly this
+    * diff to build `before`/`after` images; downstream, suppressing
+    * no-op updates is what keeps a 100 TB CDC pipeline's write
+    * amplification proportional to real change, not to upstream write
+    * traffic. One window over the key partition — the diff never
+    * re-reads history, and the comparison is null-safe (`<=>` here,
+    * `IS DISTINCT FROM` in the oracle) so null→value and value→null
+    * transitions count as changes.
+    */
+  def changedColumns(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+    val diffs = Seq("event_type", "value", "props")
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("p_seq", lag("event_id", 1).over(w))
+    val withPrev = diffs.foldLeft(ev)((d, c) =>
+      d.withColumn(s"p_$c", lag(c, 1).over(w)))
+    val changed = diffs.map(c => when(!(col(c) <=> col(s"p_$c")), c))
+    val nChanged = diffs.map(c => (!(col(c) <=> col(s"p_$c"))).cast("long"))
+      .reduce(_ + _)
+    withPrev
+      .filter(col("p_seq").isNotNull) // first version has no predecessor
+      .withColumn("changed_cols", concat_ws(",", changed: _*))
+      .withColumn("n_changed", nChanged)
+      .filter(col("n_changed") > 0) // no-op suppression
+      .select(col("event_id").as("seq"), col("user_id").as("key"),
+        col("changed_cols"), col("n_changed"))
+  }
+
   val queries: Map[String, Q] = Map(
     "o01_cdc_scan" -> (cdcScan _),
     "o02_insert_writer" -> (insertWriter _),
@@ -303,7 +336,8 @@ object CdcQueries {
     "o16_log_compact" -> ((s, d) => logCompact(s, d)),
     "o17_incremental_agg" -> ((s, d) => incrementalAgg(s, d)),
     "o18_share_gate" -> (shareGate _),
-    "o19_schema_evolution" -> (schemaEvolution _)
+    "o19_schema_evolution" -> (schemaEvolution _),
+    "o20_changed_columns" -> (changedColumns _)
   )
 
   private val opCase =
@@ -428,6 +462,29 @@ object CdcQueries {
         |       THEN 'r' || CAST(user_id % 4 AS VARCHAR) END AS region,
         |  CAST(CASE WHEN event_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER)
         |    AS schema_gen
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    "o20_changed_columns" ->
+      """SELECT seq, key, changed_cols, n_changed
+        |FROM (
+        |  SELECT event_id AS seq, user_id AS key,
+        |    concat_ws(',',
+        |      CASE WHEN event_type IS DISTINCT FROM p_type THEN 'event_type' END,
+        |      CASE WHEN value IS DISTINCT FROM p_value THEN 'value' END,
+        |      CASE WHEN props IS DISTINCT FROM p_props THEN 'props' END)
+        |      AS changed_cols,
+        |    CAST(CASE WHEN event_type IS DISTINCT FROM p_type THEN 1 ELSE 0 END
+        |       + CASE WHEN value IS DISTINCT FROM p_value THEN 1 ELSE 0 END
+        |       + CASE WHEN props IS DISTINCT FROM p_props THEN 1 ELSE 0 END
+        |      AS BIGINT) AS n_changed,
+        |    p_seq
+        |  FROM (
+        |    SELECT event_id, user_id, event_type, value, props,
+        |      lag(event_id) OVER w AS p_seq,
+        |      lag(event_type) OVER w AS p_type,
+        |      lag(value) OVER w AS p_value,
+        |      lag(props) OVER w AS p_props
+        |    FROM events
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)))
+        |WHERE p_seq IS NOT NULL AND n_changed > 0""".stripMargin
   )
 }

@@ -171,6 +171,31 @@ object Sampling {
       .agg(min("c").as("cm_estimate"))
   }
 
+  /** r9 — ANALYZE-style column profiler: per-column row/null/distinct
+    * counts for the whole table in ONE scan. The wide aggregate computes
+    * every column's stats together (Catalyst plans the multi-distinct as
+    * a single Expand — one pass over the data, keyed duplication instead
+    * of per-column rescans), and `stack` unpivots the one wide row into
+    * the per-column shape a catalog stores. This is the statistics pass
+    * a cost-based optimizer feeds on (null fractions → join cardinality,
+    * distinct counts → aggregation sizing, broadcast decisions). At
+    * 100 TB the EXACT distinct here is the one deliberately non-scalable
+    * choice — a real profile run swaps it for `approx_count_distinct`
+    * (r6) or the mergeable HLL registers (r7), same plan minus the
+    * Expand; exact is kept here because the oracle can hash-check it.
+    */
+  def columnProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val aggs = cols.flatMap(c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"nn_$c"),
+      count_distinct(col(c)).as(s"nd_$c"))) :+ count(lit(1)).as("n_rows")
+    val wide = Tables.events(spark, sfDir).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+    wide.select(
+      expr(s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct)"),
+      col("n_rows"))
+  }
+
   val queries: Map[String, Q] = Map(
     "r1_hash_sample" -> (hashSample _),
     "r2_stratified_sample" -> (stratifiedSample _),
@@ -179,7 +204,8 @@ object Sampling {
     "r5_priority_sample" -> (prioritySample _),
     "r6_approx_stats" -> (approxStats _), // rows-only: no oracle entry
     "r7_hll_registers" -> (hllRegisters _),
-    "r8_cm_heavy_hitters" -> (cmHeavyHitters _)
+    "r8_cm_heavy_hitters" -> (cmHeavyHitters _),
+    "r9_column_profile" -> (columnProfile _)
   )
 
   private val gate = s"${tokenHashSql("CAST(doc_id AS VARCHAR)")} % 100"
@@ -241,6 +267,20 @@ object Sampling {
          |SELECT term, true_count, min(c) AS cm_estimate
          |FROM tb JOIN counters USING (row, bucket) JOIN terms USING (term)
          |GROUP BY term, true_count""".stripMargin
+    },
+    "r9_column_profile" -> {
+      // `ts` profiles as the µs-truncated timestamp, matching the Spark
+      // view of the column (Tables.events) — see o01's cast note
+      def sel(name: String, v: String) =
+        s"""SELECT '$name' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($v) AS n_nulls,
+           |  count(DISTINCT $v) AS n_distinct
+           |FROM events""".stripMargin
+      Seq("event_id" -> "event_id", "ts" -> "CAST(ts AS TIMESTAMP)",
+        "user_id" -> "user_id", "event_type" -> "event_type",
+        "value" -> "value", "props" -> "props")
+        .map { case (n, v) => sel(n, v) }
+        .mkString("\nUNION ALL\n")
     }
   )
 }

@@ -157,10 +157,47 @@ object Search {
         col("rank").cast("long").as("rank"))
   }
 
+  /** x16 — result highlighting: for every x12 hit, a token-window
+    * snippet centered on the FIRST occurrence of any query term — the
+    * serving layer's `highlight` feature (OpenSearch returns highlighted
+    * fragments with `match` responses; the reference's index declares
+    * analyzed `text` fields precisely to enable this class of feature).
+    *
+    * Scale shape: the hit set is bounded (top-k per query × queries), so
+    * it is the BROADCAST side; the corpus is scanned once, and only hit
+    * documents' token arrays are ever sliced. `array_position` (first
+    * match, 1-based) keeps position math relational — no posexplode of
+    * the corpus, unlike the phrase path which genuinely needs positions
+    * for every gram.
+    */
+  def highlight(spark: SparkSession, sfDir: String, window: Int = 2): DataFrame = {
+    import spark.implicits._
+    val hits = matchSearch(spark, sfDir)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val q = matchQueries.toDF("query_id", "term")
+    // hits × their query terms: still ≤ k·|queries|·terms rows — tiny
+    val probes = hits.join(q, Seq("query_id"))
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+    val fp = d.join(broadcast(probes), Seq("doc_id"))
+      .withColumn("p", array_position(col("ws"), col("term")))
+      .filter(col("p") > 0) // terms of the query absent from this doc
+      .groupBy("query_id", "doc_id", "rank")
+      // every row in the group carries the SAME doc's array, so first()
+      // is deterministic in value — keeps the corpus scan single
+      .agg(min("p").as("first_pos"), first("ws").as("ws"))
+    val start = greatest(col("first_pos") - window, lit(1L))
+    val len = (col("first_pos") + window - start + 1L).cast("int")
+    fp.select(col("query_id"), col("doc_id"), col("rank"),
+      col("first_pos").cast("long").as("first_pos"),
+      concat_ws(" ", slice(col("ws"), start, len)).as("snippet"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x12_match_search" -> (matchSearch _),
     "x13_phrase_search" -> (phraseSearch _),
-    "x14_hybrid_rrf" -> (hybridSearch _)
+    "x14_hybrid_rrf" -> (hybridSearch _),
+    "x16_highlight" -> ((s, d) => highlight(s, d))
   )
 
   private def valuesSql(rows: Seq[(Int, String)]): String =
@@ -236,6 +273,21 @@ object Search {
          |        ORDER BY rrf_micro DESC, id) AS rank
          |      FROM fused)
          |WHERE rank <= 10""".stripMargin
-    }
+    },
+    "x16_highlight" ->
+      s"""WITH q(query_id, term) AS (VALUES ${valuesSql(matchQueries)}),
+         |hits AS (SELECT query_id, doc_id, rank FROM ($x12Sql)),
+         |d AS (SELECT doc_id, ${tokensSql("text")} AS ws FROM documents),
+         |pos AS (
+         |  SELECT h.query_id, h.doc_id, h.rank,
+         |    min(list_position(d.ws, q.term)) AS first_pos
+         |  FROM hits h JOIN q USING (query_id) JOIN d USING (doc_id)
+         |  GROUP BY h.query_id, h.doc_id, h.rank)
+         |SELECT p.query_id, p.doc_id, p.rank,
+         |  CAST(p.first_pos AS BIGINT) AS first_pos,
+         |  array_to_string(
+         |    list_slice(d.ws, greatest(p.first_pos - 2, 1), p.first_pos + 2),
+         |    ' ') AS snippet
+         |FROM pos p JOIN d USING (doc_id)""".stripMargin
   )
 }

@@ -79,6 +79,20 @@ object Layout {
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       .json(path)
 
+  /** ORC round trip — the second columnar interchange format (built into
+    * Spark's `sql` module, no extra dependency). Same contract as the
+    * CSV/JSON pair: declared schema semantics, and ORC additionally keeps
+    * the columnar virtues — predicate pushdown against stripe/rowgroup
+    * statistics and column pruning both survive the format change, which
+    * `FormatsSpec` asserts on the plan. The engine's storage contract is
+    * "any columnar format with stats", not "parquet specifically".
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Write `df` as a bucketed (and bucket-sorted) catalog table: `n`
     * buckets on `key`, rows sorted by `key` within each bucket file. The
     * `repartition` on the bucket key first means exactly one file per

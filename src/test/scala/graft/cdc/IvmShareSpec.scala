@@ -61,4 +61,29 @@ class IvmShareSpec extends SparkSpec {
       }
     }
   }
+
+  test("o20 field diff equals a sequential fold; no-ops are suppressed") {
+    val ev = graft.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "props")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) null else (r.getDouble(3): java.lang.Double),
+        r.getString(4)))
+    val expected = ev.groupBy(_._2).values.flatMap { rows =>
+      rows.sortBy(_._1).sliding(2).collect {
+        case Array((_, _, pt, pv, pp), (seq, key, t, v, p)) =>
+          val changed = Seq(
+            (t != pt) -> "event_type",
+            (v != pv) -> "value",
+            (p != pp) -> "props").collect { case (true, n) => n }
+          (seq, key, changed.mkString(","), changed.size.toLong)
+      }.filter(_._4 > 0)
+    }.toSet
+    val got = CdcQueries.changedColumns(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    assert(got.forall(_._4 >= 1), "no-op update leaked through")
+  }
 }

@@ -59,4 +59,25 @@ class SamplingSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), s"top-k not heap-shaped:\n$p")
   }
+
+  test("column profile matches per-column recomputation in one scan") {
+    val prof = Sampling.columnProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val ev = graft.Tables.events(spark, sf)
+    val n = ev.count()
+    for (c <- Seq("event_id", "ts", "user_id", "event_type", "value", "props")) {
+      val nulls = ev.filter(col(c).isNull).count()
+      val dist = ev.select(c).na.drop().distinct().count()
+      assert(prof(c) == ((nulls, dist, n)),
+        s"$c: got ${prof(c)} want ${(nulls, dist, n)}")
+    }
+    // ONE pass over the table: the multi-distinct plans as a single
+    // scan + Expand, never one rescan per column
+    val plan = Sampling.columnProfile(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet|FileScan parquet".r.findAllIn(plan).size == 1,
+      s"profiler rescans the table:\n$plan")
+    assert(plan.contains("Expand"), s"multi-distinct not Expand-planned:\n$plan")
+  }
 }

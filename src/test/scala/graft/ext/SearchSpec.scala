@@ -94,6 +94,26 @@ class SearchSpec extends SparkSpec {
       s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("x16 highlight snippets center on the first matched query term") {
+    val docs = corpus().toMap
+    val hits = Search.matchSearch(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(4)))
+    val terms = Search.matchQueries.groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val expected = hits.map { case (qid, did, rank) =>
+      val ws = docs(did)
+      val fp = terms(qid).map(t => ws.indexOf(t)).filter(_ >= 0).min + 1L
+      val start = math.max(fp - 2, 1L).toInt
+      val snippet = ws.slice(start - 1, (fp + 2).toInt).mkString(" ")
+      (qid, did, rank, fp, snippet)
+    }.toSet
+    val got = Search.highlight(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("only the literal query frames broadcast; top-k is WindowGroupLimit") {
     // With auto-broadcast disabled, every BroadcastExchange in the plan
     // is an explicit hint — so the count must equal the hint sites on
@@ -111,6 +131,10 @@ class SearchSpec extends SparkSpec {
       assert(nBroadcasts(p13) == 1, s"x13 broadcasts != 1:\n$p13")
       assert(p12.contains("WindowGroupLimit"), s"x12 top-k not limited:\n$p12")
       assert(p13.contains("WindowGroupLimit"), s"x13 top-k not limited:\n$p13")
+      // x16 = x12's two hints + the bounded hit×term probe frame; the
+      // corpus token-array side must stay on the streamed side
+      val p16 = Search.highlight(spark, sf).queryExecution.executedPlan.toString
+      assert(nBroadcasts(p16) == 3, s"x16 broadcasts != 3:\n$p16")
     } finally spark.conf.set(key, prev)
   }
 }

@@ -29,6 +29,22 @@ class FormatsSpec extends SparkSpec {
       docs.agg(sum("n_chars")).first.getLong(0))
   }
 
+  test("orc round-trips and keeps pushdown + pruning") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    Layout.writeOrc(docs, dir)
+    val back = Layout.readOrc(spark, dir)
+    val a = back.orderBy("doc_id").collect().map(_.toSeq)
+    val b = docs.orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+    // the columnar virtues survive the format change: the filter reaches
+    // the ORC scan as a pushed predicate and only referenced columns load
+    val plan = back.filter(col("doc_id") < 100).select("lang")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]"),
+      plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), plan)
+  }
+
   test("json-lines round-trips under a declared schema") {
     val dir = Files.createTempDirectory("graft-jsonl").toString
     docs.write.mode("overwrite").json(dir)
