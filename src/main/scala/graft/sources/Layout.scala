@@ -79,6 +79,55 @@ object Layout {
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       .json(path)
 
+  /** Z-order (Morton) clustered write — the MULTI-column generalization
+    * of [[writeSorted]]. A single-key sort makes one column's file/rowgroup
+    * min-max stats selective and leaves every other column's ranges as
+    * wide as the table; interleaving the bits of two normalized keys
+    * gives a layout where BOTH columns' per-file ranges are narrow, so
+    * parquet's ordinary column statistics prune scans for predicates on
+    * either dimension (or both). Nothing at read time knows about the
+    * z-key: pruning rides the standard pushed filters over per-column
+    * stats, the clustering only makes those stats tight. This is the
+    * layout for the 100 TB fact table queried by user AND by time.
+    *
+    * Normalization here is linear min/max bucketing to `bits` bits per
+    * dimension (two scalars from one aggregate); a production run on
+    * skewed data substitutes sampled range-boundary ranks — the
+    * interleave and everything downstream are unchanged.
+    *
+    * Granularity matters: pruning at the FILE level needs the z-cells
+    * (4^bits of them) to be no finer than a few per file, else a
+    * predicate's scattered z-intervals land in every file and nothing
+    * skips — pick `bits` with `4^bits ≈ 2-8 × partitions` (the default
+    * pairs with the default partition count). Finer bits only help once
+    * rowgroup/page-level stats inside large files take over.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      partitions: Int = 8, bits: Int = 3): Unit = {
+    import org.apache.spark.sql.functions._
+    val b = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    val buckets = (1 << bits) - 1
+    def normalize(c: String, lo: Double, hi: Double) =
+      if (hi == lo) lit(0L)
+      else least(lit(buckets.toLong),
+        floor((col(c).cast("double") - lo) * (buckets + 1) / (hi - lo))
+          .cast("long"))
+    val za = normalize(colA, b.getDouble(0), b.getDouble(1))
+    val zb = normalize(colB, b.getDouble(2), b.getDouble(3))
+    val zkey = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(za, i).bitwiseAND(1), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(zb, i).bitwiseAND(1), 2 * i + 1))
+    }
+    df.withColumn("__z", zkey)
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z") // projection preserves the clustered order
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** ORC round trip — the second columnar interchange format (built into
     * Spark's `sql` module, no extra dependency). Same contract as the
     * CSV/JSON pair: declared schema semantics, and ORC additionally keeps

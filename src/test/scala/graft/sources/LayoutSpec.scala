@@ -82,6 +82,50 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("z-order clustering prunes scans on BOTH dimensions") {
+    val ev = graft.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+    val total = ev.count()
+    val zDir = Files.createTempDirectory("graft-layout-z").toString
+    val sDir = Files.createTempDirectory("graft-layout-s").toString
+    // 64 z-cells over 16 files: ~4 cells per file, so a one-dimension
+    // predicate's z-intervals cover a minority of files (see the
+    // granularity note on writeZOrdered)
+    Layout.writeZOrdered(ev, zDir, "user_id", "event_id",
+      partitions = 16, bits = 3)
+    Layout.writeSorted(ev, sDir, "event_id", partitions = 16)
+    // AQE off so the executed plan exposes the scan node's metrics directly
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numOutputRows").value
+        }.sum
+      }
+      // a predicate on the SECOND dimension — invisible to the
+      // event_id-sorted layout's stats, tight under the z layout. One
+      // key of the 15 at this sf (~7% of rows): selective enough that
+      // pruning is possible at all
+      val zRows = scanned(Layout.read(spark, zDir).filter(col("user_id") === 3))
+      val sRows = scanned(Layout.read(spark, sDir).filter(col("user_id") === 3))
+      assert(sRows == total,
+        s"single-key sort unexpectedly pruned the other column: $sRows")
+      assert(zRows * 2 < sRows,
+        s"z layout must prune the second dimension: z=$zRows sorted=$sRows")
+      // the first dimension prunes on the z layout too
+      val zFirst = scanned(Layout.read(spark, zDir).filter(col("event_id") < 50))
+      assert(zFirst * 2 < total,
+        s"z layout must prune the first dimension: $zFirst of $total")
+      // pruning never costs correctness
+      assert(Layout.read(spark, zDir).filter(col("user_id") === 3).count() ==
+        ev.filter(col("user_id") === 3).count())
+    } finally spark.conf.set(aqeKey, prev)
+  }
+
   test("CSV and JSON-lines round trips are lossless under the declared schema") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.events(spark, sf)
