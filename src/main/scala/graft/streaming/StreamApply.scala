@@ -351,6 +351,28 @@ object StreamApply {
           col(rightTs) >= col(tsCol) - expr(s"INTERVAL $window") &&
           col(rightTs) <= col(tsCol))
 
+  /** LEFT OUTER interval join: like [[intervalJoin]], but a left event
+    * with no right match in its interval still emits — with nulls on the
+    * right columns — once the watermark proves no match can arrive
+    * (right watermark past `l.ts`, the top of the interval). This is the
+    * streaming "every click, attributed or not" shape: an inner join
+    * silently drops the unattributed majority, which is exactly the
+    * traffic an attribution pipeline must still count. The same interval
+    * bound that lets the inner join evict state is what makes the outer
+    * result DECIDABLE at a finite time; the null row's emission time
+    * moves with the watermark, its CONTENT equals the batch left-outer
+    * evaluation (spec'd).
+    */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame, keyCol: String,
+      rightKeyCol: String, tsCol: String, rightTs: String,
+      window: String = "10 minutes", horizon: String = "10 minutes"): DataFrame =
+    left.withWatermark(tsCol, horizon)
+      .join(right.withWatermark(rightTs, horizon),
+        col(keyCol) === col(rightKeyCol) &&
+          col(rightTs) >= col(tsCol) - expr(s"INTERVAL $window") &&
+          col(rightTs) <= col(tsCol),
+        "leftOuter")
+
   // ---- mapGroupsWithState variant of the keyed view ---------------------
 
   /** Normalized CDC event for the typed stateful path. */

@@ -86,4 +86,46 @@ class SessionJoinStreamSpec extends SparkSpec {
       (1, ts(10), ts(4), 5.0),
       (1, ts(10), ts(10), 7.0)), s"wrong matches: $streamed")
   }
+
+  test("left-outer interval join emits unmatched lefts once the watermark decides") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val lefts = Seq(SEv(1, ts(10), "click"), SEv(1, ts(30), "click"),
+      SEv(2, ts(10), "click"))
+    val rights = Seq(
+      REv(1, ts(4), 5.0),  // matches user 1's first click only
+      REv(2, ts(25), 1.0)) // after user 2's click — no match
+    val lin = MemoryStream[SEv]
+    val rin = MemoryStream[REv]
+    val joined = StreamApply.intervalJoinOuter(lin.toDF(), rin.toDF(),
+      "user", "ruser", "ts", "rts", window = "10 minutes", horizon = "5 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ijo_out").start()
+    try {
+      lin.addData(lefts); rin.addData(rights)
+      q.processAllAvailable()
+      // move both watermarks far past every interval's upper bound so
+      // each unmatched left becomes decidable and must emit its null row
+      lin.addData(SEv(9, ts(59), "x")); rin.addData(REv(8, ts(59), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getTimestamp(1),
+        Option(r.getTimestamp(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    val streamed = spark.table("ijo_out")
+      .select("user", "ts", "rts", "amount").collect().map(key).toSet
+    // batch truth: plain left-outer join under the same interval condition
+    val batchSet = lefts.toDF().join(rights.toDF(),
+        col("user") === col("ruser") &&
+          col("rts") >= col("ts") - expr("INTERVAL 10 minutes") &&
+          col("rts") <= col("ts"),
+        "leftOuter")
+      .select("user", "ts", "rts", "amount").collect().map(key).toSet
+    assert(streamed == batchSet, s"stream=$streamed batch=$batchSet")
+    // the unattributed clicks are present, as null rows
+    assert(streamed.contains((1, ts(30), None, None)), s"got $streamed")
+    assert(streamed.contains((2, ts(10), None, None)), s"got $streamed")
+  }
 }
