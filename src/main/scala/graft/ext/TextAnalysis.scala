@@ -172,19 +172,34 @@ object TextAnalysis {
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         .localCheckpoint())
 
-  /** Positional unigram/bigram/trigram base — the lead-window n-gram
-    * formulation, memoized across consumers (x11 bigram stats, x13
-    * phrase search): the tokenize + posexplode + per-doc window shuffle
-    * is paid once per driver run.
+  /** Unigram/bigram/trigram base (doc_id, w1, w2, w3), memoized across
+    * consumers (x11 bigram stats, x15 LM score, x13 phrase search).
+    *
+    * SCAN-LOCAL: successor tokens come from indexed lookups into the
+    * per-document token array (`transform` with the element index +
+    * `try_element_at`, null past the end — exactly `lead`'s padding),
+    * not from a window. The previous lead-window formulation shuffled
+    * and sorted the whole exploded corpus by (doc_id, pos) just to see
+    * each token's neighbors — adjacency the token array already has; at
+    * 100 TB that was the largest exchange in the text pipeline, and now
+    * no exchange exists at all. The token array materializes first
+    * (checkpoint barrier) so the split never collapses into the lambda's
+    * repeated references (the CollapseProject hazard on
+    * [[Dedup.shingleFrame]]).
     */
   private[ext] def gramBase(spark: SparkSession, sfDir: String): DataFrame =
     FrameMemo("gramBase", spark, sfDir) {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      docs(spark, sfDir)
-        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
-        .withColumn("w2", lead("w1", 1).over(w))
-        .withColumn("w3", lead("w1", 2).over(w))
+      val toks = docs(spark, sfDir)
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+        .localCheckpoint()
+      toks
+        .select(col("doc_id"), explode(expr(
+          """transform(ws, (w, i) -> struct(
+            |  w AS w1,
+            |  try_element_at(ws, i + 2) AS w2,
+            |  try_element_at(ws, i + 3) AS w3))""".stripMargin)).as("g"))
+        .select(col("doc_id"), col("g.w1").as("w1"),
+          col("g.w2").as("w2"), col("g.w3").as("w3"))
         .localCheckpoint()
     }
 
