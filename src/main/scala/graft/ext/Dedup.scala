@@ -571,6 +571,55 @@ object Dedup {
           .otherwise(lit(null).cast("double")).as("transitivity"))
   }
 
+  /** d11 — PageRank over the semantic near-dup graph (same memoized edge
+    * set as d9/d10): the canonical-document selector. When a near-dup
+    * cluster collapses to one representative, "highest PageRank in the
+    * similarity graph" picks the document most centrally duplicated —
+    * the web-dedup heuristic — and the rank is also the hub score the
+    * d10 census reads pointwise.
+    *
+    * Engine-portable by INTEGER arithmetic: rank mass is carried in
+    * units of 10^-12 (longs). Each contribution floor-divides by the
+    * degree and the damping fold is integer `(85·msg) DIV 100`, so
+    * every iteration is a sum of exact longs — order-independent where
+    * a float PageRank's last ulp depends on reduction order, which no
+    * engine pins. The oracle unrolls the same three iterations in SQL.
+    *
+    * Scale shape: classic edge-partitioned message passing as joins —
+    * contributions = rank ⋈ degree (node-sized), messages = edges ⋈
+    * contributions shuffled on the edge key, then a node-keyed sum.
+    * Nothing corpus-sized broadcasts (the one-row node count does);
+    * state per iteration is one node-sized frame, checkpointed to cut
+    * lineage exactly as d7's label propagation does.
+    */
+  def pageRank(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame = {
+    val Scale = 1000000000000L
+    val e = embedNearDup(spark, sfDir).select("vec_a", "vec_b")
+    val und = e.select(col("vec_a").as("u"), col("vec_b").as("v"))
+      .unionByName(e.select(col("vec_b").as("u"), col("vec_a").as("v")))
+      .localCheckpoint() // referenced every iteration
+    val nodes = Tables.embeddings(spark, sfDir).select(col("vec_id").as("u"))
+    val nF = nodes.agg(count(lit(1)).as("n"))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint()
+    var r = nodes.crossJoin(broadcast(nF)) // one-row frame: correct broadcast
+      .select(col("u"), expr(s"$Scale DIV n").as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = r.join(deg, Seq("u"))
+        .select(col("u"), expr("r DIV deg").as("c"))
+      val msg = und.join(contrib, Seq("u"))
+        .groupBy("v").agg(sum("c").as("msg"))
+        .select(col("v").as("u"), col("msg"))
+      r = nodes.crossJoin(broadcast(nF))
+        .join(msg, Seq("u"), "left")
+        .select(col("u"),
+          expr(s"(15 * ($Scale DIV n)) DIV 100 + (85 * coalesce(msg, CAST(0 AS BIGINT))) DIV 100")
+            .as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("u").as("vec_id"), col("r").as("rank_scaled"))
+  }
+
   // ---- d6: embedding cosine near-dup (hyperplane LSH) -------------------
 
   /** Deterministic ±1 hyperplanes: plane t·16+p, dim d gets sign from
@@ -660,7 +709,8 @@ object Dedup {
     "d7_dedup_clusters" -> (dedupClusters _),
     "d8_minhash_estimate" -> (minhashEstimate _),
     "d9_embed_clusters" -> (embedClusters _),
-    "d10_triangle_census" -> (triangleStats _)
+    "d10_triangle_census" -> (triangleStats _),
+    "d11_pagerank" -> ((s, d) => pageRank(s, d))
   )
 
   // ---- oracle SQL -------------------------------------------------------
@@ -846,6 +896,30 @@ object Dedup {
          |SELECT n_triangles, n_wedges,
          |  CASE WHEN n_wedges > 0 THEN 3.0 * n_triangles / n_wedges
          |       ELSE NULL END AS transitivity
-         |FROM tri, w""".stripMargin
+         |FROM tri, w""".stripMargin,
+    "d11_pagerank" -> {
+      val S = "1000000000000"
+      def iter(i: Int, prev: String) =
+        s"""m$i AS (
+           |  SELECT und.v AS u, CAST(sum($prev.r // deg.deg) AS BIGINT) AS msg
+           |  FROM und JOIN $prev ON und.u = $prev.u JOIN deg ON und.u = deg.u
+           |  GROUP BY und.v),
+           |r$i AS (
+           |  SELECT nodes.u,
+           |    (15 * ($S // (SELECT n FROM nn))) // 100
+           |      + (85 * COALESCE(m$i.msg, 0)) // 100 AS r
+           |  FROM nodes LEFT JOIN m$i ON nodes.u = m$i.u)""".stripMargin
+      s"""WITH pairs AS ($d6Sql),
+         |nodes AS (SELECT vec_id AS u FROM embeddings),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |und AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+         |        UNION ALL SELECT vec_b, vec_a FROM pairs),
+         |deg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
+         |r0 AS (SELECT u, $S // (SELECT n FROM nn) AS r FROM nodes),
+         |${iter(1, "r0")},
+         |${iter(2, "r1")},
+         |${iter(3, "r2")}
+         |SELECT u AS vec_id, CAST(r AS BIGINT) AS rank_scaled FROM r3""".stripMargin
+    }
   )
 }

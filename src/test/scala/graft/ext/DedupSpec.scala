@@ -212,4 +212,34 @@ class DedupSpec extends SparkSpec {
     if (wedgeBrute > 0)
       assert(row.getDouble(2) == 3.0 * triBrute / wedgeBrute)
   }
+
+  test("d11 pagerank equals a sequential integer-arithmetic fold") {
+    val Scale = 1000000000000L
+    val edges = Dedup.embedNearDup(spark, sf)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = und.groupBy(_._1).map { case (k, vs) => k -> vs.length.toLong }
+    val nodes = graft.Tables.embeddings(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0))
+    val n = nodes.length.toLong
+    var r = nodes.map(_ -> Scale / n).toMap
+    for (_ <- 1 to 3) {
+      val msg = und.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / deg(u) }.sum
+      }
+      r = nodes.map(u =>
+        u -> (15L * (Scale / n) / 100L + 85L * msg.getOrElse(u, 0L) / 100L)).toMap
+    }
+    val got = Dedup.pageRank(spark, sf).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == r, s"diff=${r.toSet -- got.toSet}")
+    // connected nodes outrank isolated ones (which hold the base rank)
+    val base = 15L * (Scale / n) / 100L
+    val connected = deg.keySet
+    assert(nodes.filterNot(connected).forall(got(_) == base),
+      "isolated nodes must sit at the damping base")
+    assert(connected.nonEmpty && connected.exists(got(_) > base),
+      "no connected node rose above the base rank")
+  }
 }
