@@ -157,6 +157,59 @@ object Search {
         col("rank").cast("long").as("rank"))
   }
 
+  /** x17 — BM25 ranked match: the scoring the serving layer ACTUALLY
+    * runs (OpenSearch's default `match` similarity is BM25; x12's plain
+    * tf-idf is the pedagogical baseline). Classic Robertson weighting
+    * with k1 = 1.2, b = 0.75, in pure integer arithmetic:
+    *
+    *   tf-part = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * With avgdl = A/N (total tokens / docs — both exact integers),
+    * multiplying through by 10·A clears every rational:
+    *
+    *   tf_micro = (22·A·tf·10^6) DIV (10·A·tf + 3·A + 9·dl·N)
+    *
+    * and the idf arm stays x12's rational `N·10^6 DIV df`. Each term's
+    * score is the integer product folded back to micro-units, so the
+    * per-document sum is a sum of exact longs — order-independent,
+    * engine-exact, oracle-hashable. (The classic log-idf is libm and
+    * engine-varying; the rational idf preserves the ranking's
+    * discrimination behavior. At corpora where 22·A·tf·10^6 nears 2^63,
+    * divide A out of numerator and denominator first — the formula is a
+    * ratio, the scaling is free.)
+    *
+    * Plan shape = x12's: posting lists shuffle on term/doc keys, the
+    * literal query set and the one-row corpus stats broadcast, doc
+    * length joins doc-keyed, top-k is WindowGroupLimit.
+    */
+  def bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = matchQueries.toDF("query_id", "term")
+    val tf = TextAnalysis.termFreq(spark, sfDir)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = tf.agg(count_distinct(col("doc_id")).as("n_docs"),
+      sum("tf").as("a_tokens"))
+    val hits = tf
+      .join(dfreq, Seq("term"))
+      .join(broadcast(q), Seq("term")) // tiny literal side
+      .join(dl, Seq("doc_id"))         // doc-keyed shuffle join
+      .crossJoin(broadcast(stats))     // one-row frame
+      .withColumn("tf_micro",
+        expr("(22 * a_tokens * tf * 1000000) DIV (10 * a_tokens * tf + 3 * a_tokens + 9 * dl * n_docs)"))
+      .withColumn("w_micro",
+        expr("((n_docs * 1000000 DIV df) * tf_micro) DIV 1000000"))
+    val scored = hits.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("w_micro").as("score_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        col("score_micro"), col("rank").cast("long").as("rank"))
+  }
+
   /** x16 — result highlighting: for every x12 hit, a token-window
     * snippet centered on the FIRST occurrence of any query term — the
     * serving layer's `highlight` feature (OpenSearch returns highlighted
@@ -197,7 +250,8 @@ object Search {
     "x12_match_search" -> (matchSearch _),
     "x13_phrase_search" -> (phraseSearch _),
     "x14_hybrid_rrf" -> (hybridSearch _),
-    "x16_highlight" -> ((s, d) => highlight(s, d))
+    "x16_highlight" -> ((s, d) => highlight(s, d)),
+    "x17_bm25" -> (bm25Search _)
   )
 
   private def valuesSql(rows: Seq[(Int, String)]): String =
@@ -288,6 +342,31 @@ object Search {
          |  array_to_string(
          |    list_slice(d.ws, greatest(p.first_pos - 2, 1), p.first_pos + 2),
          |    ' ') AS snippet
-         |FROM pos p JOIN d USING (doc_id)""".stripMargin
+         |FROM pos p JOIN d USING (doc_id)""".stripMargin,
+    "x17_bm25" ->
+      s"""WITH q(query_id, term) AS (VALUES ${valuesSql(matchQueries)}),
+         |toks AS (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+         |stats AS (SELECT count(DISTINCT doc_id) AS n_docs,
+         |                 CAST(sum(tf) AS BIGINT) AS a_tokens FROM tf),
+         |hits AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    ((s.n_docs * 1000000 // dfreq.df) *
+         |     ((22 * s.a_tokens * tf.tf * 1000000) //
+         |      (10 * s.a_tokens * tf.tf + 3 * s.a_tokens + 9 * dl.dl * s.n_docs)))
+         |      // 1000000 AS w_micro
+         |  FROM tf JOIN dfreq USING (term) JOIN q USING (term)
+         |       JOIN dl USING (doc_id) CROSS JOIN stats s),
+         |scored AS (
+         |  SELECT query_id, doc_id, count(*) AS n_terms,
+         |    CAST(sum(w_micro) AS BIGINT) AS score_micro
+         |  FROM hits GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, n_terms, score_micro, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score_micro DESC, doc_id) AS rank
+         |      FROM scored)
+         |WHERE rank <= 10""".stripMargin
   )
 }

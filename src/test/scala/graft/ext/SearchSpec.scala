@@ -94,6 +94,37 @@ class SearchSpec extends SparkSpec {
       s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("x17 BM25 equals a brute-force Robertson scoring") {
+    val docs = corpus()
+    val tf = docs.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (w, o) => ((id, w), o.length.toLong) }
+    }.toMap
+    val df = tf.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    val dl = docs.map { case (id, ws) => id -> ws.length.toLong }.toMap
+    val n = docs.size.toLong
+    val a = dl.values.sum
+    def w(id: Long, t: String): Long = {
+      val f = tf((id, t))
+      val tfm = (22L * a * f * 1000000L) / (10L * a * f + 3L * a + 9L * dl(id) * n)
+      (n * 1000000L / df(t)) * tfm / 1000000L
+    }
+    val expected = Search.matchQueries.groupBy(_._1).flatMap { case (qid, qs) =>
+      val terms = qs.map(_._2)
+      val scored = docs.flatMap { case (id, _) =>
+        val matched = terms.filter(t => tf.contains((id, t)))
+        if (matched.isEmpty) None
+        else Some((id, matched.size.toLong, matched.map(w(id, _)).sum))
+      }
+      scored.sortBy { case (id, _, s) => (-s, id) }.take(10).zipWithIndex
+        .map { case ((id, nt, s), i) => (qid, id, nt, s, i + 1L) }
+    }.toSet
+    val got = Search.bm25Search(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("x16 highlight snippets center on the first matched query term") {
     val docs = corpus().toMap
     val hits = Search.matchSearch(spark, sf).collect()
