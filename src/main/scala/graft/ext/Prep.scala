@@ -200,6 +200,26 @@ object Prep {
           !col("contaminated") && !col("exact_dup"))
   }
 
+  /** c8 — inference batch shaping: bucket documents by padded length
+    * (multiples of 64 tokens, the serving-stack convention) and account
+    * the padding waste per bucket — real tokens vs padded slots at the
+    * bucket's fixed sequence length. This is the audit behind batched
+    * inference/training throughput: a skewed length distribution with
+    * naive batching wastes most of the accelerator FLOPs on pad tokens,
+    * and THIS table is what decides the bucket boundaries. One scan +
+    * one aggregation; the waste ratio is one exact-input IEEE division.
+    */
+  def lengthBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("pad_len", expr("((n_tokens + 63) DIV 64) * 64"))
+      .groupBy("pad_len")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("real_tokens"))
+      .select(col("pad_len"), col("n_docs"), col("real_tokens"),
+        (col("pad_len") * col("n_docs")).as("padded_tokens"),
+        round((col("pad_len") * col("n_docs") - col("real_tokens")).cast("double") /
+          (col("pad_len") * col("n_docs")), 6).as("waste_ratio"))
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -210,6 +230,7 @@ object Prep {
     "c5_bpe_pairs" -> (bpePairs _),
     "c6_decontaminated" -> (decontaminated _),
     "c7_quality_gate" -> (qualityGate _),
+    "c8_length_buckets" -> (lengthBuckets _),
     "x9_repetition" -> (repetition _)
   )
 
@@ -328,6 +349,19 @@ object Prep {
          |  count(*) AS n_distinct,
          |  round(CAST(1 AS DOUBLE) - count(*) / CAST(sum(n) AS DOUBLE), 6) AS dup_ratio,
          |  round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS top_token_share
-         |FROM tc GROUP BY doc_id""".stripMargin
+         |FROM tc GROUP BY doc_id""".stripMargin,
+    "c8_length_buckets" ->
+      s"""SELECT pad_len, n_docs, real_tokens,
+         |  pad_len * n_docs AS padded_tokens,
+         |  round(CAST(pad_len * n_docs - real_tokens AS DOUBLE) /
+         |    (pad_len * n_docs), 6) AS waste_ratio
+         |FROM (
+         |  SELECT pad_len, count(*) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS real_tokens
+         |  FROM (
+         |    SELECT ((len(${tokensSql("text")}) + 63) // 64) * 64 AS pad_len,
+         |      CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens
+         |    FROM documents)
+         |  GROUP BY pad_len)""".stripMargin
   )
 }
