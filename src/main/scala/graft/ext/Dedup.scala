@@ -592,13 +592,23 @@ object Dedup {
     * state per iteration is one node-sized frame, checkpointed to cut
     * lineage exactly as d7's label propagation does.
     */
-  def pageRank(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame = {
+  def pageRank(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame =
+    pageRankOn(embedNearDup(spark, sfDir), "vec_a", "vec_b",
+      Tables.embeddings(spark, sfDir).select(col("vec_id")), "vec_id", iters)
+      .withColumnRenamed("id", "vec_id")
+
+  /** PageRank over an arbitrary undirected pair frame — the d11 engine,
+    * parameterized like [[minLabelClusters]] so the property spec can
+    * drive it over arbitrary graphs. Returns (id, rank_scaled).
+    */
+  private[ext] def pageRankOn(pairs: DataFrame, aCol: String, bCol: String,
+      ids: DataFrame, idCol: String, iters: Int = 3): DataFrame = {
     val Scale = 1000000000000L
-    val e = embedNearDup(spark, sfDir).select("vec_a", "vec_b")
-    val und = e.select(col("vec_a").as("u"), col("vec_b").as("v"))
-      .unionByName(e.select(col("vec_b").as("u"), col("vec_a").as("v")))
+    val und = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .localCheckpoint() // referenced every iteration
-    val nodes = Tables.embeddings(spark, sfDir).select(col("vec_id").as("u"))
+    val nodes = ids.select(col(idCol).as("u"))
     val nF = nodes.agg(count(lit(1)).as("n"))
     val deg = und.groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint()
     var r = nodes.crossJoin(broadcast(nF)) // one-row frame: correct broadcast
@@ -617,7 +627,7 @@ object Dedup {
             .as("r"))
         .localCheckpoint()
     }
-    r.select(col("u").as("vec_id"), col("r").as("rank_scaled"))
+    r.select(col("u").as("id"), col("r").as("rank_scaled"))
   }
 
   // ---- d6: embedding cosine near-dup (hyperplane LSH) -------------------

@@ -46,4 +46,39 @@ class ClustersPropertySpec extends SparkSpec {
       assert(got == unionFind(n, edges), s"seed=$seed n=$n edges=$edges")
     }
   }
+
+  /** Reference: sequential integer-arithmetic PageRank, the exact fold
+    * d11's joins must reproduce (same Scale, same floor divisions).
+    */
+  private def pageRankSeq(n: Int, edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] = {
+    val Scale = 1000000000000L
+    val und = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = und.groupBy(_._1).map { case (k, vs) => k -> vs.length.toLong }
+    val nodes = (0L until n.toLong)
+    var r = nodes.map(_ -> Scale / n).toMap
+    for (_ <- 1 to iters) {
+      val msg = und.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / deg(u) }.sum
+      }
+      r = nodes.map(u =>
+        u -> (15L * (Scale / n) / 100L + 85L * msg.getOrElse(u, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pagerank == sequential integer fold, for arbitrary graphs") {
+    import spark.implicits._
+    // multi-edges matter here (they weight the random graph's degrees),
+    // so keep duplicates — only self-loops are dropped by the generator
+    for (seed <- 1L to 8L) {
+      val (n, edges) = sample(seed)
+      val ids = (0L until n.toLong).toDF("id")
+      val pairs = edges.toDF("a", "b")
+      val got = Dedup.pageRankOn(pairs, "a", "b", ids, "id", iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == pageRankSeq(n, edges, iters = 2),
+        s"seed=$seed n=$n edges=$edges")
+    }
+  }
 }
