@@ -149,12 +149,45 @@ object Sessions {
       .agg(count(lit(1)).as("n_active_users"))
   }
 
+  /** k6 — session concurrency: how many sessions are active in each
+    * 30-minute epoch. This is the INTERVAL×TIME-GRID join — the range
+    * join the prompt for any monitoring/capacity question ("concurrent
+    * users at peak") — done as bucket explosion: each session interval
+    * explodes into the epochs it spans (`sequence` over integer epoch
+    * indices, scan-local) and the grid side becomes an equi-GROUP BY,
+    * never a range-predicate cross join. A range-join formulation
+    * compares every session against every epoch (|sessions|·|grid|
+    * pairs); this shape's cost is Σ epochs-per-session — linear in the
+    * data with a small duration factor, the same bucketing trick an
+    * overlap join at 100 TB uses (genomics/IP-range joins bucket
+    * exactly like this). Epoch arithmetic is exact integer µs on both
+    * engines.
+    */
+  def concurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    val epochUs = 1800000000L // 30 minutes in microseconds
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("ts"))
+    val bounds = sessionize(spark, sfDir)
+      .join(ev, Seq("event_id"))
+      .groupBy("user_id", "session_no")
+      .agg(min(unix_micros(col("ts"))).as("s_us"),
+        max(unix_micros(col("ts"))).as("e_us"))
+    bounds
+      .select(explode(sequence(
+        expr(s"s_us DIV $epochUs"), expr(s"e_us DIV $epochUs"))).as("epoch"))
+      .groupBy("epoch")
+      .agg(count(lit(1)).as("n_active"))
+      .select(col("epoch"),
+        expr(s"timestamp_micros(epoch * $epochUs)").as("epoch_start"),
+        col("n_active"))
+  }
+
   val queries: Map[String, Q] = Map(
     "k1_session_stats" -> (sessionStats _),
     "k2_distinct_types" -> (distinctTypes _),
     "k3_salted_join" -> (saltedJoin _),
     "k4_funnel" -> (funnel _),
-    "k5_retention_cohorts" -> (retentionCohorts _)
+    "k5_retention_cohorts" -> (retentionCohorts _),
+    "k6_concurrency" -> (concurrency _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -227,6 +260,31 @@ object Sessions {
         |SELECT cohort_week, week - cohort_week AS week_offset,
         |  count(*) AS n_active_users
         |FROM ev JOIN cohort USING (user_id)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "k6_concurrency" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id) AS session_no
+        |  FROM (
+        |    SELECT event_id, user_id, ts,
+        |      CASE WHEN prev_ts IS NULL
+        |             OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(prev_ts) > 1800000000
+        |           THEN 1 ELSE 0 END AS new_session
+        |    FROM (
+        |      SELECT event_id, user_id, ts,
+        |        lag(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+        |      FROM events))),
+        |bounds AS (
+        |  SELECT user_id, session_no,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS s_us,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS e_us
+        |  FROM s GROUP BY user_id, session_no),
+        |epochs AS (
+        |  SELECT unnest(range(s_us // 1800000000, e_us // 1800000000 + 1)) AS epoch
+        |  FROM bounds)
+        |SELECT epoch,
+        |  make_timestamp(epoch * 1800000000) AS epoch_start,
+        |  count(*) AS n_active
+        |FROM epochs GROUP BY epoch""".stripMargin
   )
 }

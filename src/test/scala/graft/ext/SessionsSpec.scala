@@ -92,4 +92,23 @@ class SessionsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == expected, s"got=$got expected=$expected")
   }
+
+  test("k6 concurrency equals counting sessions per epoch brute-force") {
+    import org.apache.spark.sql.functions._
+    val epochUs = 1800000000L
+    val bounds = Sessions.sessionize(spark, sf)
+      .join(graft.Tables.events(spark, sf).select("event_id", "ts"), Seq("event_id"))
+      .groupBy("user_id", "session_no")
+      .agg(min(unix_micros(col("ts"))).as("s"), max(unix_micros(col("ts"))).as("e"))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    val expected = bounds
+      .flatMap { case (s, e) => (s / epochUs) to (e / epochUs) }
+      .groupBy(identity).map { case (ep, xs) => ep -> xs.length.toLong }
+    val got = Sessions.concurrency(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expected,
+      s"missing=${expected.toSet -- got.toSet} extra=${got.toSet -- expected.toSet}")
+    // every session contributes at least its own epoch
+    assert(got.values.sum >= bounds.length.toLong)
+  }
 }
