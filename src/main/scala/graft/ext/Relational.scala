@@ -37,6 +37,29 @@ object Relational {
           Window.currentRow)), 6).as("running_sum"))
   }
 
+  /** w2 — RANGE-frame windows: per-user trailing 30-minute moving
+    * aggregates, the event-TIME frame w1's ROWS frames cannot express
+    * (a rows frame counts neighbors, a range frame selects by ordering
+    * VALUE — sparse activity means the two differ). Ordering is exact
+    * integer microseconds and the summed value is floor-quantized to
+    * integer cents BEFORE the frame sum, so the moving sum is a sum of
+    * longs — frame-order independent (DuckDB evaluates range frames
+    * over a segment tree, Spark scans; float sums would diverge in the
+    * last ulp). Plans as one Window over one key shuffle, the same
+    * fused shape as w1.
+    */
+  def timeWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-1800000000L, 0L) // trailing 30 minutes, inclusive
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("value_cents"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_trailing"),
+        sum("value_cents").over(w).as("sum_cents_trailing"))
+  }
+
   /** u1 — set operations: big-ticket clickers INTERSECT big-ticket
     * purchasers, EXCEPT users with a severe error. Spark plans these as
     * joins (left-semi / left-anti after dedup) — no driver-side sets.
@@ -118,6 +141,7 @@ object Relational {
 
   val queries: Map[String, Q] = Map(
     "w1_window_suite" -> (windowSuite _),
+    "w2_time_windows" -> (timeWindows _),
     "u1_set_ops" -> (setOps _),
     "x8_type_day_cube" -> (typeDayCube _),
     "u2_grouping_sets" -> (groupingSetsTotals _),
@@ -136,6 +160,17 @@ object Relational {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_sum
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin,
+    "w2_time_windows" ->
+      """SELECT event_id, user_id, ts_us,
+        |  count(*) OVER w AS n_trailing,
+        |  CAST(sum(value_cents) OVER w AS BIGINT) AS sum_cents_trailing
+        |FROM (
+        |  SELECT event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    CAST(floor(value * 100) AS BIGINT) AS value_cents
+        |  FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "u1_set_ops" ->
       """SELECT DISTINCT user_id FROM events
         |WHERE event_type = 'click' AND value > 150

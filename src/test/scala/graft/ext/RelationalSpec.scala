@@ -104,4 +104,32 @@ class RelationalSpec extends SparkSpec {
     assert(got == expected,
       s"diff=${(got.toSet diff expected.toSet).take(3)}")
   }
+
+  test("w2 range-frame windows equal a brute trailing-30-min fold") {
+    import org.apache.spark.sql.functions._
+    val horizon = 1800000000L
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+        expr("CAST(floor(value * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(_._2).values.flatMap { rows =>
+      rows.map { case (id, u, ts, _) =>
+        val frame = rows.filter { case (_, _, t2, _) =>
+          t2 >= ts - horizon && t2 <= ts }
+        (id, u, ts, frame.length.toLong, frame.map(_._4).sum)
+      }
+    }.toSet
+    val df = Relational.timeWindows(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // one fused Window over one key exchange, as w1 (AQE's toString
+    // repeats the plan as "Initial Plan" — count the final section only)
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, s"window not fused:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1, s"extra shuffles:\n$p")
+  }
 }
