@@ -1,0 +1,168 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Portable._
+
+/** Bloom-filter runtime join pruning — the "runtime filter" every
+  * large-scale engine applies before an expensive fact-side shuffle
+  * (Spark's own AQE injects `BloomFilterAggregate` the same way; here the
+  * filter is built from engine-portable exact integers so the DuckDB
+  * oracle can verify the registers bit-for-bit, like r7/r8's sketches).
+  *
+  * Shape and why it scales: the dimension side's join keys are folded
+  * into a FIXED-SIZE bit array ([[NWords]]×32 bits ≈ 32 KB regardless of
+  * corpus size — built with one map-side-combinable `bit_or` aggregation),
+  * the fact table tests K bits per row inside the scan projection (one
+  * broadcast of the 32 KB sketch, no shuffle, no row multiplication), and
+  * only surviving rows — true matches plus the few-percent false
+  * positives — enter the exact semi-join shuffle. At 100 TB the win is
+  * that the big shuffle moves ~|matches| rows instead of |fact| rows,
+  * while the exact confirm keeps the result identical to the plain semi
+  * join (the oracle IS the plain semi join: the bloom is provably
+  * invisible in the output).
+  *
+  * The reference has no joins at all (SURVEY §2.1); this is part of the
+  * join surface a replacement engine must bring, sized for its 100 TB
+  * deployment (cf. `consumer_to_opensearch.py:94-95` — the reference
+  * point-looks-up one key at a time; a bulk backfill of that upsert path
+  * is exactly a fact-by-key semi join).
+  */
+object Bloom {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Hash functions per key (classic k). */
+  private val K = 3
+
+  /** 32-bit register words: a shift below 32 stays comfortably inside a
+    * signed BIGINT in BOTH engines (DuckDB raises on `1::BIGINT << 63`,
+    * so 64-bit words are not portable).
+    */
+  private val WordBits = 32
+
+  /** Default sketch size: 2^18 bits = 8192 words ≈ 32 KB. At the bench
+    * SF (~30k urgent orders) that is kn/m ≈ 0.34 → ~2.5% false-positive
+    * rate; a production build sizes m from the dim-side count the same
+    * way Spark's AQE does.
+    */
+  private[ext] val NWords = 8192
+
+  /** Bit position i of a key column — portable via [[Portable.tokenHash]];
+    * domain-separated per hash function by the `bf<i>:` prefix.
+    */
+  private def hashPos(i: Int, key: Column, nWords: Int): Column =
+    tokenHash(concat(lit(s"bf$i:"), key.cast("string"))) % (nWords.toLong * WordBits)
+
+  private def hashPosSql(i: Int, key: String, nWords: Int): String =
+    s"(${tokenHashSql(s"'bf$i:' || CAST($key AS VARCHAR)")} % ${nWords.toLong * WordBits})"
+
+  /** The filtered dimension side: urgent orders' keys. */
+  private def urgentKeys(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+
+  /** Bloom registers of a key column: `(w, mask)` word table, one row per
+    * touched word. `bit_or` partial-aggregates map-side, so the full pass
+    * over the dimension reduces to ≤ `nWords` rows before any shuffle.
+    */
+  private[ext] def bloomWords(keys: DataFrame, keyCol: String,
+      nWords: Int = NWords): DataFrame =
+    keys
+      .select(explode(array((0 until K).map(i =>
+        hashPos(i, col(keyCol), nWords)): _*)).as("p"))
+      .select(expr(s"p DIV $WordBits").as("w"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $WordBits AS INT))").as("m"))
+      .groupBy("w")
+      .agg(expr("bit_or(m)").as("mask"))
+
+  /** The sketch as ONE row holding the dense register array — the
+    * broadcastable form. Missing words are zero-filled so the fact side
+    * indexes positionally (`element_at` is 1-based).
+    */
+  private def bloomRow(keys: DataFrame, keyCol: String, nWords: Int): DataFrame =
+    bloomWords(keys, keyCol, nWords)
+      .agg(map_from_entries(sort_array(collect_list(struct(col("w"), col("mask")))))
+        .as("bm"))
+      .select(transform(sequence(lit(0L), lit(nWords - 1L)),
+        w => coalesce(element_at(col("bm"), w), lit(0L))).as("bloom"))
+
+  /** Fact rows surviving the bloom test — a SUPERSET of the true matches
+    * (a bloom filter has no false negatives; `BloomSpec` asserts it).
+    * One broadcast-nested-loop join against the single sketch row, then
+    * K bit tests per row in codegen — the fact table never shuffles here.
+    */
+  private[ext] def prunedCandidates(fact: DataFrame, keyCol: String,
+      sketch: DataFrame, nWords: Int): DataFrame = {
+    val withP = (0 until K).foldLeft(fact.crossJoin(broadcast(sketch))) {
+      (df, i) => df.withColumn(s"__p$i", hashPos(i, col(keyCol), nWords))
+    }
+    val pass = (0 until K).map { i =>
+      element_at(col("bloom"), expr(s"__p$i DIV $WordBits").cast("int") + 1)
+        .bitwiseAND(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(__p$i % $WordBits AS INT))")) =!= 0L
+    }.reduce(_ && _)
+    withP.filter(pass)
+      .drop("bloom" +: (0 until K).map("__p" + _): _*)
+  }
+
+  /** b1 — bloom-pruned semi-join revenue: lineitem revenue restricted to
+    * urgent orders, pruned by the sketch BEFORE the exact semi join.
+    * Result ≡ the plain semi join (the oracle), by construction.
+    */
+  def bloomPrunedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = urgentKeys(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_discount"))
+    val candidates = prunedCandidates(li, "l_orderkey",
+      bloomRow(keys, "o_orderkey", NWords), NWords)
+    // keys is fact-sized at 100 TB — shuffle semi join, never broadcast
+    candidates
+      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** b2 — the registers themselves, oracle-checked bit-for-bit: like
+    * r7/r8, the sketch CONTENT is exact integers both engines compute
+    * identically, so the correctness gate covers the data structure, not
+    * just its end effect.
+    */
+  def bloomRegisters(spark: SparkSession, sfDir: String): DataFrame =
+    bloomWords(urgentKeys(spark, sfDir), "o_orderkey")
+
+  val queries: Map[String, Q] = Map(
+    "b1_bloom_prune" -> (bloomPrunedRevenue _),
+    "b2_bloom_registers" -> (bloomRegisters _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    // the bloom is invisible: plain semi join
+    "b1_bloom_prune" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag""".stripMargin,
+    "b2_bloom_registers" -> {
+      val hs = (0 until K)
+        .map(i => hashPosSql(i, "o_orderkey", NWords))
+        .mkString("[", ", ", "]")
+      s"""SELECT p // $WordBits AS w,
+         |  bit_or(CAST(1 AS BIGINT) << CAST(p % $WordBits AS INTEGER)) AS mask
+         |FROM (
+         |  SELECT unnest($hs) AS p
+         |  FROM orders WHERE o_orderpriority = '1-URGENT')
+         |GROUP BY w""".stripMargin
+    }
+  )
+}

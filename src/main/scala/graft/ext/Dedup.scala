@@ -143,15 +143,27 @@ object Dedup {
   private[ext] def shingleFrame(spark: SparkSession, sfDir: String): DataFrame =
     memoFrame("shingles", spark, sfDir)(buildShingleFrame(spark, sfDir))
 
+  /** Positional token hashes `(doc_id, source, pos, h)` — one md5 per
+    * token in the corpus, memoized: the 3-gram shingle pipeline (d2 and
+    * its Prep consumers) and the duplicated-substring spans (d12) both
+    * derive from this one frame, so a driver run pays the token hash
+    * pass once. Corpus-proportional (a few longs per token); at 100 TB
+    * this is the token table a pipeline writes once and scans per
+    * consumer.
+    */
+  private[ext] def tokenHashFrame(spark: SparkSession, sfDir: String): DataFrame =
+    memoFrame("tokHashes", spark, sfDir)(
+      docs(spark, sfDir)
+        .select(col("doc_id"), col("source"),
+          posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("source"), col("pos"),
+          tokenHash(col("tok")).as("h"))
+        .localCheckpoint())
+
   private def buildShingleFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    val tokHashes = docs(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("source"), col("pos"),
-        tokenHash(col("tok")).as("h"))
-    tokHashes
+    tokenHashFrame(spark, sfDir)
       .select(col("doc_id"), col("source"),
         ((col("h") * 31L + lead("h", 1).over(w)) * 31L + lead("h", 2).over(w)) % P)
       .toDF("doc_id", "source", "shingle")
@@ -707,6 +719,78 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cos"))
   }
 
+  // ---- d12: duplicated-substring spans ----------------------------------
+
+  /** Span gram width (tokens): a duplicated region must contain at least
+    * one full 8-token window to be detected — the standard
+    * exact-substring-dedup granularity trade-off (cf. the 50-token
+    * threshold in suffix-array substring dedup; 8 fits this corpus's
+    * ~50-token documents).
+    */
+  private[ext] val SpanGram = 8
+
+  /** d12 — EXACT duplicated-substring spans (the suffix-array-free form
+    * of "deduplicate repeated training text"): for every document, the
+    * maximal token ranges whose every [[SpanGram]]-token window also
+    * appears in ANOTHER document. Where d2/d3 decide *documents* are
+    * near-dups, d12 localizes *which part* is copied — the operator that
+    * cuts boilerplate/quoted regions out of training text rather than
+    * dropping whole documents.
+    *
+    * Relational formulation, all linear passes:
+    *   1. rolling 8-gram hash per position — 7 `lead`s over ONE window
+    *      (one shuffle on doc_id) over the shared [[tokenHashFrame]];
+    *   2. grams seen in ≥ 2 documents — one aggregation on the gram key
+    *      (map-side combinable; the duplicated-gram set is tiny next to
+    *      the corpus);
+    *   3. positions of duplicated grams — a semi join back on the gram
+    *      key (ids and positions shuffle, never text);
+    *   4. gaps-and-islands merge of overlapping windows (`lag` + running
+    *      sum over the per-doc window) into maximal spans.
+    * At 100 TB every shuffle here carries longs keyed by doc_id or gram
+    * hash — the same postings shape as d2 — and the quadratic all-pairs
+    * comparison never materializes at all. Gram identity is the portable
+    * 31-fold hash mod P: a cross-doc hash collision (≈n²/2P) can mark a
+    * span both engines agree on — the documented approximation, identical
+    * in the oracle.
+    */
+  def substringSpans(spark: SparkSession, sfDir: String): DataFrame =
+    substringSpansOf(tokenHashFrame(spark, sfDir))
+
+  /** d12 over an arbitrary `(doc_id, pos, h)` frame — test surface. */
+  private[ext] def substringSpansOf(th: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val gram = (1 until SpanGram).foldLeft(col("h")) { (acc, i) =>
+      (acc * 31L + lead("h", i).over(w)) % P
+    }
+    val grams = th
+      .select(col("doc_id"), col("pos"), gram.as("g"))
+      .filter(col("g").isNotNull) // tail positions with no full window
+    val dup = grams.groupBy("g")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("g")
+    val hits = grams.join(dup, Seq("g")).select("doc_id", "pos")
+    // windows starting ≤ SpanGram apart overlap or touch → one island;
+    // two Window steps (mark, then running sum) — window functions can't
+    // nest in one expression, and both ride the same (doc_id, pos)
+    // ordering so Catalyst plans a single sort
+    hits
+      .withColumn("ni",
+        when(col("pos") - lag("pos", 1).over(w) > SpanGram, 1).otherwise(0))
+      .withColumn("island",
+        sum(col("ni")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      // output positions are 1-based token ordinals (pos is 0-based here,
+      // 1-based in the oracle's generate_subscripts — offsets cancel)
+      .agg((min("pos") + 1).cast("long").as("span_start"),
+        (max("pos") + SpanGram).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("n_dup_tokens"))
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -720,7 +804,8 @@ object Dedup {
     "d8_minhash_estimate" -> (minhashEstimate _),
     "d9_embed_clusters" -> (embedClusters _),
     "d10_triangle_census" -> (triangleStats _),
-    "d11_pagerank" -> ((s, d) => pageRank(s, d))
+    "d11_pagerank" -> ((s, d) => pageRank(s, d)),
+    "d12_substring_spans" -> (substringSpans _)
   )
 
   // ---- oracle SQL -------------------------------------------------------
@@ -930,6 +1015,36 @@ object Dedup {
          |${iter(2, "r1")},
          |${iter(3, "r2")}
          |SELECT u AS vec_id, CAST(r AS BIGINT) AS rank_scaled FROM r3""".stripMargin
+    },
+    "d12_substring_spans" -> {
+      // gram fold mirrors the Spark side exactly: mod P at every step
+      val gramSql = (1 until SpanGram).foldLeft("h")((acc, i) =>
+        s"((($acc) * 31 + lead(h, $i) OVER w) % $P)")
+      s"""WITH tk AS (
+         |  SELECT doc_id, generate_subscripts(${tokensSql("text")}, 1) AS pos,
+         |         unnest(${tokensSql("text")}) AS tok
+         |  FROM documents),
+         |th AS (SELECT doc_id, pos, ${tokenHashSql("tok")} AS h FROM tk),
+         |grams AS (
+         |  SELECT doc_id, pos, $gramSql AS g FROM th
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |fg AS (SELECT doc_id, pos, g FROM grams WHERE g IS NOT NULL),
+         |dup AS (SELECT g FROM fg GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         |hits AS (SELECT doc_id, pos FROM fg WHERE g IN (SELECT g FROM dup)),
+         |mark AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |              > $SpanGram THEN 1 ELSE 0 END AS ni
+         |  FROM hits),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM mark)
+         |SELECT doc_id,
+         |  CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + ${SpanGram - 1} AS BIGINT) AS span_end,
+         |  CAST(max(pos) + ${SpanGram - 1} - min(pos) + 1 AS BIGINT) AS n_dup_tokens
+         |FROM isl GROUP BY doc_id, island""".stripMargin
     }
   )
 }

@@ -37,7 +37,20 @@ private[ext] object FrameMemo {
   def apply(name: String, spark: SparkSession, sfDir: String)(
       build: => DataFrame): DataFrame = {
     memo.entrySet().removeIf(e => ownerStopped(e.getValue))
-    memo.computeIfAbsent((name, sessionKey(spark), sfDir), _ => build)
+    // NOT computeIfAbsent: builders may themselves consult the memo (the
+    // shingle frame builds on the token-hash frame), and a nested mutation
+    // inside computeIfAbsent deadlocks ConcurrentHashMap ("Recursive
+    // update"). get-then-putIfAbsent tolerates re-entry; the worst case
+    // under a concurrent race is one duplicated build, after which every
+    // caller reads the single winning entry.
+    val key = (name, sessionKey(spark), sfDir)
+    val hit = memo.get(key)
+    if (hit != null) hit
+    else {
+      val built = build
+      val prev = memo.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
   }
 
   /** Drop all memoized frames. The bench calls this before each timed

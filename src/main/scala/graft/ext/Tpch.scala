@@ -143,6 +143,75 @@ object Tpch {
         |WHERE n_refs >= 35""".stripMargin)
   }
 
+  /** t9 — volume shipping (TPC-H Q7 shape): revenue flowing between two
+    * nations, by direction and ship year. Two independent nation lookups
+    * (supplier's and customer's) resolve through the SAME tiny dimension
+    * broadcast twice under different aliases; the pair predicate
+    * `(A,B) or (B,A)` prunes 2/n² of the join output. The facts join
+    * fact-to-fact on orderkey (shuffle, co-partitioned) — at 100 TB
+    * that is the one shuffle this query needs, and it is unavoidable:
+    * both sides are corpus-sized.
+    */
+  def volumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val supNat = broadcast(Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val custNat = broadcast(Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation")))
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(supNat, col("l_suppkey") === col("s_suppkey"))
+      .join(custNat, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec("l_discount")))
+        .cast("double").as("revenue"))
+  }
+
+  /** t10 — disjunctive dimension predicate (TPC-H Q19 shape): revenue
+    * under an OR of (brand, size-range, quantity-range) conjunctions.
+    * The part-side conjuncts prune the broadcast build side BEFORE the
+    * join (only rows satisfying SOME branch's brand+size survive), and
+    * the residual mixed predicate evaluates post-join inside codegen.
+    * The shape matters at scale because a naive engine evaluates the
+    * whole disjunction as a join filter against the full dimension.
+    */
+  def disjunctiveRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val branch1 = col("p_brand") === "Brand#11" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 20)
+    val branch2 = col("p_brand") === "Brand#22" &&
+      col("p_size").between(10, 30) && col("l_quantity").between(10, 35)
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)
+        .filter((col("p_brand") === "Brand#11" && col("p_size").between(1, 15)) ||
+          (col("p_brand") === "Brand#22" && col("p_size").between(10, 30)))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2)
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** t11 — customer order-count distribution (TPC-H Q13 shape): how many
+    * customers placed exactly k orders, INCLUDING k=0 — the zero bucket
+    * forces a LEFT OUTER join (an inner join silently drops orderless
+    * customers; the oracle would catch it). Two aggregations: per-customer
+    * count (shuffle on custkey), then the tiny distribution rollup.
+    */
+  def orderCountDist(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+
   val queries: Map[String, Q] = Map(
     "t1_pricing_summary" -> (pricingSummary _),
     "t2_revenue_by_nation" -> (revenueByNation _),
@@ -151,7 +220,10 @@ object Tpch {
     "t5_brand_revenue" -> (brandRevenue _),
     "t6_supplier_by_region" -> (supplierByRegion _),
     "t7_exists_priority" -> (priorityWithDiscount _),
-    "t8_popular_parts" -> (popularParts _)
+    "t8_popular_parts" -> (popularParts _),
+    "t9_volume_shipping" -> (volumeShipping _),
+    "t10_disjunctive_revenue" -> (disjunctiveRevenue _),
+    "t11_order_count_dist" -> (orderCountDist _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -219,6 +291,38 @@ object Tpch {
         |    (SELECT count(*) FROM lineitem l
         |     WHERE l.l_partkey = p.p_partkey) AS n_refs
         |  FROM part p)
-        |WHERE n_refs >= 35""".stripMargin
+        |WHERE n_refs >= 35""".stripMargin,
+    "t9_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+    "t10_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 35)""".stripMargin,
+    "t11_order_count_dist" ->
+      """SELECT n_orders, count(*) AS n_customers FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY n_orders""".stripMargin
   )
 }

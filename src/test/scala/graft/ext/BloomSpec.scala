@@ -1,0 +1,80 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bloom runtime-filter pruning (b1/b2): the sketch may only ever PRUNE —
+  * never change the result. The DuckDB oracle pins the end-to-end values
+  * and the register bits at sf0.01; these tests pin the bloom contract
+  * (no false negatives; false positives exist and are removed by the
+  * exact confirm) and the fact-side plan shape.
+  */
+class BloomSpec extends SparkSpec {
+
+  test("b1 equals the plain semi join — bloom is invisible in the result") {
+    val got = Bloom.bloomPrunedRevenue(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val li = graft.Tables.lineitem(spark, sf)
+    val keys = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val want = li.join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("bloom candidates: superset of true matches, with FPs under a tiny sketch") {
+    import spark.implicits._
+    // 20 dim keys × 3 hashes over a deliberately tiny sketch (1 word =
+    // 32 bits) nearly saturate it: false positives are guaranteed on
+    // this fixed (md5-deterministic) data, false negatives impossible.
+    val dimKeys = (1L to 20L)
+    val keys = dimKeys.toDF("k")
+    val fact = (1L to 500L).toDF("fk")
+    val nWords = 1
+    val sketch = { // same construction as the production path, sized down
+      val words = Bloom.bloomWords(keys, "k", nWords)
+      words.agg(map_from_entries(sort_array(
+          collect_list(struct(col("w"), col("mask"))))).as("bm"))
+        .select(transform(sequence(lit(0L), lit(nWords - 1L)),
+          w => coalesce(element_at(col("bm"), w), lit(0L))).as("bloom"))
+    }
+    val candFrame = Bloom.prunedCandidates(fact, "fk", sketch, nWords)
+    val cand = candFrame.collect().map(_.getLong(0)).toSet
+    assert(dimKeys.toSet.subsetOf(cand), "bloom dropped a true match")
+    assert(cand.size > dimKeys.size, "tiny sketch produced no false " +
+      "positives — the confirm-join path is untested by this corpus")
+    // and the exact confirm removes every false positive
+    val confirmed = candFrame
+      .join(keys, col("fk") === col("k"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    assert(confirmed == dimKeys.toSet)
+  }
+
+  test("fact side never shuffles before the bloom test") {
+    // The point of the runtime filter: the lineitem scan flows into the
+    // bloom bit-test with no Exchange in between — only pruned survivors
+    // reach the exact semi join's shuffle. The sketch row itself arrives
+    // by broadcast (32 KB, size-independent of the corpus — the one
+    // broadcast that is CORRECT at 100 TB).
+    val p = Bloom.bloomPrunedRevenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"sketch not broadcast:\n$p")
+    // the scan of lineitem must appear BELOW the bit-test filter with no
+    // hashpartitioning exchange between them: find the filter containing
+    // the bit test (shiftleft) and check no Exchange sits under it on the
+    // lineitem branch
+    val idx = p.indexOf("shiftleft")
+    assert(idx >= 0, s"bit test missing from plan:\n$p")
+    val below = p.substring(idx)
+    val lineitemScan = below.indexOf("lineitem")
+    assert(lineitemScan >= 0, s"lineitem scan not under the bit test:\n$p")
+    assert(!below.substring(0, lineitemScan).contains("Exchange hashpartitioning"),
+      s"fact side shuffles before the bloom test:\n$p")
+  }
+}

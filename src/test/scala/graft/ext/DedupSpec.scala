@@ -242,4 +242,73 @@ class DedupSpec extends SparkSpec {
     assert(connected.nonEmpty && connected.exists(got(_) > base),
       "no connected node rose above the base rank")
   }
+
+  /** Same projection d12's production path uses over `documents`. */
+  private def thOf(docs: Seq[(Long, String)]) = {
+    import spark.implicits._
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        posexplode(Portable.tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), Portable.tokenHash(col("tok")).as("h"))
+  }
+
+  test("d12: maximal duplicated spans — merged, localized, cross-doc only") {
+    // doc 1 and doc 2 share a 12-token run (≥ one full 8-gram window) and
+    // a second, disjoint 9-token run far enough away to be its own island;
+    // doc 3 carries only the second run — its unique noise must stay
+    // unflagged, and no window straddling run+noise may ever match.
+    val run = (0 until 12).map(i => s"dup$i").mkString(" ")
+    val run2 = (0 until 9).map(i => s"also$i").mkString(" ")
+    def noise(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"$run ${noise("a", 20)} $run2",
+      2L -> s"${noise("b", 5)} $run ${noise("c", 20)} $run2",
+      3L -> s"${noise("d", 3)} $run2 ${noise("e", 20)}")
+    val out = Dedup.substringSpansOf(thOf(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // doc 1: run at tokens 1-12, run2 at 33-41 (1-based); doc 2: run at
+    // 6-17, run2 at 38-46; doc 3: run2 at 4-12. Two islands per doc for
+    // 1/2 — the 20-token gaps may not merge; within-run windows must.
+    assert(out == Set(
+      (1L, 1L, 12L, 12L), (1L, 33L, 41L, 9L),
+      (2L, 6L, 17L, 12L), (2L, 38L, 46L, 9L),
+      (3L, 4L, 12L, 9L)), s"got: $out")
+  }
+
+  test("d12: spans cover every duplicated window and nothing in unique text") {
+    // On the real corpus: recompute duplicated 8-gram start positions by
+    // brute force and assert the spans are exactly their island closure.
+    val th = Dedup.tokenHashFrame(spark, sf)
+      .select("doc_id", "pos", "h").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toArray).toMap
+    val P = Portable.P
+    val grams = th.toSeq.flatMap { case (doc, hs) =>
+      (0 to hs.length - Dedup.SpanGram).map { i =>
+        val g = (i + 1 until i + Dedup.SpanGram)
+          .foldLeft(hs(i))((acc, j) => (acc * 31L + hs(j)) % P)
+        (doc, i, g)
+      }
+    }
+    val byGram = grams.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.size >= 2)
+    val hits = byGram.values.flatten.map(t => (t._1, t._2)).toSet
+    val expected = hits.groupBy(_._1).flatMap { case (doc, ps) =>
+      val sorted = ps.map(_._2).toSeq.sorted
+      val islands = sorted.tail.foldLeft(Vector(Vector(sorted.head))) {
+        (acc, p) =>
+          if (p - acc.last.last <= Dedup.SpanGram) acc.init :+ (acc.last :+ p)
+          else acc :+ Vector(p)
+      }
+      islands.map(is =>
+        (doc, is.head + 1L, is.last + Dedup.SpanGram.toLong,
+          (is.last + Dedup.SpanGram - is.head).toLong))
+    }.toSet
+    val got = Dedup.substringSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected,
+      s"missing=${expected -- got}, extra=${got -- expected}")
+  }
 }
