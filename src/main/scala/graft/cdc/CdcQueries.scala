@@ -317,6 +317,42 @@ object CdcQueries {
         col("changed_cols"), col("n_changed"))
   }
 
+  /** o21 — snapshot DIFF between two time-travel points: which keys were
+    * added, removed, or re-versioned between the t1 and t2 views of the
+    * changelog — the table-history operator (Delta/Iceberg `DESCRIBE
+    * HISTORY` + CDF diff) the reference's OpenSearch index cannot answer
+    * at all (it holds only the latest state; the Kafka log holds the
+    * history — `terraform/main.tf:61` retains 1 GB of it for exactly this
+    * kind of replay).
+    *
+    * Shape: two cutoff-filtered materializations (each cutoff pushes into
+    * the scan as a raw-nanos predicate, rowgroup-prunable — see
+    * [[snapshotAsof]]) feeding one FULL OUTER join on the key. Both sides
+    * hash-partition on `user_id` for their latest-per-key window, and the
+    * join reuses that co-partitioning — at 100 TB: two pruned scans, two
+    * narrow shuffles, no extra exchange for the join.
+    */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    def snap(cutoff: String): DataFrame = {
+      val cutoffNanos = java.time.LocalDateTime.parse(cutoff)
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+      Materialize.customerView(Tables.eventsRaw(spark, sfDir)
+        .filter(col("ts") < cutoffNanos)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    }
+    val s1 = snap("2024-01-10T00:00:00")
+      .select(col("user_id"), col("event_id").as("old_seq"))
+    val s2 = snap("2024-01-20T00:00:00")
+      .select(col("user_id"), col("event_id").as("new_seq"))
+    s1.join(s2, Seq("user_id"), "full_outer")
+      .withColumn("change",
+        when(col("old_seq").isNull, "added")
+          .when(col("new_seq").isNull, "removed")
+          .when(col("old_seq") =!= col("new_seq"), "changed"))
+      .filter(col("change").isNotNull) // unchanged keys drop out
+      .select(col("user_id"), col("change"), col("old_seq"), col("new_seq"))
+  }
+
   val queries: Map[String, Q] = Map(
     "o01_cdc_scan" -> (cdcScan _),
     "o02_insert_writer" -> (insertWriter _),
@@ -337,7 +373,8 @@ object CdcQueries {
     "o17_incremental_agg" -> ((s, d) => incrementalAgg(s, d)),
     "o18_share_gate" -> (shareGate _),
     "o19_schema_evolution" -> (schemaEvolution _),
-    "o20_changed_columns" -> (changedColumns _)
+    "o20_changed_columns" -> (changedColumns _),
+    "o21_snapshot_diff" -> (snapshotDiff _)
   )
 
   private val opCase =
@@ -485,6 +522,29 @@ object CdcQueries {
         |      lag(props) OVER w AS p_props
         |    FROM events
         |    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)))
-        |WHERE p_seq IS NOT NULL AND n_changed > 0""".stripMargin
+        |WHERE p_seq IS NOT NULL AND n_changed > 0""".stripMargin,
+    "o21_snapshot_diff" ->
+      """WITH s1 AS (
+        |  SELECT user_id, event_id FROM (
+        |    SELECT user_id, event_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |    FROM events
+        |    WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-10 00:00:00')
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |s2 AS (
+        |  SELECT user_id, event_id FROM (
+        |    SELECT user_id, event_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |    FROM events
+        |    WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00')
+        |  WHERE rn = 1 AND event_type <> 'error')
+        |SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+        |  CASE WHEN s1.user_id IS NULL THEN 'added'
+        |       WHEN s2.user_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change,
+        |  s1.event_id AS old_seq, s2.event_id AS new_seq
+        |FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
+        |WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+        |   OR s1.event_id <> s2.event_id""".stripMargin
   )
 }

@@ -252,36 +252,48 @@ object Dedup {
     memoFrame("lshPairs", spark, sfDir)(
       buildMinhashLsh(spark, sfDir).localCheckpoint())
 
+  /** Per-document MinHash sketch `(doc_id, bk0, bk1, toks)`, memoized:
+    * the full self-dedup (d3) and the delta-vs-corpus incremental dedup
+    * (d13) read the same frame. At 100 TB this is the persisted sketch
+    * INDEX a production pipeline maintains next to the corpus — built
+    * once, consulted by every ingest batch.
+    *
+    * Token sets are carried as md5-hash longs end to end: the signature
+    * permutations consume them directly and the exact-Jaccard confirm
+    * intersects long arrays (same hash in the oracle — collision-exact).
+    *
+    * ONE pass over the corpus computes everything per-document: the 16
+    * signature minima AND the sorted token-hash set, in a single
+    * aggregation over exploded token hashes — sig_i = min(affine_i(h)),
+    * toks = sort_array(collect_set(h)). One md5 per token total (an
+    * array-lambda form measured a 13x md5 blowup when the subtree was
+    * referenced four times; a previous two-pass form hashed every token
+    * twice). The Aggregate is also a hard optimizer barrier, so
+    * downstream reuse can never re-inline the hash computation. The
+    * shape that scales: one shuffle on doc_id, partial min map-side.
+    * The frame is referenced from BOTH sides of the band joins and both
+    * confirm re-joins; materializing it once stops 4 recomputations of
+    * the whole hash pipeline (measured ~3s of the ~5s query at sf0.1).
+    * localCheckpoint is the local[n] stand-in for
+    * persist(MEMORY_AND_DISK) + a reliable checkpoint on a cluster.
+    */
+  private[ext] def sketchFrame(spark: SparkSession, sfDir: String): DataFrame =
+    memoFrame("minhashSketch", spark, sfDir) {
+      val exploded = docs(spark, sfDir)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(tokenSet(col("text")),
+            t => tokenHash(t)))).as("h"))
+      exploded.groupBy("doc_id")
+        .agg(min(affine(0, col("h"))).as("s0"),
+          (1 until 16).map(i => min(affine(i, col("h"))).as(s"s$i")) :+
+            sort_array(collect_set(col("h"))).as("toks"): _*)
+        .select(col("doc_id"), bandKey(0).as("bk0"), bandKey(8).as("bk1"),
+          col("toks"))
+        .localCheckpoint()
+    }
+
   private[ext] def buildMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    // Token sets are carried as md5-hash longs end to end: the signature
-    // permutations consume them directly and the exact-Jaccard confirm
-    // intersects long arrays (same hash in the oracle — collision-exact).
-    //
-    // ONE pass over the corpus computes everything per-document: the 16
-    // signature minima AND the sorted token-hash set, in a single
-    // aggregation over exploded token hashes — sig_i = min(affine_i(h)),
-    // toks = sort_array(collect_set(h)). One md5 per token total (an
-    // array-lambda form measured a 13x md5 blowup when the subtree was
-    // referenced four times; a previous two-pass form hashed every token
-    // twice). The Aggregate is also a hard optimizer barrier, so
-    // downstream reuse can never re-inline the hash computation. The
-    // shape that scales: one shuffle on doc_id, partial min map-side.
-    val exploded = docs(spark, sfDir)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(tokenSet(col("text")),
-          t => tokenHash(t)))).as("h"))
-    val per = exploded.groupBy("doc_id")
-      .agg(min(affine(0, col("h"))).as("s0"),
-        (1 until 16).map(i => min(affine(i, col("h"))).as(s"s$i")) :+
-          sort_array(collect_set(col("h"))).as("toks"): _*)
-      .select(col("doc_id"), bandKey(0).as("bk0"), bandKey(8).as("bk1"),
-        col("toks"))
-      // The per-doc sketch frame is referenced from BOTH sides of the
-      // band joins and both confirm re-joins; materializing it once stops
-      // 4 recomputations of the whole hash pipeline (measured ~3s of the
-      // ~5s query at sf0.1). localCheckpoint is the local[n] stand-in for
-      // persist(MEMORY_AND_DISK) + a reliable checkpoint on a cluster.
-      .localCheckpoint()
+    val per = sketchFrame(spark, sfDir)
     // Dedup-free banding: one join per band, where band i's condition
     // requires NO earlier band to have matched — each colliding pair is
     // emitted exactly once, so there is no multi-million-row DISTINCT
@@ -791,6 +803,49 @@ object Dedup {
         (col("span_end") - col("span_start") + 1L).as("n_dup_tokens"))
   }
 
+  // ---- d13: incremental (delta-vs-corpus) near-dup -----------------------
+
+  /** d13 — INCREMENTAL near-dup: a delta shard (`doc_id % 10 = 0` stands
+    * in for "today's ingest") deduplicated against the full corpus
+    * without recomputing the corpus-side self-join — the shape a 100 TB
+    * pipeline actually runs daily. The corpus side is the persisted
+    * [[sketchFrame]] index (built once, here memoized); only the DELTA's
+    * band keys join against it, so per-ingest cost follows |delta| ×
+    * collision rate, not |corpus|². Result ≡ d3's pairs restricted to
+    * those touching the delta (the oracle states exactly that), so the
+    * incremental path is provably consistent with the batch path.
+    *
+    * Pair-uniqueness without a DISTINCT: the delta side is always the
+    * left leg, so a delta×non-delta collision is emitted once by
+    * construction; a delta×delta collision (both legs present on the
+    * left) keeps only the `a < b` orientation. Band exclusivity (band 1
+    * requires band 0 to differ) carries over from d3 unchanged.
+    */
+  def incrementalLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = sketchFrame(spark, sfDir)
+    val delta = per.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("da"), col("bk0").as("abk0"), col("bk1").as("abk1"))
+    val corpus = per.select(col("doc_id").as("db"),
+      (col("doc_id") % 10 === 0).as("b_delta"),
+      col("bk0").as("bbk0"), col("bk1").as("bbk1"))
+    val once = col("da") < col("db") || !col("b_delta")
+    val cand0 = delta.join(corpus,
+        col("abk0") === col("bbk0") && col("da") =!= col("db") && once)
+      .select(col("da"), col("db"))
+    val cand1 = delta.join(corpus,
+        col("abk1") === col("bbk1") && col("abk0") =!= col("bbk0") &&
+          col("da") =!= col("db") && once)
+      .select(col("da"), col("db"))
+    val cand = cand0.unionByName(cand1)
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+    jaccardPairs(
+      cand
+        .join(per.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
+        .join(per.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b")),
+      col("ta"), col("tb"), 0.9, (9, 10))
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -805,7 +860,8 @@ object Dedup {
     "d9_embed_clusters" -> (embedClusters _),
     "d10_triangle_census" -> (triangleStats _),
     "d11_pagerank" -> ((s, d) => pageRank(s, d)),
-    "d12_substring_spans" -> (substringSpans _)
+    "d12_substring_spans" -> (substringSpans _),
+    "d13_incremental_lsh" -> (incrementalLsh _)
   )
 
   // ---- oracle SQL -------------------------------------------------------
@@ -870,6 +926,38 @@ object Dedup {
        |          JOIN e y ON y.vec_id = cand.vec_b
        |WHERE list_dot_product(x.v, y.v) /
        |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.4""".stripMargin
+
+  /** d12's full oracle SQL — also the span set of c9's scrub. */
+  private[ext] val d12Sql: String = {
+    // gram fold mirrors the Spark side exactly: mod P at every step
+    val gramSql = (1 until SpanGram).foldLeft("h")((acc, i) =>
+      s"((($acc) * 31 + lead(h, $i) OVER w) % $P)")
+    s"""WITH tk AS (
+         |  SELECT doc_id, generate_subscripts(${tokensSql("text")}, 1) AS pos,
+         |         unnest(${tokensSql("text")}) AS tok
+         |  FROM documents),
+         |th AS (SELECT doc_id, pos, ${tokenHashSql("tok")} AS h FROM tk),
+         |grams AS (
+         |  SELECT doc_id, pos, $gramSql AS g FROM th
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |fg AS (SELECT doc_id, pos, g FROM grams WHERE g IS NOT NULL),
+         |dup AS (SELECT g FROM fg GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         |hits AS (SELECT doc_id, pos FROM fg WHERE g IN (SELECT g FROM dup)),
+         |mark AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |              > $SpanGram THEN 1 ELSE 0 END AS ni
+         |  FROM hits),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM mark)
+         |SELECT doc_id,
+         |  CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + ${SpanGram - 1} AS BIGINT) AS span_end,
+         |  CAST(max(pos) + ${SpanGram - 1} - min(pos) + 1 AS BIGINT) AS n_dup_tokens
+         |FROM isl GROUP BY doc_id, island""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "d1_exact_dedup" ->
@@ -1016,35 +1104,13 @@ object Dedup {
          |${iter(3, "r2")}
          |SELECT u AS vec_id, CAST(r AS BIGINT) AS rank_scaled FROM r3""".stripMargin
     },
-    "d12_substring_spans" -> {
-      // gram fold mirrors the Spark side exactly: mod P at every step
-      val gramSql = (1 until SpanGram).foldLeft("h")((acc, i) =>
-        s"((($acc) * 31 + lead(h, $i) OVER w) % $P)")
-      s"""WITH tk AS (
-         |  SELECT doc_id, generate_subscripts(${tokensSql("text")}, 1) AS pos,
-         |         unnest(${tokensSql("text")}) AS tok
-         |  FROM documents),
-         |th AS (SELECT doc_id, pos, ${tokenHashSql("tok")} AS h FROM tk),
-         |grams AS (
-         |  SELECT doc_id, pos, $gramSql AS g FROM th
-         |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-         |fg AS (SELECT doc_id, pos, g FROM grams WHERE g IS NOT NULL),
-         |dup AS (SELECT g FROM fg GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
-         |hits AS (SELECT doc_id, pos FROM fg WHERE g IN (SELECT g FROM dup)),
-         |mark AS (
-         |  SELECT doc_id, pos,
-         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-         |              > $SpanGram THEN 1 ELSE 0 END AS ni
-         |  FROM hits),
-         |isl AS (
-         |  SELECT doc_id, pos,
-         |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-         |  FROM mark)
-         |SELECT doc_id,
-         |  CAST(min(pos) AS BIGINT) AS span_start,
-         |  CAST(max(pos) + ${SpanGram - 1} AS BIGINT) AS span_end,
-         |  CAST(max(pos) + ${SpanGram - 1} - min(pos) + 1 AS BIGINT) AS n_dup_tokens
-         |FROM isl GROUP BY doc_id, island""".stripMargin
-    }
+    "d12_substring_spans" -> d12Sql,
+    // incremental == batch restricted to pairs touching the delta: the
+    // oracle IS d3's result under that predicate, so the hash match
+    // proves batch/incremental consistency
+    "d13_incremental_lsh" ->
+      s"""SELECT doc_a, doc_b, jac FROM ($d3Sql)
+         |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0""".stripMargin
   )
+
 }

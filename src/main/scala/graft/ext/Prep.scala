@@ -220,6 +220,45 @@ object Prep {
         round((col("pad_len") * col("n_docs") - col("real_tokens")).cast("double") /
           (col("pad_len") * col("n_docs")), 6).as("waste_ratio"))
 
+  // ---- c9: span-level boilerplate scrub ---------------------------------
+
+  /** c9 — cut the duplicated spans ([[Dedup.substringSpans]], d12) OUT of
+    * the text and reassemble what remains — the span-level dedup action:
+    * where c6 drops whole contaminated documents, c9 keeps the document
+    * and removes only the copied region (boilerplate headers, quoted
+    * text, license blocks).
+    *
+    * Shape: the span frame explodes to covered token ordinals (spans are
+    * maximal and disjoint per doc, so no DISTINCT is needed), the token
+    * frame anti-joins it on (doc_id, ordinal), and the survivors
+    * reassemble per doc via an order-struct sort inside the aggregation —
+    * all shuffles keyed on doc_id, text re-derived in the scan (never
+    * shuffled alongside the span math). Docs with no spans pass through
+    * unchanged; fully-covered docs come back EMPTY but present (the
+    * left join with the base table keeps the row — silently dropping a
+    * fully-boilerplate doc would misreport corpus size downstream).
+    */
+  def spanScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val covered = Dedup.substringSpans(spark, sfDir)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("p"))
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            s => s.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_cut_tokens"))
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -231,6 +270,7 @@ object Prep {
     "c6_decontaminated" -> (decontaminated _),
     "c7_quality_gate" -> (qualityGate _),
     "c8_length_buckets" -> (lengthBuckets _),
+    "c9_span_scrub" -> (spanScrub _),
     "x9_repetition" -> (repetition _)
   )
 
@@ -362,6 +402,29 @@ object Prep {
          |    SELECT ((len(${tokensSql("text")}) + 63) // 64) * 64 AS pad_len,
          |      CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens
          |    FROM documents)
-         |  GROUP BY pad_len)""".stripMargin
+         |  GROUP BY pad_len)""".stripMargin,
+    "c9_span_scrub" ->
+      s"""WITH spans AS (${Dedup.d12Sql}),
+         |cov AS (
+         |  SELECT doc_id, unnest(range(span_start, span_end + 1)) AS p
+         |  FROM spans),
+         |tk AS (
+         |  SELECT doc_id,
+         |    CAST(generate_subscripts(${tokensSql("text")}, 1) AS BIGINT) AS p,
+         |    unnest(${tokensSql("text")}) AS tok
+         |  FROM documents),
+         |kept AS (
+         |  SELECT tk.doc_id, tk.p, tk.tok
+         |  FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.p = cov.p
+         |  WHERE cov.p IS NULL),
+         |agg AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         |    CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(agg.clean_text, '') AS clean_text,
+         |  CAST(len(${tokensSql("d.text")}) - COALESCE(agg.n_kept, 0) AS BIGINT)
+         |    AS n_cut_tokens
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
   )
 }

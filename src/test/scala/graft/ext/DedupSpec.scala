@@ -243,6 +243,15 @@ class DedupSpec extends SparkSpec {
       "no connected node rose above the base rank")
   }
 
+  test("d13 incremental == d3 batch restricted to delta-touching pairs") {
+    val batch = Dedup.minhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    val inc = Dedup.incrementalLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == batch, s"missing=${batch -- inc}, extra=${inc -- batch}")
+  }
+
   /** Same projection d12's production path uses over `documents`. */
   private def thOf(docs: Seq[(Long, String)]) = {
     import spark.implicits._
