@@ -155,7 +155,9 @@ class DedupSpec extends SparkSpec {
         "d2_ngram_jaccard" -> Dedup.ngramJaccard(spark, sf),
         "d3_minhash_lsh" -> Dedup.buildMinhashLsh(spark, sf),
         "d5_simhash_neardup" -> Dedup.simhashNearDup(spark, sf),
-        "d6_embed_neardup" -> Dedup.buildEmbedNearDup(spark, sf))
+        "d6_embed_neardup" -> Dedup.buildEmbedNearDup(spark, sf),
+        "d12_substring_spans" -> Dedup.substringSpans(spark, sf),
+        "d13_incremental_lsh" -> Dedup.incrementalLsh(spark, sf))
       for ((q, df) <- plans) {
         val p = df.queryExecution.executedPlan.toString
         assert(!p.contains("BroadcastExchange") && !p.contains("BroadcastHashJoin")
