@@ -12,12 +12,12 @@ import Portable._
   * oracle can verify the registers bit-for-bit, like r7/r8's sketches).
   *
   * Shape and why it scales: the dimension side's join keys are folded
-  * into a FIXED-SIZE bit array ([[NWords]]×32 bits ≈ 32 KB regardless of
-  * corpus size — built with one map-side-combinable `bit_or` aggregation),
-  * the fact table tests K bits per row inside the scan projection (one
-  * broadcast of the 32 KB sketch, no shuffle, no row multiplication), and
-  * only surviving rows — true matches plus the few-percent false
-  * positives — enter the exact semi-join shuffle. At 100 TB the win is
+  * into a FIXED-SIZE register table ([[NWords]]×32 bits ≈ 32 KB regardless
+  * of corpus size — built with one map-side-combinable `bit_or`
+  * aggregation), the fact table tests K bits per row via K codegen'd
+  * broadcast hash joins against that table (no shuffle, no row
+  * multiplication), and only surviving rows — true matches plus the
+  * few-percent false positives — enter the exact semi-join shuffle. At 100 TB the win is
   * that the big shuffle moves ~|matches| rows instead of |fact| rows,
   * while the exact confirm keeps the result identical to the plain semi
   * join (the oracle IS the plain semi join: the bloom is provably
@@ -78,33 +78,33 @@ object Bloom {
       .groupBy("w")
       .agg(expr("bit_or(m)").as("mask"))
 
-  /** The sketch as ONE row holding the dense register array — the
-    * broadcastable form. Missing words are zero-filled so the fact side
-    * indexes positionally (`element_at` is 1-based).
-    */
-  private def bloomRow(keys: DataFrame, keyCol: String, nWords: Int): DataFrame =
-    bloomWords(keys, keyCol, nWords)
-      .agg(map_from_entries(sort_array(collect_list(struct(col("w"), col("mask")))))
-        .as("bm"))
-      .select(transform(sequence(lit(0L), lit(nWords - 1L)),
-        w => coalesce(element_at(col("bm"), w), lit(0L))).as("bloom"))
-
   /** Fact rows surviving the bloom test — a SUPERSET of the true matches
     * (a bloom filter has no false negatives; `BloomSpec` asserts it).
-    * One broadcast-nested-loop join against the single sketch row, then
-    * K bit tests per row in codegen — the fact table never shuffles here.
+    *
+    * The K bit tests are K BroadcastHashJoins against the (≤ nWords)-row
+    * register table: equi-key = the word index, residual condition = the
+    * bit mask test. An inner join doubles as the test — a key whose word
+    * was never touched has no row to match (bit trivially 0), and an
+    * unset bit fails the residual. Everything — the K hash projections
+    * and all K joins — stays inside whole-stage codegen on the fact
+    * side with ZERO exchanges. (A first cut carried the sketch as one
+    * array row through a BroadcastNestedLoopJoin; BNLJ conditions are
+    * INTERPRETED, so the md5 chain ran un-codegen'd per row — 50 s at
+    * sf0.1 where this shape takes well under a second.)
     */
   private[ext] def prunedCandidates(fact: DataFrame, keyCol: String,
-      sketch: DataFrame, nWords: Int): DataFrame = {
-    val withP = (0 until K).foldLeft(fact.crossJoin(broadcast(sketch))) {
-      (df, i) => df.withColumn(s"__p$i", hashPos(i, col(keyCol), nWords))
+      words: DataFrame, nWords: Int): DataFrame = {
+    val withP = (0 until K).foldLeft(fact) { (df, i) =>
+      df.withColumn(s"__p$i", hashPos(i, col(keyCol), nWords))
     }
-    val pass = (0 until K).map { i =>
-      element_at(col("bloom"), expr(s"__p$i DIV $WordBits").cast("int") + 1)
-        .bitwiseAND(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(__p$i % $WordBits AS INT))")) =!= 0L
-    }.reduce(_ && _)
-    withP.filter(pass)
-      .drop("bloom" +: (0 until K).map("__p" + _): _*)
+    (0 until K).foldLeft(withP) { (df, i) =>
+      val w = broadcast(words
+        .select(col("w").as(s"__w$i"), col("mask").as(s"__m$i")))
+      df.join(w, expr(s"__p$i DIV $WordBits") === col(s"__w$i") &&
+        (col(s"__m$i").bitwiseAND(
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(__p$i % $WordBits AS INT))"))
+          =!= 0L))
+    }.drop((0 until K).flatMap(i => Seq(s"__p$i", s"__w$i", s"__m$i")): _*)
   }
 
   /** b1 — bloom-pruned semi-join revenue: lineitem revenue restricted to
@@ -117,7 +117,7 @@ object Bloom {
       .select(col("l_orderkey"), col("l_returnflag"),
         col("l_extendedprice"), col("l_discount"))
     val candidates = prunedCandidates(li, "l_orderkey",
-      bloomRow(keys, "o_orderkey", NWords), NWords)
+      bloomWords(keys, "o_orderkey", NWords), NWords)
     // keys is fact-sized at 100 TB — shuffle semi join, never broadcast
     candidates
       .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")

@@ -63,6 +63,15 @@ object StreamApply {
     def epochOf(ver: String): Long =
       ver.substring(ver.lastIndexOf('e') + 1).toLong
 
+    /** Version name for a compaction rewrite — same epoch monotonicity
+      * as [[nextVersionName]], labelled so a directory listing shows
+      * which versions were maintenance rewrites.
+      */
+    def nextCompactName(): String = {
+      val epoch = currentVersion().map(epochOf(_) + 1).getOrElse(0L)
+      s"${VersionPrefix}compact_e$epoch"
+    }
+
     private def deleteRecursively(p: java.nio.file.Path): Unit = {
       val w = Files.walk(p)
       try w.sorted(java.util.Comparator.reverseOrder())
@@ -190,6 +199,30 @@ object StreamApply {
     def view(): DataFrame = {
       val s = snapshot()
       if (s.schema.isEmpty) s else s.filter(col(opCol) =!= deleteOp)
+    }
+
+    /** OPTIMIZE-style maintenance: rewrite the live state into
+      * `numFiles` files and publish it through the SAME single-pointer
+      * commit as [[merge]] — readers observe the old layout or the new
+      * one, never a mix, and a crash mid-compaction leaves only an
+      * unreferenced directory for the next writer's clean(). Every merge
+      * writes `spark.sql.shuffle.partitions` part files regardless of
+      * state size, so a long-lived store accretes small files and the
+      * snapshot scan pays per-file open cost — the same read
+      * amplification Delta's OPTIMIZE / Iceberg's rewrite_data_files
+      * exists to fix, reduced to this store's commit protocol. WRITER
+      * operation (single-writer contract applies): run it from the
+      * maintenance path, never concurrently with merge.
+      */
+    def compact(numFiles: Int = 1): Unit = {
+      manifest.currentVersion().foreach { v =>
+        val data = spark.read.parquet(manifest.versionPath(v))
+        val ver = manifest.nextCompactName()
+        data.coalesce(numFiles).write.mode("overwrite")
+          .parquet(manifest.versionPath(ver))
+        manifest.commitPointer(ver)
+        manifest.clean()
+      }
     }
   }
 

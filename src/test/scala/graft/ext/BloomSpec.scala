@@ -36,14 +36,8 @@ class BloomSpec extends SparkSpec {
     val keys = dimKeys.toDF("k")
     val fact = (1L to 500L).toDF("fk")
     val nWords = 1
-    val sketch = { // same construction as the production path, sized down
-      val words = Bloom.bloomWords(keys, "k", nWords)
-      words.agg(map_from_entries(sort_array(
-          collect_list(struct(col("w"), col("mask"))))).as("bm"))
-        .select(transform(sequence(lit(0L), lit(nWords - 1L)),
-          w => coalesce(element_at(col("bm"), w), lit(0L))).as("bloom"))
-    }
-    val candFrame = Bloom.prunedCandidates(fact, "fk", sketch, nWords)
+    val candFrame = Bloom.prunedCandidates(fact, "fk",
+      Bloom.bloomWords(keys, "k", nWords), nWords)
     val cand = candFrame.collect().map(_.getLong(0)).toSet
     assert(dimKeys.toSet.subsetOf(cand), "bloom dropped a true match")
     assert(cand.size > dimKeys.size, "tiny sketch produced no false " +

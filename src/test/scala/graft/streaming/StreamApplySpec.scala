@@ -133,6 +133,49 @@ class StreamApplySpec extends SparkSpec {
       "previous version must survive one merge for lazy readers")
   }
 
+  test("compact: fewer files, identical state, same atomic commit discipline") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val store = new StreamApply.ParquetUpsertStore(spark, dir,
+      key = "key", seq = "seq", opCol = "op", deleteOp = "d", payloadCols = Seq("value"))
+    // AQE's partition coalescing hides the small-file problem at test
+    // scale — disable it for the merges so the store writes the
+    // several-part layout a real shuffle.partitions=N deployment produces
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      store.merge(batch1.toDF().repartition(4), 0)
+      store.merge(batch2.toDF().repartition(4), 1)
+    } finally spark.conf.set(coalesceKey, prevCoalesce)
+    def partFiles(ver: String) =
+      new java.io.File(s"$dir/$ver").listFiles()
+        .count(f => f.getName.startsWith("part-"))
+    def current = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/CURRENT"))).trim
+    val before = store.snapshot().collect().map(_.toString).sorted.toSeq
+    assert(partFiles(current) > 1, "precondition: multiple small part files")
+
+    // a torn compaction (dir written, pointer never swung) is invisible
+    // and collected by the next writer, exactly like a torn merge
+    Materialize.latestByKey(batch1.toDF(), "key", "seq", Seq("op", "value"))
+      .write.parquet(s"$dir/state_vcompact_e99")
+    assert(store.snapshot().collect().map(_.toString).sorted.toSeq == before)
+
+    store.compact(numFiles = 1)
+    val liveAfter = current
+    assert(liveAfter.contains("compact"), s"compact version not live: $liveAfter")
+    assert(partFiles(liveAfter) == 1, "state not rewritten to one file")
+    assert(store.snapshot().collect().map(_.toString).sorted.toSeq == before,
+      "compaction changed the data")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/state_vcompact_e99")),
+      "torn compaction dir not collected")
+    // and the store keeps merging normally on top of the compacted state
+    store.merge(batch3.toDF(), 2)
+    assert(store.view().select("key").collect().map(_.getInt(0)).toSet == Set(1, 2))
+  }
+
   test("restart-and-replay of an old batch cannot resurrect a deleted key") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-replay").toString
