@@ -49,14 +49,35 @@ object Bloom {
     */
   private[ext] val NWords = 8192
 
-  /** Bit position i of a key column — portable via [[Portable.tokenHash]];
-    * domain-separated per hash function by the `bf<i>:` prefix.
+  /** The K bit positions of a key column via Kirsch-Mitzenmacher double
+    * hashing: ONE md5 per key, split into two independent 32-hex-bit
+    * halves h1/h2, position_i = (h1 + i·h2) mod m — the standard result
+    * that two hash functions generate a K-function Bloom family with the
+    * same asymptotic false-positive rate. md5 dominates the per-row cost
+    * (it is the only non-arithmetic step), so one digest instead of K
+    * is a direct K× cut of the fact-side hash work. h1 + 2·h2 < 3·2³¹,
+    * nowhere near overflow. Returns the md5/h1/h2 projection columns +
+    * position columns, all named `__b*` for the caller to drop.
     */
-  private def hashPos(i: Int, key: Column, nWords: Int): Column =
-    tokenHash(concat(lit(s"bf$i:"), key.cast("string"))) % (nWords.toLong * WordBits)
+  private def withPositions(df: DataFrame, key: Column, nWords: Int): DataFrame = {
+    val m = nWords.toLong * WordBits
+    df.withColumn("__bmd5", md5(concat(lit("bf:"), key.cast("string"))))
+      .withColumn("__bh1",
+        conv(substring(col("__bmd5"), 1, 8), 16, 10).cast("long") % P)
+      .withColumn("__bh2",
+        conv(substring(col("__bmd5"), 9, 8), 16, 10).cast("long") % P)
+      .withColumns((0 until K).map(i =>
+        s"__p$i" -> ((col("__bh1") + lit(i.toLong) * col("__bh2")) % m)).toMap)
+  }
 
-  private def hashPosSql(i: Int, key: String, nWords: Int): String =
-    s"(${tokenHashSql(s"'bf$i:' || CAST($key AS VARCHAR)")} % ${nWords.toLong * WordBits})"
+  private val positionHelperCols: Seq[String] =
+    Seq("__bmd5", "__bh1", "__bh2") ++ (0 until K).map("__p" + _)
+
+  private def hashPosSql(i: Int, key: String, nWords: Int): String = {
+    val h1 = s"(CAST('0x' || substring(md5('bf:' || CAST($key AS VARCHAR)), 1, 8) AS BIGINT) % $P)"
+    val h2 = s"(CAST('0x' || substring(md5('bf:' || CAST($key AS VARCHAR)), 9, 8) AS BIGINT) % $P)"
+    s"(($h1 + $i * $h2) % ${nWords.toLong * WordBits})"
+  }
 
   /** The filtered dimension side: urgent orders' keys. */
   private def urgentKeys(spark: SparkSession, sfDir: String): DataFrame =
@@ -70,9 +91,8 @@ object Bloom {
     */
   private[ext] def bloomWords(keys: DataFrame, keyCol: String,
       nWords: Int = NWords): DataFrame =
-    keys
-      .select(explode(array((0 until K).map(i =>
-        hashPos(i, col(keyCol), nWords)): _*)).as("p"))
+    withPositions(keys, col(keyCol), nWords)
+      .select(explode(array((0 until K).map(i => col(s"__p$i")): _*)).as("p"))
       .select(expr(s"p DIV $WordBits").as("w"),
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $WordBits AS INT))").as("m"))
       .groupBy("w")
@@ -94,9 +114,7 @@ object Bloom {
     */
   private[ext] def prunedCandidates(fact: DataFrame, keyCol: String,
       words: DataFrame, nWords: Int): DataFrame = {
-    val withP = (0 until K).foldLeft(fact) { (df, i) =>
-      df.withColumn(s"__p$i", hashPos(i, col(keyCol), nWords))
-    }
+    val withP = withPositions(fact, col(keyCol), nWords)
     (0 until K).foldLeft(withP) { (df, i) =>
       val w = broadcast(words
         .select(col("w").as(s"__w$i"), col("mask").as(s"__m$i")))
@@ -104,7 +122,8 @@ object Bloom {
         (col(s"__m$i").bitwiseAND(
           expr(s"shiftleft(CAST(1 AS BIGINT), CAST(__p$i % $WordBits AS INT))"))
           =!= 0L))
-    }.drop((0 until K).flatMap(i => Seq(s"__p$i", s"__w$i", s"__m$i")): _*)
+    }.drop(positionHelperCols ++ (0 until K).flatMap(i =>
+      Seq(s"__w$i", s"__m$i")): _*)
   }
 
   /** b1 — bloom-pruned semi-join revenue: lineitem revenue restricted to
@@ -116,8 +135,10 @@ object Bloom {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_returnflag"),
         col("l_extendedprice"), col("l_discount"))
+    // the register table feeds K broadcasts — materialize it once
+    // instead of re-running the dimension scan + aggregation per join
     val candidates = prunedCandidates(li, "l_orderkey",
-      bloomWords(keys, "o_orderkey", NWords), NWords)
+      bloomWords(keys, "o_orderkey", NWords).localCheckpoint(), NWords)
     // keys is fact-sized at 100 TB — shuffle semi join, never broadcast
     candidates
       .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")

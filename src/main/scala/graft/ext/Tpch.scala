@@ -212,6 +212,30 @@ object Tpch {
       .groupBy(col("n_orders"))
       .agg(count(lit(1)).as("n_customers"))
 
+  /** t12 — top supplier by revenue (TPC-H Q15 shape): the per-supplier
+    * revenue view is compared against ITS OWN maximum via a scalar
+    * subquery — the "aggregate of an aggregate" pattern. Written as SQL
+    * so Catalyst plans the scalar subquery (one extra aggregation over
+    * the shared revenue view, subquery result broadcast as a literal),
+    * rather than hand-materializing the max. At 100 TB: two passes over
+    * the aggregated (supplier-sized, NOT lineitem-sized) view, one
+    * lineitem scan total.
+    */
+  def topSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("t12_lineitem")
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("t12_supplier")
+    spark.sql(
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |             (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+        |      AS DOUBLE) AS total_revenue
+        |  FROM t12_lineitem GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM t12_supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "t1_pricing_summary" -> (pricingSummary _),
     "t2_revenue_by_nation" -> (revenueByNation _),
@@ -223,7 +247,8 @@ object Tpch {
     "t8_popular_parts" -> (popularParts _),
     "t9_volume_shipping" -> (volumeShipping _),
     "t10_disjunctive_revenue" -> (disjunctiveRevenue _),
-    "t11_order_count_dist" -> (orderCountDist _)
+    "t11_order_count_dist" -> (orderCountDist _),
+    "t12_top_supplier" -> (topSupplier _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -323,6 +348,16 @@ object Tpch {
         |  SELECT c_custkey, count(o_orderkey) AS n_orders
         |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |  GROUP BY c_custkey)
-        |GROUP BY n_orders""".stripMargin
+        |GROUP BY n_orders""".stripMargin,
+    "t12_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |             (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+        |      AS DOUBLE) AS total_revenue
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin
   )
 }

@@ -364,6 +364,29 @@ object StreamApply {
         col("session_window.end").as("session_end"),
         col("count").as("n_events"))
 
+  /** TWO stateful operators CHAINED in one streaming query: finalized
+    * session windows re-aggregate into per-bucket session/event counts —
+    * "how many sessions ended in each hour". Chaining stateful
+    * aggregations in append mode needs watermark propagation through the
+    * first aggregation (Spark ≥ 3.4); the second groupBy keys on
+    * `window_time(session_window)` — the event-time instant of the
+    * session window (its end − 1µs) — which is the supported way to
+    * carry event time across the boundary. Both operators keep bounded,
+    * key-partitioned state evicted at the watermark; the same code runs
+    * identically on a batch frame (the parity spec's oracle).
+    */
+  def sessionRollup(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String = "30 minutes", horizon: String = "10 minutes",
+      bucket: String = "60 minutes"): DataFrame =
+    events.withWatermark(tsCol, horizon)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .count()
+      .groupBy(window(window_time(col("session_window")), bucket))
+      .agg(count(lit(1)).as("n_sessions"), sum("count").as("n_events"))
+      .select(col("window.start").as("bucket_start"),
+        col("window.end").as("bucket_end"),
+        col("n_sessions"), col("n_events"))
+
   /** Stream-stream interval join: each left event joined to right events
     * of the same key whose timestamp falls within `[l.ts - window, l.ts]`
     * — the streaming sibling of [[graft.ext.Temporal.asofJoin]] (all

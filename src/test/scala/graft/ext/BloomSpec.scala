@@ -49,6 +49,33 @@ class BloomSpec extends SparkSpec {
     assert(confirmed == dimKeys.toSet)
   }
 
+  test("property: no false negatives for arbitrary key/fact sets and sizes") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // plain Gen from fixed seeds (offline classpath has no scalatest
+    // bridge) — deterministic across runs, like MaterializePropertySpec
+    val gen = for {
+      nKeys <- Gen.choose(0, 30)
+      keys <- Gen.listOfN(nKeys, Gen.choose(1L, 1000L))
+      nFact <- Gen.choose(0, 80)
+      facts <- Gen.listOfN(nFact, Gen.choose(1L, 1000L))
+      nWords <- Gen.oneOf(1, 2, 8, 64)
+    } yield (keys.distinct, facts, nWords)
+    for (seed <- 1L to 6L) {
+      val (keys, facts, nWords) =
+        gen.apply(Gen.Parameters.default, Seed(seed)).get
+      val cand = Bloom.prunedCandidates(facts.toDF("fk"), "fk",
+          Bloom.bloomWords(keys.toDF("k"), "k", nWords), nWords)
+        .collect().map(_.getLong(0))
+      val trueMatches = facts.filter(keys.contains)
+      // multiset-faithful: every matching fact ROW survives exactly once
+      assert(cand.count(trueMatches.contains) == trueMatches.size,
+        s"seed=$seed nWords=$nWords lost a matching row")
+      assert(cand.toSet.subsetOf(facts.toSet), s"seed=$seed invented rows")
+    }
+  }
+
   test("fact side never shuffles before the bloom test") {
     // The point of the runtime filter: the lineitem scan flows into the
     // bloom bit-test with no Exchange in between — only pruned survivors

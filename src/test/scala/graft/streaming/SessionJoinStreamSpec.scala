@@ -50,6 +50,49 @@ class SessionJoinStreamSpec extends SparkSpec {
       u == 1 && s == ts(1) && n == 3 }, s"first session wrong: $streamed")
   }
 
+  test("chained stateful: session windows re-aggregated to hourly buckets") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // hour 10 sessions: user 1 ends 10:08 (3 events) and 10:26 (2),
+    // user 2 ends 10:10 (1) → bucket [10:00,11:00) = 3 sessions, 6 events
+    val evs = Seq(
+      SEv(1, ts(1), "a"), SEv(1, ts(2), "a"), SEv(1, ts(3), "a"),
+      SEv(1, ts(20), "a"), SEv(1, ts(21), "a"),
+      SEv(2, ts(5), "a"))
+    val in = MemoryStream[SEv]
+    val q = StreamApply.sessionRollup(in.toDF(), "ts", "user",
+        gap = "5 minutes", horizon = "1 minute", bucket = "60 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rollup_out").start()
+    try {
+      in.addData(evs)
+      q.processAllAvailable()
+      // first sentinel closes the hour-10 sessions; second pushes the
+      // watermark past 11:00 so the hour-10 BUCKET becomes emittable
+      in.addData(SEv(9, ts(59), "x"))
+      q.processAllAvailable()
+      in.addData(SEv(8, Timestamp.valueOf("2026-01-01 13:00:00"), "x"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))
+    val streamed = spark.table("rollup_out").collect().map(key).toSet
+    // batch oracle: the SAME code over the closed event set (sentinels
+    // included — their buckets may or may not have emitted in the
+    // stream, so assert stream ⊆ batch and the hour-10 bucket exactly)
+    val batch = StreamApply.sessionRollup(
+        (evs :+ SEv(9, ts(59), "x") :+
+          SEv(8, Timestamp.valueOf("2026-01-01 13:00:00"), "x")).toDF(),
+        "ts", "user", gap = "5 minutes", horizon = "1 minute",
+        bucket = "60 minutes")
+      .collect().map(key).toSet
+    assert(streamed.subsetOf(batch), s"stream=$streamed batch=$batch")
+    assert(streamed.contains((Timestamp.valueOf("2026-01-01 10:00:00"),
+      Timestamp.valueOf("2026-01-01 11:00:00"), 3L, 6L)),
+      s"hour-10 bucket wrong: $streamed")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
