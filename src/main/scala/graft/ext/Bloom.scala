@@ -49,17 +49,23 @@ object Bloom {
     */
   private[ext] val NWords = 8192
 
-  /** The K bit positions of a key column via Kirsch-Mitzenmacher double
-    * hashing: ONE md5 per key, split into two independent 32-hex-bit
-    * halves h1/h2, position_i = (h1 + i·h2) mod m — the standard result
-    * that two hash functions generate a K-function Bloom family with the
-    * same asymptotic false-positive rate. md5 dominates the per-row cost
-    * (it is the only non-arithmetic step), so one digest instead of K
-    * is a direct K× cut of the fact-side hash work. h1 + 2·h2 < 3·2³¹,
-    * nowhere near overflow. Returns the md5/h1/h2 projection columns +
-    * position columns, all named `__b*` for the caller to drop.
+  /** TWO hash families, one per purpose:
+    *
+    *   - The PORTABLE family (b2): Kirsch-Mitzenmacher double hashing
+    *     over [[Portable.tokenHash]]'s md5 — one digest split into two
+    *     32-hex-bit halves h1/h2, position_i = (h1 + i·h2) mod m. Both
+    *     engines compute it bit-identically, which is what lets the
+    *     DuckDB oracle verify the REGISTERS — the proof that the sketch
+    *     is a well-defined, mergeable data structure, not engine trivia.
+    *   - The FAST family (b1): `xxhash64(i, key)` — Spark's native
+    *     codegen'd hash, ~two orders of magnitude cheaper per row than
+    *     an md5-hex-conv chain. The runtime filter never leaves the
+    *     engine (b1's oracle is the plain semi join — the bloom is
+    *     invisible in the result), so nothing about it needs to be
+    *     portable, and the fact-side scan should pay native-hash cost,
+    *     exactly as Spark's own AQE runtime filters do.
     */
-  private def withPositions(df: DataFrame, key: Column, nWords: Int): DataFrame = {
+  private def portablePositions(df: DataFrame, key: Column, nWords: Int): DataFrame = {
     val m = nWords.toLong * WordBits
     df.withColumn("__bmd5", md5(concat(lit("bf:"), key.cast("string"))))
       .withColumn("__bh1",
@@ -70,8 +76,8 @@ object Bloom {
         s"__p$i" -> ((col("__bh1") + lit(i.toLong) * col("__bh2")) % m)).toMap)
   }
 
-  private val positionHelperCols: Seq[String] =
-    Seq("__bmd5", "__bh1", "__bh2") ++ (0 until K).map("__p" + _)
+  private def fastPos(i: Int, key: Column, nWords: Int): Column =
+    pmod(xxhash64(lit(i), key), lit(nWords.toLong * WordBits))
 
   private def hashPosSql(i: Int, key: String, nWords: Int): String = {
     val h1 = s"(CAST('0x' || substring(md5('bf:' || CAST($key AS VARCHAR)), 1, 8) AS BIGINT) % $P)"
@@ -85,18 +91,28 @@ object Bloom {
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
 
-  /** Bloom registers of a key column: `(w, mask)` word table, one row per
-    * touched word. `bit_or` partial-aggregates map-side, so the full pass
-    * over the dimension reduces to ≤ `nWords` rows before any shuffle.
+  /** Positions → `(w, mask)` register words, one row per touched word.
+    * `bit_or` partial-aggregates map-side, so the full pass over the
+    * dimension reduces to ≤ `nWords` rows before any shuffle.
     */
-  private[ext] def bloomWords(keys: DataFrame, keyCol: String,
-      nWords: Int = NWords): DataFrame =
-    withPositions(keys, col(keyCol), nWords)
-      .select(explode(array((0 until K).map(i => col(s"__p$i")): _*)).as("p"))
+  private def wordsOf(positions: DataFrame): DataFrame =
+    positions
       .select(expr(s"p DIV $WordBits").as("w"),
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $WordBits AS INT))").as("m"))
       .groupBy("w")
       .agg(expr("bit_or(m)").as("mask"))
+
+  /** Portable-family registers (b2's query shape). */
+  private[ext] def bloomWords(keys: DataFrame, keyCol: String,
+      nWords: Int = NWords): DataFrame =
+    wordsOf(portablePositions(keys, col(keyCol), nWords)
+      .select(explode(array((0 until K).map(i => col(s"__p$i")): _*)).as("p")))
+
+  /** Fast-family registers — the build side of [[prunedCandidates]]. */
+  private[ext] def bloomWordsFast(keys: DataFrame, keyCol: String,
+      nWords: Int = NWords): DataFrame =
+    wordsOf(keys.select(explode(array((0 until K).map(i =>
+      fastPos(i, col(keyCol), nWords)): _*)).as("p")))
 
   /** Fact rows surviving the bloom test — a SUPERSET of the true matches
     * (a bloom filter has no false negatives; `BloomSpec` asserts it).
@@ -114,7 +130,9 @@ object Bloom {
     */
   private[ext] def prunedCandidates(fact: DataFrame, keyCol: String,
       words: DataFrame, nWords: Int): DataFrame = {
-    val withP = withPositions(fact, col(keyCol), nWords)
+    val withP = (0 until K).foldLeft(fact) { (df, i) =>
+      df.withColumn(s"__p$i", fastPos(i, col(keyCol), nWords))
+    }
     (0 until K).foldLeft(withP) { (df, i) =>
       val w = broadcast(words
         .select(col("w").as(s"__w$i"), col("mask").as(s"__m$i")))
@@ -122,8 +140,8 @@ object Bloom {
         (col(s"__m$i").bitwiseAND(
           expr(s"shiftleft(CAST(1 AS BIGINT), CAST(__p$i % $WordBits AS INT))"))
           =!= 0L))
-    }.drop(positionHelperCols ++ (0 until K).flatMap(i =>
-      Seq(s"__w$i", s"__m$i")): _*)
+    }.drop((0 until K).flatMap(i =>
+      Seq(s"__p$i", s"__w$i", s"__m$i")): _*)
   }
 
   /** b1 — bloom-pruned semi-join revenue: lineitem revenue restricted to
@@ -138,9 +156,18 @@ object Bloom {
     // the register table feeds K broadcasts — materialize it once
     // instead of re-running the dimension scan + aggregation per join
     val candidates = prunedCandidates(li, "l_orderkey",
-      bloomWords(keys, "o_orderkey", NWords).localCheckpoint(), NWords)
-    // keys is fact-sized at 100 TB — shuffle semi join, never broadcast
-    candidates
+      bloomWordsFast(keys, "o_orderkey", NWords).localCheckpoint(), NWords)
+    // keys is fact-sized at 100 TB — shuffle semi join, never broadcast.
+    // BARRIER between prune and confirm: without it, Catalyst's
+    // PushDownLeftSemiAntiJoin reorders the exact semi join BELOW the
+    // bloom joins (it pushes semi joins toward the scan through inner
+    // joins), which silently inverts the whole design — the expensive
+    // confirm would run on the unpruned fact table and the bloom would
+    // filter rows the semi join already answered. The non-deterministic
+    // barrier column is unpushable, so the optimizer must keep
+    // prune-then-confirm — the order that matters when the confirm is a
+    // 100 TB shuffle rather than this local broadcast.
+    barrierFilter(candidates, lit(true))
       .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy(col("l_returnflag"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *

@@ -95,9 +95,36 @@ object Temporal {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** a3 — resample to a fixed daily grid with forward fill (the
+    * `time_bucket_gapfill` / `fill(previous)` operator of time-series
+    * stores): per user, one row per day carrying the latest event value
+    * at or before that day's start; days before a user's first event
+    * stay null. The grid is users × `sequence(...)` — linear, generated
+    * in the projection, never a range join — and the fill is the same
+    * union+ordered-window as-of as a1: one shuffle on the key, one
+    * linear pass, at any scale.
+    *
+    * Events are pre-reduced to one row per (user, instant) via
+    * `max_by(value, event_id)` (`arg_max` in the oracle) so a
+    * same-instant tie can never make the carried row engine-dependent.
+    */
+  def resampleFfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val latest = ev.groupBy(col("user_id"), col("ts"))
+      .agg(expr("max_by(value, event_id)").as("value"))
+      .select(col("user_id"), col("ts").as("day"), col("value"))
+    val grid = ev.select("user_id").distinct()
+      .select(col("user_id"), explode(expr(
+        "sequence(timestamp'2024-01-01 00:00:00'," +
+          " timestamp'2024-01-30 00:00:00', interval 1 day)")).as("day"))
+    asofJoin(grid, latest, "user_id", "day", Seq("value"), prefix = "")
+      .select(col("user_id"), col("day"), col("value").as("last_value"))
+  }
+
   val queries: Map[String, Q] = Map(
     "a1_asof_join" -> (asofClickPurchase _),
-    "a2_scd2_history" -> (scd2History _)
+    "a2_scd2_history" -> (scd2History _),
+    "a3_resample_ffill" -> (resampleFfill _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -124,6 +151,19 @@ object Temporal {
         |  FROM e)
         |SELECT event_id, user_id, value, valid_from, valid_to,
         |  (valid_to IS NULL) AS is_current
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+    "a3_resample_ffill" ->
+      """WITH days AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+        |    TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS day),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |grid AS (SELECT user_id, day FROM u CROSS JOIN days),
+        |e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ets,
+        |    arg_max(value, event_id) AS value
+        |  FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP))
+        |SELECT g.user_id, g.day, e.value AS last_value
+        |FROM grid g ASOF LEFT JOIN e
+        |  ON g.user_id = e.user_id AND g.day >= e.ets""".stripMargin
   )
 }

@@ -37,7 +37,7 @@ class BloomSpec extends SparkSpec {
     val fact = (1L to 500L).toDF("fk")
     val nWords = 1
     val candFrame = Bloom.prunedCandidates(fact, "fk",
-      Bloom.bloomWords(keys, "k", nWords), nWords)
+      Bloom.bloomWordsFast(keys, "k", nWords), nWords)
     val cand = candFrame.collect().map(_.getLong(0)).toSet
     assert(dimKeys.toSet.subsetOf(cand), "bloom dropped a true match")
     assert(cand.size > dimKeys.size, "tiny sketch produced no false " +
@@ -66,7 +66,7 @@ class BloomSpec extends SparkSpec {
       val (keys, facts, nWords) =
         gen.apply(Gen.Parameters.default, Seed(seed)).get
       val cand = Bloom.prunedCandidates(facts.toDF("fk"), "fk",
-          Bloom.bloomWords(keys.toDF("k"), "k", nWords), nWords)
+          Bloom.bloomWordsFast(keys.toDF("k"), "k", nWords), nWords)
         .collect().map(_.getLong(0))
       val trueMatches = facts.filter(keys.contains)
       // multiset-faithful: every matching fact ROW survives exactly once
@@ -76,26 +76,29 @@ class BloomSpec extends SparkSpec {
     }
   }
 
-  test("fact side never shuffles before the bloom test") {
+  test("prune runs BELOW the confirm, unshuffled, in native hashing") {
     // The point of the runtime filter: the lineitem scan flows into the
-    // bloom bit-test with no Exchange in between — only pruned survivors
-    // reach the exact semi join's shuffle. The sketch row itself arrives
-    // by broadcast (32 KB, size-independent of the corpus — the one
-    // broadcast that is CORRECT at 100 TB).
+    // bloom bit-test with no Exchange in between, and the exact semi
+    // join runs ON THE SURVIVORS — Catalyst's PushDownLeftSemiAntiJoin
+    // would silently invert that order without the barrier (it did; the
+    // regression this test pins).
     val p = Bloom.bloomPrunedRevenue(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"sketch not broadcast:\n$p")
-    // the scan of lineitem must appear BELOW the bit-test filter with no
-    // hashpartitioning exchange between them: find the filter containing
-    // the bit test (shiftleft) and check no Exchange sits under it on the
-    // lineitem branch
+    assert(p.contains("BroadcastExchange"), s"register table not broadcast:\n$p")
+    assert(p.contains("xxhash64"), s"fact side not on the native hash:\n$p")
+    val semi = p.indexOf("LeftSemi")
     val idx = p.indexOf("shiftleft")
     assert(idx >= 0, s"bit test missing from plan:\n$p")
+    assert(semi >= 0 && semi < idx,
+      s"exact semi join was pushed below the bloom prune:\n$p")
+    // no shuffle and no semi join between the bit test and the scan
     val below = p.substring(idx)
     val lineitemScan = below.indexOf("lineitem")
     assert(lineitemScan >= 0, s"lineitem scan not under the bit test:\n$p")
-    assert(!below.substring(0, lineitemScan).contains("Exchange hashpartitioning"),
+    val between = below.substring(0, lineitemScan)
+    assert(!between.contains("Exchange hashpartitioning"),
       s"fact side shuffles before the bloom test:\n$p")
+    assert(!between.contains("LeftSemi"),
+      s"semi join crept between the bit test and the scan:\n$p")
   }
 }

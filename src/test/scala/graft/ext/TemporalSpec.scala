@@ -109,4 +109,31 @@ class TemporalSpec extends SparkSpec {
     // row count is preserved: every event is a version
     assert(h.count() == graft.Tables.events(spark, sf).count())
   }
+
+  test("a3 resample equals a brute-force per-day forward fill") {
+    val events = graft.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val byUser = events.groupBy(_._1)
+    val days = (0 until 30).map(d =>
+      java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00"))
+    val expected = byUser.keySet.flatMap { u =>
+      val evs = byUser(u)
+      days.map { day =>
+        // latest event at or before the day start; ties on ts break by
+        // the highest event_id (the max_by/arg_max reduction)
+        val eligible = evs.filter(!_._2.after(day))
+        val v =
+          if (eligible.isEmpty) None
+          else Some(eligible.maxBy(e =>
+            (e._2.getTime, e._2.getNanos.toLong, e._3))._4)
+        (u, day, v)
+      }
+    }
+    val got = Temporal.resampleFfill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)}, extra=${(got -- expected).take(5)}")
+  }
 }
