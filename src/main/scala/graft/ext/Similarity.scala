@@ -2,7 +2,7 @@ package graft.ext
 
 import graft.Tables
 import graft.functions.CosineSimilarity.cosineSim
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -190,14 +190,111 @@ object Similarity {
     topkOut(scored, 3)
   }
 
+  // ---- s7: product quantization -----------------------------------------
+
+  private val M = 8          // subspaces
+  private val SubDim = 8     // dims per subspace (64 = M × SubDim)
+  private val CodePlanes = 4 // 4 sign bits → 16 codes per subspace
+
+  /** Subspace code: 4-bit sign pattern of the subvector against the
+    * shared hyperplane family ([[Dedup.planes]], sliced to the
+    * subspace's dims) — the deterministic stand-in for a per-subspace
+    * k-means assignment, exactly as s2's `label` stands in for the
+    * coarse quantizer.
+    */
+  private def codeOf(v: Column, m: Int): Column =
+    (0 until CodePlanes).map { p =>
+      val plane = array(Dedup.planes(p)
+        .slice(m * SubDim, (m + 1) * SubDim).map(x => lit(x.toDouble)): _*)
+      when(graft.functions.DotProduct.dotProduct(
+        slice(v, m * SubDim + 1, SubDim), plane) > 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** s7 — product quantization with asymmetric-distance scoring + exact
+    * rerank: the IVF-PQ memory model. Each vector is stored as M=8
+    * 4-bit codes (4 bytes/vector — a 64× cut vs the float vector, the
+    * whole point at 100 TB: the coarse scan reads codes, never floats);
+    * per query, an ADC TABLE of |M|×16 partial dot products against the
+    * code centroids is precomputed (1 024 rows — broadcast), so scoring
+    * a vector is M integer table lookups + an integer sum, shuffled only
+    * by the map-side-combined (query, vector) aggregation. A 64-deep
+    * shortlist then reranks by exact cosine over re-fetched vectors —
+    * deeper than s6's 16 because 4-bit sign codes rank coarsely; the
+    * rerank budget is the dial that buys recall back, which is exactly
+    * how production PQ deployments run (rerank hundreds per query).
+    *
+    * Every ranking quantity is an exact integer: codebook centroids are
+    * fixed-point means (s4's trick), ADC partials quantize per TERM
+    * before summing (an 8-term double sum would be addition-order-
+    * dependent and break the oracle), and the final rerank is the same
+    * deterministic cosine as s1.
+    */
+  def pqRerankTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = vecs(spark, sfDir)
+      .select(col("vec_id"), col("v"),
+        array((0 until M).map(m => codeOf(col("v"), m)): _*).as("codes"))
+      // referenced by the code rows, the codebook build, the query side,
+      // and the rerank joins — materialize the encode pass once
+      .localCheckpoint()
+    val encRows = enc.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("m", "code")))
+    // codebook: fixed-point mean subvector per (subspace, code, subdim)
+    val codebook = enc
+      .select(col("codes"), posexplode(col("v")).as(Seq("dim", "value")))
+      .select(expr(s"dim DIV $SubDim").as("m"), expr(s"dim % $SubDim").as("sd"),
+        expr(s"codes[dim DIV $SubDim]").as("code"),
+        floor(col("value") * 1e7).cast("long").as("q"))
+      .groupBy("m", "sd", "code")
+      .agg((sum(col("q")).cast("double") / 1e7 / count(lit(1))).as("centroid"))
+    val q = enc.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val qDims = q.select(col("query_id"), posexplode(col("qv")).as(Seq("dim", "qval")))
+      .select(col("query_id"), expr(s"dim DIV $SubDim").as("m"),
+        expr(s"dim % $SubDim").as("sd"), col("qval"))
+    // ADC table: per (query, subspace, code) the quantized partial dot —
+    // per-TERM fixed-point so the 8-term sum is an exact long
+    val adc = qDims.join(broadcast(codebook), Seq("m", "sd"))
+      .select(col("query_id"), col("m"), col("code"),
+        floor(col("qval") * col("centroid") * 1e7).cast("long").as("t"))
+      .groupBy("query_id", "m", "code")
+      .agg(sum("t").as("partial"))
+    val scored = encRows.join(broadcast(adc), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum("partial").as("iscore"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("iscore").desc, col("vec_id"))
+    val shortlist = scored.withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= 64)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val reranked = shortlist
+      .join(enc.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+        Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("nv"), col("qv")).as("cos_raw"))
+    topkOut(reranked, 3)
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_brute_topk" -> (bruteTopk _),
     "s2_ivf_topk" -> (ivfTopk _),
     "s3_lsh_topk" -> (lshTopk _),
     "s4_ivf_centroids" -> (ivfCentroids _),
     "s5_ivf_nprobe" -> (ivfNprobeTopk _),
-    "s6_sq_rerank" -> (sqRerankTopk _)
+    "s6_sq_rerank" -> (sqRerankTopk _),
+    "s7_pq_rerank" -> (pqRerankTopk _)
   )
+
+  /** s7's subspace-code expression, DuckDB side (lists are 1-based). */
+  private def codeSql(m: Int): String =
+    (0 until CodePlanes).map { p =>
+      val lits = Dedup.planes(p).slice(m * SubDim, (m + 1) * SubDim)
+        .map(x => s"$x.0").mkString("[", ",", "]") + "::DOUBLE[]"
+      s"(CASE WHEN list_dot_product(v[${m * SubDim + 1}:${m * SubDim + SubDim}], $lits) > 0 " +
+        s"THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   private val cosSql =
     "(list_dot_product(e.v, q.qv) / " +
@@ -306,6 +403,52 @@ object Similarity {
          |SELECT query_id, neighbor_id,
          |  (list_dot_product(nv, qv) /
          |    (sqrt(list_dot_product(nv, nv)) * sqrt(list_dot_product(qv, qv)))) AS cos_raw
-         |FROM short""".stripMargin, 3)
+         |FROM short""".stripMargin, 3),
+    "s7_pq_rerank" -> topkSql(
+      s"""WITH ev AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |enc AS (
+         |  SELECT vec_id, v,
+         |    [${(0 until M).map(codeSql).mkString(",\n     ")}] AS codes
+         |  FROM ev),
+         |encr AS (
+         |  SELECT vec_id, t.m AS m, codes[t.m + 1] AS code
+         |  FROM enc, range($M) t(m)),
+         |dims AS (
+         |  SELECT t.i // $SubDim AS m, t.i % $SubDim AS sd,
+         |    codes[t.i // $SubDim + 1] AS code,
+         |    CAST(floor(v[t.i + 1] * 10000000.0) AS BIGINT) AS q
+         |  FROM enc, range(64) t(i)),
+         |codebook AS (
+         |  SELECT m, sd, code,
+         |    CAST(sum(q) AS DOUBLE) / 10000000.0 / count(*) AS centroid
+         |  FROM dims GROUP BY m, sd, code),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM ev WHERE vec_id < $nQueries),
+         |qd AS (
+         |  SELECT query_id, t.i // $SubDim AS m, t.i % $SubDim AS sd,
+         |    qv[t.i + 1] AS qval
+         |  FROM q, range(64) t(i)),
+         |adc AS (
+         |  SELECT query_id, m, code,
+         |    CAST(sum(CAST(floor(qval * centroid * 10000000.0) AS BIGINT)) AS BIGINT)
+         |      AS partial
+         |  FROM qd JOIN codebook USING (m, sd)
+         |  GROUP BY query_id, m, code),
+         |sc AS (
+         |  SELECT adc.query_id, encr.vec_id,
+         |    CAST(sum(partial) AS BIGINT) AS iscore
+         |  FROM encr JOIN adc USING (m, code)
+         |  WHERE encr.vec_id <> adc.query_id
+         |  GROUP BY adc.query_id, encr.vec_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY iscore DESC, vec_id) AS crk
+         |    FROM sc) WHERE crk <= 64)
+         |SELECT short.query_id, short.neighbor_id, $cosSql AS cos_raw
+         |FROM short JOIN ev e ON e.vec_id = short.neighbor_id
+         |           JOIN q ON q.query_id = short.query_id""".stripMargin, 3)
   )
 }

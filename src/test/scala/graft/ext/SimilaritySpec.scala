@@ -115,6 +115,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 22, s"quantized recall collapsed: $recall/24")
   }
 
+  test("s7 PQ-rerank: exact cosines on output, sane recall from 4-byte codes") {
+    def byQuery(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val truth = byQuery(Similarity.bruteTopk(spark, sf).filter(col("rank") <= 3))
+    val s7 = Similarity.pqRerankTopk(spark, sf)
+    val rows = s7.collect()
+    // ranks dense 1..3 per query, every query answered
+    val grouped = rows.groupBy(_.getLong(0))
+    assert(grouped.keySet == truth.keySet, "a query lost all neighbors")
+    for ((_, rs) <- grouped)
+      assert(rs.map(_.getLong(2)).sorted.sameElements(1L to rs.length))
+    // output cos is the EXACT cosine (the rerank contract): recompute
+    // from the raw vectors for every returned pair
+    val v = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (r <- rows) {
+      val expect = math.rint(cos(v(r.getLong(0)), v(r.getLong(1))) * 1e6) / 1e6
+      assert(math.abs(r.getDouble(3) - expect) < 1e-9,
+        s"rerank cosine not exact for ${(r.getLong(0), r.getLong(1))}")
+    }
+    // 4-byte codes + a 16-deep shortlist: coarse, but the rerank must
+    // still recover a solid share of the exact top-3 on this corpus
+    val s7m = byQuery(s7)
+    val recall = s7m.map { case (q, ns) => ns.count(truth(q)) }.sum
+    assert(recall >= 12, s"PQ recall collapsed: $recall/24")
+  }
+
   test("query set broadcasts; the vector scan is never shuffled (s1)") {
     val p = Similarity.bruteTopk(spark, sf).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
