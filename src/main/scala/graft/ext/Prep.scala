@@ -238,11 +238,18 @@ object Prep {
     * left join with the base table keeps the row — silently dropping a
     * fully-boilerplate doc would misreport corpus size downstream).
     */
-  def spanScrub(spark: SparkSession, sfDir: String): DataFrame = {
-    val covered = Dedup.substringSpans(spark, sfDir)
+  def spanScrub(spark: SparkSession, sfDir: String): DataFrame =
+    spanScrubOf(Tables.documents(spark, sfDir).select("doc_id", "text"),
+      Dedup.substringSpans(spark, sfDir))
+
+  /** c9 over arbitrary `(doc_id, text)` docs and `(doc_id, span_start,
+    * span_end, ...)` spans — test surface.
+    */
+  private[ext] def spanScrubOf(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val covered = spans
       .select(col("doc_id"),
         explode(sequence(col("span_start"), col("span_end"))).as("p"))
-    val toks = Tables.documents(spark, sfDir)
+    val toks = docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("tok"))
     val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
@@ -251,7 +258,7 @@ object Prep {
           transform(array_sort(collect_list(struct(col("p"), col("tok")))),
             s => s.getField("tok"))).as("clean_text"),
         count(lit(1)).as("n_kept"))
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -65,6 +65,29 @@ class PrepSpec extends SparkSpec {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("c9 span scrub: cuts exactly the spans, keeps order, keeps empty docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val run = (0 until 12).map(i => s"dup$i").mkString(" ")
+    def noise(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"$run ${noise("a", 10)}",  // shared run + unique tail
+      2L -> s"${noise("b", 4)} $run",   // unique head + shared run
+      3L -> run,                        // ENTIRELY the shared run
+      4L -> noise("c", 6))              // no duplication at all
+      .toDF("doc_id", "text")
+    val th = docs
+      .select(col("doc_id"),
+        posexplode(Portable.tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), Portable.tokenHash(col("tok")).as("h"))
+    val byId = Prep.spanScrubOf(docs, Dedup.substringSpansOf(th))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(byId(1L) == (noise("a", 10), 12L), s"doc1: ${byId(1L)}")
+    assert(byId(2L) == (noise("b", 4), 12L), s"doc2: ${byId(2L)}")
+    assert(byId(3L) == ("", 12L), "fully-duplicated doc must stay as an empty row")
+    assert(byId(4L) == (noise("c", 6), 0L), "untouched doc must pass through")
+  }
+
   test("quality gate: kept == no flag set; flags agree with their sources") {
     val rows = Prep.qualityGate(spark, sf).collect()
       .map(r => r.getLong(0) ->
