@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import Portable._
@@ -246,12 +246,64 @@ object Search {
       concat_ws(" ", slice(col("ws"), start, len)).as("snippet"))
   }
 
+  /** Fuzzy workload: misspellings of corpus terms (1 del / 1 sub /
+    * 1 ins), one exact term, one total miss (must return nothing).
+    */
+  private[ext] val fuzzyQueries: Seq[(Int, String)] = Seq(
+    1 -> "tble", 2 -> "vactor", 3 -> "custmer", 4 -> "windw",
+    5 -> "sparkk", 6 -> "merge", 7 -> "zzzz")
+
+  /** Deletion neighborhood of a term: itself plus every 1-char-deleted
+    * variant — the SymSpell index key set.
+    */
+  private def delVariants(t: Column): Column =
+    concat(array(t), transform(sequence(lit(1), length(t)),
+      i => concat(t.substr(lit(1), i - 1), t.substr(i + 1, length(t)))))
+
+  /** x18 — FUZZY term match (OpenSearch `match` with `fuzziness: 1`,
+    * the serving layer's typo tolerance): for each query term, the
+    * vocabulary terms within Levenshtein distance 1, ranked by corpus
+    * frequency. SymSpell shape: the vocabulary indexes under its
+    * deletion neighborhood (term + every 1-char deletion — covers
+    * delete, insert, AND substitute at distance 1), the query side
+    * explodes the same way, and candidates materialize ONLY where a
+    * variant key collides — never a |queries|×|vocab| distance matrix.
+    * The exact `levenshtein` then confirms (the neighborhood also
+    * catches some distance-2 pairs, e.g. transpositions — the confirm
+    * removes them). At 100 TB the variant posting table is |vocab| ×
+    * avg-term-length rows of short strings — linear, prebuilt once, the
+    * standard spell-index trade; the corpus itself is never rescanned
+    * per query.
+    */
+  def fuzzySearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = fuzzyQueries.toDF("query_id", "qterm")
+    val vocab = TextAnalysis.termFreq(spark, sfDir)
+      .groupBy("term").agg(sum("tf").as("cnt"))
+    val postings = vocab.select(col("term"), col("cnt"),
+      explode(delVariants(col("term"))).as("variant"))
+    val qv = q.select(col("query_id"), col("qterm"),
+      explode(delVariants(col("qterm"))).as("variant"))
+    val cand = postings.join(broadcast(qv), Seq("variant"))
+      .select("query_id", "qterm", "term", "cnt").distinct()
+    val confirmed = cand
+      .withColumn("distance", levenshtein(col("qterm"), col("term")).cast("long"))
+      .filter(col("distance") <= 1)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("distance"), col("cnt").desc, col("term"))
+    confirmed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("qterm"), col("term").as("match_term"),
+        col("distance"), col("cnt"), col("rank").cast("long").as("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x12_match_search" -> (matchSearch _),
     "x13_phrase_search" -> (phraseSearch _),
     "x14_hybrid_rrf" -> (hybridSearch _),
     "x16_highlight" -> ((s, d) => highlight(s, d)),
-    "x17_bm25" -> (bm25Search _)
+    "x17_bm25" -> (bm25Search _),
+    "x18_fuzzy_search" -> (fuzzySearch _)
   )
 
   private def valuesSql(rows: Seq[(Int, String)]): String =
@@ -367,6 +419,35 @@ object Search {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY score_micro DESC, doc_id) AS rank
          |      FROM scored)
-         |WHERE rank <= 10""".stripMargin
+         |WHERE rank <= 10""".stripMargin,
+    "x18_fuzzy_search" ->
+      s"""WITH q(query_id, qterm) AS (VALUES ${valuesSql(fuzzyQueries)}),
+         |toks AS (SELECT unnest(${tokensSql("text")}) AS term FROM documents),
+         |vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+         |vp AS (
+         |  SELECT term, cnt,
+         |    unnest(list_concat([term], list_transform(range(1, len(term) + 1),
+         |      i -> substr(term, 1, i - 1) || substr(term, i + 1, len(term)))))
+         |      AS variant
+         |  FROM vocab),
+         |qp AS (
+         |  SELECT query_id, qterm,
+         |    unnest(list_concat([qterm], list_transform(range(1, len(qterm) + 1),
+         |      i -> substr(qterm, 1, i - 1) || substr(qterm, i + 1, len(qterm)))))
+         |      AS variant
+         |  FROM q),
+         |cand AS (
+         |  SELECT DISTINCT query_id, qterm, term, cnt
+         |  FROM vp JOIN qp USING (variant)),
+         |conf AS (
+         |  SELECT query_id, qterm, term,
+         |    CAST(levenshtein(qterm, term) AS BIGINT) AS distance, cnt
+         |  FROM cand WHERE levenshtein(qterm, term) <= 1)
+         |SELECT query_id, qterm, term AS match_term, distance, cnt,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY distance, cnt DESC, term) AS rank
+         |      FROM conf)
+         |WHERE rank <= 5""".stripMargin
   )
 }

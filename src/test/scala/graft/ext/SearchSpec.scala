@@ -145,6 +145,36 @@ class SearchSpec extends SparkSpec {
       s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("x18 fuzzy: deletion neighborhood finds EVERY distance-1 term") {
+    // brute-force truth: levenshtein against the whole vocabulary —
+    // the SymSpell index must lose nothing at fuzziness 1
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab = graft.Tables.documents(spark, sf)
+      .select(explode(Portable.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Search.fuzzySearch(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getLong(3))).toSet
+    for ((qid, qterm) <- Search.fuzzyQueries) {
+      val truth = vocab.keys.filter(t => lev(qterm, t) <= 1).toSet
+      val found = got.collect { case (q, t, _) if q == qid => t }
+      // top-5 cap: only assert completeness when truth fits the cap
+      if (truth.size <= 5)
+        assert(found == truth, s"$qterm: found=$found truth=$truth")
+      else assert(found.size == 5 && found.subsetOf(truth), s"$qterm")
+      // distances reported are the true distances
+      for ((q, t, d) <- got if q == qid)
+        assert(d == lev(qterm, t), s"distance wrong for ($qterm, $t)")
+    }
+    assert(!got.exists(_._1 == 7), "the no-match query must return nothing")
+  }
+
   test("only the literal query frames broadcast; top-k is WindowGroupLimit") {
     // With auto-broadcast disabled, every BroadcastExchange in the plan
     // is an explicit hint — so the count must equal the hint sites on
