@@ -139,10 +139,35 @@ object Relational {
       valueColumnName = "n")
   }
 
+  /** u4 — BAG-semantics set ops (INTERSECT ALL / EXCEPT ALL): per user,
+    * how many clicks are matched one-to-one by a view (`n_common`) and
+    * how many clicks remain unmatched (`n_surplus`). Multiset semantics
+    * plan fundamentally differently from u1's distinct forms — Spark
+    * rewrites them to counted aggregation + replication (no pairwise
+    * join, no distinct), which is the shape that scales: one shuffle per
+    * side on the row value, multiplicities carried as counts. The two
+    * arms re-aggregate to counted rows so the result is hashable; the
+    * full-outer join reuses the arms' co-partitioning on user_id.
+    */
+  def bagSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    def occ(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id"))
+    val common = occ("click").intersectAll(occ("view"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_common"))
+    val surplus = occ("click").exceptAll(occ("view"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_surplus"))
+    common.join(surplus, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("n_surplus"), lit(0L)).as("n_surplus"))
+  }
+
   val queries: Map[String, Q] = Map(
     "w1_window_suite" -> (windowSuite _),
     "w2_time_windows" -> (timeWindows _),
     "u1_set_ops" -> (setOps _),
+    "u4_bag_set_ops" -> (bagSetOps _),
     "x8_type_day_cube" -> (typeDayCube _),
     "u2_grouping_sets" -> (groupingSetsTotals _),
     "p2_event_pivot" -> (eventPivot _),
@@ -219,6 +244,23 @@ object Relational {
                .mkString(",\n    ")}
          |  FROM events GROUP BY user_id)
          |${arms.mkString("\nUNION ALL\n")}""".stripMargin
-    }
+    },
+    "u4_bag_set_ops" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n_common FROM (
+        |    SELECT user_id FROM events WHERE event_type = 'click'
+        |    INTERSECT ALL
+        |    SELECT user_id FROM events WHERE event_type = 'view')
+        |  GROUP BY user_id),
+        |s AS (
+        |  SELECT user_id, count(*) AS n_surplus FROM (
+        |    SELECT user_id FROM events WHERE event_type = 'click'
+        |    EXCEPT ALL
+        |    SELECT user_id FROM events WHERE event_type = 'view')
+        |  GROUP BY user_id)
+        |SELECT COALESCE(c.user_id, s.user_id) AS user_id,
+        |  CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+        |  CAST(COALESCE(s.n_surplus, 0) AS BIGINT) AS n_surplus
+        |FROM c FULL JOIN s ON c.user_id = s.user_id""".stripMargin
   )
 }

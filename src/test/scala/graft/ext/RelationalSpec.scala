@@ -105,6 +105,26 @@ class RelationalSpec extends SparkSpec {
       s"diff=${(got.toSet diff expected.toSet).take(3)}")
   }
 
+  test("u4 bag set ops equal the min/surplus multiset identities") {
+    import org.apache.spark.sql.functions._
+    // INTERSECT ALL = min of multiplicities; EXCEPT ALL = left surplus
+    val counts = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy("user_id")
+      .agg(
+        sum((col("event_type") === "click").cast("long")).as("c"),
+        sum((col("event_type") === "view").cast("long")).as("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = Relational.bagSetOps(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = counts.flatMap { case (u, (c, v)) =>
+      val common = math.min(c, v); val surplus = math.max(0L, c - v)
+      if (common == 0 && surplus == 0) None else Some(u -> (common, surplus))
+    }
+    assert(got == expected,
+      s"missing=${(expected.toSet -- got.toSet).take(5)}, extra=${(got.toSet -- expected.toSet).take(5)}")
+  }
+
   test("w2 range-frame windows equal a brute trailing-30-min fold") {
     import org.apache.spark.sql.functions._
     val horizon = 1800000000L
