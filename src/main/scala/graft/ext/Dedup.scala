@@ -194,19 +194,21 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     ngramJaccardOf(shingleFrame(spark, sfDir), HotShingleCap)
 
-  /** Exact blocked Jaccard over an arbitrary `(doc_id, source, shingle)`
-    * frame — the injectable core of d2.
+  /** Posting-list co-occurrence `(doc_a < doc_b, na, nb, inter)` over a
+    * `(doc_id, source, shingle)` frame — the shared engine of d2 (exact
+    * Jaccard) and d14 (asymmetric containment).
+    *
+    * Inverted-index formulation: self-join postings on (source, shingle)
+    * so only pairs that SHARE a shingle materialize, and the
+    * intersection size is a count — never a per-pair array
+    * intersection. Shingles are rare (max document-frequency 6 at
+    * sf0.1), so the co-occurrence join emits ~62k rows where blocked
+    * all-pairs would intersect 623k array pairs. This is the
+    * exact-overlap shape that scales: cost follows shared structure,
+    * not block², and the df cap bounds what any one shingle can
+    * contribute.
     */
-  private[ext] def ngramJaccardOf(sh: DataFrame, cap: Long): DataFrame = {
-    // Posting-list (inverted index) formulation: self-join postings on
-    // (source, shingle) so only pairs that SHARE a shingle materialize,
-    // and the intersection size is a count — never a per-pair array
-    // intersection. Shingles are rare (max document-frequency 6 at
-    // sf0.1), so the co-occurrence join emits ~62k rows where blocked
-    // all-pairs would intersect 623k array pairs. This is the
-    // exact-Jaccard shape that scales: cost follows shared structure,
-    // not block², and the df cap bounds what any one shingle can
-    // contribute.
+  private def coOccurrence(sh: DataFrame, cap: Long): DataFrame = {
     val dfreq = sh.groupBy("source", "shingle").agg(count(lit(1)).as("df"))
     val kept = sh.join(dfreq.filter(col("df") <= cap).select("source", "shingle"),
       Seq("source", "shingle"))
@@ -217,7 +219,7 @@ object Dedup {
     // ESTIMATE, which is the correct, scale-gated behavior.
     val postings = kept.join(sized, Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("n"), col("shingle"))
-    val co = postings.alias("a")
+    postings.alias("a")
       .join(postings.alias("b"),
         col("a.source") === col("b.source") &&
           col("a.shingle") === col("b.shingle") &&
@@ -225,11 +227,53 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
+  }
+
+  /** Exact blocked Jaccard over an arbitrary `(doc_id, source, shingle)`
+    * frame — the injectable core of d2.
+    */
+  private[ext] def ngramJaccardOf(sh: DataFrame, cap: Long): DataFrame = {
+    val co = coOccurrence(sh, cap)
     val jacRaw = col("inter").cast("double") /
       (col("na") + col("nb") - col("inter")).cast("double")
     barrierFilter(co, jacRaw >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(jacRaw, 6).as("jac"))
   }
+
+  // ---- d14: asymmetric containment --------------------------------------
+
+  /** Containment threshold 7/8 — exact integers, no float boundary. */
+  private val ContainNum = 7
+  private val ContainDen = 8
+
+  /** d14 — CONTAINMENT near-dup: `|A∩B| / |A| ≥ 7/8` — document A's
+    * shingles are (almost) all inside B. The asymmetric relation
+    * symmetric Jaccard cannot see: a short document quoted wholesale
+    * inside a long one has tiny Jaccard (union ≈ the long doc) but
+    * containment ≈ 1 — exactly the quoted-boilerplate/subset-document
+    * case a training-data pipeline wants to catch. Same posting-list
+    * co-occurrence engine as d2 (one pass, blocked, df-capped); both
+    * directions of each co-occurring pair are tested from the one
+    * counted row, and the threshold compares pure integers
+    * (`inter·8 ≥ n·7`), so no float boundary exists anywhere.
+    */
+  def containment(spark: SparkSession, sfDir: String): DataFrame =
+    containmentOf(shingleFrame(spark, sfDir), HotShingleCap)
+
+  /** d14 over an arbitrary `(doc_id, source, shingle)` frame. */
+  private[ext] def containmentOf(sh: DataFrame, cap: Long): DataFrame =
+    coOccurrence(sh, cap)
+      .select(explode(array(
+        struct(col("doc_a").as("contained"), col("doc_b").as("container"),
+          col("na").as("nc"), col("inter")),
+        struct(col("doc_b").as("contained"), col("doc_a").as("container"),
+          col("nb").as("nc"), col("inter")))).as("d"))
+      .select(col("d.contained").as("contained"),
+        col("d.container").as("container"), col("d.nc").as("nc"), col("d.inter").as("inter"))
+      .filter(col("inter") * ContainDen >= col("nc") * ContainNum)
+      .select(col("contained"), col("container"),
+        round(col("inter").cast("double") / col("nc").cast("double"), 6)
+          .as("containment"))
 
   // ---- d3: MinHash + LSH banding ---------------------------------------
 
@@ -861,7 +905,8 @@ object Dedup {
     "d10_triangle_census" -> (triangleStats _),
     "d11_pagerank" -> ((s, d) => pageRank(s, d)),
     "d12_substring_spans" -> (substringSpans _),
-    "d13_incremental_lsh" -> (incrementalLsh _)
+    "d13_incremental_lsh" -> (incrementalLsh _),
+    "d14_containment" -> (containment _)
   )
 
   // ---- oracle SQL -------------------------------------------------------
@@ -1110,7 +1155,37 @@ object Dedup {
     // proves batch/incremental consistency
     "d13_incremental_lsh" ->
       s"""SELECT doc_a, doc_b, jac FROM ($d3Sql)
-         |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0""".stripMargin
+         |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0""".stripMargin,
+    "d14_containment" ->
+      s"""WITH s0 AS (
+         |  SELECT doc_id, source, $shingleHashesSql AS sh
+         |  FROM (SELECT doc_id, source,
+         |          list_transform(${tokensSql("text")}, t -> ${tokenHashSql("t")}) AS hs
+         |        FROM documents)),
+         |post AS (SELECT doc_id, source, unnest(sh) AS shingle FROM s0),
+         |dfreq AS (SELECT source, shingle, count(*) AS cnt
+         |          FROM post GROUP BY source, shingle),
+         |kept AS (
+         |  SELECT p.doc_id, p.source, p.shingle
+         |  FROM post p JOIN dfreq d
+         |    ON d.source = p.source AND d.shingle = p.shingle
+         |  WHERE d.cnt <= $HotShingleCap),
+         |sized AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+         |co AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |  FROM kept a JOIN kept b
+         |    ON a.source = b.source AND a.shingle = b.shingle
+         |      AND a.doc_id < b.doc_id
+         |  GROUP BY da, db),
+         |dirs AS (
+         |  SELECT da AS contained, db AS container, sa.n AS nc, inter
+         |  FROM co JOIN sized sa ON sa.doc_id = da
+         |  UNION ALL
+         |  SELECT db, da, sb.n, inter
+         |  FROM co JOIN sized sb ON sb.doc_id = db)
+         |SELECT contained, container,
+         |  round(inter * 1.0 / nc, 6) AS containment
+         |FROM dirs WHERE inter * $ContainDen >= nc * $ContainNum""".stripMargin
   )
 
 }

@@ -245,6 +245,22 @@ class DedupSpec extends SparkSpec {
       "no connected node rose above the base rank")
   }
 
+  test("d14 containment catches the quoted-subset pair symmetric Jaccard misses") {
+    import spark.implicits._
+    // doc 1's shingles all sit inside doc 2 (a short doc quoted in a
+    // long one); doc 3 is unrelated. Jaccard(1,2) = 4/24 — far below
+    // d2's threshold — but containment(1 → 2) = 1.
+    val sh = (Seq(1L, 2L, 3L, 4L).map(s => (1L, "s", s)) ++
+        (Seq(1L, 2L, 3L, 4L) ++ (10L until 30L)).map(s => (2L, "s", s)) ++
+        Seq(50L, 51L).map(s => (3L, "s", s)))
+      .toDF("doc_id", "source", "shingle")
+    val got = Dedup.containmentOf(sh, Long.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 1.0)), s"got: $got")
+    assert(Dedup.ngramJaccardOf(sh, Long.MaxValue).count() == 0,
+      "symmetric Jaccard should NOT fire on the subset pair")
+  }
+
   test("d13 incremental == d3 batch restricted to delta-touching pairs") {
     val batch = Dedup.minhashLsh(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

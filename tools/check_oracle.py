@@ -34,8 +34,11 @@ def main():
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     failures = 0
     for name in sorted(oracle):
+        if only is not None and name not in only:
+            continue
         qdir = Path(out_dir) / name
         if not qdir.exists():
             print(f"[FAIL] {name}: no spark output")
