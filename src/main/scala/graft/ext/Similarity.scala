@@ -124,15 +124,21 @@ object Similarity {
     * correct broadcast sides; the vector scan stays unshuffled until the
     * per-cell candidate join, exactly as s2.
     */
-  def ivfNprobeTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = vecs(spark, sfDir)
-    // centroid VECTORS: s4's (label, dim, centroid) rows reassembled in
-    // dim order — fixed-point means are exact doubles, so the vectors
-    // (and the cell ranking below) are bit-identical to the oracle's
-    val cents = ivfCentroids(spark, sfDir)
+  /** Centroid VECTORS: s4's (label, dim, centroid) rows reassembled in
+    * dim order — fixed-point means are exact doubles, so the vectors
+    * (and any cell ranking built on them) are bit-identical to the
+    * oracle's. |cells| rows — the one genuinely-small frame in the ANN
+    * family.
+    */
+  private def centroidVectors(spark: SparkSession, sfDir: String): DataFrame =
+    ivfCentroids(spark, sfDir)
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
         s => s.getField("centroid")).as("cv"))
+
+  def ivfNprobeTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val cents = centroidVectors(spark, sfDir)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label").as("qlabel"))
     val wc = Window.partitionBy(col("query_id"))
@@ -187,6 +193,47 @@ object Similarity {
       .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineSim(col("nv"), col("qv")).as("cos_raw"))
+    topkOut(scored, 3)
+  }
+
+  /** s8 — kNN GRAPH construction (batch ANN self-join): every vector's
+    * top-3 neighbors, not a fixed query set's. This is the operator the
+    * s1–s7 family feeds at training-data scale: SemDeDup-style semantic
+    * dedup, diversity sampling, and graph-based curation all start from
+    * a per-document neighbor list over the whole corpus.
+    *
+    * Shape: IVF blocking with nprobe=2 on the QUERY side. Every vector
+    * probes its own coarse cell plus the nearest other cell by centroid
+    * cosine (the same fixed-point centroids as s4/s5), so the pair space
+    * is Σ|cell|·|probes into cell| — never n². Both sides of the scoring
+    * join are corpus-sized, so it is a SHUFFLE hash join co-partitioned
+    * on the cell id; the only broadcast is the |cells|-row centroid
+    * frame. Per-query top-k is a WindowGroupLimit: per-partition heaps,
+    * no global sort. At 100 TB the dials are the quantizer granularity
+    * (more, smaller cells bound Σ|cell|² — a skewed giant cell splits by
+    * re-quantizing, the same remedy as a skewed join key) and nprobe;
+    * the join/limit shape is unchanged.
+    */
+  def knnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val cents = centroidVectors(spark, sfDir)
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("label"))
+    val own = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("label"))
+    val nearestOther = e
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label").as("qlabel"))
+      .crossJoin(broadcast(cents))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("qv"), col("label"),
+        cosineSim(col("qv"), col("cv")).as("cs"))
+      .withColumn("rk", row_number().over(wc))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("qv"), col("label"))
+    val probes = own.unionByName(nearestOther)
+    val scored = e.join(probes, Seq("label")) // shuffle join on the cell id
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineSim(col("v"), col("qv")).as("cos_raw"))
     topkOut(scored, 3)
   }
 
@@ -284,7 +331,8 @@ object Similarity {
     "s4_ivf_centroids" -> (ivfCentroids _),
     "s5_ivf_nprobe" -> (ivfNprobeTopk _),
     "s6_sq_rerank" -> (sqRerankTopk _),
-    "s7_pq_rerank" -> (pqRerankTopk _)
+    "s7_pq_rerank" -> (pqRerankTopk _),
+    "s8_knn_join" -> (knnJoin _)
   )
 
   /** s7's subspace-code expression, DuckDB side (lists are 1-based). */
@@ -404,6 +452,37 @@ object Similarity {
          |  (list_dot_product(nv, qv) /
          |    (sqrt(list_dot_product(nv, nv)) * sqrt(list_dot_product(qv, qv)))) AS cos_raw
          |FROM short""".stripMargin, 3),
+    "s8_knn_join" -> topkSql(
+      s"""WITH ev AS (
+         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT label, list(centroid ORDER BY dim) AS cv FROM (
+         |    SELECT label, CAST(t.i AS INTEGER) AS dim,
+         |      CAST(sum(CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)
+         |        / 10000000.0 / count(*) AS centroid
+         |    FROM embeddings, range(64) t(i)
+         |    GROUP BY label, t.i)
+         |  GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel FROM ev),
+         |nearest_other AS (
+         |  SELECT query_id, qv, label FROM (
+         |    SELECT q.query_id, q.qv, c.label,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        (list_dot_product(q.qv, c.cv) /
+         |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+         |        c.label) AS rk
+         |    FROM q JOIN cents c ON c.label <> q.qlabel)
+         |  WHERE rk = 1),
+         |cells AS (
+         |  SELECT query_id, qv, qlabel AS label FROM q
+         |  UNION ALL
+         |  SELECT query_id, qv, label FROM nearest_other)
+         |SELECT cells.query_id, e.vec_id AS neighbor_id,
+         |  (list_dot_product(e.v, cells.qv) /
+         |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cells.qv, cells.qv)))) AS cos_raw
+         |FROM cells JOIN ev e
+         |  ON e.label = cells.label AND e.vec_id <> cells.query_id""".stripMargin, 3),
     "s7_pq_rerank" -> topkSql(
       s"""WITH ev AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

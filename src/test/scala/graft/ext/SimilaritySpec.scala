@@ -149,6 +149,61 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 12, s"PQ recall collapsed: $recall/24")
   }
 
+  test("s8 kNN join: every vector answered; nprobe=2 structure; no corpus broadcast") {
+    val labels = vecs.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val df = Similarity.knnJoin(spark, sf)
+    val rows = df.collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    // the kNN GRAPH property: every vector is a query and gets neighbors
+    assert(byQ.keySet == labels.keySet, "a vector has no neighbor list")
+    for ((q, rs) <- byQ) {
+      assert(rs.map(_.getLong(2)).sorted.sameElements(1L to rs.length),
+        s"query $q ranks not dense")
+      // neighbors span at most the own cell + one probed other cell
+      val cells = rs.map(r => labels(r.getLong(1))).toSet
+      assert(cells.size <= 2, s"query $q neighbors span ${cells.size} cells")
+    }
+    // recall monotonicity vs the own-cell-only (nprobe=1) baseline:
+    // the own cell is always probed, so per query the candidate set is
+    // a superset and the rank-1 cosine can only improve
+    val own1 = {
+      val e = vecs
+      val paired = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("label"))
+        .join(e, Seq("label"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosineSim(col("v"), col("qv")).as("c"))
+        .groupBy("query_id").agg(max(col("c")).as("best"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      paired
+    }
+    val got1 = rows.filter(_.getLong(2) == 1L)
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    for ((q, best) <- own1)
+      assert(got1(q) >= math.rint(best * 1e6) / 1e6 - 1e-9,
+        s"query $q: nprobe=2 rank-1 ${got1(q)} below own-cell best $best")
+    // plan: with the size-estimate broadcast path disabled, the ONLY
+    // broadcast left must be the explicitly-hinted |cells|-row centroid
+    // frame (its join carries `cv`); the corpus-sized scoring join on
+    // the cell id must fall back to a shuffle join. Locally AQE may
+    // legitimately broadcast the small corpus by SIZE — that choice is
+    // scale-gated and disappears at 100 TB, unlike a hint.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p = Similarity.knnJoin(spark, sf).queryExecution.executedPlan.toString
+      val bjoins = "Broadcast(?:Hash|NestedLoop)Join[^\\n]*".r.findAllIn(p).toList
+      // the centroid crossJoin is recognizable by its label<>qlabel
+      // residual; nothing else may broadcast under threshold -1
+      assert(bjoins.nonEmpty && bjoins.forall(_.contains("qlabel")),
+        s"non-centroid broadcast join in s8 plan:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"cell-id scoring join is not a shuffle join:\n$p")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("query set broadcasts; the vector scan is never shuffled (s1)") {
     val p = Similarity.bruteTopk(spark, sf).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
