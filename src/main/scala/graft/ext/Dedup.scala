@@ -322,19 +322,28 @@ object Dedup {
     * persist(MEMORY_AND_DISK) + a reliable checkpoint on a cluster.
     */
   private[ext] def sketchFrame(spark: SparkSession, sfDir: String): DataFrame =
-    memoFrame("minhashSketch", spark, sfDir) {
-      val exploded = docs(spark, sfDir)
-        .select(col("doc_id"),
-          explode(array_distinct(transform(tokenSet(col("text")),
-            t => tokenHash(t)))).as("h"))
-      exploded.groupBy("doc_id")
-        .agg(min(affine(0, col("h"))).as("s0"),
-          (1 until 16).map(i => min(affine(i, col("h"))).as(s"s$i")) :+
-            sort_array(collect_set(col("h"))).as("toks"): _*)
-        .select(col("doc_id"), bandKey(0).as("bk0"), bandKey(8).as("bk1"),
-          col("toks"))
-        .localCheckpoint()
-    }
+    memoFrame("minhashSketch", spark, sfDir)(
+      sketchOf(docs(spark, sfDir)).localCheckpoint())
+
+  /** The sketch pass over an arbitrary `(doc_id, text)` frame — the
+    * per-document unit of the persisted index: 16 signature minima AND
+    * the sorted token-hash set in one aggregation. Shared by the batch
+    * entry points above and the streaming ingest writer
+    * ([[graft.streaming.NearDupStream]]), so both paths maintain
+    * byte-identical index rows.
+    */
+  private[graft] def sketchOf(docsFrame: DataFrame): DataFrame = {
+    val exploded = docsFrame
+      .select(col("doc_id"),
+        explode(array_distinct(transform(tokenSet(col("text")),
+          t => tokenHash(t)))).as("h"))
+    exploded.groupBy("doc_id")
+      .agg(min(affine(0, col("h"))).as("s0"),
+        (1 until 16).map(i => min(affine(i, col("h"))).as(s"s$i")) :+
+          sort_array(collect_set(col("h"))).as("toks"): _*)
+      .select(col("doc_id"), bandKey(0).as("bk0"), bandKey(8).as("bk1"),
+        col("toks"))
+  }
 
   private[ext] def buildMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val per = sketchFrame(spark, sfDir)
@@ -867,26 +876,45 @@ object Dedup {
     */
   def incrementalLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val per = sketchFrame(spark, sfDir)
-    val delta = per.filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id").as("da"), col("bk0").as("abk0"), col("bk1").as("abk1"))
-    val corpus = per.select(col("doc_id").as("db"),
-      (col("doc_id") % 10 === 0).as("b_delta"),
+    incrementalPairs(per.filter(col("doc_id") % 10 === 0),
+      per.filter(col("doc_id") % 10 =!= 0))
+  }
+
+  /** The per-ingest engine shared by d13 and the streaming writer
+    * ([[graft.streaming.NearDupStream]]): near-dup pairs TOUCHING
+    * `delta` — delta×index band collisions plus delta-internal ones —
+    * confirmed exact. `delta` and `index` are [[sketchOf]] frames with
+    * disjoint id sets. Pair uniqueness holds without a DISTINCT: a
+    * delta×index collision is emitted once by construction (only delta
+    * ids sit on the left leg), a delta×delta collision keeps the
+    * `a < b` orientation, and band exclusivity (band 1 requires band 0
+    * to differ) carries over from d3 unchanged.
+    */
+  private[graft] def incrementalPairs(delta: DataFrame, index: DataFrame): DataFrame = {
+    val all = delta.select(col("doc_id"), lit(true).as("b_delta"),
+        col("bk0"), col("bk1"), col("toks"))
+      .unionByName(index.select(col("doc_id"), lit(false).as("b_delta"),
+        col("bk0"), col("bk1"), col("toks")))
+    val l = delta.select(col("doc_id").as("da"),
+      col("bk0").as("abk0"), col("bk1").as("abk1"))
+    val corpus = all.select(col("doc_id").as("db"), col("b_delta"),
       col("bk0").as("bbk0"), col("bk1").as("bbk1"))
     val once = col("da") < col("db") || !col("b_delta")
-    val cand0 = delta.join(corpus,
+    val cand0 = l.join(corpus,
         col("abk0") === col("bbk0") && col("da") =!= col("db") && once)
       .select(col("da"), col("db"))
-    val cand1 = delta.join(corpus,
+    val cand1 = l.join(corpus,
         col("abk1") === col("bbk1") && col("abk0") =!= col("bbk0") &&
           col("da") =!= col("db") && once)
       .select(col("da"), col("db"))
     val cand = cand0.unionByName(cand1)
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"))
+    val toks = all.select(col("doc_id"), col("toks"))
     jaccardPairs(
       cand
-        .join(per.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
-        .join(per.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b")),
+        .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
+        .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b")),
       col("ta"), col("tb"), 0.9, (9, 10))
   }
 

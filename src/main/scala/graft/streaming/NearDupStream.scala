@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.ext.Dedup
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming near-duplicate detection — the ingest-time twin of the d3/d13
+  * batch family. A document stream is deduplicated AGAINST EVERYTHING EVER
+  * INGESTED at per-batch cost that follows the batch size, never the
+  * corpus:
+  *
+  *   - the persisted MinHash sketch INDEX (one row per document:
+  *     2 band keys + the sorted token-hash set, byte-identical to the rows
+  *     [[Dedup.sketchOf]] computes in batch) lives in a
+  *     [[StreamApply.ParquetUpsertStore]] — append-mostly keyed state with
+  *     the single-pointer atomic commit;
+  *   - each micro-batch sketches only its own documents, band-joins them
+  *     against the index plus themselves ([[Dedup.incrementalPairs]] — the
+  *     same engine as batch d13, so stream and batch provably agree), and
+  *     confirms candidates with the exact sorted-intersect Jaccard;
+  *   - confirmed pairs land in a second store KEYED BY THE PAIR, so the
+  *     at-least-once replay of a micro-batch re-derives byte-identical
+  *     rows and the keyed merge absorbs them — pairs are emitted
+  *     effectively-once without any batch-id bookkeeping.
+  *
+  * Crash safety: pairs commit before the index. A crash between the two
+  * merges replays the batch against an index that does not yet contain it,
+  * recomputing the identical pair set (absorbed by key) and then
+  * committing the index — nothing is lost, nothing duplicates. The reverse
+  * order would lose pairs: a replayed batch already in the index
+  * anti-joins itself away.
+  *
+  * At 100 TB the index store is a partitioned table (bucket by doc_id; the
+  * band join reshuffles on band keys regardless) and the merge is a Delta/
+  * Iceberg MERGE — same protocol, scaled out; per-ingest cost is
+  * |delta| × collision rate, exactly d13's scaling argument.
+  */
+object NearDupStream {
+
+  /** The two stores a near-dup ingest pipeline maintains. */
+  final class Stores(spark: SparkSession, dir: String) {
+    val index = new StreamApply.ParquetUpsertStore(spark, s"$dir/index",
+      "doc_id", "seq", "op", "d", Seq("bk0", "bk1", "toks"))
+    val pairs = new StreamApply.ParquetUpsertStore(spark, s"$dir/pairs",
+      "pair_key", "seq", "op", "d", Seq("doc_a", "doc_b", "jac"))
+
+    /** Confirmed near-dup pairs so far. */
+    def pairsView(): DataFrame = {
+      val v = pairs.view()
+      if (v.schema.isEmpty) v else v.select("doc_a", "doc_b", "jac")
+    }
+
+    /** The sketch index as a [[Dedup.sketchOf]]-shaped frame. */
+    def indexView(): DataFrame = {
+      val v = index.view()
+      if (v.schema.isEmpty) v else v.select("doc_id", "bk0", "bk1", "toks")
+    }
+  }
+
+  /** One micro-batch of `(doc_id, text)` documents through the ingest
+    * path. Public so tests can drive replay directly.
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, stores: Stores): Unit = {
+    val sk = Dedup.sketchOf(batch.select("doc_id", "text"))
+      // consulted by both band joins, both confirm re-joins, and the
+      // index merge — one sketch pass per batch, not six
+      .localCheckpoint()
+    val indexed = stores.indexView()
+    // Replay guard: a redelivered document is already in the index; the
+    // anti-join keeps it out of the "old corpus" side so it cannot pair
+    // with itself (its pairs re-derive identically and merge by key).
+    val old =
+      if (indexed.schema.isEmpty) sk.limit(0)
+      else indexed.join(sk.select("doc_id"), Seq("doc_id"), "left_anti")
+    val found = Dedup.incrementalPairs(sk, old)
+    stores.pairs.merge(found.select(
+      concat_ws("_", col("doc_a"), col("doc_b")).as("pair_key"),
+      lit(batchId).as("seq"), lit("i").as("op"),
+      col("doc_a"), col("doc_b"), col("jac")), batchId)
+    stores.index.merge(sk.select(col("doc_id"),
+      lit(batchId).as("seq"), lit("i").as("op"),
+      col("bk0"), col("bk1"), col("toks")), batchId)
+  }
+
+  /** foreachBatch writer: dedup a `(doc_id, text)` document stream
+    * against the full ingest history.
+    */
+  def nearDupWriter(docsStream: DataFrame, stores: Stores,
+      checkpoint: String): DataStreamWriter[Row] =
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, id: Long) =>
+        applyBatch(batch, id, stores))
+}
