@@ -297,7 +297,96 @@ object Search {
         col("distance"), col("cnt"), col("rank").cast("long").as("rank"))
   }
 
+  /** MLT seed documents. */
+  private[ext] val mltSeeds: Seq[Long] = Seq(0L, 1L, 2L, 3L)
+  private val MltTerms = 5
+
+  /** x19 — MORE-LIKE-THIS (the serving layer's `more_like_this` query):
+    * for each seed document, its [[MltTerms]] highest-tf-idf terms become
+    * a ranked OR query against the corpus — OpenSearch's exact pipeline
+    * (select the seed's most discriminative terms, then run a match
+    * query), with x12's integer micro-unit scoring end to end.
+    *
+    * Scale shape: the seed-term selection is a per-seed top-k over the
+    * posting frame (WindowGroupLimit), and its OUTPUT is bounded —
+    * |seeds| × [[MltTerms]] rows — so it is the broadcast side of the
+    * scoring join; the corpus posting list shuffles on the term key
+    * exactly as x12. The corpus is never rescanned per seed.
+    */
+  def moreLikeThis(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = TextAnalysis.termFreq(spark, sfDir)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val weighted = tf
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("w_micro", expr("tf * n_docs * 1000000 DIV df"))
+    val ws = Window.partitionBy("seed_id")
+      .orderBy(col("w_micro").desc, col("term"))
+    val seedTerms = weighted
+      .filter(col("doc_id").isin(mltSeeds: _*))
+      .select(col("doc_id").as("seed_id"), col("term"), col("w_micro"))
+      .withColumn("trank", row_number().over(ws))
+      .filter(col("trank") <= MltTerms)
+      .select("seed_id", "term")
+    val scored = weighted
+      .join(broadcast(seedTerms), Seq("term")) // bounded: seeds × MltTerms
+      .filter(col("doc_id") =!= col("seed_id"))
+      .groupBy("seed_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("w_micro").as("score_micro"))
+    val w = Window.partitionBy("seed_id")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("seed_id"), col("doc_id"), col("n_terms"),
+        col("score_micro"), col("rank").cast("long").as("rank"))
+  }
+
+  private val SigMinCount = 5L
+
+  /** x20 — SIGNIFICANT TERMS (the serving layer's `significant_terms`
+    * aggregation): per document source, the terms most OVERREPRESENTED
+    * against the whole-corpus background — "what characterizes this
+    * slice", the aggregation OpenSearch ships for exactly this corpus-
+    * analytics job. Score = foreground-rate / background-rate cleared to
+    * integer micro-units: `(tf_fg · T_bg · 10^6) DIV (tf_bg · T_fg)`
+    * where T are total token counts — exact longs, order-independent,
+    * oracle-hashable (JLH's extra difference factor squares the operand
+    * range and overflows 64-bit far earlier; rate-ratio + the min-count
+    * gate `tf_fg ≥ 5` is the standard noise control. Where
+    * `tf_fg·T_bg·10^6` nears 2^63, divide both T's by a common factor
+    * first — the score is a ratio, the scaling is free). Background
+    * INCLUDES the foreground (OpenSearch's default), which also makes
+    * `tf_bg ≥ tf_fg` a division-safety invariant.
+    *
+    * One scan builds the posting frame; per-source and background totals
+    * are two aggregations of it; the score join shuffles on the term
+    * key; top-10 per source is a WindowGroupLimit.
+    */
+  def significantTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("term"))
+    val fg = toks.groupBy("source", "term").agg(count(lit(1)).as("tf_fg"))
+    val bg = toks.groupBy("term").agg(count(lit(1)).as("tf_bg"))
+    val tfg = toks.groupBy("source").agg(count(lit(1)).as("t_fg"))
+    val tbg = toks.agg(count(lit(1)).as("t_bg"))
+    val scored = fg.filter(col("tf_fg") >= SigMinCount)
+      .join(bg, Seq("term"))
+      .join(tfg, Seq("source")) // |sources| rows — joins map-side via AQE
+      .crossJoin(broadcast(tbg))
+      .withColumn("sig_micro",
+        expr("tf_fg * t_bg * 1000000 DIV (tf_bg * t_fg)"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("sig_micro").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("source"), col("term"), col("tf_fg"), col("tf_bg"),
+        col("sig_micro"), col("rank").cast("long").as("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x19_more_like_this" -> (moreLikeThis _),
+    "x20_significant_terms" -> (significantTerms _),
     "x12_match_search" -> (matchSearch _),
     "x13_phrase_search" -> (phraseSearch _),
     "x14_hybrid_rrf" -> (hybridSearch _),
@@ -329,6 +418,51 @@ object Search {
          |WHERE rank <= 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "x19_more_like_this" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |weighted AS (
+         |  SELECT doc_id, term, tf.tf * n.n_docs * 1000000 // dfreq.df AS w_micro
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         |seed_terms AS (
+         |  SELECT seed_id, term FROM (
+         |    SELECT doc_id AS seed_id, term,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY w_micro DESC, term) AS trank
+         |    FROM weighted WHERE doc_id IN (${mltSeeds.mkString(", ")}))
+         |  WHERE trank <= $MltTerms),
+         |scored AS (
+         |  SELECT st.seed_id, w.doc_id, count(*) AS n_terms,
+         |    CAST(sum(w.w_micro) AS BIGINT) AS score_micro
+         |  FROM weighted w JOIN seed_terms st USING (term)
+         |  WHERE w.doc_id <> st.seed_id
+         |  GROUP BY st.seed_id, w.doc_id)
+         |SELECT seed_id, doc_id, n_terms, score_micro, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY seed_id
+         |        ORDER BY score_micro DESC, doc_id) AS rank
+         |      FROM scored)
+         |WHERE rank <= 10""".stripMargin,
+    "x20_significant_terms" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, unnest(${tokensSql("text")}) AS term
+         |  FROM documents),
+         |fg AS (SELECT source, term, count(*) AS tf_fg
+         |       FROM toks GROUP BY source, term),
+         |bg AS (SELECT term, count(*) AS tf_bg FROM toks GROUP BY term),
+         |tfg AS (SELECT source, count(*) AS t_fg FROM toks GROUP BY source),
+         |tbg AS (SELECT count(*) AS t_bg FROM toks),
+         |scored AS (
+         |  SELECT source, term, tf_fg, tf_bg,
+         |    tf_fg * t_bg * 1000000 // (tf_bg * t_fg) AS sig_micro
+         |  FROM fg JOIN bg USING (term) JOIN tfg USING (source) CROSS JOIN tbg
+         |  WHERE tf_fg >= $SigMinCount)
+         |SELECT source, term, tf_fg, tf_bg, sig_micro, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY source
+         |        ORDER BY sig_micro DESC, term) AS rank
+         |      FROM scored)
+         |WHERE rank <= 10""".stripMargin,
     "x12_match_search" -> x12Sql,
     "x13_phrase_search" ->
       s"""WITH q(query_id, phrase) AS (VALUES ${valuesSql(phraseQueries)}),

@@ -175,6 +175,62 @@ class SearchSpec extends SparkSpec {
     assert(!got.exists(_._1 == 7), "the no-match query must return nothing")
   }
 
+  test("x19 MLT: seeds never retrieve themselves; hits share a seed top term") {
+    import spark.implicits._
+    val got = Search.moreLikeThis(spark, sf).collect()
+    assert(got.nonEmpty)
+    for (r <- got)
+      assert(r.getLong(0) != r.getLong(1), "a seed retrieved itself")
+    // recompute each seed's top-term set brute-force and check every hit
+    // contains at least one of them (n_terms >= 1 means a term matched,
+    // but verify against independently derived seed terms)
+    val toksByDoc = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.ext.Portable.tokens(col("text")).as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val nDocs = toksByDoc.size.toLong
+    val tf = toksByDoc.toSeq.flatMap { case (d, ws) =>
+      ws.groupBy(identity).map { case (t, o) => (d, t, o.size.toLong) } }
+    val dfreq = tf.groupBy(_._2).map { case (t, rs) => t -> rs.size.toLong }
+    val seedTop = (for (s <- Seq(0L, 1L, 2L, 3L)) yield {
+      val terms = tf.filter(_._1 == s)
+        .map { case (_, t, c) => (t, c * nDocs * 1000000L / dfreq(t)) }
+        .sortBy { case (t, w) => (-w, t) }.take(5).map(_._1).toSet
+      s -> terms
+    }).toMap
+    for (r <- got) {
+      val shared = seedTop(r.getLong(0)).intersect(toksByDoc(r.getLong(1)).toSet)
+      assert(shared.nonEmpty,
+        s"hit ${r.getLong(1)} shares no top term with seed ${r.getLong(0)}")
+      assert(r.getLong(2) <= 5, "n_terms exceeds the MLT term budget")
+    }
+  }
+
+  test("x20 significant terms are genuinely overrepresented in their source") {
+    val got = Search.significantTerms(spark, sf).collect()
+    assert(got.nonEmpty)
+    // brute-force rates from the raw corpus
+    val rows = graft.Tables.documents(spark, sf)
+      .select(col("source"), graft.ext.Portable.tokens(col("text")).as("ws"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq)
+    val bg = rows.flatMap(_._2).groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val tBg = rows.map(_._2.size.toLong).sum
+    val bySource = rows.groupBy(_._1)
+    for (r <- got) {
+      val (src, term) = (r.getString(0), r.getString(1))
+      val fgToks = bySource(src).flatMap(_._2)
+      val tfFg = fgToks.count(_ == term).toLong
+      assert(tfFg == r.getLong(2), s"tf_fg wrong for ($src, $term)")
+      assert(bg(term) == r.getLong(3), s"tf_bg wrong for ($src, $term)")
+      assert(tfFg >= 5, "min-count gate violated")
+      val sig = tfFg * tBg * 1000000L / (bg(term) * fgToks.size.toLong)
+      assert(sig == r.getLong(4), s"sig_micro wrong for ($src, $term)")
+      // a top-10 significant term is at least as frequent in its source
+      // as in the background (ratio >= 1 in micro units)
+      assert(r.getLong(4) >= 1000000L,
+        s"($src, $term) ranked significant but underrepresented")
+    }
+  }
+
   test("only the literal query frames broadcast; top-k is WindowGroupLimit") {
     // With auto-broadcast disabled, every BroadcastExchange in the plan
     // is an explicit hint — so the count must equal the hint sites on
