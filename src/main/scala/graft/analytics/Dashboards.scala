@@ -85,11 +85,52 @@ object Dashboards {
     q1.unionAll(q2).unionAll(q3)
   }
 
+  /** One keyset page of the event log: the rows strictly after the
+    * `(ts, event_id)` cursor in (ts desc, id desc) order. `events` must
+    * carry the RAW nanosecond `ts` — against a literal cursor the OR
+    * predicate is sargable and reaches the parquet scan as a pushed
+    * filter (rowgroup min/max skipping past the cursor), which is the
+    * entire point of search_after.
+    */
+  def keysetPage(events: DataFrame, cTs: Long, cId: Long, k: Int = 10): DataFrame =
+    events
+      .filter(col("ts") < cTs || (col("ts") === cTs && col("event_id") < cId))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(k)
+
+  /** Q5 — `search_after` DEEP PAGINATION (the serving layer's scale-safe
+    * cursor API; OpenSearch documents `from/size` as forbidden past
+    * 10 000 hits precisely because OFFSET is a scan): page 2 of the
+    * "recent events" saved search, fetched as the top-10 AFTER the
+    * page-1 boundary cursor rather than as OFFSET 10. Per page the plan
+    * is a pushed keyset predicate + `TakeOrderedAndProject` — cost
+    * follows the matching tail and the page size, never the offset
+    * depth, and the cursor is O(1) client state. Here the cursor derives
+    * from page 1 in-query (a one-row broadcast) so the query is
+    * self-contained at any SF; a real client passes it as a literal —
+    * [[keysetPage]], plan-asserted in `DashboardsPlanSpec`.
+    */
+  def searchAfter(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.eventsRaw(spark, sfDir)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val cursor = raw.orderBy(col("ts").desc, col("event_id").desc).limit(10)
+      .agg(min(struct(col("ts"), col("event_id"))).as("c"))
+    raw.crossJoin(broadcast(cursor))
+      .filter(col("ts") < col("c.ts") ||
+        (col("ts") === col("c.ts") && col("event_id") < col("c.event_id")))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(10)
+      .select(col("user_id"), col("event_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("event_type"), col("value"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_terms_count" -> (termsCount _),
     "q2_date_histogram" -> (dateHistogram _),
     "q3_recent_topk" -> (recentTopK _),
-    "q4_dashboard" -> (dashboard _)
+    "q4_dashboard" -> (dashboard _),
+    "q5_search_after" -> (searchAfter _)
   )
 
   private val viewSql =
@@ -119,6 +160,19 @@ object Dashboards {
          |UNION ALL
          |SELECT * FROM (
          |  SELECT 'recent', CAST(user_id AS VARCHAR), event_id
-         |  FROM v ORDER BY ts DESC, event_id DESC LIMIT 10)""".stripMargin
+         |  FROM v ORDER BY ts DESC, event_id DESC LIMIT 10)""".stripMargin,
+    // cursor + comparisons on the raw TIMESTAMP_NS column (exact
+    // nanosecond order, matching Spark's raw-long path); only the
+    // OUTPUT truncates to microseconds
+    "q5_search_after" ->
+      """WITH cur AS (
+        |  SELECT ts AS c_ts, event_id AS c_id FROM events
+        |  ORDER BY ts DESC, event_id DESC LIMIT 1 OFFSET 9)
+        |SELECT user_id, event_id, CAST(events.ts AS TIMESTAMP) AS ts,
+        |       event_type, value
+        |FROM events, cur
+        |WHERE events.ts < c_ts OR (events.ts = c_ts AND event_id < c_id)
+        |ORDER BY events.ts DESC, event_id DESC
+        |LIMIT 10""".stripMargin
   )
 }

@@ -32,4 +32,31 @@ class DashboardsPlanSpec extends SparkSpec {
     val s = readSchema(Dashboards.recentTopK(spark, sf))
     assert(!s.contains("props"), s"q3 reads the unused props column: $s")
   }
+
+  test("q5 keyset page: literal cursor pushes to the scan; page is top-k") {
+    import org.apache.spark.sql.functions._
+    val raw = graft.Tables.eventsRaw(spark, sf)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    // a literal cursor (what a real search_after client sends): mid-range
+    val mid = raw.agg(expr("percentile_approx(ts, 0.5, 100)")).head().getLong(0)
+    val page = Dashboards.keysetPage(raw, mid, 5000L)
+    val p = page.queryExecution.executedPlan.toString
+    // the OR-of-comparisons keyset predicate reaches the parquet scan —
+    // rowgroup min/max skip everything past the cursor
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p).map(_.group(1))
+    assert(pushed.exists(f => f.contains("Or(") && f.contains("LessThan(ts")),
+      s"keyset predicate not pushed: $pushed\n$p")
+    // and the page itself is a bounded top-k, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), s"page not TakeOrdered:\n$p")
+    // page-chaining consistency on the registered q5: page1 ∪ page2 is
+    // exactly the global top-20 — no gap, no overlap at the boundary
+    val top20 = raw.orderBy(col("ts").desc, col("event_id").desc).limit(20)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val page1 = raw.orderBy(col("ts").desc, col("event_id").desc).limit(10)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val page2 = Dashboards.searchAfter(spark, sf)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(page1.intersect(page2).isEmpty, "pages overlap")
+    assert(page1.union(page2) == top20, "pages do not tile the top-20")
+  }
 }
