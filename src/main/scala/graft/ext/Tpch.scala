@@ -236,7 +236,44 @@ object Tpch {
         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin)
   }
 
+  /** t13 — suppliers who kept orders waiting (TPC-H Q21 shape): the
+    * sole-offender query — a supplier's returned item in a finished
+    * multi-supplier order where NO other supplier's item was returned
+    * (`l_returnflag = 'R'` stands in for Q21's receipt>commit lateness;
+    * this testdata carries no receipt/commit dates). The interesting
+    * machinery is BOTH correlated quantifiers against the SAME fact
+    * table: Catalyst decorrelates the EXISTS to a left-SEMI and the
+    * NOT EXISTS to a left-ANTI join on l_orderkey — three passes over
+    * lineitem co-partitioned on the order key, no per-row subquery
+    * execution anywhere (plan-asserted). At 100 TB all three legs
+    * shuffle on the same key, so AQE plans them as one exchange
+    * lineage; the `<>` supplier inequality rides as a join residual.
+    */
+  def ordersWaiting(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("t13_lineitem")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("t13_orders")
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("t13_supplier")
+    spark.sql(
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM t13_supplier s
+        |JOIN t13_lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        |JOIN t13_orders o ON o.o_orderkey = l1.l_orderkey
+        |                  AND o.o_orderstatus = 'F'
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM t13_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM t13_lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 10""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "t13_orders_waiting" -> (ordersWaiting _),
     "t1_pricing_summary" -> (pricingSummary _),
     "t2_revenue_by_nation" -> (revenueByNation _),
     "t3_top_customers" -> (topCustomers _),
@@ -252,6 +289,23 @@ object Tpch {
   )
 
   val oracle: Map[String, String] = Map(
+    "t13_orders_waiting" ->
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |              AND o.o_orderstatus = 'F'
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 10""".stripMargin,
     "t1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -54,4 +54,13 @@ class TpchPlanSpec extends SparkSpec {
     assert(!p.contains("InSubquery") && !p.toLowerCase.contains("scalarsubquery"),
       s"t7: residual per-row subquery:\n$p")
   }
+
+  test("t13 double quantifier: EXISTS -> semi AND NOT EXISTS -> anti, one key") {
+    val p = plan("t13_orders_waiting")
+    assert(p.contains("LeftSemi"), s"t13: EXISTS not decorrelated:\n$p")
+    assert(p.contains("LeftAnti"), s"t13: NOT EXISTS not decorrelated:\n$p")
+    assert(!p.contains("InSubquery") && !p.toLowerCase.contains("scalarsubquery"),
+      s"t13: residual per-row subquery:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"t13: top-10 not bounded:\n$p")
+  }
 }
