@@ -181,7 +181,37 @@ object Sessions {
         col("n_active"))
   }
 
+  /** k7 — Markov TRANSITION MATRIX over per-user event sequences: for
+    * each (from, to) event-type pair, how often `to` immediately follows
+    * `from` in a user's stream, with the conditional probability
+    * P(to | from) in integer micro-units (`n·10^6 DIV from_total` —
+    * exact, order-independent, no float sum anywhere). The
+    * next-event model behind session simulation, anomaly scoring, and
+    * behavioral features.
+    *
+    * One window (lead over the user's id-ordered stream — the same
+    * partition-once shape as k1), one pair aggregation, and a
+    * per-from-state total joined back on the |types|² matrix — every
+    * frame after the window is bounded by the type-vocabulary size, not
+    * the event count.
+    */
+  def transitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("event_id")
+    val steps = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+    val pairs = steps.groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("from_total"))
+    pairs.join(totals, Seq("from_type")) // |types| rows — trivially small
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000 DIV from_total").as("p_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "k7_transitions" -> (transitions _),
     "k1_session_stats" -> (sessionStats _),
     "k2_distinct_types" -> (distinctTypes _),
     "k3_salted_join" -> (saltedJoin _),
@@ -191,6 +221,21 @@ object Sessions {
   )
 
   val oracle: Map[String, String] = Map(
+    "k7_transitions" ->
+      """WITH steps AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS to_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM steps WHERE to_type IS NOT NULL
+        |  GROUP BY from_type, to_type),
+        |totals AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS from_total
+        |  FROM pairs GROUP BY from_type)
+        |SELECT from_type, to_type, n, n * 1000000 // from_total AS p_micro
+        |FROM pairs JOIN totals USING (from_type)""".stripMargin,
     "k1_session_stats" ->
       """WITH s AS (
         |  SELECT event_id, user_id,

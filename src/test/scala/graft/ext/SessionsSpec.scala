@@ -93,6 +93,30 @@ class SessionsSpec extends SparkSpec {
     assert(got == expected, s"got=$got expected=$expected")
   }
 
+  test("k7 transitions equal a per-user sequential fold; rows sum to ~1") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val brute = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val types = rows.sortBy(_._2).map(_._3).toSeq
+      types.zip(types.drop(1))
+    }.groupBy(p => p).map { case (p, o) => p -> o.size.toLong }
+    val got = Sessions.transitions(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == brute.keySet, "transition pair sets differ")
+    for ((p, (n, _)) <- got)
+      assert(n == brute(p), s"count differs for $p")
+    // per from-state, probabilities are n*1e6 div total: the floor sum
+    // lands within |to-states| of exactly 1.0
+    for ((from, rows) <- got.toSeq.groupBy(_._1._1)) {
+      val pSum = rows.map(_._2._2).sum
+      assert(pSum <= 1000000L && pSum > 1000000L - rows.size,
+        s"$from: probability mass $pSum out of bounds")
+    }
+  }
+
   test("k6 concurrency equals counting sessions per epoch brute-force") {
     import org.apache.spark.sql.functions._
     val epochUs = 1800000000L
