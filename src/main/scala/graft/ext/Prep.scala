@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Portable._
@@ -144,6 +144,77 @@ object Prep {
       .orderBy(desc("n"), asc("pair")).limit(20)
   }
 
+  // ---- c10: BPE trainer (iterative merges) -------------------------------
+
+  private[ext] val BpeMerges = 6
+
+  /** Greedy left-to-right application of merge (l, r) to a symbol array:
+    * fold symbols into the accumulator, replacing the accumulator's last
+    * element with `l+r` whenever it is `l` and the incoming symbol is
+    * `r` — the merged symbol then participates in LATER comparisons as a
+    * unit (so "a a a" under (a,a) becomes ["aa","a"], never ["aa","aa"]).
+    * The oracle runs the identical fold via DuckDB's `list_reduce`, so
+    * the two engines agree by construction.
+    */
+  private def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(l) && s === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(s))))
+
+  /** c10 — BPE VOCABULARY TRAINING, the iterative step c5 only previews:
+    * [[BpeMerges]] rounds of count-adjacent-pairs → merge-the-argmax,
+    * producing the ordered merge table a tokenizer ships. Trains on the
+    * distinct-token frequency table (the classic formulation — corpus
+    * positions collapse into `freq` weights once, so round cost follows
+    * |vocab|, not corpus size). Each round is one map-side-combined pair
+    * aggregation + a 1-row argmax to the driver (the same
+    * bounded-scalar-per-round driver pattern as d7's convergence count)
+    * + one scan-shaped merge projection; `localCheckpoint` bounds the
+    * growing lineage exactly as d7's iteration does. At 100 TB the
+    * vocabulary is millions of rows against a corpus of billions —
+    * this shape never touches the corpus after the first count.
+    *
+    * Ties break on (count desc, "l r" string asc) in both engines, so
+    * the merge sequence — and therefore every later round — is
+    * deterministic and oracle-exact.
+    */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTrainOn(Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("t")), BpeMerges)
+
+  /** The trainer over an arbitrary one-column token frame `t` — the
+    * injectable core of c10.
+    */
+  private[ext] def bpeTrainOn(tokenFrame: DataFrame, nMerges: Int): DataFrame = {
+    val spark = tokenFrame.sparkSession
+    import spark.implicits._
+    var vocab = tokenFrame
+      .groupBy("t").agg(count(lit(1)).as("freq"))
+      .select(col("t"), col("freq"),
+        expr("filter(split(t, ''), x -> x != '')").as("syms"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (step <- 1 to nMerges) {
+      val best = vocab
+        .filter(size(col("syms")) >= 2) // sequence(1,0) would run DOWNWARD
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  j -> struct(element_at(syms, j) AS l, element_at(syms, j + 1) AS r))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, concat_ws(" ", col("l"), col("r")))
+        .limit(1).head()
+      val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      vocab = vocab.withColumn("syms", applyMerge(col("syms"), l, r))
+        .localCheckpoint()
+      merges += ((step, l, r, l + r, n))
+    }
+    merges.result().toDF("step", "left_sym", "right_sym", "merged", "n")
+  }
+
   // ---- x9: repetition quality signal ------------------------------------
 
   /** x9 — repetition ratios (the Gopher-style quality rules the x2 score
@@ -278,10 +349,51 @@ object Prep {
     "c7_quality_gate" -> (qualityGate _),
     "c8_length_buckets" -> (lengthBuckets _),
     "c9_span_scrub" -> (spanScrub _),
+    "c10_bpe_train" -> (bpeTrain _),
     "x9_repetition" -> (repetition _)
   )
 
+  /** c10 oracle: the trainer unrolled — per round, a pair count, a 1-row
+    * argmax, and the same greedy fold (DuckDB `list_reduce` over a
+    * '|'-delimited accumulator; the corpus alphabet is letters only, so
+    * the delimiter cannot collide).
+    */
+  private val c10Sql: String = {
+    val rounds = (1 to BpeMerges).map { i =>
+      val prev = s"vocab${i - 1}"
+      s""",
+         |pairs$i AS (
+         |  SELECT p.pair, CAST(sum(v.freq) AS BIGINT) AS n
+         |  FROM $prev v,
+         |    unnest(list_transform(range(1, len(v.syms)),
+         |      j -> v.syms[j] || ' ' || v.syms[j+1])) AS p(pair)
+         |  GROUP BY p.pair),
+         |best$i AS (
+         |  SELECT $i AS step,
+         |    string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS r, n
+         |  FROM pairs$i ORDER BY n DESC, pair LIMIT 1),
+         |vocab$i AS (
+         |  SELECT v.t, v.freq,
+         |    CASE WHEN len(v.syms) = 1 THEN v.syms
+         |    ELSE string_split(
+         |      list_reduce(v.syms, (acc, x) ->
+         |        CASE WHEN regexp_extract(acc, '[^|]*$$') = b.l AND x = b.r
+         |             THEN acc[1 : len(acc) - len(b.l)] || b.l || b.r
+         |             ELSE acc || '|' || x END), '|') END AS syms
+         |  FROM $prev v, best$i b)""".stripMargin
+    }.mkString
+    s"""WITH vocab0 AS (
+       |  SELECT t, count(*) AS freq,
+       |    list_transform(range(1, len(t) + 1), i -> t[i]) AS syms
+       |  FROM (SELECT unnest(${tokensSql("text")}) AS t FROM documents)
+       |  GROUP BY t)$rounds
+       |SELECT step, l AS left_sym, r AS right_sym, l || r AS merged, n FROM (
+       |  ${(1 to BpeMerges).map(i => s"SELECT * FROM best$i")
+           .mkString("\n  UNION ALL\n  ")})""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "c10_bpe_train" -> c10Sql,
     "c1_pii_scrub" ->
       s"""SELECT c_custkey,
          |  regexp_replace(c_name, '[0-9]', 'X', 'g') AS name_masked,

@@ -65,6 +65,46 @@ class PrepSpec extends SparkSpec {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("c10 BPE trainer equals a sequential in-memory trainer (repeat stress)") {
+    import spark.implicits._
+    // "aaaa" forces the greedy-overlap rule: (a,a) merges to [aa,aa],
+    // and a later (aa,aa) merge is then possible — the case a naive
+    // pairwise replace gets wrong
+    val corpus = Seq.fill(8)("aaaa") ++ Seq.fill(6)("aab") ++
+      Seq.fill(5)("banana") ++ Seq.fill(3)("band") ++ Seq.fill(2)("ana")
+    def sequentialBpe(toks: Seq[String], n: Int): Seq[(Int, String, String, Long)] = {
+      var vocab: Map[Seq[String], Long] = toks.groupBy(identity)
+        .map { case (t, o) => t.map(_.toString) -> o.size.toLong }
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      for (step <- 1 to n) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- vocab; p <- syms.zip(syms.drop(1)))
+          counts(p) = counts.getOrElse(p, 0L) + f
+        val ((l, r), c) = counts.toSeq.minBy { case ((a, b), m) => (-m, s"$a $b") }
+        out += ((step, l, r, c))
+        vocab = vocab.map { case (syms, f) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          for (s <- syms) {
+            if (acc.nonEmpty && acc.last == l && s == r) acc(acc.size - 1) = l + r
+            else acc += s
+          }
+          acc.toSeq -> f
+        }.groupBy(_._1).map { case (k, vs) => k -> vs.values.sum }
+      }
+      out.result()
+    }
+    val expect = sequentialBpe(corpus, 5)
+    val got = Prep.bpeTrainOn(corpus.toDF("t"), 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got == expect, s"merge tables differ:\n got   $got\n expect $expect")
+    // the stress property itself: (a,a) must merge first, and the
+    // resulting "aa" symbol must later merge with ITSELF — the chain a
+    // naive pairwise replace breaks ("aaaa" -> [aa,aa] -> [aaaa])
+    assert((expect.head._2, expect.head._3) == ("a", "a"), s"$expect")
+    assert(expect.exists(m => m._2 == "aa" && m._3 == "aa"),
+      s"repeat-merge chain broken: $expect")
+  }
+
   test("c9 span scrub: cuts exactly the spans, keeps order, keeps empty docs") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
