@@ -3,6 +3,7 @@ package graft.ext
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import Portable._
 
 /** Deterministic sampling and corpus statistics — the operators that
@@ -111,6 +112,55 @@ object Sampling {
         element_at(col("qs"), 1).as("value_p50"),
         element_at(col("qs"), 2).as("value_p95"))
 
+  /** r10 — EXACT quantiles WITHOUT a global sort: the two-phase
+    * histogram-refine shape. An `orderBy` median is a range-partitioned
+    * global sort of the corpus; approximate sketches (r6) trade accuracy.
+    * This is the third option a 100 TB profiler wants — exact AND
+    * sort-free:
+    *
+    *   1. one scan builds per-(group, bucket) counts (map-side combined;
+    *      the histogram is |groups|×|buckets| rows — tiny);
+    *   2. a running sum over the histogram locates, per group and target
+    *      rank, the ONE bucket containing that rank;
+    *   3. only that bucket's rows are re-read and rank-offset within the
+    *      bucket — the only sort touches one bucket's worth of data per
+    *      (group, quantile).
+    *
+    * Ranks are exact integers (`ceil(p·n)` as `(p_num·n + p_den − 1) DIV
+    * p_den`), the selected value is the rank-th smallest — deterministic
+    * under ties regardless of tie order — and the oracle states the
+    * definition directly (row_number over the full sort, which DuckDB
+    * can afford at oracle scale). At 100 TB the bucket width is the
+    * dial: narrower buckets shrink phase 3; a skewed bucket refines
+    * recursively with the same two phases.
+    */
+  def exactQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+    val hist = ev
+      .groupBy(col("event_type"), floor(col("value")).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val wb = Window.partitionBy("event_type").orderBy("bucket")
+    val cum = hist.withColumn("cum", sum("c").over(wb))
+      .withColumn("cum_before", col("cum") - col("c"))
+    val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val targets = n.select(col("event_type"), explode(array(
+        struct(lit("p50").as("quantile"), expr("(n + 1) DIV 2").as("r")),
+        struct(lit("p95").as("quantile"), expr("(19 * n + 19) DIV 20").as("r"))))
+        .as("t"))
+      .select(col("event_type"), col("t.quantile").as("quantile"), col("t.r").as("r"))
+    // |groups|×2 rows: which bucket holds each target rank
+    val located = targets.join(cum,
+      Seq("event_type")).filter(col("r") > col("cum_before") && col("r") <= col("cum"))
+      .select(col("event_type"), col("quantile"), col("bucket"),
+        (col("r") - col("cum_before")).as("local_r"))
+    val wv = Window.partitionBy("event_type", "quantile").orderBy("value")
+    ev.withColumn("bucket", floor(col("value")).cast("long"))
+      .join(broadcast(located), Seq("event_type", "bucket"))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === col("local_r"))
+      .select(col("event_type"), col("quantile"), col("value"))
+  }
+
   /** r7 — distinct-count sketch REGISTERS, engine-portably. HLL-family
     * sketches summarize a key set as per-bucket maxima of a geometric
     * hash statistic; the estimate differs between engines (alpha
@@ -205,7 +255,8 @@ object Sampling {
     "r6_approx_stats" -> (approxStats _), // rows-only: no oracle entry
     "r7_hll_registers" -> (hllRegisters _),
     "r8_cm_heavy_hitters" -> (cmHeavyHitters _),
-    "r9_column_profile" -> (columnProfile _)
+    "r9_column_profile" -> (columnProfile _),
+    "r10_exact_quantiles" -> (exactQuantiles _)
   )
 
   private val gate = s"${tokenHashSql("CAST(doc_id AS VARCHAR)")} % 100"
@@ -281,6 +332,22 @@ object Sampling {
         "value" -> "value", "props" -> "props")
         .map { case (n, v) => sel(n, v) }
         .mkString("\nUNION ALL\n")
-    }
+    },
+    // the DEFINITION, stated directly: the rank-th smallest value, rank =
+    // ceil(p·n) — DuckDB can afford the full sort at oracle scale
+    "r10_exact_quantiles" ->
+      """WITH n AS (
+        |  SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+        |ranked AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+        |  FROM events),
+        |targets AS (
+        |  SELECT event_type, 'p50' AS quantile, (n + 1) // 2 AS r FROM n
+        |  UNION ALL
+        |  SELECT event_type, 'p95', (19 * n + 19) // 20 FROM n)
+        |SELECT t.event_type, t.quantile, r.value
+        |FROM targets t JOIN ranked r
+        |  ON r.event_type = t.event_type AND r.rn = t.r""".stripMargin
   )
 }

@@ -60,6 +60,28 @@ class SamplingSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k not heap-shaped:\n$p")
   }
 
+  test("r10 exact quantiles equal the sorted-rank definition; no global sort") {
+    import org.apache.spark.sql.functions._
+    val vals = graft.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toSeq
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    val df = Sampling.exactQuantiles(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.size == vals.size * 2, "a (group, quantile) row is missing")
+    for ((t, sorted) <- vals) {
+      val n = sorted.size
+      assert(got((t, "p50")) == sorted((n + 1) / 2 - 1), s"$t p50 wrong")
+      assert(got((t, "p95")) == sorted((19 * n + 19) / 20 - 1), s"$t p95 wrong")
+    }
+    // the point of the operator: no range-partitioned global sort — the
+    // only exchanges are hash partitionings (aggs + bounded windows)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("rangepartitioning"),
+      s"r10 fell back to a global sort:\n$p")
+  }
+
   test("column profile matches per-column recomputation in one scan") {
     val prof = Sampling.columnProfile(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
