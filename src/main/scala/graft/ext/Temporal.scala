@@ -121,10 +121,40 @@ object Temporal {
       .select(col("user_id"), col("day"), col("value").as("last_value"))
   }
 
+  /** a4 — OHLC DOWNSAMPLING: per (user, day) bars — open/close = value
+    * at the first/last instant of the bar, high/low = extremes over all
+    * events, volume = event count — the time-series rollup every
+    * metrics store serves (`time_bucket` + `first`/`last` in
+    * TimescaleDB terms). Same-instant ties are resolved BEFORE the bar:
+    * events pre-reduce to one row per (user, instant) via
+    * `max_by(value, event_id)` (a3's determinism trick), so the bar's
+    * `min_by/max_by(value, ts)` open/close can never be
+    * engine-dependent. Two map-side-combined aggregations + one join,
+    * all co-partitioned on the user key — no window, no self-join, at
+    * any scale.
+    */
+  def ohlcBars(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val hlv = ev
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(max("value").as("high"), min("value").as("low"),
+        count(lit(1)).as("volume"))
+    val instants = ev.groupBy(col("user_id"), col("ts"))
+      .agg(expr("max_by(value, event_id)").as("value"))
+    val oc = instants
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(expr("min_by(value, ts)").as("open"),
+        expr("max_by(value, ts)").as("close"))
+    hlv.join(oc, Seq("user_id", "day"))
+      .select(col("user_id"), col("day"), col("open"), col("high"),
+        col("low"), col("close"), col("volume"))
+  }
+
   val queries: Map[String, Q] = Map(
     "a1_asof_join" -> (asofClickPurchase _),
     "a2_scd2_history" -> (scd2History _),
-    "a3_resample_ffill" -> (resampleFfill _)
+    "a3_resample_ffill" -> (resampleFfill _),
+    "a4_ohlc_bars" -> (ohlcBars _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -164,6 +194,21 @@ object Temporal {
         |  FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP))
         |SELECT g.user_id, g.day, e.value AS last_value
         |FROM grid g ASOF LEFT JOIN e
-        |  ON g.user_id = e.user_id AND g.day >= e.ets""".stripMargin
+        |  ON g.user_id = e.user_id AND g.day >= e.ets""".stripMargin,
+    "a4_ohlc_bars" ->
+      """WITH hlv AS (
+        |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    max(value) AS high, min(value) AS low, count(*) AS volume
+        |  FROM events GROUP BY 1, 2),
+        |instants AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS mts,
+        |    arg_max(value, event_id) AS value
+        |  FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+        |oc AS (
+        |  SELECT user_id, date_trunc('day', mts) AS day,
+        |    arg_min(value, mts) AS open, arg_max(value, mts) AS close
+        |  FROM instants GROUP BY 1, 2)
+        |SELECT user_id, day, open, high, low, close, volume
+        |FROM hlv JOIN oc USING (user_id, day)""".stripMargin
   )
 }

@@ -136,4 +136,25 @@ class TemporalSpec extends SparkSpec {
     assert(got == expected,
       s"missing=${(expected -- got).take(5)}, extra=${(got -- expected).take(5)}")
   }
+
+  test("a4 OHLC bars equal a per-(user, day) sequential fold") {
+    val events = graft.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    def dayOf(t: java.sql.Timestamp): Long = t.getTime - Math.floorMod(t.getTime, 86400000L)
+    val expected = events.groupBy(e => (e._1, dayOf(e._2))).map { case ((u, d), es) =>
+      // open/close read the instant-reduced series: at a tied instant
+      // the highest event_id wins before first/last are taken
+      val reduced = es.groupBy(e => (e._2.getTime, e._2.getNanos))
+        .map { case (_, g) => g.maxBy(_._3) }.toSeq
+        .sortBy(e => (e._2.getTime, e._2.getNanos.toLong))
+      (u, d, reduced.head._4, es.map(_._4).max, es.map(_._4).min,
+        reduced.last._4, es.size.toLong)
+    }.toSet
+    val got = Temporal.ohlcBars(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)}, extra=${(got -- expected).take(3)}")
+  }
 }
