@@ -272,7 +272,42 @@ object Tpch {
         |LIMIT 10""".stripMargin)
   }
 
+  /** t14 — lost customers (TPC-H Q22 shape): customers whose balance
+    * beats the positive-balance average yet who never placed a
+    * big-ticket order (> 450k; this testdata gives every customer SOME
+    * order, so the premium-order absence plays Q22's no-order test),
+    * rolled up by nation. Two optimizer features in one query: the global-aggregate
+    * scalar subquery plans as ONE tiny subquery result reused as a
+    * literal (never a per-row re-aggregation), and the NOT EXISTS
+    * decorrelates to a left-ANTI join against the orders key — at
+    * 100 TB that's one pass over orders' custkey column and one over
+    * customer, no N×M anything. The threshold compare CROSS-MULTIPLIES
+    * (`bal · n_pos > sum_pos`) in exact decimals instead of dividing —
+    * an avg would be a double whose last-ulp rounding can flip rows at
+    * the boundary between engines.
+    */
+  def lostCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("t14_customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("t14_orders")
+    spark.sql(
+      """WITH pos AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4))
+        |           AS sum_pos,
+        |         count(*) AS n_pos
+        |  FROM t14_customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        |FROM t14_customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,4)) * (SELECT n_pos FROM pos)
+        |        > (SELECT sum_pos FROM pos)
+        |  AND NOT EXISTS (SELECT 1 FROM t14_orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 450000)
+        |GROUP BY c_nationkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "t14_lost_customers" -> (lostCustomers _),
     "t13_orders_waiting" -> (ordersWaiting _),
     "t1_pricing_summary" -> (pricingSummary _),
     "t2_revenue_by_nation" -> (revenueByNation _),
@@ -289,6 +324,21 @@ object Tpch {
   )
 
   val oracle: Map[String, String] = Map(
+    "t14_lost_customers" ->
+      """WITH pos AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4))
+        |           AS sum_pos,
+        |         count(*) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,4)) * (SELECT n_pos FROM pos)
+        |        > (SELECT sum_pos FROM pos)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 450000)
+        |GROUP BY c_nationkey""".stripMargin,
     "t13_orders_waiting" ->
       """SELECT s.s_name, count(*) AS numwait
         |FROM supplier s

@@ -63,4 +63,14 @@ class TpchPlanSpec extends SparkSpec {
       s"t13: residual per-row subquery:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"t13: top-10 not bounded:\n$p")
   }
+
+  test("t14: NOT EXISTS -> anti join; global-agg subquery is one-time, not per-row") {
+    val p = plan("t14_lost_customers")
+    assert(p.contains("LeftAnti"), s"t14: NOT EXISTS not decorrelated:\n$p")
+    // the positive-balance aggregate appears as an uncorrelated one-time
+    // Subquery (executed once, its result a literal in the filter) —
+    // a CORRELATED per-row form would have failed decorrelation
+    assert(p.contains("Subquery"), s"t14: scalar subquery missing:\n$p")
+    assert(!p.contains("InSubquery"), s"t14: residual per-row subquery:\n$p")
+  }
 }
