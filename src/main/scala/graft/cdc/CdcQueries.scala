@@ -353,7 +353,34 @@ object CdcQueries {
       .select(col("user_id"), col("change"), col("old_seq"), col("new_seq"))
   }
 
+  /** o22 — ARRIVAL-ORDER AUDIT: per key, how often event time runs
+    * BACKWARD relative to apply order (seq), and the worst skew — the
+    * operational "is my CDC feed reordering?" dashboard. The reference
+    * leans on a single partition for per-key total order
+    * (`terraform/main.tf:79`); once an engine carries an explicit seq,
+    * arrival-vs-event-time inversions become measurable instead of
+    * assumed away. One lag window over the key-partitioned stream (the
+    * same single shuffle as o20), then a per-key rollup; skew stays in
+    * exact integer microseconds on both engines.
+    */
+  def orderAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("p_ts", lag("ts", 1).over(w))
+      .filter(col("p_ts").isNotNull)
+      .withColumn("skew_us",
+        unix_micros(col("p_ts")) - unix_micros(col("ts")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_steps"),
+        sum(when(col("skew_us") > 0, 1L).otherwise(0L)).as("n_inversions"),
+        greatest(max("skew_us"), lit(0L)).as("max_skew_us"))
+      .filter(col("n_inversions") > 0)
+  }
+
   val queries: Map[String, Q] = Map(
+    "o22_order_audit" -> (orderAudit _),
     "o01_cdc_scan" -> (cdcScan _),
     "o02_insert_writer" -> (insertWriter _),
     "o03_update_writer" -> (updateWriter _),
@@ -383,6 +410,20 @@ object CdcQueries {
       |     ELSE 'u' END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "o22_order_audit" ->
+      """WITH steps AS (
+        |  SELECT user_id,
+        |    epoch_us(lag(CAST(ts AS TIMESTAMP), 1) OVER (
+        |      PARTITION BY user_id ORDER BY event_id))
+        |      - epoch_us(CAST(ts AS TIMESTAMP)) AS skew_us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_steps,
+        |  CAST(sum(CASE WHEN skew_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_inversions,
+        |  greatest(max(skew_us), 0) AS max_skew_us
+        |FROM steps WHERE skew_us IS NOT NULL
+        |GROUP BY user_id
+        |HAVING sum(CASE WHEN skew_us > 0 THEN 1 ELSE 0 END) > 0""".stripMargin,
     "o01_cdc_scan" ->
       s"""SELECT event_id AS seq, user_id AS key, $opCase AS op,
          |  CAST(ts AS TIMESTAMP) AS ts, value, props
