@@ -353,6 +353,30 @@ object CdcQueries {
       .select(col("user_id"), col("change"), col("old_seq"), col("new_seq"))
   }
 
+  /** o23 — REPLICATION-LAG / staleness audit: how far behind the stream
+    * head each key's latest event sits, bucketed into hour bands — the
+    * per-key freshness histogram a CDC operator watches (the reference
+    * assumes freshness from Kafka's consumer lag metric; an engine that
+    * materializes per-key state can measure it from the data). The
+    * stream-head watermark is a one-row global aggregate joined back as
+    * a broadcast literal (never a per-row re-aggregation); lag math is
+    * exact integer NANOS on the raw parquet column — the per-key max
+    * and the global max ride one shuffle on user_id + one tiny rollup.
+    */
+  def replicationLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val perKey = Tables.eventsRaw(spark, sfDir)
+      .groupBy("user_id").agg(max("ts").as("key_ts"))
+    val head = perKey.agg(max("key_ts").as("head_ts"))
+    perKey.join(broadcast(head))
+      // integer DIV, never `/`: long `/` promotes to double, and a
+      // quotient landing on an hour boundary can round to x.9999…,
+      // flooring into the wrong band vs the oracle's exact `//`
+      .withColumn("lag_hours",
+        expr("(head_ts - key_ts) DIV 3600000000000"))
+      .groupBy("lag_hours")
+      .agg(count(lit(1)).as("n_keys"))
+  }
+
   /** o22 — ARRIVAL-ORDER AUDIT: per key, how often event time runs
     * BACKWARD relative to apply order (seq), and the worst skew — the
     * operational "is my CDC feed reordering?" dashboard. The reference
@@ -380,6 +404,7 @@ object CdcQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "o23_replication_lag" -> (replicationLag _),
     "o22_order_audit" -> (orderAudit _),
     "o01_cdc_scan" -> (cdcScan _),
     "o02_insert_writer" -> (insertWriter _),
@@ -410,6 +435,15 @@ object CdcQueries {
       |     ELSE 'u' END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "o23_replication_lag" ->
+      """WITH perkey AS (
+        |  SELECT user_id, max(epoch_ns(ts)) AS key_ts
+        |  FROM events GROUP BY user_id),
+        |h AS (SELECT max(key_ts) AS head_ts FROM perkey)
+        |SELECT (h.head_ts - p.key_ts) // 3600000000000 AS lag_hours,
+        |  count(*) AS n_keys
+        |FROM perkey p CROSS JOIN h
+        |GROUP BY 1""".stripMargin,
     "o22_order_audit" ->
       """WITH steps AS (
         |  SELECT user_id,

@@ -437,6 +437,25 @@ object Dedup {
     minLabelClusters(minhashLsh(spark, sfDir), "doc_a", "doc_b",
       docs(spark, sfDir), "doc_id")
 
+  /** c11 — LEAKAGE-SAFE train/valid/test split: the split gate hashes the
+    * d7 CLUSTER label, not the document id — near-duplicate documents
+    * land on the same side by construction, so the eval set can never
+    * contain a near-copy of a training document (hashing doc_id leaks
+    * exactly the pairs dedup found: ~half of every near-dup pair would
+    * straddle the split). The 80/10/10 gate uses the portable md5 hash
+    * (r1's discipline): deterministic under retries, partitioning, and
+    * corpus growth — a new document shifts no existing assignment unless
+    * it merges two clusters. Cost on top of d7: one projection.
+    */
+  def leakageSplit(spark: SparkSession, sfDir: String): DataFrame =
+    dedupClusters(spark, sfDir)
+      .withColumn("g", tokenHash(col("canonical").cast("string")) % 100)
+      .withColumn("split",
+        when(col("g") < 80, "train")
+          .when(col("g") < 90, "valid")
+          .otherwise("test"))
+      .select("doc_id", "canonical", "split")
+
   /** Connected components over an arbitrary undirected pair frame —
     * the shared engine of d7 (text near-dup clusters) and d9 (embedding
     * near-dup clusters). `pairs(aCol, bCol)` are the edges; every id in
@@ -934,7 +953,8 @@ object Dedup {
     "d11_pagerank" -> ((s, d) => pageRank(s, d)),
     "d12_substring_spans" -> (substringSpans _),
     "d13_incremental_lsh" -> (incrementalLsh _),
-    "d14_containment" -> (containment _)
+    "d14_containment" -> (containment _),
+    "c11_leakage_split" -> (leakageSplit _)
   )
 
   // ---- oracle SQL -------------------------------------------------------
@@ -978,6 +998,20 @@ object Dedup {
        |FROM cand JOIN d x ON x.doc_id = cand.doc_a
        |          JOIN d y ON y.doc_id = cand.doc_b
        |WHERE ${jaccardSql("x.toks", "y.toks")} >= 0.9""".stripMargin
+
+  /** d7's full oracle SQL — the text-cluster closure; also c11's base. */
+  private val d7Sql: String =
+    s"""WITH pairs AS ($d3Sql),
+       |und AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  WITH RECURSIVE r(src, dst) AS (
+       |    SELECT doc_id, doc_id FROM documents
+       |    UNION
+       |    SELECT r.src, e.v FROM r JOIN und e ON r.dst = e.u)
+       |  SELECT src, dst FROM r)
+       |SELECT src AS doc_id, min(dst) AS canonical
+       |FROM reach GROUP BY src""".stripMargin
 
   /** d6's full oracle SQL — also the edge set of d9's closure. */
   private val d6Sql: String =
@@ -1118,18 +1152,16 @@ object Dedup {
          |  SELECT src, dst FROM r)
          |SELECT src AS vec_id, min(dst) AS canonical
          |FROM reach GROUP BY src""".stripMargin,
-    "d7_dedup_clusters" ->
-      s"""WITH pairs AS ($d3Sql),
-         |und AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach AS (
-         |  WITH RECURSIVE r(src, dst) AS (
-         |    SELECT doc_id, doc_id FROM documents
-         |    UNION
-         |    SELECT r.src, e.v FROM r JOIN und e ON r.dst = e.u)
-         |  SELECT src, dst FROM r)
-         |SELECT src AS doc_id, min(dst) AS canonical
-         |FROM reach GROUP BY src""".stripMargin,
+    "d7_dedup_clusters" -> d7Sql,
+    "c11_leakage_split" ->
+      s"""WITH clusters AS ($d7Sql)
+         |SELECT doc_id, canonical,
+         |  CASE WHEN g < 80 THEN 'train'
+         |       WHEN g < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, canonical,
+         |        ${Portable.tokenHashSql("CAST(canonical AS VARCHAR)")} % 100 AS g
+         |      FROM clusters)""".stripMargin,
     "d10_triangle_census" ->
       s"""WITH pairs AS ($d6Sql),
          |edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs),

@@ -210,7 +210,36 @@ object Sessions {
         expr("n * 1000000 DIV from_total").as("p_micro"))
   }
 
+  /** k8 — CONVERSION LATENCY distribution: time from a user's first
+    * `view` to their first `purchase` after it, banded into whole days —
+    * the time-to-convert histogram next to k4's depth funnel. Same
+    * staged-min-aggregation shape as k4 (filter → groupBy min → join →
+    * min), never a per-user event-history window: each stage is a
+    * map-side-combined aggregation co-partitioned on user_id, and the
+    * final rollup is |bands| rows. Latency stays in exact integer
+    * MICROSECONDS end to end; banding is integer DIV (a double `/`
+    * could floor an exact-day boundary into the wrong band).
+    */
+  def conversionLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("v_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(v, Seq("user_id"))
+      .filter(col("us") > col("v_us"))
+      .groupBy("user_id").agg(min("us").as("p_us"))
+    v.join(p, Seq("user_id"))
+      .withColumn("lag_us", col("p_us") - col("v_us"))
+      .withColumn("lag_days", expr("lag_us DIV 86400000000"))
+      .groupBy("lag_days")
+      .agg(count(lit(1)).as("n_users"),
+        min("lag_us").as("min_lag_us"), max("lag_us").as("max_lag_us"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "k8_conversion_lag" -> (conversionLag _),
     "k7_transitions" -> (transitions _),
     "k1_session_stats" -> (sessionStats _),
     "k2_distinct_types" -> (distinctTypes _),
@@ -221,6 +250,25 @@ object Sessions {
   )
 
   val oracle: Map[String, String] = Map(
+    "k8_conversion_lag" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |v AS (
+        |  SELECT user_id, min(us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.us) AS p_us
+        |  FROM e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.us > v.v_us
+        |  GROUP BY e.user_id)
+        |SELECT (p.p_us - v.v_us) // 86400000000 AS lag_days,
+        |  count(*) AS n_users,
+        |  min(p.p_us - v.v_us) AS min_lag_us,
+        |  max(p.p_us - v.v_us) AS max_lag_us
+        |FROM v JOIN p USING (user_id)
+        |GROUP BY 1""".stripMargin,
     "k7_transitions" ->
       """WITH steps AS (
         |  SELECT event_type AS from_type,

@@ -150,7 +150,44 @@ object Temporal {
         col("low"), col("close"), col("volume"))
   }
 
+  /** a5 — TIME-WEIGHTED average per (user, day) bar (TimescaleDB's
+    * `time_weight('locf', ...)`): each value is weighted by how long it
+    * was the current value — the honest mean for irregularly-sampled
+    * series, where a plain avg overweights bursts. Locf segments are
+    * [instant, next instant) within the bar; the bar's trailing segment
+    * (no successor) carries no weight, so bars with one instant drop.
+    *
+    * Exactness discipline: values quantize to integer CENTS (they carry
+    * 2 decimals), durations are integer MICROSECONDS, so numerator and
+    * denominator are exact longs in both engines and the final `twa`
+    * double is one IEEE division of identical operands — never a
+    * float accumulation order dependence. Same-instant ties pre-reduce
+    * via `max_by(value, event_id)` (a3/a4's trick) so segment values
+    * can't be engine-dependent. One shuffle on (user, day), one window
+    * pass, one map-side-combined aggregation — scale-shape identical
+    * to a4.
+    */
+  def twaBars(spark: SparkSession, sfDir: String): DataFrame = {
+    val instants = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(expr("max_by(value, event_id)").as("value"))
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy("user_id", "day").orderBy("us")
+    instants.withColumn("next_us", lead("us", 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("w_us", col("next_us") - col("us"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_segments"),
+        sum("w_us").as("den_us"),
+        sum(col("cents") * col("w_us")).as("num_cent_us"))
+      .withColumn("twa",
+        col("num_cent_us").cast("double") / col("den_us").cast("double") / lit(100.0))
+  }
+
   val queries: Map[String, Q] = Map(
+    "a5_twa_bars" -> (twaBars _),
     "a1_asof_join" -> (asofClickPurchase _),
     "a2_scd2_history" -> (scd2History _),
     "a3_resample_ffill" -> (resampleFfill _),
@@ -158,6 +195,26 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "a5_twa_bars" ->
+      """WITH instants AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS mts,
+        |    arg_max(value, event_id) AS value
+        |  FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+        |seg AS (
+        |  SELECT user_id, date_trunc('day', mts) AS day,
+        |    epoch_us(mts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    lead(epoch_us(mts)) OVER (
+        |      PARTITION BY user_id, date_trunc('day', mts)
+        |      ORDER BY epoch_us(mts)) AS next_us
+        |  FROM instants)
+        |SELECT user_id, day, count(*) AS n_segments,
+        |  CAST(sum(next_us - us) AS BIGINT) AS den_us,
+        |  CAST(sum(cents * (next_us - us)) AS BIGINT) AS num_cent_us,
+        |  CAST(sum(cents * (next_us - us)) AS DOUBLE)
+        |    / CAST(sum(next_us - us) AS DOUBLE) / 100.0 AS twa
+        |FROM seg WHERE next_us IS NOT NULL
+        |GROUP BY user_id, day""".stripMargin,
     "a1_asof_join" ->
       """WITH c AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,

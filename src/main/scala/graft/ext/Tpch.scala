@@ -306,7 +306,65 @@ object Tpch {
         |GROUP BY c_nationkey""".stripMargin)
   }
 
+  /** t15 — small-order revenue (TPC-H Q17 shape): revenue from lineitems
+    * whose quantity is below 20% of their part's average order quantity.
+    * The per-part average arrives through TWO correlated scalar
+    * subqueries over the SAME relation and grouping (`sum` and `count`
+    * of the sibling lineitems) so the threshold can CROSS-MULTIPLY in
+    * exact integers — `5·qty·cnt < sum` ⇔ `qty < 0.2·avg` — instead of
+    * dividing into a double whose last ulp could flip boundary rows
+    * between engines (quantities are integer-valued in this testdata).
+    * Catalyst decorrelates both into per-part aggregates joined back on
+    * l_partkey — never a per-row subquery execution (plan-asserted). At
+    * this SF the aggregate frames broadcast purely on AQE's size
+    * estimate (no hint anywhere); at 100 TB the same plan shuffle-joins
+    * all three legs co-partitioned on l_partkey.
+    */
+  def smallOrderRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("t15_lineitem")
+    Tables.part(spark, sfDir).createOrReplaceTempView("t15_part")
+    spark.sql(
+      """SELECT p.p_brand,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS small_order_revenue,
+        |  count(*) AS n_items
+        |FROM t15_lineitem l JOIN t15_part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand IN ('Brand#11', 'Brand#22')
+        |  AND CAST(l.l_quantity AS BIGINT) * 5 *
+        |      (SELECT count(*) FROM t15_lineitem l2
+        |       WHERE l2.l_partkey = l.l_partkey)
+        |    < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM t15_lineitem l2
+        |       WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p.p_brand""".stripMargin)
+  }
+
+  /** t16 — supplier diversity per part attribute (TPC-H Q16 shape): how
+    * many DISTINCT suppliers serve each (brand, size) bucket, excluding a
+    * blacklist via `NOT IN (subquery)`. `NOT IN` is NOT an anti join —
+    * its three-valued NULL semantics (any NULL in the subquery empties
+    * the result) force Catalyst's null-aware anti join, a different
+    * physical operator from t13/t14's NOT EXISTS anti joins
+    * (plan-asserted). The blacklist is tiny → broadcast; at 100 TB the
+    * count-distinct shuffles (brand, size, suppkey) once, then the
+    * distinct-count rollup rides the same partitioning.
+    */
+  def supplierDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("t16_lineitem")
+    Tables.part(spark, sfDir).createOrReplaceTempView("t16_part")
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("t16_supplier")
+    spark.sql(
+      """SELECT p.p_brand, p.p_size,
+        |  count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM t16_lineitem l JOIN t16_part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_size <= 10
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM t16_supplier
+        |                          WHERE s_acctbal < 0)
+        |GROUP BY p.p_brand, p.p_size""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "t15_small_order_revenue" -> (smallOrderRevenue _),
+    "t16_supplier_diversity" -> (supplierDiversity _),
     "t14_lost_customers" -> (lostCustomers _),
     "t13_orders_waiting" -> (ordersWaiting _),
     "t1_pricing_summary" -> (pricingSummary _),
@@ -324,6 +382,27 @@ object Tpch {
   )
 
   val oracle: Map[String, String] = Map(
+    "t15_small_order_revenue" ->
+      """SELECT p.p_brand,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS small_order_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand IN ('Brand#11', 'Brand#22')
+        |  AND CAST(l.l_quantity AS BIGINT) * 5 *
+        |      (SELECT count(*) FROM lineitem l2
+        |       WHERE l2.l_partkey = l.l_partkey)
+        |    < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l2
+        |       WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p.p_brand""".stripMargin,
+    "t16_supplier_diversity" ->
+      """SELECT p.p_brand, p.p_size,
+        |  count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_size <= 10
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                          WHERE s_acctbal < 0)
+        |GROUP BY p.p_brand, p.p_size""".stripMargin,
     "t14_lost_customers" ->
       """WITH pos AS (
         |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4))

@@ -338,4 +338,20 @@ class DedupSpec extends SparkSpec {
     assert(got == expected,
       s"missing=${expected -- got}, extra=${got -- expected}")
   }
+
+  test("c11: no near-dup pair straddles the train/valid/test split") {
+    val split = Dedup.leakageSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // the leakage invariant: both ends of EVERY near-dup pair — the
+    // exact rows an id-hashed split would scatter — land on one side
+    val pairs = Dedup.minhashLsh(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => split(a)._2 == split(b)._2 },
+      "a near-dup pair straddles the split boundary")
+    // total coverage, cluster-consistent assignment, all three splits used
+    assert(split.size == graft.Tables.documents(spark, sf).count())
+    assert(split.groupBy(_._2._1).forall(_._2.map(_._2._2).toSet.size == 1),
+      "two members of one cluster drew different splits")
+    assert(split.values.map(_._2).toSet == Set("train", "valid", "test"))
+  }
 }

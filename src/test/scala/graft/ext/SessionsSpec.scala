@@ -135,4 +135,24 @@ class SessionsSpec extends SparkSpec {
     // every session contributes at least its own epoch
     assert(got.values.sum >= bounds.length.toLong)
   }
+
+  test("k8 conversion-lag bands match a per-user first-view/first-purchase fold") {
+    def usOf(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    val evs = graft.Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), usOf(r.getTimestamp(2))))
+    val lags = evs.groupBy(_._1).flatMap { case (_, es) =>
+      for {
+        v <- es.filter(_._2 == "view").map(_._3).minOption
+        p <- es.filter(e => e._2 == "purchase" && e._3 > v).map(_._3).minOption
+      } yield p - v
+    }.toSeq
+    val expected = lags.groupBy(_ / 86400000000L).map { case (band, ls) =>
+      (band, (ls.size.toLong, ls.min, ls.max)) }
+    val got = Sessions.conversionLag(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected,
+      s"missing=${expected.toSet -- got.toSet} extra=${got.toSet -- expected.toSet}")
+  }
 }

@@ -157,4 +157,30 @@ class TemporalSpec extends SparkSpec {
     assert(got == expected,
       s"missing=${(expected -- got).take(3)}, extra=${(got -- expected).take(3)}")
   }
+
+  test("a5 time-weighted averages equal a per-(user, day) segment fold") {
+    val events = graft.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    def usOf(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    def dayOf(t: java.sql.Timestamp): Long = t.getTime - Math.floorMod(t.getTime, 86400000L)
+    val expected = events.groupBy(e => (e._1, dayOf(e._2))).flatMap { case ((u, d), es) =>
+      val reduced = es.groupBy(e => usOf(e._2))
+        .map { case (us, g) => (us, g.maxBy(_._3)._4) }.toSeq.sortBy(_._1)
+      val segs = reduced.zip(reduced.drop(1)).map { case ((us, v), (nus, _)) =>
+        (nus - us, Math.round(v * 100)) }
+      if (segs.isEmpty) None
+      else {
+        val den = segs.map(_._1).sum
+        val num = segs.map { case (w, c) => w * c }.sum
+        Some((u, d, segs.size.toLong, den, num, num.toDouble / den.toDouble / 100.0))
+      }
+    }.toSet
+    val got = Temporal.twaBars(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)}, extra=${(got -- expected).take(3)}")
+  }
 }

@@ -73,4 +73,30 @@ class TpchPlanSpec extends SparkSpec {
     assert(p.contains("Subquery"), s"t14: scalar subquery missing:\n$p")
     assert(!p.contains("InSubquery"), s"t14: residual per-row subquery:\n$p")
   }
+
+  test("t15: correlated scalar aggs decorrelate to per-part aggregate joins") {
+    val p = plan("t15_small_order_revenue")
+    // both the count and the sum subquery must become aggregate+join legs
+    // (per-partkey HashAggregates feeding joins), never per-row execution
+    assert(!p.toLowerCase.contains("scalarsubquery") && !p.contains("InSubquery"),
+      s"t15: residual per-row subquery:\n$p")
+    assert("HashAggregate\\(keys=\\[l_partkey".r.findAllIn(p).size >= 2,
+      s"t15: missing decorrelated per-part aggregates:\n$p")
+    // the count leg must keep LEFT OUTER semantics (empty sibling set
+    // counts as 0 — an inner rewrite would silently drop those rows)
+    assert(p.contains("LeftOuter"), s"t15: count leg lost outer semantics:\n$p")
+  }
+
+  test("t16: NOT IN plans as a NULL-AWARE anti join, distinct-count is two-phase") {
+    val p = plan("t16_supplier_diversity")
+    // BroadcastHashJoin ..., LeftAnti, BuildRight, true — the trailing
+    // flag is isNullAwareAntiJoin, the three-valued-logic operator NOT IN
+    // requires (a plain anti join would keep rows a NULL should kill)
+    assert("LeftAnti, BuildRight, true".r.findFirstIn(p).isDefined,
+      s"t16: NOT IN did not plan as null-aware anti join:\n$p")
+    // count(DISTINCT) expands to the two-level aggregate (dedup on
+    // (brand,size,suppkey), then count) — partial on both levels
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"t16: distinct count not two-phase:\n$p")
+  }
 }
