@@ -841,6 +841,29 @@ object Dedup {
   def substringSpans(spark: SparkSession, sfDir: String): DataFrame =
     substringSpansOf(tokenHashFrame(spark, sfDir))
 
+  /** d15 — SPAN-COVERAGE dedup gate: the whole-document decision on top
+    * of d12's localized spans — what fraction of each document is
+    * duplicated substring content, and the `mostly_dup` verdict
+    * (coverage ≥ 1/2) that drops boilerplate-dominated documents d1/d3
+    * both miss (never exact copies, too diluted for whole-doc Jaccard).
+    * Spans are d12's maximal non-overlapping islands, so the coverage
+    * sum never double-counts; the threshold CROSS-MULTIPLIES
+    * (`2·dup ≥ n`) in exact integers. Cost on top of d12: one per-doc
+    * rollup of span lengths + one left join against the corpus id/size
+    * projection — every document appears, zero-span docs with 0.
+    */
+  def spanCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val cov = substringSpans(spark, sfDir)
+      .groupBy("doc_id").agg(sum("n_dup_tokens").as("n_dup_tokens"))
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .withColumn("n_dup_tokens", coalesce(col("n_dup_tokens"), lit(0L)))
+      .withColumn("mostly_dup",
+        col("n_dup_tokens") * 2 >= col("n_tokens"))
+  }
+
   /** d12 over an arbitrary `(doc_id, pos, h)` frame — test surface. */
   private[ext] def substringSpansOf(th: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -954,6 +977,7 @@ object Dedup {
     "d12_substring_spans" -> (substringSpans _),
     "d13_incremental_lsh" -> (incrementalLsh _),
     "d14_containment" -> (containment _),
+    "d15_span_coverage" -> (spanCoverage _),
     "c11_leakage_split" -> (leakageSplit _)
   )
 
@@ -1210,6 +1234,17 @@ object Dedup {
          |SELECT u AS vec_id, CAST(r AS BIGINT) AS rank_scaled FROM r3""".stripMargin
     },
     "d12_substring_spans" -> d12Sql,
+    "d15_span_coverage" ->
+      s"""WITH spans AS ($d12Sql),
+         |cov AS (
+         |  SELECT doc_id, CAST(sum(n_dup_tokens) AS BIGINT) AS n_dup_tokens
+         |  FROM spans GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(len(${tokensSql("d.text")}) AS BIGINT) AS n_tokens,
+         |  COALESCE(cov.n_dup_tokens, 0) AS n_dup_tokens,
+         |  (COALESCE(cov.n_dup_tokens, 0) * 2
+         |     >= len(${tokensSql("d.text")})) AS mostly_dup
+         |FROM documents d LEFT JOIN cov USING (doc_id)""".stripMargin,
     // incremental == batch restricted to pairs touching the delta: the
     // oracle IS d3's result under that predicate, so the hash match
     // proves batch/incremental consistency

@@ -187,7 +187,16 @@ object Prep {
   /** The trainer over an arbitrary one-column token frame `t` — the
     * injectable core of c10.
     */
-  private[ext] def bpeTrainOn(tokenFrame: DataFrame, nMerges: Int): DataFrame = {
+  private[ext] def bpeTrainOn(tokenFrame: DataFrame, nMerges: Int): DataFrame =
+    bpeTrainFull(tokenFrame, nMerges)._1
+
+  /** Trainer core returning BOTH artifacts of the loop: the ordered
+    * merge table (c10's result) and the final per-distinct-token symbol
+    * table (what c12's encoder applies to the corpus — re-deriving it
+    * from the merge table would replay the same fold).
+    */
+  private[ext] def bpeTrainFull(tokenFrame: DataFrame,
+      nMerges: Int): (DataFrame, DataFrame) = {
     val spark = tokenFrame.sparkSession
     import spark.implicits._
     var vocab = tokenFrame
@@ -212,7 +221,36 @@ object Prep {
         .localCheckpoint()
       merges += ((step, l, r, l + r, n))
     }
-    merges.result().toDF("step", "left_sym", "right_sym", "merged", "n")
+    (merges.result().toDF("step", "left_sym", "right_sym", "merged", "n"),
+      vocab)
+  }
+
+  /** c12 — BPE ENCODE: apply c10's learned merges to the corpus and
+    * report each document's token budget — words, BPE units, characters
+    * — the "how many tokens is my corpus" question every training run
+    * asks. The encode work runs over the DISTINCT-token vocabulary (the
+    * trainer's own formulation: the fold already happened there per
+    * distinct token, so encoding is a `size(syms)` projection); the
+    * corpus-sized pass is one (doc, token) count aggregation joined to
+    * that vocabulary on the token string. At 100 TB: corpus cost = one
+    * shuffle of (doc_id, token) counts; fold cost = |vocab|, amortized
+    * exactly as training was. No memoization across c10/c12 — each
+    * registered query is a self-contained driver run (the verify
+    * driver's contract), and the loop is vocab-bounded.
+    */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, vocab) = bpeTrainFull(Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("t")), BpeMerges)
+    val enc = vocab.select(col("t"), size(col("syms")).as("n_units"),
+      length(col("t")).as("n_chars"))
+    val tc = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("n"))
+    tc.join(enc, Seq("t"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_words"),
+        sum(col("n") * col("n_units")).as("n_bpe_units"),
+        sum(col("n") * col("n_chars")).as("n_chars"))
   }
 
   // ---- x9: repetition quality signal ------------------------------------
@@ -350,6 +388,7 @@ object Prep {
     "c8_length_buckets" -> (lengthBuckets _),
     "c9_span_scrub" -> (spanScrub _),
     "c10_bpe_train" -> (bpeTrain _),
+    "c12_bpe_encode" -> (bpeEncode _),
     "x9_repetition" -> (repetition _)
   )
 
@@ -392,8 +431,31 @@ object Prep {
            .mkString("\n  UNION ALL\n  ")})""".stripMargin
   }
 
+  /** c12's oracle: the same unrolled trainer CTE chain, consumed from
+    * the final vocab (symbol counts per distinct token) instead of the
+    * merge list.
+    */
+  private val c12Sql: String = {
+    val cte = c10Sql.substring(0, c10Sql.lastIndexOf("SELECT step,"))
+      .trim.stripSuffix(",")
+    s"""$cte,
+       |enc AS (SELECT t, len(syms) AS n_units FROM vocab$BpeMerges),
+       |tc AS (
+       |  SELECT doc_id, t, count(*) AS n
+       |  FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS t
+       |        FROM documents)
+       |  GROUP BY doc_id, t)
+       |SELECT tc.doc_id,
+       |  CAST(sum(tc.n) AS BIGINT) AS n_words,
+       |  CAST(sum(tc.n * enc.n_units) AS BIGINT) AS n_bpe_units,
+       |  CAST(sum(tc.n * len(tc.t)) AS BIGINT) AS n_chars
+       |FROM tc JOIN enc ON tc.t = enc.t
+       |GROUP BY tc.doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "c10_bpe_train" -> c10Sql,
+    "c12_bpe_encode" -> c12Sql,
     "c1_pii_scrub" ->
       s"""SELECT c_custkey,
          |  regexp_replace(c_name, '[0-9]', 'X', 'g') AS name_masked,

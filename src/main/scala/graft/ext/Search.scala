@@ -384,7 +384,34 @@ object Search {
         col("sig_micro"), col("rank").cast("long").as("rank"))
   }
 
+  /** x21 — FACETED search: the aggregation panel a search response
+    * carries next to its hits — per query, matching-document counts by
+    * `lang` and by `source`, over the FULL match set (OpenSearch terms
+    * aggregations run on every hit, not the returned page — x12's
+    * top-10 window never enters). One distinct (query, doc) projection
+    * off the shared posting frame, one join to the corpus attribute
+    * columns, then a single `stack` unpivot feeding one aggregation —
+    * both facet dimensions counted in one shuffle whose rows are
+    * (query_id, facet, value) triples, never text. The query table is
+    * the literal 8-row frame (correct broadcast); facet output is
+    * bounded by |queries|·|facet values|.
+    */
+  def facets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = matchQueries.toDF("query_id", "term")
+    val matches = TextAnalysis.termFreq(spark, sfDir)
+      .join(broadcast(q), Seq("term"))
+      .select("query_id", "doc_id").distinct()
+    matches
+      .join(docs(spark, sfDir).select("doc_id", "lang", "source"), Seq("doc_id"))
+      .select(col("query_id"),
+        expr("stack(2, 'lang', lang, 'source', source) AS (facet, value)"))
+      .groupBy("query_id", "facet", "value")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x21_facets" -> (facets _),
     "x19_more_like_this" -> (moreLikeThis _),
     "x20_significant_terms" -> (significantTerms _),
     "x12_match_search" -> (matchSearch _),
@@ -464,6 +491,19 @@ object Search {
          |      FROM scored)
          |WHERE rank <= 10""".stripMargin,
     "x12_match_search" -> x12Sql,
+    "x21_facets" ->
+      s"""WITH q(query_id, term) AS (VALUES ${valuesSql(matchQueries)}),
+         |toks AS (SELECT DISTINCT doc_id, unnest(${tokensSql("text")}) AS term
+         |         FROM documents),
+         |m AS (SELECT DISTINCT q.query_id, toks.doc_id
+         |      FROM toks JOIN q USING (term))
+         |SELECT query_id, facet, value, count(*) AS n_docs FROM (
+         |  SELECT m.query_id, 'lang' AS facet, d.lang AS value
+         |  FROM m JOIN documents d USING (doc_id)
+         |  UNION ALL
+         |  SELECT m.query_id, 'source' AS facet, d.source AS value
+         |  FROM m JOIN documents d USING (doc_id))
+         |GROUP BY query_id, facet, value""".stripMargin,
     "x13_phrase_search" ->
       s"""WITH q(query_id, phrase) AS (VALUES ${valuesSql(phraseQueries)}),
          |d AS (SELECT doc_id, ${tokensSql("text")} AS ws FROM documents),

@@ -230,10 +230,18 @@ object Tpch {
         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
         |             (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
         |      AS DOUBLE) AS total_revenue
-        |  FROM t12_lineitem GROUP BY l_suppkey)
+        |  FROM t12_lineitem
+        |  WHERE l_suppkey IS NOT NULL
+        |  GROUP BY l_suppkey)
         |SELECT s_suppkey, s_name, total_revenue
         |FROM t12_supplier JOIN rev ON s_suppkey = supplier_no
         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin)
+    // the explicit IS NOT NULL mirrors the null filter the join infers on
+    // its own leg — without it the subquery's rev and the join's rev
+    // canonicalize differently and ReuseExchange cannot unify them, so
+    // lineitem would scan and aggregate TWICE (plan-asserted in
+    // TpchPlanSpec; semantics unchanged: a null suppkey row could never
+    // join or win the max)
   }
 
   /** t13 — suppliers who kept orders waiting (TPC-H Q21 shape): the

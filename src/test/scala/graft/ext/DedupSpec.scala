@@ -339,6 +339,23 @@ class DedupSpec extends SparkSpec {
       s"missing=${expected -- got}, extra=${got -- expected}")
   }
 
+  test("d15: coverage sums d12's spans exactly and bounds never break") {
+    val spans = Dedup.substringSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+    val rows = Dedup.spanCoverage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.length == graft.Tables.documents(spark, sf).count(),
+      "every document must appear in the coverage audit")
+    rows.foreach { case (doc, n, dup, mostly) =>
+      assert(dup == spans.getOrElse(doc, 0L), s"doc $doc coverage != span sum")
+      assert(dup >= 0 && dup <= n, s"doc $doc: coverage $dup outside [0, $n]")
+      assert(mostly == (dup * 2 >= n), s"doc $doc verdict mismatch")
+    }
+    // the corpus' planted duplicates make the gate non-trivial both ways
+    assert(rows.exists(_._4) && rows.exists(!_._4))
+  }
+
   test("c11: no near-dup pair straddles the train/valid/test split") {
     val split = Dedup.leakageSplit(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap

@@ -105,6 +105,39 @@ class PrepSpec extends SparkSpec {
       s"repeat-merge chain broken: $expect")
   }
 
+  test("c12 encode: per-doc budgets equal a sequential apply of the merge table") {
+    val merges = Prep.bpeTrainOn(graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        Portable.tokens(org.apache.spark.sql.functions.col("text"))).as("t")), 6)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    def encodeLen(tok: String): Long = {
+      var syms: Seq[String] = tok.map(_.toString)
+      for ((l, r) <- merges) {
+        val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (s <- syms) {
+          if (acc.nonEmpty && acc.last == l && s == r) acc(acc.size - 1) = l + r
+          else acc += s
+        }
+        syms = acc.toSeq
+      }
+      syms.size.toLong
+    }
+    val expected = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().map { row =>
+        val toks = row.getString(1).split(" ", -1).toSeq
+        (row.getLong(0), (toks.size.toLong, toks.map(encodeLen).sum,
+          toks.map(_.length.toLong).sum))
+      }.toMap
+    val got = Prep.bpeEncode(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected,
+      s"diff=${(expected.toSet -- got.toSet).take(3)} / ${(got.toSet -- expected.toSet).take(3)}")
+    // encode is a real compression: fewer units than chars, at least one
+    // unit per word
+    assert(got.values.forall { case (w, u, c) => u <= c && u >= w })
+  }
+
   test("c9 span scrub: cuts exactly the spans, keeps order, keeps empty docs") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -40,6 +40,26 @@ class SearchSpec extends SparkSpec {
       s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("x21 facets count the FULL match set per attribute, not the top page") {
+    val attrs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val docs = corpus()
+    val expected = Search.matchQueries.groupBy(_._1).flatMap { case (qid, qs) =>
+      val terms = qs.map(_._2).toSet
+      val hits = docs.collect {
+        case (id, ws) if ws.exists(terms) => id }
+      hits.flatMap(id => Seq((qid, "lang", attrs(id)._1), (qid, "source", attrs(id)._2)))
+    }.groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    val got = Search.facets(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(got == expected,
+      s"missing=${expected.toSet -- got.toSet} extra=${got.toSet -- expected.toSet}")
+    // facet totals cover the full match set — more docs than any top-10 page
+    val lang4 = got.collect { case ((4, "lang", _), n) => n }.sum
+    assert(lang4 > 10, s"facets look page-bounded: query 4 counts $lang4 docs")
+  }
+
   test("x13 phrase search equals a brute-force sliding-window count") {
     val docs = corpus()
     val expected = Search.phraseQueries.flatMap { case (qid, phrase) =>

@@ -74,6 +74,14 @@ class TpchPlanSpec extends SparkSpec {
     assert(!p.contains("InSubquery"), s"t14: residual per-row subquery:\n$p")
   }
 
+  test("t12: the max-subquery leg REUSES the revenue shuffle (one lineitem scan)") {
+    val df = Tpch.queries("t12_top_supplier")(spark, sf)
+    df.collect() // AQE decides reuse at materialization, not at planning
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"t12: subquery max re-aggregated lineitem instead of reusing the shuffle:\n$p")
+  }
+
   test("t15: correlated scalar aggs decorrelate to per-part aggregate joins") {
     val p = plan("t15_small_order_revenue")
     // both the count and the sum subquery must become aggregate+join legs
