@@ -214,6 +214,34 @@ object Similarity {
     * re-quantizing, the same remedy as a skewed join key) and nprobe;
     * the join/limit shape is unchanged.
     */
+  /** s9 — RANGE (radius) search: every corpus vector within cosine ≥ τ
+    * of each query — the "all sufficiently similar" API next to the
+    * top-k one (recommendation candidate pools, near-dup audits at a
+    * chosen threshold). Brute-exact like s1: the tiny query set
+    * broadcasts, one fused-codegen cosine pass over the scan, the
+    * threshold filter runs ON the scan so only qualifying (query,
+    * neighbor) rows ever shuffle — output cost follows the RESULT size,
+    * not the corpus. The threshold compares the RAW double — both
+    * engines fold the 64 dims in the same index order, so the boundary
+    * is deterministic (d6's discipline); rounding only at output. At
+    * 100 TB the recall<1 scale path is the same filter inside s3's
+    * OR-bucketed candidates (or d6's self-join form for corpus×corpus).
+    */
+  def rangeSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineSim(col("v"), col("qv")).as("cos_raw"))
+      .filter(col("cos_raw") >= RangeTau)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_raw"), 6).as("cos"))
+  }
+
+  private[ext] val RangeTau = 0.25
+
   def knnJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vecs(spark, sfDir)
     val cents = centroidVectors(spark, sfDir)
@@ -332,7 +360,8 @@ object Similarity {
     "s5_ivf_nprobe" -> (ivfNprobeTopk _),
     "s6_sq_rerank" -> (sqRerankTopk _),
     "s7_pq_rerank" -> (pqRerankTopk _),
-    "s8_knn_join" -> (knnJoin _)
+    "s8_knn_join" -> (knnJoin _),
+    "s9_range_search" -> (rangeSearch _)
   )
 
   /** s7's subspace-code expression, DuckDB side (lists are 1-based). */
@@ -359,6 +388,15 @@ object Similarity {
        |WHERE rank <= $k""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "s9_range_search" ->
+      s"""WITH ev AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings)
+         |SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |  round($cosSql, 6) AS cos
+         |FROM ev e CROSS JOIN (SELECT vec_id, v AS qv FROM ev
+         |                      WHERE vec_id < $nQueries) q
+         |WHERE e.vec_id <> q.vec_id AND $cosSql >= $RangeTau""".stripMargin,
     "s1_brute_topk" -> topkSql(
       s"""WITH ev AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

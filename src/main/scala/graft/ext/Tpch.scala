@@ -370,7 +370,37 @@ object Tpch {
         |GROUP BY p.p_brand, p.p_size""".stripMargin)
   }
 
+  /** t17 — major suppliers (TPC-H Q20 shape, partsupp-free): suppliers
+    * who shipped MORE THAN 30% of some part's total volume — the
+    * dominant-source audit. The machinery: an `IN (derived aggregate)`
+    * subquery — Catalyst decorrelates it to a left-SEMI join against
+    * the qualifying-supplier set (plan-asserted), and the inner total
+    * REAGGREGATES the per-(part, supplier) rollup (`pt` selects FROM
+    * `sp`), so lineitem is scanned ONCE however many aggregation levels
+    * stack (plan-asserted: one scan). Quantities are integer-valued →
+    * the 30% threshold cross-multiplies in exact longs. At 100 TB: one
+    * lineitem shuffle on (partkey, suppkey), a second tiny exchange of
+    * the aggregated frame, one co-partitioned join, one semi join
+    * against supplier.
+    */
+  def majorSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("t17_lineitem")
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("t17_supplier")
+    spark.sql(
+      """WITH sp AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(CAST(l_quantity AS BIGINT)) AS q
+        |  FROM t17_lineitem GROUP BY l_partkey, l_suppkey),
+        |pt AS (
+        |  SELECT l_partkey, sum(q) AS tot FROM sp GROUP BY l_partkey)
+        |SELECT s_suppkey, s_name FROM t17_supplier
+        |WHERE s_suppkey IN (
+        |  SELECT sp.l_suppkey FROM sp JOIN pt USING (l_partkey)
+        |  WHERE sp.q * 10 > pt.tot * 3)""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "t17_major_suppliers" -> (majorSuppliers _),
     "t15_small_order_revenue" -> (smallOrderRevenue _),
     "t16_supplier_diversity" -> (supplierDiversity _),
     "t14_lost_customers" -> (lostCustomers _),
@@ -390,6 +420,18 @@ object Tpch {
   )
 
   val oracle: Map[String, String] = Map(
+    "t17_major_suppliers" ->
+      """WITH sp AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |pt AS (
+        |  SELECT l_partkey, CAST(sum(q) AS BIGINT) AS tot
+        |  FROM sp GROUP BY l_partkey)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT sp.l_suppkey FROM sp JOIN pt USING (l_partkey)
+        |  WHERE sp.q * 10 > pt.tot * 3)""".stripMargin,
     "t15_small_order_revenue" ->
       """SELECT p.p_brand,
         |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
