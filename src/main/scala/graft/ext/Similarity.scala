@@ -231,11 +231,15 @@ object Similarity {
     val e = vecs(spark, sfDir)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    e.crossJoin(broadcast(q))
+    val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineSim(col("v"), col("qv")).as("cos_raw"))
-      .filter(col("cos_raw") >= RangeTau)
+    // barrierFilter keeps the threshold ABOVE the scoring projection —
+    // pushed into the cross-join condition, the 64-dim cosine would
+    // re-evaluate per candidate pair (condition + output), exactly the
+    // double-evaluation hazard d3/d6 guard against.
+    Portable.barrierFilter(scored, col("cos_raw") >= RangeTau)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cos_raw"), 6).as("cos"))
   }

@@ -9,9 +9,13 @@ import org.apache.spark.sql.functions._
   * but a useful engine must have. Patterns chosen to exercise exactly the
   * physical strategies that matter at 100 TB:
   *
-  *   - dimension joins are `broadcast()`ed (nation/region/supplier/part/
-  *     customer are tiny relative to the facts — a shuffle join here would
-  *     move the fact table for nothing);
+  *   - FIXED-SIZE dimension joins are `broadcast()`ed (nation/region are
+  *     25/5 rows at every scale factor — a shuffle join here would move
+  *     the fact table for nothing). SF-SCALING tables (customer, supplier,
+  *     part) are NEVER statically hinted: at 100x scale a static
+  *     `broadcast(customer)` exceeds the 8 GB broadcast limit and OOMs
+  *     every executor. Those joins are left to AQE, which broadcasts at
+  *     runtime exactly when the build side actually fits;
   *   - fact-side filters sit directly on the scan so Catalyst pushes them
   *     into parquet (`PushedFilters`), and only referenced columns are
   *     read (`ReadSchema`);
@@ -41,7 +45,11 @@ object Tpch {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  /** TPC-H Q5-style revenue by nation: three joins, dims broadcast. */
+  /** TPC-H Q5-style revenue by nation: three joins. Nation (25 rows,
+    * fixed) is broadcast; customer SCALES with SF so it carries no hint —
+    * the join shuffles on the customer key (co-partitioned with the
+    * orders side), and AQE still runtime-broadcasts it when it fits.
+    */
   def revenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val ord = Tables.orders(spark, sfDir)
@@ -50,7 +58,7 @@ object Tpch {
     val cust = Tables.customer(spark, sfDir)
     val nat = Tables.nation(spark, sfDir)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec("l_discount")))
@@ -58,23 +66,30 @@ object Tpch {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
-  /** Top-10 customers by order volume: join + TakeOrderedAndProject. */
+  /** Top-10 customers by order volume: join + TakeOrderedAndProject.
+    * Customer is SF-scaling, so no broadcast hint — the aggregated
+    * per-customer frame and the customer table are both keyed on custkey
+    * and shuffle-join co-partitioned; AQE runtime-broadcasts if small.
+    */
   def topCustomers(spark: SparkSession, sfDir: String): DataFrame = {
     val ord = Tables.orders(spark, sfDir)
     val cust = Tables.customer(spark, sfDir)
     ord.groupBy(col("o_custkey"))
       .agg(sum(dec("o_totalprice")).cast("double").as("total_spend"),
         count(lit(1)).as("n_orders"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("total_spend"), col("n_orders"))
       .orderBy(col("total_spend").desc, col("c_custkey"))
       .limit(10)
   }
 
-  /** Segment x priority matrix: two-dim agg after a broadcast join. */
+  /** Segment x priority matrix: two-dim agg after a customer join.
+    * No hint — customer scales with SF; shuffle join on the key, AQE
+    * decides broadcast at runtime.
+    */
   def segmentPriority(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
-      .join(broadcast(Tables.customer(spark, sfDir)),
+      .join(Tables.customer(spark, sfDir),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
@@ -144,23 +159,28 @@ object Tpch {
   }
 
   /** t9 — volume shipping (TPC-H Q7 shape): revenue flowing between two
-    * nations, by direction and ship year. Two independent nation lookups
-    * (supplier's and customer's) resolve through the SAME tiny dimension
-    * broadcast twice under different aliases; the pair predicate
-    * `(A,B) or (B,A)` prunes 2/n² of the join output. The facts join
+    * nations, by direction and ship year. The two-nation predicate is
+    * pushed INTO the build sides: nation is filtered to the two names
+    * FIRST (2 rows — that tiny frame is the only broadcast), so the
+    * supplier⋈nation and customer⋈nation joins keep only 2/25 of each
+    * table before anything touches the facts. Supplier and customer
+    * SCALE with SF, so they carry no static broadcast hint — the
+    * filtered lookup frames shuffle-join on their keys and AQE
+    * runtime-broadcasts them when they actually fit. The facts join
     * fact-to-fact on orderkey (shuffle, co-partitioned) — at 100 TB
     * that is the one shuffle this query needs, and it is unavoidable:
-    * both sides are corpus-sized.
+    * both sides are corpus-sized. The `(A,B) or (B,A)` pair predicate
+    * stays as a cheap post-join residual over the surviving 2x2 grid.
     */
   def volumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
-    val supNat = broadcast(Tables.supplier(spark, sfDir)
-      .join(broadcast(Tables.nation(spark, sfDir)),
-        col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
-    val custNat = broadcast(Tables.customer(spark, sfDir)
-      .join(broadcast(Tables.nation(spark, sfDir)),
-        col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("n_name").as("cust_nation")))
+    val natPair = Tables.nation(spark, sfDir)
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+    val supNat = Tables.supplier(spark, sfDir)
+      .join(broadcast(natPair), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custNat = Tables.customer(spark, sfDir)
+      .join(broadcast(natPair), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
     Tables.lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
       .join(supNat, col("l_suppkey") === col("s_suppkey"))
@@ -371,14 +391,18 @@ object Tpch {
   }
 
   /** t17 — major suppliers (TPC-H Q20 shape, partsupp-free): suppliers
-    * who shipped MORE THAN 30% of some part's total volume — the
-    * dominant-source audit. The machinery: an `IN (derived aggregate)`
-    * subquery — Catalyst decorrelates it to a left-SEMI join against
-    * the qualifying-supplier set (plan-asserted), and the inner total
-    * REAGGREGATES the per-(part, supplier) rollup (`pt` selects FROM
-    * `sp`), so lineitem is scanned ONCE however many aggregation levels
-    * stack (plan-asserted: one scan). Quantities are integer-valued →
-    * the 30% threshold cross-multiplies in exact longs. At 100 TB: one
+    * who shipped MORE THAN 20% of some part's total volume — the
+    * dominant-source audit. (20%, not higher: the testdata generator
+    * spreads each part over ~5 suppliers, so the max per-part share is
+    * ~0.25 at every SF — a larger threshold would return zero rows and
+    * make the oracle check vacuous, empty-vs-empty. TpchSpec asserts
+    * non-emptiness against a brute-force fold.) The machinery: an
+    * `IN (derived aggregate)` subquery — Catalyst decorrelates it to a
+    * left-SEMI join against the qualifying-supplier set (plan-asserted),
+    * and the inner total REAGGREGATES the per-(part, supplier) rollup
+    * (`pt` selects FROM `sp`), so lineitem is scanned ONCE however many
+    * aggregation levels stack. Quantities are integer-valued → the 20%
+    * threshold cross-multiplies in exact longs. At 100 TB: one
     * lineitem shuffle on (partkey, suppkey), a second tiny exchange of
     * the aggregated frame, one co-partitioned join, one semi join
     * against supplier.
@@ -396,7 +420,7 @@ object Tpch {
         |SELECT s_suppkey, s_name FROM t17_supplier
         |WHERE s_suppkey IN (
         |  SELECT sp.l_suppkey FROM sp JOIN pt USING (l_partkey)
-        |  WHERE sp.q * 10 > pt.tot * 3)""".stripMargin)
+        |  WHERE sp.q * 5 > pt.tot)""".stripMargin)
   }
 
   val queries: Map[String, Q] = Map(
@@ -431,7 +455,7 @@ object Tpch {
         |SELECT s_suppkey, s_name FROM supplier
         |WHERE s_suppkey IN (
         |  SELECT sp.l_suppkey FROM sp JOIN pt USING (l_partkey)
-        |  WHERE sp.q * 10 > pt.tot * 3)""".stripMargin,
+        |  WHERE sp.q * 5 > pt.tot)""".stripMargin,
     "t15_small_order_revenue" ->
       """SELECT p.p_brand,
         |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
@@ -588,7 +612,9 @@ object Tpch {
         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
         |             (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
         |      AS DOUBLE) AS total_revenue
-        |  FROM lineitem GROUP BY l_suppkey)
+        |  FROM lineitem
+        |  WHERE l_suppkey IS NOT NULL
+        |  GROUP BY l_suppkey)
         |SELECT s_suppkey, s_name, total_revenue
         |FROM supplier JOIN rev ON s_suppkey = supplier_no
         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin

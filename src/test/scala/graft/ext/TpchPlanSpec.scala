@@ -15,8 +15,36 @@ class TpchPlanSpec extends SparkSpec {
       "t5_brand_revenue", "t6_supplier_by_region")) {
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin"), s"$q: expected broadcast join in:\n$p")
-      assert(!p.contains("SortMergeJoin"), s"$q: unwanted sort-merge join in:\n$p")
     }
+  }
+
+  test("no STATIC broadcast hint on SF-scaling tables (customer/supplier)") {
+    // customer and supplier grow linearly with scale factor: a static
+    // broadcast() hint on either would OOM every executor at 100x scale.
+    // At test SF the size-based planner (or AQE) may still choose a
+    // runtime broadcast — that is fine and expected; what must never
+    // appear is a HINT that forces it regardless of size. A hinted
+    // subtree scanning customer/supplier necessarily carries the key
+    // attribute in its output, so detect it there.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for (q <- Seq("t2_revenue_by_nation", "t3_top_customers",
+      "t4_segment_priority", "t9_volume_shipping")) {
+      val analyzed = Tpch.queries(q)(spark, sf).queryExecution.analyzed
+      val offenders = analyzed.collect {
+        case h: ResolvedHint if h.child.output.exists(a =>
+          a.name == "c_custkey" || a.name == "s_suppkey") => h
+      }
+      assert(offenders.isEmpty,
+        s"$q: static broadcast hint on an SF-scaling table:\n${offenders.mkString("\n")}")
+    }
+  }
+
+  test("t9: two-nation filter is pushed into the build sides") {
+    // the nation filter must prune supplier/customer BEFORE the fact
+    // joins — visible as an In(n_name, ...) pushed filter on the nation
+    // scans, with the only broadcast being the 2-row filtered nation.
+    val p = plan("t9_volume_shipping")
+    assert(p.contains("In(n_name"), s"t9: nation filter not pushed to scan:\n$p")
   }
 
   test("fact filters are pushed into the parquet scan") {
@@ -93,6 +121,30 @@ class TpchPlanSpec extends SparkSpec {
     // the count leg must keep LEFT OUTER semantics (empty sibling set
     // counts as 0 — an inner rewrite would silently drop those rows)
     assert(p.contains("LeftOuter"), s"t15: count leg lost outer semantics:\n$p")
+  }
+
+  test("t17: IN-subquery decorrelates to a semi join; result is non-vacuous") {
+    val df = Tpch.queries("t17_major_suppliers")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"t17: IN not decorrelated to semi join:\n$p")
+    assert(!p.contains("InSubquery"), s"t17: residual per-row subquery:\n$p")
+
+    // brute-force oracle in driver code: the qualifying set must be
+    // NON-EMPTY at this SF (a threshold that yields 0 rows would make the
+    // hash-match vacuous — empty always equals empty) and must match a
+    // plain fold over the collected rows.
+    val rows = graft.Tables.lineitem(spark, sf)
+      .selectExpr("l_partkey", "l_suppkey", "CAST(l_quantity AS BIGINT) AS q")
+      .collect()
+    val perPS = rows.groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case (k, rs) => k -> rs.map(_.getLong(2)).sum }
+    val perP = perPS.groupBy(_._1._1).map { case (p0, m) => p0 -> m.values.sum }
+    val expect = perPS.collect {
+      case ((p0, s0), q) if q * 5 > perP(p0) => s0
+    }.toSet
+    val got = df.collect().map(_.getLong(0)).toSet
+    assert(expect.nonEmpty, "t17 threshold is vacuous at test SF (0 qualifying suppliers)")
+    assert(got == expect, s"t17 mismatch: got $got expected $expect")
   }
 
   test("t16: NOT IN plans as a NULL-AWARE anti join, distinct-count is two-phase") {
