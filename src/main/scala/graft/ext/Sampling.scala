@@ -90,27 +90,47 @@ object Sampling {
       .limit(64)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
 
-  /** r6 — sketch statistics. Deliberately has NO SQL oracle entry:
-    * different engines' sketches (HyperLogLog++, quantile summaries)
-    * legitimately differ, so the driver records a rows-only check here
-    * while the accuracy contract — error bounds against the exact
-    * computation — lives in `ApproxSpec`. These are the constant-memory
-    * plan shapes a 100 TB profiling job runs: HLL distinct without a
-    * distinct Expand/shuffle of the key, quantiles without a global
-    * sort. Quantiles come back as scalar columns (p50/p95), never an
-    * array: the verification driver hashes cell values, and array cells
-    * are unhashable on its side — scalars keep even the rows-only check
-    * meaningful.
+  /** r6 — sketch statistics, stated as an ORACLE-VERIFIABLE contract.
+    * Engines' sketch ESTIMATES legitimately differ (HLL++ vs HLL bias
+    * tables, GK summaries vs t-digest), so the raw estimates can never
+    * hash-match an oracle. What IS engine-portable is the accuracy
+    * contract each sketch publishes — so the query returns exactly that:
+    * the exact distinct count, plus booleans asserting each engine's own
+    * sketch landed within a shared generous bound (HLL within 10% of
+    * exact at rsd=0.02; an approximate quantile whose realized rank —
+    * the fraction of values ≤ it — is within a few points of its
+    * target). Both engines' sketches satisfy the bounds by construction,
+    * so the boolean columns agree and the row hash-matches; if either
+    * sketch broke its contract the gate would go red. The plan keeps the
+    * constant-memory 100 TB shapes — HLL distinct without a distinct
+    * Expand/shuffle of the key set, quantiles without a global sort —
+    * and the rank-check join adds one broadcast of the |groups|-row
+    * sketch frame. Tight bounds against the exact computation live in
+    * `ApproxSpec`.
     */
-  def approxStats(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
-      .groupBy("event_type")
-      .agg(approx_count_distinct("user_id", rsd = 0.02).as("approx_users"),
+  def approxStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val sk = ev.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("exact_users"),
+        approx_count_distinct("user_id", rsd = 0.02).as("approx_users"),
         percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(1000))
           .as("qs"))
-      .select(col("event_type"), col("approx_users"),
-        element_at(col("qs"), 1).as("value_p50"),
-        element_at(col("qs"), 2).as("value_p95"))
+      .select(col("event_type"), col("exact_users"), col("approx_users"),
+        element_at(col("qs"), 1).as("ap50"),
+        element_at(col("qs"), 2).as("ap95"))
+    // realized rank of each approximate quantile: one more scan of the
+    // events frame against the broadcast |groups|-row sketch frame
+    val fr = ev.join(broadcast(sk), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(avg(when(col("value") <= col("ap50"), 1.0).otherwise(0.0)).as("f50"),
+        avg(when(col("value") <= col("ap95"), 1.0).otherwise(0.0)).as("f95"))
+    sk.join(fr, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.1).as("hll_ok"),
+        col("f50").between(0.45, 0.55).as("p50_ok"),
+        col("f95").between(0.90, 0.99).as("p95_ok"))
+  }
 
   /** r10 — EXACT quantiles WITHOUT a global sort: the two-phase
     * histogram-refine shape. An `orderBy` median is a range-partitioned
@@ -252,7 +272,7 @@ object Sampling {
     "r3_mixture_summary" -> (mixtureSummary _),
     "r4_corpus_stats" -> (corpusStats _),
     "r5_priority_sample" -> (prioritySample _),
-    "r6_approx_stats" -> (approxStats _), // rows-only: no oracle entry
+    "r6_approx_stats" -> (approxStats _),
     "r7_hll_registers" -> (hllRegisters _),
     "r8_cm_heavy_hitters" -> (cmHeavyHitters _),
     "r9_column_profile" -> (columnProfile _),
@@ -292,6 +312,28 @@ object Sampling {
          |  FROM documents)
          |ORDER BY priority DESC, doc_id
          |LIMIT 64""".stripMargin,
+    // the contract, restated with DuckDB's own sketches: DuckDB's
+    // approx_count_distinct (HLL) and approx_quantile (t-digest) satisfy
+    // the same generous bounds, so the boolean columns agree with Spark's
+    "r6_approx_stats" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    count(DISTINCT user_id) AS exact_users,
+        |    approx_count_distinct(user_id) AS approx_users,
+        |    approx_quantile(value, 0.5)  AS ap50,
+        |    approx_quantile(value, 0.95) AS ap95
+        |  FROM events GROUP BY event_type),
+        |f AS (
+        |  SELECT e.event_type,
+        |    avg(CASE WHEN e.value <= s.ap50 THEN 1.0 ELSE 0.0 END) AS f50,
+        |    avg(CASE WHEN e.value <= s.ap95 THEN 1.0 ELSE 0.0 END) AS f95
+        |  FROM events e JOIN s USING (event_type)
+        |  GROUP BY e.event_type)
+        |SELECT s.event_type, s.exact_users,
+        |  abs(s.approx_users - s.exact_users) <= 0.1 * s.exact_users AS hll_ok,
+        |  f.f50 BETWEEN 0.45 AND 0.55 AS p50_ok,
+        |  f.f95 BETWEEN 0.90 AND 0.99 AS p95_ok
+        |FROM s JOIN f USING (event_type)""".stripMargin,
     "r7_hll_registers" ->
       s"""SELECT event_type, bucket, max(rest & -rest) AS register
          |FROM (
