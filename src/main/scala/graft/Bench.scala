@@ -130,12 +130,18 @@ object Bench {
     def ev(i: Int, nKeys: Int) = BenchEv(i.toLong, i % nKeys,
       if (i % 17 == 0) "d" else "u", i * 0.5, new java.sql.Timestamp(base + i))
 
+    // A single-partition MemoryStream ships the WHOLE batch inside one
+    // task binary (20k rows ≈ 1.6 MiB → TaskSetManager "very large task"
+    // warnings); partitioned sources hand each task a slice, which is
+    // also how a real Kafka source shapes its batches.
+    val SourceParts = 16
+
     def timeUpsert(n: Int, nKeys: Int, nBatches: Int): Double = {
       val dir = java.nio.file.Files.createTempDirectory("graft-bench-upsert").toString
       val store = new streaming.StreamApply.ParquetUpsertStore(spark, dir,
         key = "key", seq = "seq", opCol = "op", deleteOp = "d",
         payloadCols = Seq("value"))
-      val in = MemoryStream[BenchEv]
+      val in = MemoryStream[BenchEv](SourceParts)
       val q = streaming.StreamApply.upsertWriter(in.toDF(), store, s"$dir/ckpt").start()
       val batches = (0 until n).map(ev(_, nKeys)).grouped(n / nBatches).toSeq
       val t0 = System.nanoTime()
@@ -145,7 +151,7 @@ object Bench {
     }
 
     def timeDedup(n: Int, nKeys: Int, nBatches: Int): Double = {
-      val in = MemoryStream[BenchEv]
+      val in = MemoryStream[BenchEv](SourceParts)
       val q = streaming.StreamApply.dedupped(in.toDF(), "ts", "seq")
         .writeStream.outputMode("append").format("noop").start()
       // every batch fed twice: half the input is redelivery the state
@@ -164,7 +170,7 @@ object Bench {
       spark.conf.set(provKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        val in = MemoryStream[streaming.StreamApply.KeyedEvent]
+        val in = MemoryStream[streaming.StreamApply.KeyedEvent](SourceParts)
         // A ProcessingTime-mode query with TTL state never quiesces, so
         // processAllAvailable blocks forever — count processed rows
         // instead. recentProgress is a bounded ring (~100 entries) that
@@ -211,7 +217,7 @@ object Bench {
       val store = new streaming.StreamApply.IvmUpsertStore(spark, dir,
         key = "key", seq = "seq", opCol = "op", deleteOp = "d",
         payloadCols = Seq("cat", "value"), aggCol = "cat")
-      val in = MemoryStream[BenchCatEv]
+      val in = MemoryStream[BenchCatEv](SourceParts)
       val q = streaming.StreamApply.ivmWriter(in.toDF(), store, s"$dir/ckpt").start()
       val batches = (0 until n).map(i => BenchCatEv(i.toLong, i % nKeys,
           if (i % 17 == 0) "d" else "u", s"c${i % 5}", i * 0.5))
