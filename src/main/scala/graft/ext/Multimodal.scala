@@ -8,16 +8,18 @@ import Portable._
 /** Multimodal-column handling: media as opaque `binary` payloads with
   * typed metadata, decoded/feature-extracted in batches.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic STUB ([[StubCodec]]) — but everything
-  * Spark-side is real and is what the judge should grade: the
-  * binary+metadata schema, the scan-side projection queries (m1/m2, with
-  * DuckDB oracles), and the typed `mapPartitions` pipeline (m3, spec'd)
-  * whose batch shape matches how a vectorized decode (native codec via
-  * JNI, or Arrow batches handed to a Python worker) would slot in.
+  * The IMAGE path is real: [[PngCodec]] encodes and decodes actual PNG
+  * files through `javax.imageio` (in the JDK — no external dependency),
+  * and m5 drives encode → binary column → decode → pixel statistics
+  * end-to-end with a DuckDB oracle computing the SAME statistics
+  * directly from the source bytes — a hash-match proves the codec
+  * round-trip is bit-exact. For codecs the JDK lacks (JPEG is present
+  * but lossy — no bit-exact oracle; audio/video need native libs), the
+  * deterministic [[StubCodec]] remains, clearly marked, behind the same
+  * partition-batched call shape a JNI codec would slot into.
   *
-  * Payloads are synthesized from `documents.text` (UTF-8 bytes) so the
-  * pipeline runs on the driver-provided tables only.
+  * Payloads are synthesized from `documents.text` so the pipeline runs
+  * on the driver-provided tables only.
   */
 object Multimodal {
 
@@ -51,6 +53,89 @@ object Multimodal {
     }
   }
 
+  /** A REAL image codec on `javax.imageio` (JDK-built-in): grayscale
+    * PNG encode/decode plus exact pixel statistics. PNG is lossless and
+    * 8-bit gray has one sample per pixel, so the decoded samples are
+    * bit-identical to the encoded ones — which is what lets m5 put a
+    * DuckDB oracle on a genuine image round-trip: the oracle computes
+    * the expected statistics from the source values directly, and only
+    * an exact codec hash-matches it.
+    */
+  object PngCodec {
+    /** Encode a row-major byte-per-pixel gray image as a real PNG. */
+    def encodeGray(w: Int, h: Int, pixels: Array[Int]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, pixels(y * w + x) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Decode a PNG payload and compute exact pixel statistics: true
+      * decoded dimensions, integer luma sum, and a 16-bin luma histogram
+      * (bin = sample >> 4). Integer arithmetic throughout — no float
+      * accumulation order to disagree with the oracle about.
+      */
+    def decode(rec: MediaRecord): MediaFeatures = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(rec.data))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val hist = new Array[Long](16)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = raster.getSample(x, y, 0) & 0xff
+          hist(v >> 4) += 1
+          sum += v
+          x += 1
+        }
+        y += 1
+      }
+      MediaFeatures(rec.doc_id, rec.data.length,
+        if (w * h == 0) 0.0 else sum.toDouble / (w * h), hist)
+    }
+  }
+
+  /** documents → REAL PNG payloads: each document renders to a small
+    * grayscale image (pixel i = the document's (i mod len)-th character
+    * code, low byte; empty text → all-zero image), encoded through
+    * [[PngCodec]] inside `mapPartitions` — per-partition batching is
+    * where a native codec amortizes its init, and the produced binary
+    * column contains genuine PNG files (magic bytes spec-checked).
+    * Dimensions are small and deterministic from doc_id so the m5
+    * oracle's per-pixel reconstruction stays cheap at test scale.
+    */
+  def pngRecords(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        ((col("doc_id") % 4 + 1) * 8).cast("int").as("width"),
+        ((col("doc_id") % 3 + 1) * 6).cast("int").as("height"))
+      .as[(Long, String, Int, Int)]
+      .mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition init
+        batch.map { case (id, text, w, h) =>
+          val cps = text.codePoints().toArray
+          val px = Array.tabulate(w * h)(i =>
+            if (cps.isEmpty) 0 else cps(i % cps.length) & 0xff)
+          MediaRecord(id, PngCodec.encodeGray(w, h, px), "image/png", w, h)
+        }
+      }
+  }
+
   /** documents → MediaRecord dataset (text bytes as payload; synthetic
     * but deterministic dimensions).
     */
@@ -68,13 +153,18 @@ object Multimodal {
   /** m3 — the typed decode pipeline: one `mapPartitions` pass, so a real
     * codec amortizes per-partition init (native lib load, scratch
     * buffers) across the batch — the shape that matters at 100 TB where
-    * a per-row UDF would re-init per call.
+    * a per-row UDF would re-init per call. Dispatches on the mime
+    * column: PNG payloads decode through the REAL [[PngCodec]]; other
+    * types fall back to the byte-statistics stub.
     */
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
-      // per-partition init would go here (codec handles, buffers)
-      batch.map(StubCodec.decode)
+      javax.imageio.ImageIO.setUseCache(false) // per-partition init
+      batch.map { rec =>
+        if (rec.mime == "image/png") PngCodec.decode(rec)
+        else StubCodec.decode(rec)
+      }
     }
   }
 
@@ -130,9 +220,38 @@ object Multimodal {
         size(col("frames")).cast("long").as("n_frames"),
         fold31(col("frames")).as("frame_checksum"))
 
+  /** m5 — the REAL-codec round trip, oracle-checked: every document is
+    * rendered to a genuine grayscale PNG ([[pngRecords]]), the PNG
+    * binary column is decoded back through `javax.imageio`
+    * ([[decodeFeatures]] → [[PngCodec.decode]]), and the query returns
+    * the DECODED statistics — true width/height from the image header,
+    * integer luma sum, and an order-sensitive checksum of the 16-bin
+    * histogram. The DuckDB oracle never sees a PNG: it recomputes the
+    * same statistics from the source characters directly, so the hash
+    * only matches if the encode→decode round trip reproduced every
+    * pixel exactly. PNG byte size is NOT emitted — encoder compression
+    * levels are legitimately engine-specific, the pixels are the
+    * contract (same discipline as r6's sketch bounds).
+    */
+  def pngRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    decodeFeatures(pngRecords(spark, sfDir))
+      .map { f =>
+        (f.doc_id, f.histogram.length.toLong,
+          // luma·n_pixels recovers the exact integer sample sum: the sum
+          // is ≤ 255·576 (exactly representable), so the division's ulp
+          // error stays far under the 0.5 round() absorbs
+          math.round(f.luma * f.histogram.sum),
+          // same ordered polynomial fold as Portable.fold31 / fold31Sql
+          f.histogram.foldLeft(0L)((acc, h) => (acc * 31 + h) % P))
+      }
+      .toDF("doc_id", "n_bins", "luma_sum", "hist_checksum")
+  }
+
   val queries: Map[String, Q] = Map(
     "m1_media_meta" -> (mediaMeta _),
-    "m2_frame_sample" -> (frameSample _)
+    "m2_frame_sample" -> (frameSample _),
+    "m5_png_roundtrip" -> (pngRoundtrip _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -152,6 +271,31 @@ object Multimodal {
          |  SELECT doc_id,
          |    list_transform(range(1, len(text) + 1, 8),
          |      i -> CAST(ascii(substring(text, CAST(i AS INTEGER), 1)) AS BIGINT)) AS frames
-         |  FROM documents)""".stripMargin
+         |  FROM documents)""".stripMargin,
+    // the oracle never decodes a PNG: it reconstructs the pixel list
+    // from the source characters (pixel i = codepoint at i mod len, low
+    // byte — exactly how pngRecords rendered the image) and computes the
+    // same integer statistics; only an exact codec round trip matches
+    "m5_png_roundtrip" -> {
+      val bins = "list_transform(range(0, 16), b -> " +
+        "CAST(len(list_filter(pixels, v -> v // 16 = b)) AS BIGINT))"
+      s"""WITH d AS (
+         |  SELECT doc_id, text, len(text) AS n,
+         |    (doc_id % 4 + 1) * 8 * ((doc_id % 3 + 1) * 6) AS n_px
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, n_px),
+         |      i -> CASE WHEN n = 0 THEN 0
+         |           ELSE ascii(substring(text, CAST(i % n + 1 AS INTEGER), 1)) % 256
+         |           END) AS pixels
+         |  FROM d)
+         |SELECT doc_id,
+         |  CAST(16 AS BIGINT) AS n_bins,
+         |  CAST(list_sum(list_transform(pixels, v -> CAST(v AS BIGINT))) AS BIGINT)
+         |    AS luma_sum,
+         |  ${fold31Sql(bins)} AS hist_checksum
+         |FROM p""".stripMargin
+    }
   )
 }

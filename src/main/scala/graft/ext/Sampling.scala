@@ -156,19 +156,30 @@ object Sampling {
     */
   def exactQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
-    val hist = ev
-      .groupBy(col("event_type"), floor(col("value")).cast("long").as("bucket"))
-      .agg(count(lit(1)).as("c"))
-    val wb = Window.partitionBy("event_type").orderBy("bucket")
-    val cum = hist.withColumn("cum", sum("c").over(wb))
-      .withColumn("cum_before", col("cum") - col("c"))
     val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
     val targets = n.select(col("event_type"), explode(array(
         struct(lit("p50").as("quantile"), expr("(n + 1) DIV 2").as("r")),
         struct(lit("p95").as("quantile"), expr("(19 * n + 19) DIV 20").as("r"))))
         .as("t"))
       .select(col("event_type"), col("t.quantile").as("quantile"), col("t.r").as("r"))
-    // |groups|×2 rows: which bucket holds each target rank
+    valuesAtRanks(ev, targets)
+  }
+
+  /** The histogram-refine rank locator shared by r10 (p50/p95) and r11
+    * (decile boundaries): for each `(event_type, quantile, r)` target,
+    * the r-th smallest `value` of that type — phases 1-3 of the r10
+    * doc comment, generic in the target set. `targets` is
+    * |groups|×|quantiles| rows, always tiny, hence the one justified
+    * broadcast of `located`.
+    */
+  private def valuesAtRanks(ev: DataFrame, targets: DataFrame): DataFrame = {
+    val hist = ev
+      .groupBy(col("event_type"), floor(col("value")).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val wb = Window.partitionBy("event_type").orderBy("bucket")
+    val cum = hist.withColumn("cum", sum("c").over(wb))
+      .withColumn("cum_before", col("cum") - col("c"))
+    // |groups|×|targets| rows: which bucket holds each target rank
     val located = targets.join(cum,
       Seq("event_type")).filter(col("r") > col("cum_before") && col("r") <= col("cum"))
       .select(col("event_type"), col("quantile"), col("bucket"),
@@ -179,6 +190,58 @@ object Sampling {
       .withColumn("rn", row_number().over(wv))
       .filter(col("rn") === col("local_r"))
       .select(col("event_type"), col("quantile"), col("value"))
+  }
+
+  /** r11 — QUANTILE DISCRETIZER without a global sort: every event is
+    * assigned its within-type decile bin, and the query returns the
+    * per-(type, bin) row counts — the feature-binning pass a training
+    * pipeline runs over numeric columns. Spark's own `ntile` puts the
+    * whole column through one range-partitioned sort; here the nine
+    * decile BOUNDARIES come exactly from the shared histogram-refine
+    * locator ([[valuesAtRanks]] — no sort wider than one bucket), and
+    * binning is then a broadcast of 9 doubles per type against the
+    * scan: `bin = Σ (value > boundary)`, ties landing left, stated
+    * identically in the oracle. At 100 TB the corpus is scanned twice
+    * (histogram + bin), never sorted.
+    */
+  def decileBins(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+    val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val targets = n.select(col("event_type"), explode(array(
+        (1 to 9).map(k => struct(lit(s"d$k").as("quantile"),
+          expr(s"($k * n + 9) DIV 10").as("r"))): _*)).as("t"))
+      .select(col("event_type"), col("t.quantile").as("quantile"), col("t.r").as("r"))
+    val bounds = valuesAtRanks(ev, targets)
+      .groupBy("event_type").agg(sort_array(collect_list("value")).as("bs"))
+    ev.join(broadcast(bounds), Seq("event_type")) // |types| rows of 9 doubles
+      .select(col("event_type"),
+        aggregate(col("bs"), lit(0L),
+          (acc, b) => acc + when(col("value") > b, 1L).otherwise(0L)).as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  private val GroupTopK = 8
+
+  /** r12 — stratified priority sample: r5's weighted-without-replacement
+    * priority scheme, but top-[[GroupTopK]] PER LANGUAGE instead of
+    * top-64 global — the per-stratum variant a curriculum builder uses.
+    * The rank filter sits directly on the window, which Spark plans as
+    * `WindowGroupLimit`: each partition keeps only its local top-k per
+    * group BEFORE the exchange, so the shuffle carries k rows per
+    * (partition, group), not the corpus (plan-asserted in the spec).
+    */
+  def groupTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("priority").desc, col("doc_id"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (col("n_chars").cast("double") /
+          (tokenHash(col("doc_id").cast("string")) + 1L)).as("priority"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= GroupTopK)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        col("rk").cast("long").as("rk"))
   }
 
   /** r7 — distinct-count sketch REGISTERS, engine-portably. HLL-family
@@ -276,7 +339,9 @@ object Sampling {
     "r7_hll_registers" -> (hllRegisters _),
     "r8_cm_heavy_hitters" -> (cmHeavyHitters _),
     "r9_column_profile" -> (columnProfile _),
-    "r10_exact_quantiles" -> (exactQuantiles _)
+    "r10_exact_quantiles" -> (exactQuantiles _),
+    "r11_decile_bins" -> (decileBins _),
+    "r12_group_topk" -> (groupTopk _)
   )
 
   private val gate = s"${tokenHashSql("CAST(doc_id AS VARCHAR)")} % 100"
@@ -390,6 +455,39 @@ object Sampling {
         |  SELECT event_type, 'p95', (19 * n + 19) // 20 FROM n)
         |SELECT t.event_type, t.quantile, r.value
         |FROM targets t JOIN ranked r
-        |  ON r.event_type = t.event_type AND r.rn = t.r""".stripMargin
+        |  ON r.event_type = t.event_type AND r.rn = t.r""".stripMargin,
+    // boundaries restated by definition (rank-th smallest via the full
+    // sort DuckDB can afford), binning by the identical strict-greater
+    // comparison against the sorted boundary list
+    "r11_decile_bins" ->
+      """WITH n AS (
+        |  SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+        |ranked AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+        |  FROM events),
+        |targets AS (
+        |  SELECT event_type, k, (k * n + 9) // 10 AS r
+        |  FROM (SELECT event_type, n, unnest(range(1, 10)) AS k FROM n)),
+        |bounds AS (
+        |  SELECT t.event_type, list_sort(list(r.value)) AS bs
+        |  FROM targets t JOIN ranked r
+        |    ON r.event_type = t.event_type AND r.rn = t.r
+        |  GROUP BY t.event_type)
+        |SELECT e.event_type,
+        |  CAST(len(list_filter(b.bs, x -> e.value > x)) AS BIGINT) AS bin,
+        |  count(*) AS n_rows
+        |FROM events e JOIN bounds b USING (event_type)
+        |GROUP BY e.event_type, bin""".stripMargin,
+    "r12_group_topk" ->
+      s"""SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+         |FROM (
+         |  SELECT lang, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY CAST(n_chars AS DOUBLE) /
+         |        (${tokenHashSql("CAST(doc_id AS VARCHAR)")} + 1) DESC,
+         |      doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= $GroupTopK""".stripMargin
   )
 }

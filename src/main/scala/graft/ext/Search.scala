@@ -410,6 +410,35 @@ object Search {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** x23 — FUZZY entity-name SELF-join (record-linkage blocking): every
+    * pair of distinct customer names at Levenshtein distance exactly 1 —
+    * the near-identical-entity discovery step of a dedup/merge pass over
+    * an entity table. Same SymSpell shape as x18, turned into a
+    * self-join: each name posts under its deletion neighborhood,
+    * candidates materialize only where a variant key collides
+    * (`name_a < name_b` halves the frame and kills self-matches),
+    * DISTINCT collapses multi-variant collisions BEFORE the exact
+    * confirm. The |entities|² distance matrix never exists — the oracle
+    * states exactly that brute force, which doubles as a completeness
+    * proof for the blocking (deletion neighborhoods cover delete/insert/
+    * substitute at distance 1). At 100 TB the variant posting table is
+    * |entities|×(len+1) short strings — linear, shuffled on the variant
+    * key; within-variant pair counts follow real name collisions, not
+    * table size.
+    */
+  def fuzzyNameJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = graft.Tables.customer(spark, sfDir)
+      .select(col("c_name").as("name")).distinct()
+    val postings = names
+      .select(col("name"), explode(delVariants(col("name"))).as("variant"))
+    val cand = postings.alias("a")
+      .join(postings.alias("b"),
+        col("a.variant") === col("b.variant") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+    cand.filter(levenshtein(col("name_a"), col("name_b")) === 1)
+  }
+
   val queries: Map[String, Q] = Map(
     "x21_facets" -> (facets _),
     "x19_more_like_this" -> (moreLikeThis _),
@@ -419,7 +448,8 @@ object Search {
     "x14_hybrid_rrf" -> (hybridSearch _),
     "x16_highlight" -> ((s, d) => highlight(s, d)),
     "x17_bm25" -> (bm25Search _),
-    "x18_fuzzy_search" -> (fuzzySearch _)
+    "x18_fuzzy_search" -> (fuzzySearch _),
+    "x23_fuzzy_name_join" -> (fuzzyNameJoin _)
   )
 
   private def valuesSql(rows: Seq[(Int, String)]): String =
@@ -622,6 +652,14 @@ object Search {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY distance, cnt DESC, term) AS rank
          |      FROM conf)
-         |WHERE rank <= 5""".stripMargin
+         |WHERE rank <= 5""".stripMargin,
+    // the DEFINITION, brute force: every distinct-name pair at distance
+    // exactly 1 — affordable at oracle scale, and a completeness check
+    // of the Spark side's deletion-neighborhood blocking
+    "x23_fuzzy_name_join" ->
+      """WITH v AS (SELECT DISTINCT c_name AS name FROM customer)
+        |SELECT a.name AS name_a, b.name AS name_b
+        |FROM v a JOIN v b
+        |  ON a.name < b.name AND levenshtein(a.name, b.name) = 1""".stripMargin
   )
 }

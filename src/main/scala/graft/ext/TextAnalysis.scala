@@ -270,7 +270,42 @@ object TextAnalysis {
           .as("lm_score_micro"))
   }
 
+  private val VocabSize = 20
+
+  /** x22 — vocabulary coverage / OOV rate: the corpus builds its
+    * top-[[VocabSize]] vocabulary by total term frequency (ties broken
+    * by term so the cut is deterministic in both engines), and every
+    * document reports its token count, OOV token count, and integer
+    * parts-per-million OOV rate — the coverage audit run before
+    * committing to a tokenizer/vocab. Shapes that scale: the vocabulary
+    * selection is a TakeOrderedAndProject over the aggregated term
+    * frame (per-partition heaps, no global sort), and the per-document
+    * join broadcasts ONLY the capped [[VocabSize]]-row vocabulary — a
+    * size fixed by configuration, not by the corpus, so the broadcast is
+    * justified at any scale.
+    */
+  def vocabOov(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = termFreq(spark, sfDir)
+    val vocab = tf.groupBy("term").agg(sum("tf").as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(VocabSize)
+      .select(col("term"), lit(1L).as("in_v"))
+    val perDoc = tf
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        sum(when(col("in_v").isNull, col("tf")).otherwise(0L)).as("n_oov"))
+    docs(spark, sfDir).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          expr("n_oov * 1000000 DIV n_tokens")).otherwise(lit(0L))
+          .as("oov_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x22_vocab_oov" -> (vocabOov _),
     "x1_token_stats" -> (tokenStats _),
     "x2_quality_score" -> (qualityScore _),
     "x3_lang_id" -> (langId _),
@@ -283,6 +318,26 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "x22_vocab_oov" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |vocab AS (
+         |  SELECT term FROM (SELECT term, count(*) AS cnt FROM toks GROUP BY term)
+         |  ORDER BY cnt DESC, term LIMIT $VocabSize),
+         |per_doc AS (
+         |  SELECT tf.doc_id,
+         |    CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN v.term IS NULL THEN tf.tf ELSE 0 END) AS BIGINT)
+         |      AS n_oov
+         |  FROM tf LEFT JOIN vocab v ON tf.term = v.term
+         |  GROUP BY tf.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(p.n_tokens, 0) AS n_tokens,
+         |  coalesce(p.n_oov, 0) AS n_oov,
+         |  CASE WHEN coalesce(p.n_tokens, 0) > 0
+         |       THEN p.n_oov * 1000000 // p.n_tokens ELSE 0 END AS oov_ppm
+         |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin,
     "x1_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -82,6 +82,59 @@ class SamplingSpec extends SparkSpec {
       s"r10 fell back to a global sort:\n$p")
   }
 
+  test("r11 decile bins match brute-force ntile semantics; no global sort") {
+    import org.apache.spark.sql.functions._
+    val byType = graft.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toSeq
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2) }
+    val df = Sampling.decileBins(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((t, vs) <- byType) {
+      val sorted = vs.sorted
+      val n = sorted.size
+      val bounds = (1 to 9).map(k => sorted((k * n + 9) / 10 - 1))
+      val expect = vs.groupBy(v => bounds.count(v > _).toLong)
+        .map { case (b, xs) => b -> xs.size.toLong }
+      for ((b, c) <- expect)
+        assert(got((t, b)) == c, s"$t bin $b: got ${got.get((t, b))} want $c")
+      // every value accounted for
+      assert(expect.values.sum == n)
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("rangepartitioning"),
+      s"r11 fell back to a global sort:\n$p")
+  }
+
+  test("r12 per-group top-k matches brute force and plans WindowGroupLimit") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def h(s: String): Long = { // mirror Portable.tokenHash
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).take(4)
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % Portable.P
+    }
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      ds.toSeq
+        .map { case (id, _, nc) => (id, nc, nc.toDouble / (h(id.toString) + 1L)) }
+        .sortBy { case (id, _, pr) => (-pr, id) }
+        .take(8).zipWithIndex
+        .map { case ((id, nc, _), i) => (lang, id) -> (nc, (i + 1).toLong) }
+    }.toMap
+    val df = Sampling.groupTopk(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expect, "per-group top-k mismatch")
+    // the rank filter must push below the exchange as a group limit
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not planned as WindowGroupLimit:\n$p")
+  }
+
   test("column profile matches per-column recomputation in one scan") {
     val prof = Sampling.columnProfile(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -274,4 +274,27 @@ class SearchSpec extends SparkSpec {
       assert(nBroadcasts(p16) == 3, s"x16 broadcasts != 3:\n$p16")
     } finally spark.conf.set(key, prev)
   }
+
+  test("x23 fuzzy name join equals the brute-force distance-1 self-join") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1) {
+        j => if (i == 0) j else if (j == 0) i else 0
+      })
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = graft.Tables.customer(spark, sf)
+      .select("c_name").distinct().collect().map(_.getString(0))
+    val expect = (for {
+      a <- names; b <- names
+      if a < b && lev(a, b) == 1
+    } yield (a, b)).toSet
+    val got = Search.fuzzyNameJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+    assert(expect.nonEmpty, "no distance-1 name pairs — test is vacuous")
+  }
 }

@@ -88,6 +88,70 @@ class TextMultimodalSpec extends SparkSpec {
     assert(resized.forall(r => again(r.doc_id) == r.data.toSeq))
   }
 
+  test("x22 vocab/OOV matches brute force and caps the vocabulary") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val cnt = docs.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val vocab = cnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(20).map(_._1).toSet
+    val got = TextAnalysis.vocabOov(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == docs.keySet)
+    for ((id, toks) <- docs) {
+      val nOov = toks.count(!vocab(_)).toLong
+      val n = toks.size.toLong
+      assert(got(id) == ((n, nOov, if (n > 0) nOov * 1000000L / n else 0L)),
+        s"doc $id mismatch")
+    }
+    // the corpus must actually exceed the cap for the gate to mean anything
+    assert(cnt.size > 20, "vocabulary smaller than the cap — OOV vacuous")
+    assert(got.values.exists(_._2 > 0), "no OOV tokens anywhere — vacuous")
+  }
+
+  test("PNG codec: exact pixel stats on an embedded fixture") {
+    // 2×2 gray fixture with known samples — exact luma and histogram
+    val px = Array(0, 64, 128, 255)
+    val bytes = Multimodal.PngCodec.encodeGray(2, 2, px)
+    // real PNG: magic signature
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G', "not a PNG payload")
+    val f = Multimodal.PngCodec.decode(
+      Multimodal.MediaRecord(7L, bytes, "image/png", 2, 2))
+    assert(f.doc_id == 7L)
+    assert(f.n_bytes == bytes.length)
+    assert(math.abs(f.luma - (0 + 64 + 128 + 255) / 4.0) < 1e-12)
+    val expectHist = new Array[Long](16)
+    px.foreach(v => expectHist(v >> 4) += 1)
+    assert(f.histogram.toSeq == expectHist.toSeq)
+  }
+
+  test("PNG pipeline: real payloads round-trip bit-exactly through imageio") {
+    val recs = Multimodal.pngRecords(spark, sf).collect()
+    assert(recs.nonEmpty)
+    // every payload is a genuine PNG file
+    for (r <- recs.take(20))
+      assert((r.data(0) & 0xff) == 0x89 && r.data(1) == 'P', s"doc ${r.doc_id}")
+    val feats = Multimodal.decodeFeatures(Multimodal.pngRecords(spark, sf))
+      .collect().map(f => f.doc_id -> f).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    for ((id, text) <- docs.take(10)) {
+      val w = ((id % 4) + 1).toInt * 8
+      val h = ((id % 3) + 1).toInt * 6
+      val cps = text.codePoints().toArray
+      val expected = Array.tabulate(w * h)(i =>
+        if (cps.isEmpty) 0 else cps(i % cps.length) & 0xff)
+      val f = feats(id)
+      assert(f.histogram.sum == w * h, s"doc $id: pixel count")
+      assert(math.round(f.luma * w * h) == expected.map(_.toLong).sum,
+        s"doc $id: luma sum")
+      val hist = new Array[Long](16)
+      expected.foreach(v => hist(v >> 4) += 1)
+      assert(f.histogram.toSeq == hist.toSeq, s"doc $id: histogram")
+    }
+  }
+
   test("media metadata query is a shuffle-free scan projection") {
     val p = Multimodal.mediaMeta(spark, sf).queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"metadata extraction must not shuffle:\n$p")
