@@ -751,9 +751,12 @@ object Dedup {
 
   // ---- d6: embedding cosine near-dup (hyperplane LSH) -------------------
 
-  /** Deterministic ±1 hyperplanes: plane t·16+p, dim d gets sign from
-    * H("t,p,d") parity. Materialized once as literal arrays shared with
-    * the oracle SQL.
+  /** Deterministic ±1 hyperplanes, shared with the oracle SQL as literal
+    * arrays. Planes 0-15 are the original four 4-plane tables (their
+    * hash seeds must never shift — s3/s6/s7 slice them and every
+    * historical bucket depends on them); planes 16-31 are the EXTRA bit
+    * per table the adaptive bucket width (d6) turns on as the corpus
+    * grows.
     */
   private[ext] val planes: Seq[Seq[Int]] = {
     def h(s: String): Long = {
@@ -762,7 +765,7 @@ object Dedup {
       val hex = md.take(4).map(b => f"${b & 0xff}%02x").mkString
       java.lang.Long.parseLong(hex, 16) % P
     }
-    for (plane <- 0 until 16) yield
+    for (plane <- 0 until 32) yield
       for (d <- 0 until 64) yield if (h(s"hp:$plane:$d") % 2 == 0) 1 else -1
   }
 
@@ -781,11 +784,49 @@ object Dedup {
     }.reduce(_ + _)
   }
 
-  /** Embedding near-dup: OR-construction of 4 hyperplane tables × 4 planes
-    * — a pair is a candidate if it shares a bucket in ANY table; exact
-    * cosine ≥ 0.4 confirms. Probability of catching a pair at angle θ is
-    * 1-(1-(1-θ/π)⁴)⁴ — the classic ANN recall/candidate-count dial. At
-    * 100 TB the O(n²) exact check is gone; only per-bucket pairs remain.
+  /** 8-bit bucket of table t: bits 0-3 are [[bucket]]'s planes verbatim
+    * (so masking to 4 bits reproduces the historical bucket exactly),
+    * bits 4-7 come from the extension planes 16-31. The adaptive width
+    * (d6) masks this down to however many bits the corpus size asks for.
+    */
+  private[ext] def wideBucket(vec: Column, t: Int): Column = {
+    import graft.functions.DotProduct.dotProduct
+    (0 until 8).map { p =>
+      val plane = if (p < 4) planes(t * 4 + p) else planes(16 + t * 4 + (p - 4))
+      when(dotProduct(vec, planeLit(plane)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Occupancy dial for the adaptive bucket width: with ≤ [[BucketN0]]
+    * vectors the tables keep their historical 4 bits; every doubling
+    * past it adds one bit (up to 8), holding expected per-bucket
+    * occupancy — and with it the Σ|bucket|² candidate-pair term — fixed
+    * instead of letting it grow linearly with the corpus. This is the
+    * measured super-linear term of the round-6 scaling sweep (PLANS.md):
+    * fixed bucket counts made 10× vectors cost ~30× in candidate pairs.
+    */
+  private[ext] val BucketN0 = 2000L
+
+  /** Bucket-width bits for a corpus of `n` vectors, as a portable integer
+    * expression (no libm log): 4 + one per doubling past [[BucketN0]],
+    * capped at 8 — both engines evaluate the identical comparison chain.
+    */
+  private def bucketBitsMinus3(n: Column): Column =
+    lit(1) + (1 to 4).map(k =>
+      when(n > BucketN0 * (1L << (k - 1)), 1).otherwise(0)).reduce(_ + _)
+
+  /** Embedding near-dup: OR-construction of 4 hyperplane tables with an
+    * ADAPTIVE per-table bit width — a pair is a candidate if it shares a
+    * bucket in ANY table; exact cosine ≥ 0.4 confirms. Probability of
+    * catching a pair at angle θ is 1-(1-(1-θ/π)^b)⁴ — the classic ANN
+    * recall/candidate-count dial, where b = bucket bits now GROWS with
+    * the corpus (one bit per doubling past [[BucketN0]], 4→8): per-bucket
+    * occupancy stays ~constant, so the Σ|bucket|² candidate term scales
+    * linearly instead of quadratically (the round-6 sweep measured the
+    * fixed-width version at ~30× per 10× data). At test scale b=4, so
+    * every historical result is bit-identical; the oracle computes the
+    * same n-dependent width from its own count. At 100 TB the O(n²)
+    * exact check is gone; only per-bucket pairs remain.
     */
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
     // memoized + materialized, as with [[minhashLsh]]: d6's output is
@@ -800,16 +841,23 @@ object Dedup {
       // referenced by the bucketing and both exact-cosine re-joins
       .localCheckpoint()
     // Candidate join moves only (tbl, bkt, vec_id); vectors re-join onto
-    // the distinct candidate pairs for the exact cosine. The 16-plane
-    // bucketing is materialized once for its two join sides. No broadcast
-    // hints: the bucketed frame is 4 rows per VECTOR and the vector frame
-    // one 64-double row per vector — both corpus-sized, the worst possible
-    // broadcast payloads at 100 TB. The candidate join shuffles on
-    // (tbl, bkt) — per-bucket co-location is the whole point of LSH — and
-    // the confirm joins shuffle on vec_id, so vectors move once each.
-    val bucketed = e.select(col("vec_id"),
+    // the distinct candidate pairs for the exact cosine. The bucketing is
+    // materialized once for its two join sides. No broadcast hints EXCEPT
+    // the one-row count frame driving the adaptive width: the bucketed
+    // frame is 4 rows per VECTOR and the vector frame one 64-double row
+    // per vector — both corpus-sized, the worst possible broadcast
+    // payloads at 100 TB. The candidate join shuffles on (tbl, bkt) —
+    // per-bucket co-location is the whole point of LSH — and the confirm
+    // joins shuffle on vec_id, so vectors move once each.
+    val nv = e.agg(count(lit(1)).as("n_vecs"))
+    val mask = element_at(
+      array(lit(15L), lit(31L), lit(63L), lit(127L), lit(255L)),
+      bucketBitsMinus3(col("n_vecs")))
+    val bucketed = e.crossJoin(broadcast(nv))
+      .select(col("vec_id"),
         explode(array((0 until 4).map(t =>
-          struct(lit(t).as("tbl"), bucket(col("v"), t).as("bkt"))): _*)).as("b"))
+          struct(lit(t).as("tbl"),
+            wideBucket(col("v"), t).bitwiseAND(mask).as("bkt"))): _*)).as("b"))
       .select(col("vec_id"), col("b.tbl"), col("b.bkt"))
       .localCheckpoint()
     val cand = bucketed.select(col("tbl"), col("bkt"), col("vec_id").as("vec_a"))
@@ -1022,6 +1070,28 @@ object Dedup {
         s"THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** 8-bit twin of [[bucketSql]] — low 4 bits identical, high 4 from the
+    * extension planes; d6's oracle masks it by the same n-dependent
+    * width as the Spark side.
+    */
+  private def wideBucketSql(vcol: String, t: Int): String =
+    (0 until 8).map { p =>
+      val lits = if (p < 4) planesSqlLits(t * 4 + p)
+        else planesSqlLits(16 + t * 4 + (p - 4))
+      s"(CASE WHEN list_dot_product($vcol, $lits) > 0 " +
+        s"THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** The adaptive-width mask, DuckDB side: same comparison chain as
+    * `bucketBitsMinus3`, indexing the same mask list (1-based).
+    */
+  private val maskSql: String = {
+    val idx = (1 to 4).map(k =>
+      s"(CASE WHEN n_vecs > ${BucketN0 * (1L << (k - 1))} THEN 1 ELSE 0 END)")
+      .mkString("1 + ", " + ", "")
+    s"(list_value(CAST(15 AS BIGINT), 31, 63, 127, 255)[$idx])"
+  }
+
   /** d3's full oracle SQL — also the edge set of d7's closure. */
   private val d3Sql: String =
     s"""WITH d AS (
@@ -1065,9 +1135,11 @@ object Dedup {
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
+       |nv AS (SELECT count(*) AS n_vecs FROM e),
        |bucketed AS (
        |  ${(0 until 4).map(t =>
-           s"SELECT vec_id, v, $t AS tbl, ${bucketSql("v", t)} AS bkt FROM e")
+           s"SELECT vec_id, v, $t AS tbl, ${wideBucketSql("v", t)} & $maskSql AS bkt " +
+             "FROM e CROSS JOIN nv")
            .mkString("\n  UNION ALL\n  ")}),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
