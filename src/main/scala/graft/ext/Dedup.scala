@@ -462,6 +462,25 @@ object Dedup {
           .otherwise("test"))
       .select("doc_id", "canonical", "split")
 
+  /** c13 — cluster-EQUALIZED sampling weights (the SemDeDup/D4-style
+    * correction): every document carries its d7 cluster size and the
+    * integer ppm weight `1e6 DIV size`, so a sampler drawing by weight
+    * gives each near-dup CLUSTER — not each copy — equal expected mass;
+    * without it, content duplicated 50× is 50× over-represented in the
+    * training mix. Cost on top of d7: one size aggregation over the
+    * memoized label frame and a re-join on the canonical key (both
+    * label-sized, shuffled on longs). The weights are exact integers, so
+    * the oracle (d7's recursive-CTE closure + the same division)
+    * hash-matches.
+    */
+  def clusterWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = dedupClusters(spark, sfDir)
+    val sizes = labels.groupBy("canonical").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("canonical"))
+      .select(col("doc_id"), col("canonical"), col("cluster_size"),
+        expr("1000000 DIV cluster_size").as("weight_ppm"))
+  }
+
   /** Connected components over an arbitrary undirected pair frame —
     * the shared engine of d7 (text near-dup clusters) and d9 (embedding
     * near-dup clusters). `pairs(aCol, bCol)` are the edges; every id in
@@ -834,8 +853,15 @@ object Dedup {
     memoFrame("embedPairs", spark, sfDir)(
       buildEmbedNearDup(spark, sfDir).localCheckpoint())
 
-  private[ext] def buildEmbedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
+  private[ext] def buildEmbedNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    buildEmbedNearDupOn(Tables.embeddings(spark, sfDir))
+
+  /** The d6 pipeline over an arbitrary `(vec_id, embedding)` frame — the
+    * spec drives it past the adaptive-width threshold on a synthetic
+    * corpus the testdata alone can't reach.
+    */
+  private[ext] def buildEmbedNearDupOn(emb: DataFrame): DataFrame = {
+    val e = emb
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       // referenced by the bucketing and both exact-cosine re-joins
@@ -1049,7 +1075,8 @@ object Dedup {
     "d13_incremental_lsh" -> (incrementalLsh _),
     "d14_containment" -> (containment _),
     "d15_span_coverage" -> (spanCoverage _),
-    "c11_leakage_split" -> (leakageSplit _)
+    "c11_leakage_split" -> (leakageSplit _),
+    "c13_cluster_weights" -> (clusterWeights _)
   )
 
   // ---- oracle SQL -------------------------------------------------------
@@ -1272,6 +1299,14 @@ object Dedup {
          |SELECT src AS vec_id, min(dst) AS canonical
          |FROM reach GROUP BY src""".stripMargin,
     "d7_dedup_clusters" -> d7Sql,
+    "c13_cluster_weights" ->
+      s"""WITH clusters AS ($d7Sql),
+         |sizes AS (
+         |  SELECT canonical, count(*) AS cluster_size
+         |  FROM clusters GROUP BY canonical)
+         |SELECT doc_id, canonical, cluster_size,
+         |  1000000 // cluster_size AS weight_ppm
+         |FROM clusters JOIN sizes USING (canonical)""".stripMargin,
     "c11_leakage_split" ->
       s"""WITH clusters AS ($d7Sql)
          |SELECT doc_id, canonical,

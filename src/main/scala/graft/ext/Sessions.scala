@@ -238,7 +238,32 @@ object Sessions {
         min("lag_us").as("min_lag_us"), max("lag_us").as("max_lag_us"))
   }
 
+  /** k9 — time-DECAYED engagement score per user: each event contributes
+    * its micro-quantized value halved once per whole day of age relative
+    * to the stream head — recency weighting without `exp`/libm (the
+    * cross-engine hash trap): the decay is an integer shift-divide
+    * `v DIV 2^min(age_days, 20)`, exact in both engines, and the age
+    * cap stops the shift from degenerating past the value's precision.
+    * Plan shape: the stream head is a one-row aggregate joined back
+    * broadcast (o23's pattern); ages ride the raw event timestamps; the
+    * per-user rollup is one map-side-combined shuffle on user_id.
+    */
+  def decayScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+    val head = ev.agg(max("us").as("head_us"))
+    ev.crossJoin(broadcast(head)) // one-row frame: correct broadcast
+      .select(col("user_id"),
+        expr("""CAST(floor(value * 1000000) AS BIGINT)
+               | DIV shiftleft(CAST(1 AS BIGINT),
+               |   CAST(least((head_us - us) DIV 86400000000, 20) AS INT))"""
+          .stripMargin.replace("\n", " ")).as("decayed"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("decayed").as("score_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "k9_decay_score" -> (decayScore _),
     "k8_conversion_lag" -> (conversionLag _),
     "k7_transitions" -> (transitions _),
     "k1_session_stats" -> (sessionStats _),
@@ -250,6 +275,18 @@ object Sessions {
   )
 
   val oracle: Map[String, String] = Map(
+    "k9_decay_score" ->
+      """WITH e AS (
+        |  SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |h AS (SELECT max(us) AS head_us FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(
+        |    CAST(floor(value * 1000000) AS BIGINT) //
+        |      (CAST(1 AS BIGINT) << CAST(least((h.head_us - us) // 86400000000, 20) AS INTEGER))
+        |  ) AS BIGINT) AS score_micro
+        |FROM e CROSS JOIN h
+        |GROUP BY user_id""".stripMargin,
     "k8_conversion_lag" ->
       """WITH e AS (
         |  SELECT user_id, event_type,

@@ -134,6 +134,47 @@ class DedupSpec extends SparkSpec {
       s"uncapped should be quadratic in the hot df: $uncapped")
   }
 
+  test("adaptive bucket width: low bits stable, width rises with the corpus") {
+    import spark.implicits._
+    // the invariant everything historical depends on: masking the 8-bit
+    // bucket to 4 bits reproduces the original 4-plane bucket exactly
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    for (t <- 0 until 4) {
+      val rows = vecs.select(
+          Dedup.bucket(col("v"), t).as("old"),
+          Dedup.wideBucket(col("v"), t).bitwiseAND(lit(15L)).as("masked"))
+        .collect()
+      assert(rows.forall(r => r.getLong(0) == r.getLong(1)),
+        s"table $t: masked wide bucket != historical bucket")
+    }
+    // exact duplicates share every bucket at ANY width, so a corpus past
+    // the width threshold still finds all its exact-dup pairs
+    val base = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val dup = base.withColumn("vec_id", col("vec_id") + 1000000L)
+    // filler shards (negated / reversed / both) have no cos≥0.4 relation
+    // to the originals; they exist to push the corpus past the threshold
+    val big = base.unionByName(dup)
+      .unionByName(base.withColumn("vec_id", col("vec_id") + 2000000L)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x * lit(-1.0f))))
+      .unionByName(base.withColumn("vec_id", col("vec_id") + 3000000L)
+        .withColumn("embedding", reverse(col("embedding"))))
+      .unionByName(base.withColumn("vec_id", col("vec_id") + 4000000L)
+        .withColumn("embedding",
+          transform(reverse(col("embedding")), x => x * lit(-1.0f))))
+      .withColumn("label", lit(0))
+    assert(big.count() > Dedup.BucketN0, "stress corpus under the width threshold")
+    val pairs = Dedup.buildEmbedNearDupOn(big).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = base.select("vec_id").collect().map(_.getLong(0))
+    for (id <- ids)
+      assert(pairs.contains((id, id + 1000000L)),
+        s"exact duplicate pair ($id, ${id + 1000000L}) lost at adaptive width")
+  }
+
   test("d2/d3/d5/d6: no forced broadcast of a corpus-sized frame") {
     // The 100 TB invariant: every frame in the dedup family is one row
     // per document/vector, so a broadcast may only ever be chosen by the
@@ -354,6 +395,27 @@ class DedupSpec extends SparkSpec {
     }
     // the corpus' planted duplicates make the gate non-trivial both ways
     assert(rows.exists(_._4) && rows.exists(!_._4))
+  }
+
+  test("c13: cluster weights equalize clusters and agree with d7 sizes") {
+    val labels = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val sizes = labels.groupBy(_._2).map { case (c, xs) => c -> xs.size.toLong }
+    val rows = Dedup.clusterWeights(spark, sf).collect()
+      .map(r => (r.getLong(1), (r.getLong(0), r.getLong(2), r.getLong(3))))
+    assert(rows.length == labels.length, "one weight row per document")
+    for ((canon, (_, size, w)) <- rows) {
+      assert(size == sizes(canon), s"cluster $canon size mismatch")
+      assert(w == 1000000L / size, s"cluster $canon weight mismatch")
+    }
+    // equalization: every cluster's total weight is within one floor
+    // step of 1e6 regardless of its size
+    for ((canon, size) <- sizes) {
+      val total = (1000000L / size) * size
+      assert(total > 1000000L - size && total <= 1000000L,
+        s"cluster $canon total weight $total out of bounds")
+    }
+    assert(sizes.values.exists(_ > 1), "no nontrivial cluster — test is vacuous")
   }
 
   test("c11: no near-dup pair straddles the train/valid/test split") {

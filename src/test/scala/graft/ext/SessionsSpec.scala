@@ -155,4 +155,27 @@ class SessionsSpec extends SparkSpec {
     assert(got == expected,
       s"missing=${expected.toSet -- got.toSet} extra=${got.toSet -- expected.toSet}")
   }
+
+  test("k9 decay score equals a sequential integer fold; decay is monotone") {
+    import org.apache.spark.sql.functions._
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val head = evs.map(_._3).max
+    val expected = evs.groupBy(_._1).map { case (u, es) =>
+      val score = es.map { case (_, v, us) =>
+        val age = math.min((head - us) / 86400000000L, 20L)
+        math.floor(v * 1000000).toLong / (1L << age)
+      }.sum
+      u -> ((es.length.toLong, score))
+    }
+    val got = Sessions.decayScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    // a positive-value event aged one extra day never contributes more
+    val v = 123.456
+    def c(days: Long) =
+      math.floor(v * 1000000).toLong / (1L << math.min(days, 20L))
+    assert((0L to 25L).map(c).sliding(2).forall(w => w(0) >= w(1)))
+  }
 }
