@@ -246,6 +246,49 @@ object Search {
       concat_ws(" ", slice(col("ws"), start, len)).as("snippet"))
   }
 
+  /** Proximity workload: co-occurring corpus term pairs. */
+  private[ext] val proximityQueries: Seq[(Int, String, String)] = Seq(
+    (1, "scan", "column"), (2, "window", "order"),
+    (3, "join", "merge"), (4, "sort", "key"))
+  private val ProxSlop = 3L
+
+  /** x24 — PROXIMITY search (OpenSearch `match_phrase` with `slop`):
+    * documents where both query terms occur within [[ProxSlop]] tokens,
+    * with the exact minimum gap. The min-gap computation is LINEAR, not
+    * a per-document positions cross join: both terms' positions merge
+    * into one ordered stream per (query, doc), a running `max(case)`
+    * window carries the latest position of the OTHER term, and the
+    * minimum adjacent-pair difference IS the global minimum (for any
+    * closest pair, one side is the other's latest predecessor in the
+    * merged order). One posexplode over the corpus, one window, one
+    * aggregation — every shuffle keyed on (query, doc) longs; the only
+    * broadcast is the literal query frame. The oracle states the
+    * definition directly (min |posA − posB| over the position cross
+    * join, affordable at oracle scale).
+    */
+  def proximitySearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = proximityQueries.toDF("query_id", "t0", "t1")
+    val pos = docs(spark, sfDir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+    val probes = q.select(col("query_id"), col("t0").as("term"), lit(0).as("tag"))
+      .unionByName(q.select(col("query_id"), col("t1").as("term"), lit(1).as("tag")))
+    val hits = pos.join(broadcast(probes), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("tag"),
+        col("pos").cast("long").as("pos"))
+    val w = Window.partitionBy("query_id", "doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val l0 = max(when(col("tag") === 0, col("pos"))).over(w)
+    val l1 = max(when(col("tag") === 1, col("pos"))).over(w)
+    hits
+      .withColumn("gap",
+        when(col("tag") === 1, col("pos") - l0).otherwise(col("pos") - l1))
+      .filter(col("gap").isNotNull)
+      .groupBy("query_id", "doc_id")
+      .agg(min("gap").as("min_gap"))
+      .filter(col("min_gap") <= ProxSlop)
+  }
+
   /** Fuzzy workload: misspellings of corpus terms (1 del / 1 sub /
     * 1 ins), one exact term, one total miss (must return nothing).
     */
@@ -449,7 +492,8 @@ object Search {
     "x16_highlight" -> ((s, d) => highlight(s, d)),
     "x17_bm25" -> (bm25Search _),
     "x18_fuzzy_search" -> (fuzzySearch _),
-    "x23_fuzzy_name_join" -> (fuzzyNameJoin _)
+    "x23_fuzzy_name_join" -> (fuzzyNameJoin _),
+    "x24_proximity" -> (proximitySearch _)
   )
 
   private def valuesSql(rows: Seq[(Int, String)]): String =
@@ -660,6 +704,25 @@ object Search {
       """WITH v AS (SELECT DISTINCT c_name AS name FROM customer)
         |SELECT a.name AS name_a, b.name AS name_b
         |FROM v a JOIN v b
-        |  ON a.name < b.name AND levenshtein(a.name, b.name) = 1""".stripMargin
+        |  ON a.name < b.name AND levenshtein(a.name, b.name) = 1""".stripMargin,
+    // the definition: min |posA - posB| over the full position cross
+    // join per (query, doc) — the 1-based DuckDB subscripts cancel in
+    // the difference against Spark's 0-based posexplode
+    "x24_proximity" -> {
+      val vals = proximityQueries
+        .map { case (id, a, b) => s"($id, '$a', '$b')" }.mkString(", ")
+      s"""WITH q(query_id, t0, t1) AS (VALUES $vals),
+         |d AS (SELECT doc_id, ${tokensSql("text")} AS ws FROM documents),
+         |pos AS (
+         |  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS term
+         |  FROM d),
+         |a AS (SELECT q.query_id, p.doc_id, p.pos FROM pos p JOIN q ON p.term = q.t0),
+         |b AS (SELECT q.query_id, p.doc_id, p.pos FROM pos p JOIN q ON p.term = q.t1)
+         |SELECT a.query_id, a.doc_id,
+         |  CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS min_gap
+         |FROM a JOIN b ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+         |GROUP BY a.query_id, a.doc_id
+         |HAVING min(abs(a.pos - b.pos)) <= $ProxSlop""".stripMargin
+    }
   )
 }

@@ -80,6 +80,34 @@ object Temporal {
         "purchase_ts", "purchase_value")
   }
 
+  /** a6 — FORWARD as-of join: each click sees the user's NEXT purchase
+    * at or after the click (time-to-next-action attribution — the
+    * mirror of a1's lookback). Implemented as a1's backward engine on
+    * the NEGATED time axis: `right.(-us) <= left.(-us)` ⟺
+    * `right.us >= left.us`, so the one union + ordered-window pass is
+    * reused verbatim — no second engine, no range join. Purchases
+    * pre-reduce to one row per (user, instant) via `max_by(value,
+    * event_id)` (a3's discipline) so a same-instant tie can never make
+    * the carried row engine-dependent. Timestamps travel as exact
+    * integer µs.
+    */
+  def asofForwardClickNext(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), (-unix_micros(col("ts"))).as("nus"),
+        col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value").as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      .agg(expr("max_by(value, event_id)").as("purchase_value"))
+      .select(col("user_id"), (-col("p_us")).as("nus"),
+        col("p_us"), col("purchase_value"))
+    asofJoin(clicks, purchases, "user_id", "nus",
+        Seq("p_us", "purchase_value"), prefix = "next_")
+      .select(col("event_id"), col("user_id"), col("us"), col("click_value"),
+        col("next_p_us"), col("next_purchase_value"))
+  }
+
   /** a2 — SCD2 history view: every event becomes a versioned row with a
     * validity interval `[valid_from, valid_to)` per key; the open-ended
     * row is the current version. This is the CDC events → slowly-changing
@@ -191,10 +219,34 @@ object Temporal {
     "a1_asof_join" -> (asofClickPurchase _),
     "a2_scd2_history" -> (scd2History _),
     "a3_resample_ffill" -> (resampleFfill _),
-    "a4_ohlc_bars" -> (ohlcBars _)
+    "a4_ohlc_bars" -> (ohlcBars _),
+    "a6_asof_forward" -> (asofForwardClickNext _)
   )
 
   val oracle: Map[String, String] = Map(
+    // DuckDB's ASOF is >= only, so the forward join states its
+    // definition: the minimum qualifying purchase instant per click,
+    // then the (pre-reduced, hence unique) row at that instant
+    "a6_asof_forward" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |c AS (
+        |  SELECT event_id, user_id, us, value AS click_value
+        |  FROM e WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, us AS p_us, arg_max(value, event_id) AS purchase_value
+        |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, us),
+        |m AS (
+        |  SELECT c.event_id, c.user_id, min(p.p_us) AS next_p_us
+        |  FROM c JOIN p ON p.user_id = c.user_id AND p.p_us >= c.us
+        |  GROUP BY c.event_id, c.user_id)
+        |SELECT c.event_id, c.user_id, c.us, c.click_value,
+        |  m.next_p_us, p.purchase_value AS next_purchase_value
+        |FROM c
+        |LEFT JOIN m ON m.event_id = c.event_id
+        |LEFT JOIN p ON p.user_id = c.user_id AND p.p_us = m.next_p_us""".stripMargin,
     "a5_twa_bars" ->
       """WITH instants AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS mts,

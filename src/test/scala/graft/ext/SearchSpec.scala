@@ -275,6 +275,32 @@ class SearchSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("x24 proximity equals brute-force min-gap; no positions cross join") {
+    val docsArr = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" "))
+    val expected = (for {
+      (qid, t0, t1) <- Search.proximityQueries
+      (id, ws) <- docsArr
+      p0 = ws.zipWithIndex.collect { case (w, i) if w == t0 => i.toLong }
+      p1 = ws.zipWithIndex.collect { case (w, i) if w == t1 => i.toLong }
+      if p0.nonEmpty && p1.nonEmpty
+      gap = (for (a <- p0; b <- p1) yield math.abs(a - b)).min
+      if gap <= 3
+    } yield (qid, id) -> gap).toMap
+    val df = Search.proximitySearch(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected,
+      s"missing=${(expected.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- expected.keySet).take(5)}")
+    assert(expected.nonEmpty, "no proximity hits — test is vacuous")
+    // the linear formulation: no nested-loop/cartesian position pairing
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"positions pair quadratically:\n$p")
+  }
+
   test("x23 fuzzy name join equals the brute-force distance-1 self-join") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1) {

@@ -183,4 +183,31 @@ class TemporalSpec extends SparkSpec {
     assert(got == expected,
       s"missing=${(expected -- got).take(3)}, extra=${(got -- expected).take(3)}")
   }
+
+  test("a6 forward as-of equals brute-force next-purchase lookup") {
+    import org.apache.spark.sql.functions._
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // purchases pre-reduced per (user, instant) by max event_id
+    val purch = evs.filter(_._2 == "purchase")
+      .groupBy(e => (e._1, e._5))
+      .map { case ((u, us), es) => (u, us, es.maxBy(_._3)._4) }.toSeq
+    val expected = evs.filter(_._2 == "click").map { case (u, _, id, v, us) =>
+      val next = purch.filter(p => p._1 == u && p._2 >= us)
+        .sortBy(_._2).headOption
+      (id, u, us, v, next.map(_._2), next.map(_._3))
+    }.toSet
+    val got = Temporal.asofForwardClickNext(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)}, extra=${(got -- expected).take(3)}")
+    // forward matches must exist somewhere AND be absent somewhere for
+    // the left-join semantics to be exercised
+    assert(got.exists(_._5.isDefined) && got.exists(_._5.isEmpty))
+  }
 }
