@@ -74,9 +74,9 @@ object Bench {
     val errs = results.collect { case (k, (false, _)) => "\"" + k + "\"" }
     val total = results.values.collect { case (true, v) => v }.sum
     val errField = if (errs.isEmpty) "" else s""","errors":${errs.mkString("[", ",", "]")}"""
-    val (upsertRate, dedupRate, twsRate, ivmRate) = streamingMetrics(spark)
+    val (upsertRate, dedupRate, twsRate, ivmRate, topkRate) = streamingMetrics(spark)
     val streamField =
-      s""","streaming":{"upsert_rows_per_sec":$upsertRate,"dedup_rows_per_sec":$dedupRate,"tws_view_rows_per_sec":$twsRate,"ivm_rows_per_sec":$ivmRate}"""
+      s""","streaming":{"upsert_rows_per_sec":$upsertRate,"dedup_rows_per_sec":$dedupRate,"tws_view_rows_per_sec":$twsRate,"ivm_rows_per_sec":$ivmRate,"topk_rows_per_sec":$topkRate}"""
 
     // The harness that invokes this main keeps only the LAST ~2000 chars of
     // stdout, and the full per-query map (~100 queries) is ~3 KB — a single
@@ -122,7 +122,7 @@ object Bench {
     * reports -1.
     */
   private def streamingMetrics(spark: SparkSession)
-      : (Double, Double, Double, Double) = {
+      : (Double, Double, Double, Double, Double) = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -228,6 +228,29 @@ object Bench {
       n / ((System.nanoTime() - t0) / 1e9)
     }
 
+    def timeTopK(n: Int, nGroups: Int, nBatches: Int): Double = {
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(provKey)
+      spark.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = MemoryStream[streaming.TopKStream.Scored](SourceParts)
+        val q = streaming.TopKStream.topkView(in.toDS(), k = 5)
+          .writeStream.outputMode("update").format("noop").start()
+        val batches = (0 until n)
+          .map(i => streaming.TopKStream.Scored(i % nGroups,
+            (i * 7 % 4096).toLong, (i * 131 % 9973).toDouble))
+          .grouped(n / nBatches).toSeq
+        val t0 = System.nanoTime()
+        try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        finally q.stop()
+        n / ((System.nanoTime() - t0) / 1e9)
+      } finally prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+
     def safe(f: => Double): Double =
       try f catch { case e: Throwable =>
         System.err.println(s"BENCH STREAM FAIL: ${e.getClass.getName}: ${e.getMessage}")
@@ -237,9 +260,11 @@ object Bench {
     safe { timeDedup(1000, 100, 2) }   // warmup
     safe { timeTws(1000, 100, 2) }     // warmup
     safe { timeIvm(1000, 100, 2) }     // warmup
+    safe { timeTopK(1000, 100, 2) }    // warmup
     (safe { timeUpsert(100000, 10000, 5) },
       safe { timeDedup(100000, 10000, 5) },
       safe { timeTws(100000, 10000, 5) },
-      safe { timeIvm(100000, 10000, 5) })
+      safe { timeIvm(100000, 10000, 5) },
+      safe { timeTopK(100000, 1000, 5) })
   }
 }
