@@ -423,7 +423,166 @@ object Tpch {
         |  WHERE sp.q * 5 > pt.tot)""".stripMargin)
   }
 
+  /** t18 — shipping priority (TPC-H Q3 shape): top-10 open orders by
+    * pending revenue for one market segment. The canonical
+    * filter-join-join-agg-topk chain: both date predicates sit directly on
+    * their scans (pushed into parquet rowgroup skipping — at 100 TB the
+    * `l_shipdate > cutoff` filter is what makes this query cheap), the
+    * segment-filtered customer leg is SF-scaling so it carries no hint,
+    * and the final top-10 plans as `TakeOrderedAndProject` — per-partition
+    * heaps over the aggregated frame, never a global sort.
+    */
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1998-06-01")
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** t19 — national market share (TPC-H Q8 shape): NATION_1's share of
+    * its own region's lineitem revenue, per order year. Two portability
+    * disciplines: (a) the share is integer PARTS-PER-MILLION computed by
+    * exact floor division over DECIMAL(38,0) cent sums — a double ratio's
+    * last-ulp rounding could flip the 6th digit between engines, and
+    * BIGINT cents × 1e6 would overflow a long around sf100 while
+    * DECIMAL(38,0) has ~20 digits of headroom; (b) the target region is
+    * LOOKED UP from the data (the one-row `nation⋈region` frame riding a
+    * broadcast cross join), never hardcoded. Join order at scale: the
+    * region-filtered supplier leg shrinks to 1/5 of supplier BEFORE the
+    * facts join; lineitem⋈orders is the one fact-fact shuffle.
+    */
+  def marketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = (dec("l_extendedprice") * lit(10000)).cast("decimal(38,0)")
+    val targetRegion = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("n_name") === "NATION_1")
+      .select(col("r_regionkey").as("target_rk"))
+    val supNat = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(targetRegion), col("n_regionkey") === col("target_rk"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    // the region-filtered supplier leg joins FIRST: it keeps ~1/5 of
+    // lineitem, so the unavoidable fact-fact shuffle on orderkey moves a
+    // fifth of the rows it would in join-orders-first order
+    Tables.lineitem(spark, sfDir)
+      .join(supNat, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_1", cents)
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("num_cents"),
+        sum(cents).as("tot_cents"))
+      .select(col("o_year"),
+        expr("CAST((num_cents * 1000000) div tot_cents AS BIGINT)").as("share_ppm"))
+  }
+
+  /** t20 — large-volume orders (TPC-H Q18 shape): orders whose total
+    * quantity exceeds a threshold, with their customer. The HAVING
+    * pre-filter runs as a partial-aggregated groupBy on the fact table
+    * BEFORE any join touches a dimension — at 100 TB the 280-quantity
+    * gate keeps ~0.4% of orders, so the two subsequent joins (orders,
+    * then customer, both SF-scaling → no hints, AQE decides) move a
+    * thousandth of the data a join-first plan would. Quantities are
+    * integer-valued → the threshold compares exact BIGINTs.
+    */
+  def largeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+      .filter(col("sum_qty") > 280)
+    big.join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), dec("o_totalprice").cast("double").as("total_price"),
+        col("sum_qty"))
+      .orderBy(col("total_price").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** t21 — part value concentration (TPC-H Q11 shape): parts whose
+    * lineitem value exceeds 1.5× the mean part value. Q11's fixed
+    * fraction-of-total threshold is scale-VARIANT (more parts dilute
+    * every share, so a constant cutoff silently empties at higher SF —
+    * the vacuous-oracle trap t17 once had); comparing against the MEAN
+    * is scale-invariant, and the compare CROSS-MULTIPLIES exact decimals
+    * (`v·n·2 > Σv·3`) so no division ever leaves integer arithmetic.
+    * Written as SQL so both scalar subqueries (count and sum over the
+    * same aggregated view) plan against ONE shared exchange of `pv`
+    * (the t12 ReuseExchange pattern) — lineitem is scanned once however
+    * many aggregation levels stack.
+    */
+  def valueConcentration(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("t21_lineitem")
+    spark.sql(
+      """WITH pv AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS v
+        |  FROM t21_lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(v AS DOUBLE) AS part_value FROM pv
+        |WHERE v * (SELECT count(*) FROM pv) * 2 > (SELECT sum(v) FROM pv) * 3""".stripMargin)
+  }
+
+  /** t22 — returned-item customer ranking (TPC-H Q10 shape): which
+    * recent customers returned the most revenue. Fact-fact shuffle on
+    * orderkey with BOTH selective predicates pushed to their scans
+    * (returnflag on lineitem, the date window on orders), then the
+    * SF-scaling customer join unhinted and nation broadcast (25 rows,
+    * fixed). Top-20 → TakeOrderedAndProject over the per-customer
+    * aggregate, never a global sort.
+    */
+  def returnedRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= lit("2000-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** t23 — priority class breakdown (TPC-H Q12 shape): per line status,
+    * how many returned items belong to high- vs low-priority orders.
+    * The conditional-aggregation pattern (`sum(CASE WHEN…)`) — one pass,
+    * both classes from the same rows, where a naive engine runs the
+    * join twice with complementary filters. The returnflag predicate
+    * pushes to the lineitem scan; the priority CASE rides inside the
+    * aggregate in whole-stage codegen.
+    */
+  def priorityClasses(spark: SparkSession, sfDir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t18_shipping_priority" -> (shippingPriority _),
+    "t19_market_share" -> (marketShare _),
+    "t20_large_orders" -> (largeOrders _),
+    "t21_value_concentration" -> (valueConcentration _),
+    "t22_returned_revenue" -> (returnedRevenue _),
+    "t23_priority_classes" -> (priorityClasses _),
     "t17_major_suppliers" -> (majorSuppliers _),
     "t15_small_order_revenue" -> (smallOrderRevenue _),
     "t16_supplier_diversity" -> (supplierDiversity _),
@@ -444,6 +603,78 @@ object Tpch {
   )
 
   val oracle: Map[String, String] = Map(
+    "t18_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |    AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "t19_market_share" ->
+      """WITH tr AS (
+        |  SELECT r_regionkey AS target_rk FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE n_name = 'NATION_1')
+        |SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST((sum(CASE WHEN n_name = 'NATION_1'
+        |              THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS HUGEINT)
+        |              ELSE CAST(0 AS HUGEINT) END) * 1000000)
+        |       // sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS HUGEINT))
+        |    AS BIGINT) AS share_ppm
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN tr ON n_regionkey = target_rk
+        |GROUP BY o_year""".stripMargin,
+    "t20_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS total_price,
+        |  sum_qty
+        |FROM (SELECT l_orderkey,
+        |        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 280) big
+        |JOIN orders ON big.l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_price DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "t21_value_concentration" ->
+      """WITH pv AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS v
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(v AS DOUBLE) AS part_value FROM pv
+        |WHERE v * (SELECT count(*) FROM pv) * 2 > (SELECT sum(v) FROM pv) * 3""".stripMargin,
+    "t22_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "t23_priority_classes" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
     "t17_major_suppliers" ->
       """WITH sp AS (
         |  SELECT l_partkey, l_suppkey,
