@@ -28,7 +28,8 @@ class TpchPlanSpec extends SparkSpec {
     // attribute in its output, so detect it there.
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     for (q <- Seq("t2_revenue_by_nation", "t3_top_customers",
-      "t4_segment_priority", "t9_volume_shipping")) {
+      "t4_segment_priority", "t9_volume_shipping", "t18_shipping_priority",
+      "t19_market_share", "t20_large_orders", "t22_returned_revenue")) {
       val analyzed = Tpch.queries(q)(spark, sf).queryExecution.analyzed
       val offenders = analyzed.collect {
         case h: ResolvedHint if h.child.output.exists(a =>
@@ -145,6 +146,62 @@ class TpchPlanSpec extends SparkSpec {
     val got = df.collect().map(_.getLong(0)).toSet
     assert(expect.nonEmpty, "t17 threshold is vacuous at test SF (0 qualifying suppliers)")
     assert(got == expect, s"t17 mismatch: got $got expected $expect")
+  }
+
+  test("t18: both date predicates reach their scans; top-10 is a heap") {
+    val p = plan("t18_shipping_priority")
+    assert(p.contains("GreaterThan(l_shipdate"),
+      s"t18: shipdate filter not pushed to the lineitem scan:\n$p")
+    assert(p.contains("LessThan(o_orderdate"),
+      s"t18: orderdate filter not pushed to the orders scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"t18: no top-k operator:\n$p")
+  }
+
+  test("t19: share is exact integral division; only fixed-size frames broadcast") {
+    val df = Tpch.queries("t19_market_share")(spark, sf)
+    val analyzed = df.queryExecution.analyzed.toString
+    // the ppm is an IntegralDivide over decimal cents — never a double
+    // divide whose last ulp could flip the rounded digit between engines
+    assert(analyzed.contains(" div "), s"t19: share not integral division:\n$analyzed")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"t19: nation/region not broadcast:\n$p")
+  }
+
+  test("t20: quantity gate aggregates the fact table BEFORE any join") {
+    val p = plan("t20_large_orders")
+    // the HAVING filter must sit on the per-orderkey aggregate of the
+    // bare lineitem scan — in the printed tree the aggregate's child is
+    // the FileScan, with no join anywhere below it
+    val aggIdx = p.indexOf("HashAggregate(keys=[l_orderkey")
+    assert(aggIdx >= 0, s"t20: no per-order aggregate:\n$p")
+    val below = p.substring(aggIdx)
+    assert(!below.contains("Join"), s"t20: join below the quantity gate:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"t20: top-100 not bounded:\n$p")
+  }
+
+  test("t21: both scalar subqueries reuse the part-value exchange") {
+    val df = Tpch.queries("t21_value_concentration")(spark, sf)
+    df.collect() // AQE decides reuse at materialization
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"t21: scalar subqueries re-aggregated lineitem instead of sharing pv:\n$p")
+  }
+
+  test("t22: selective predicates on both fact scans; top-20 is a heap") {
+    val p = plan("t22_returned_revenue")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"t22: returnflag not pushed to the lineitem scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"t22: date window not pushed to the orders scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"t22: no top-k operator:\n$p")
+  }
+
+  test("t23: both priority classes come from ONE pass (single join, partial agg)") {
+    val p = plan("t23_priority_classes")
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      s"t23: conditional agg re-scanned a table:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"t23: no partial aggregation:\n$p")
   }
 
   test("t16: NOT IN plans as a NULL-AWARE anti join, distinct-count is two-phase") {
