@@ -481,6 +481,28 @@ object Dedup {
         expr("1000000 DIV cluster_size").as("weight_ppm"))
   }
 
+  /** d16 — RETENTION policy over the d7 clusters: per near-dup cluster,
+    * keep the LONGEST member (ties to the lowest doc_id). This is the
+    * decision the whole dedup family exists to feed — which physical row
+    * survives into the training mix — and the policy is a one-pass
+    * partial-aggregable fold over the memoized label frame: `max(struct(
+    * n_chars, -doc_id))` is associative, so map-side combine reduces
+    * each cluster to one candidate per partition and the shuffle moves
+    * |clusters| rows, never |docs|. (A window row_number would sort
+    * every cluster's members instead — same answer, needless per-group
+    * sort at 100 TB.) The negated doc_id makes the lexicographic struct
+    * max realize "max length, then MIN id" with no second pass.
+    */
+  def retentionPolicy(spark: SparkSession, sfDir: String): DataFrame =
+    dedupClusters(spark, sfDir)
+      .join(docs(spark, sfDir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("canonical"), col("n_members"),
+        (-col("best.neg_id")).as("kept_doc_id"),
+        col("best.n_chars").as("kept_n_chars"))
+
   /** Connected components over an arbitrary undirected pair frame —
     * the shared engine of d7 (text near-dup clusters) and d9 (embedding
     * near-dup clusters). `pairs(aCol, bCol)` are the edges; every id in
@@ -1076,7 +1098,8 @@ object Dedup {
     "d14_containment" -> (containment _),
     "d15_span_coverage" -> (spanCoverage _),
     "c11_leakage_split" -> (leakageSplit _),
-    "c13_cluster_weights" -> (clusterWeights _)
+    "c13_cluster_weights" -> (clusterWeights _),
+    "d16_retention" -> (retentionPolicy _)
   )
 
   // ---- oracle SQL -------------------------------------------------------
@@ -1307,6 +1330,20 @@ object Dedup {
          |SELECT doc_id, canonical, cluster_size,
          |  1000000 // cluster_size AS weight_ppm
          |FROM clusters JOIN sizes USING (canonical)""".stripMargin,
+    "d16_retention" ->
+      s"""WITH clusters AS ($d7Sql),
+         |j AS (
+         |  SELECT c.doc_id, c.canonical, d.n_chars
+         |  FROM clusters c JOIN documents d USING (doc_id)),
+         |m AS (
+         |  SELECT canonical, CAST(count(*) AS BIGINT) AS n_members,
+         |    max(n_chars) AS mx
+         |  FROM j GROUP BY canonical)
+         |SELECT m.canonical, m.n_members,
+         |  CAST(min(j.doc_id) AS BIGINT) AS kept_doc_id,
+         |  CAST(m.mx AS BIGINT) AS kept_n_chars
+         |FROM m JOIN j ON j.canonical = m.canonical AND j.n_chars = m.mx
+         |GROUP BY m.canonical, m.n_members, m.mx""".stripMargin,
     "c11_leakage_split" ->
       s"""WITH clusters AS ($d7Sql)
          |SELECT doc_id, canonical,

@@ -356,7 +356,53 @@ object Similarity {
     topkOut(reranked, 3)
   }
 
+  /** s10 — one EXACT Lloyd reassignment step (the k-means E-step that
+    * SemDeDup-style semantic dedup and IVF index maintenance both sit
+    * on): every vector moves to its nearest current centroid. The whole
+    * step runs in integer arithmetic so the argmin is engine-portable:
+    * vectors floor-quantize to a 1e-7 grid (s4's discipline), centroids
+    * are the INTEGER-DIVIDED per-dim means (`S div n` — Spark's `div`
+    * and DuckDB's `//` both truncate toward zero, verified on negative
+    * operands), and the squared distance `Σ(q_d − c_d)²` stays in longs
+    * (|q| ≤ 1e7, 64 dims → ≤ 3e16 ≪ 2⁶³). A double-valued distance
+    * would make ties and last-ulp orderings engine-dependent — the same
+    * argmin instability the IVF family's fixed-point centroids exist to
+    * kill. Plan shape at 100 TB: centroids are k×64 rows — a genuinely
+    * FIXED-size broadcast (k never scales with corpus) — so the
+    * assignment is one scan of the vector table, no shuffle at all; the
+    * new-label histogram is a k-row aggregate. The driver-visible
+    * output keeps one row per vector (vec_id, old/new label, moved,
+    * exact integer distance) — the frame a full k-means loop would feed
+    * back into s4.
+    */
+  def kmeansStep(spark: SparkSession, sfDir: String): DataFrame = {
+    val quant = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT))")
+          .as("qv"))
+    // integer centroids: per-(label, dim) long sums, truncated division
+    val cents = quant
+      .select(col("label").as("clabel"), posexplode(col("qv")).as(Seq("dim", "q")))
+      .groupBy(col("clabel"), col("dim"))
+      .agg(expr("sum(q) div count(1)").as("cq"))
+      .groupBy("clabel")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cq")))),
+        s => s.getField("cq")).as("cv"))
+    quant.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        expr("aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+          .as("dist"))
+      .groupBy(col("vec_id"), col("label"))
+      // lexicographic struct min = nearest centroid, ties to lowest label
+      .agg(min(struct(col("dist"), col("clabel"))).as("best"))
+      .select(col("vec_id"), col("label").as("old_label"),
+        col("best.clabel").cast("int").as("new_label"),
+        (col("best.clabel") =!= col("label")).as("moved"),
+        col("best.dist").as("dist_sq_q"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s10_kmeans_step" -> (kmeansStep _),
     "s1_brute_topk" -> (bruteTopk _),
     "s2_ivf_topk" -> (ivfTopk _),
     "s3_lsh_topk" -> (lshTopk _),
@@ -431,6 +477,32 @@ object Similarity {
          |SELECT cand.query_id, cand.neighbor_id, $cosSql AS cos_raw
          |FROM cand JOIN ev e ON e.vec_id = cand.neighbor_id
          |          JOIN (SELECT vec_id, v AS qv FROM ev) q ON q.vec_id = cand.query_id""".stripMargin, 3),
+    "s10_kmeans_step" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, label, t.i AS dim, qv[t.i + 1] AS qd
+        |  FROM q, range(64) t(i)),
+        |c AS (
+        |  SELECT label AS clabel, dim,
+        |    CAST(sum(qd) AS BIGINT) // CAST(count(*) AS BIGINT) AS cq
+        |  FROM e GROUP BY label, dim),
+        |cv AS (SELECT clabel, list(cq ORDER BY dim) AS cv FROM c GROUP BY clabel),
+        |d AS (
+        |  SELECT q.vec_id, q.label, cv.clabel,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS BIGINT) AS dist
+        |  FROM q CROSS JOIN cv),
+        |best AS (
+        |  SELECT vec_id, label, clabel, dist,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rk
+        |  FROM d)
+        |SELECT vec_id, label AS old_label, CAST(clabel AS INTEGER) AS new_label,
+        |  clabel <> label AS moved, dist AS dist_sq_q
+        |FROM best WHERE rk = 1""".stripMargin,
     "s4_ivf_centroids" ->
       """SELECT label, CAST(t.i AS INTEGER) AS dim,
         |  CAST(sum(CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)

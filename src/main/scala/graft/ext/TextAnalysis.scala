@@ -232,6 +232,39 @@ object TextAnalysis {
     * the oracle hash-matches. Top-20 with a total tie-break order plans
     * as TakeOrderedAndProject.
     */
+  /** x25 — collocation mining by LIFT (the PMI ranking without the log):
+    * word pairs that co-occur far more than their marginals predict —
+    * the phrase/term-of-art detector a tokenizer-vocab or quality
+    * pipeline runs over a corpus. lift = P(w1,w2)/(P(w1)·P(w2)) =
+    * c12·N/(c1·c2), monotone in PMI (log of it), so ranking by
+    * integer-ppm lift orders pairs identically to PMI while never
+    * touching libm — the cross-engine hash trap x15 documents. The
+    * multiply runs in DECIMAL(38,0) (c12·N·1e6 brushes the long range
+    * around sf1; the oracle's HUGEINT matches — DuckDB's decimal `//`
+    * routes through a double and drops ulps past 2⁵³, t19's lesson).
+    * One pass over the memoized gram base builds all three count frames
+    * with map-side partials; the min-support gate (c12 ≥ 5) shrinks the
+    * pair frame BEFORE the marginal joins, and the grand total rides a
+    * one-row broadcast. Top-50 under a total order → TakeOrderedAndProject.
+    */
+  def collocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val bi = gramBase(spark, sfDir).filter(col("w2").isNotNull)
+      .select(col("w1"), col("w2"))
+    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 5)
+    val left = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val right = bi.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val n = bi.agg(count(lit(1)).as("n_bigrams"))
+    big.join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        expr("""CAST((CAST(c12 AS DECIMAL(38,0)) * n_bigrams * 1000000)
+               |     div (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)""".stripMargin)
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   def bigramStats(spark: SparkSession, sfDir: String): DataFrame = {
     val bi = gramBase(spark, sfDir).filter(col("w2").isNotNull)
     val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
@@ -314,6 +347,7 @@ object TextAnalysis {
     "x6_subtoken_count" -> (subtokenCount _),
     "x10_tfidf_terms" -> (tfidfTopTerms _),
     "x11_bigram_stats" -> (bigramStats _),
+    "x25_collocations" -> (collocations _),
     "x15_lm_score" -> (lmScore _)
   )
 
@@ -404,6 +438,22 @@ object TextAnalysis {
          |      AS rank
          |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
          |WHERE rank <= 5""".stripMargin,
+    "x25_collocations" ->
+      s"""WITH d AS (SELECT doc_id, ${tokensSql("text")} AS ws FROM documents),
+         |bi AS (
+         |  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+         |         unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+         |  FROM d),
+         |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |        FROM bi GROUP BY w1, w2 HAVING count(*) >= 5),
+         |l AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY w1),
+         |r AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY w2),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bi)
+         |SELECT big.w1, big.w2, c12, c1, c2,
+         |  CAST((CAST(c12 AS HUGEINT) * nb * 1000000)
+         |       // (CAST(c1 AS HUGEINT) * c2) AS BIGINT) AS lift_ppm
+         |FROM big JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+         |ORDER BY lift_ppm DESC, w1, w2 LIMIT 50""".stripMargin,
     "x11_bigram_stats" ->
       s"""WITH d AS (SELECT doc_id, ${tokensSql("text")} AS ws FROM documents),
          |bi AS (

@@ -418,6 +418,23 @@ class DedupSpec extends SparkSpec {
     assert(sizes.values.exists(_ > 1), "no nontrivial cluster — test is vacuous")
   }
 
+  test("d16: keeps the longest member of every cluster, ties to lowest id") {
+    val labels = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chars = graft.Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = labels.groupBy(_._2).map { case (canon, ms) =>
+      val members = ms.keys.toSeq
+      val kept = members.minBy(id => (-chars(id), id))
+      canon -> (members.size.toLong, kept, chars(kept))
+    }
+    val got = Dedup.retentionPolicy(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect)
+    // retention must cover every document exactly once across clusters
+    assert(got.values.map(_._1).sum == chars.size)
+  }
+
   test("c11: no near-dup pair straddles the train/valid/test split") {
     val split = Dedup.leakageSplit(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap

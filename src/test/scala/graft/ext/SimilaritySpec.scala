@@ -204,6 +204,47 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("s10: reassignment matches a driver-side brute force; objective never increases") {
+    val out = Similarity.kmeansStep(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getBoolean(3), r.getLong(4)))
+      .toMap
+    // brute-force recompute in plain Scala: quantize, integer centroids,
+    // exact long distances, argmin with (dist, label) tiebreak
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS qv")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    val cents = vecs.groupBy(_._2).map { case (l, vs) =>
+      l -> Array.tabulate(64)(d => vs.map(_._3(d)).sum / vs.length)
+    }
+    def dist(q: Array[Long], c: Array[Long]): Long =
+      (0 until 64).map(d => (q(d) - c(d)) * (q(d) - c(d))).sum
+    for ((id, old, qv) <- vecs) {
+      val (bd, bl) = cents.map { case (l, c) => (dist(qv, c), l) }.min
+      val (gotOld, gotNew, gotMoved, gotDist) = out(id)
+      assert(gotOld == old && gotNew == bl && gotDist == bd,
+        s"vec $id: got ($gotNew, $gotDist) expected ($bl, $bd)")
+      assert(gotMoved == (bl != old))
+      // the Lloyd invariant that makes the loop converge: a step never
+      // increases any vector's distance to its assigned centroid
+      assert(bd <= dist(qv, cents(old)), s"vec $id: objective increased")
+    }
+    assert(out.size == vecs.length)
+  }
+
+  test("s10: centroids broadcast; the vector table is scanned once, shuffled never") {
+    val p = Similarity.kmeansStep(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"s10: k-row centroid frame not broadcast:\n$p")
+    // the assignment side must not exchange on anything corpus-sized
+    // except the final per-vector argmin aggregation
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.forall(e => e.contains("vec_id") || e.contains("clabel") || e.contains("dim")),
+      s"s10: unexpected exchange:\n$p")
+  }
+
   test("query set broadcasts; the vector scan is never shuffled (s1)") {
     val p = Similarity.bruteTopk(spark, sf).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

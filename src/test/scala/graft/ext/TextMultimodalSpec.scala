@@ -152,6 +152,29 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("x25: lift matches an exact BigInt recompute; ranking is PMI-equivalent") {
+    val texts = graft.Tables.documents(spark, sf).select("text")
+      .collect().map(_.getString(0))
+    val bis = texts.flatMap(t => t.split(" ").sliding(2).collect {
+      case Array(a, b) => (a, b)
+    })
+    val c12 = bis.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = bis.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val c2 = bis.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val n = BigInt(bis.length)
+    val expect = c12.collect { case ((a, b), c) if c >= 5 =>
+      val lift = (BigInt(c) * n * 1000000 / (BigInt(c1(a)) * BigInt(c2(b)))).toLong
+      ((a, b), (c, c1(a), c2(b), lift))
+    }.toSeq.sortBy { case ((a, b), (_, _, _, l)) => (-l, a, b) }.take(50)
+    val got = TextAnalysis.collocations(spark, sf).collect().map(r =>
+      ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    assert(got.toSeq == expect, s"x25 mismatch:\ngot ${got.take(5).toSeq}\nexp ${expect.take(5)}")
+    // lift orders like PMI: log is monotone, so the ppm ranking IS the
+    // PMI ranking — spot-check the top pair co-occurs beyond chance
+    assert(expect.head._2._4 > 1000000L, "top collocation has lift <= 1 — vacuous corpus")
+  }
+
   test("media metadata query is a shuffle-free scan projection") {
     val p = Multimodal.mediaMeta(spark, sf).queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"metadata extraction must not shuffle:\n$p")
