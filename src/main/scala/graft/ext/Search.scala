@@ -457,16 +457,30 @@ object Search {
     * pair of distinct customer names at Levenshtein distance exactly 1 —
     * the near-identical-entity discovery step of a dedup/merge pass over
     * an entity table. Same SymSpell shape as x18, turned into a
-    * self-join: each name posts under its deletion neighborhood,
+    * self-join: each name posts under its deletion neighborhood and
     * candidates materialize only where a variant key collides
-    * (`name_a < name_b` halves the frame and kills self-matches),
-    * DISTINCT collapses multi-variant collisions BEFORE the exact
-    * confirm. The |entities|² distance matrix never exists — the oracle
-    * states exactly that brute force, which doubles as a completeness
-    * proof for the blocking (deletion neighborhoods cover delete/insert/
-    * substitute at distance 1). At 100 TB the variant posting table is
-    * |entities|×(len+1) short strings — linear, shuffled on the variant
-    * key; within-variant pair counts follow real name collisions, not
+    * (`name_a < name_b` halves the frame and kills self-matches). The
+    * |entities|² distance matrix never exists — the oracle states
+    * exactly that brute force, which doubles as a completeness proof
+    * for the blocking (deletion neighborhoods cover delete/insert/
+    * substitute at distance 1).
+    *
+    * Three constant-factor choices that matter when the hub variants
+    * get hot (names with runs of equal characters — zero-padded ids —
+    * share deletion variants with dozens of siblings):
+    *   - the join key is `xxhash64(variant)` — an 8-byte shuffle key
+    *     instead of a near-name-length string. A hash collision can only
+    *     MERGE buckets, i.e. ADD candidates, and every candidate passes
+    *     the exact confirm — completeness is unaffected;
+    *   - postings dedupe per (name, key) BEFORE the join: deleting any
+    *     char of an equal-char run yields the same variant, and those
+    *     duplicates would multiply out quadratically inside hub buckets;
+    *   - the exact confirm runs BEFORE the pair-level DISTINCT, with a
+    *     BANDED levenshtein (threshold 1 → O(len) per pair, not O(len²)):
+    *     the filter kills ~all hub candidates, so the distinct collapses
+    *     a survivor set instead of shuffling the full candidate frame.
+    * At 100 TB the variant posting table stays |entities|×(len+1) rows —
+    * linear; within-variant pair counts follow real name collisions, not
     * table size.
     */
   def fuzzyNameJoin(spark: SparkSession, sfDir: String): DataFrame = {
@@ -474,12 +488,13 @@ object Search {
       .select(col("c_name").as("name")).distinct()
     val postings = names
       .select(col("name"), explode(delVariants(col("name"))).as("variant"))
+      .select(col("name"), xxhash64(col("variant")).as("vk"))
+      .distinct()
     val cand = postings.alias("a")
       .join(postings.alias("b"),
-        col("a.variant") === col("b.variant") && col("a.name") < col("b.name"))
+        col("a.vk") === col("b.vk") && col("a.name") < col("b.name"))
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
-      .distinct()
-    cand.filter(levenshtein(col("name_a"), col("name_b")) === 1)
+    cand.filter(expr("levenshtein(name_a, name_b, 1) = 1")).distinct()
   }
 
   val queries: Map[String, Q] = Map(
