@@ -13,27 +13,26 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark does
-    * not read natively. Read it as a nanosecond long and truncate to a
-    * microsecond timestamp — the same floor-truncation DuckDB applies when
-    * casting TIMESTAMP_NS to TIMESTAMP, so the oracle stays value-identical
-    * (oracle SQL uses `CAST(ts AS TIMESTAMP)`). The conf is set at read
-    * time so the query works under any caller-provided session.
+  /** `events.ts` is stored as parquet `timestamp[us]` without UTC
+    * adjustment, which Spark 4 reads as TIMESTAMP_NTZ. Most datetime
+    * functions (`unix_micros`, `window`, …) take TIMESTAMP, so the
+    * canonical reader casts to it — exact under the project-wide UTC
+    * session timezone (same microsecond value, and DuckDB's naive
+    * TIMESTAMP sees the identical wall time, so oracle
+    * `CAST(ts AS TIMESTAMP)` stays identity).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
     eventsRaw(spark, sfDir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
 
-  /** Events with `ts` still the raw parquet nanosecond long. Time-range
-    * operators filter HERE before the timestamp rewrite: a predicate on
-    * the raw column reaches the parquet scan as a pushed filter (rowgroup
-    * min/max skipping), which a predicate on the derived timestamp never
-    * can.
+  /** Events with `ts` as the raw stored TIMESTAMP_NTZ. Time-range
+    * operators filter HERE before the cast: a predicate on the stored
+    * column (against a TIMESTAMP_NTZ literal, e.g. `lit(LocalDateTime)`)
+    * reaches the parquet scan as a pushed filter (rowgroup min/max
+    * skipping), which a predicate on the cast column never can.
     */
-  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "events")
-  }
   def customer(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "customer")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")

@@ -87,14 +87,16 @@ object Dashboards {
 
   /** One keyset page of the event log: the rows strictly after the
     * `(ts, event_id)` cursor in (ts desc, id desc) order. `events` must
-    * carry the RAW nanosecond `ts` — against a literal cursor the OR
-    * predicate is sargable and reaches the parquet scan as a pushed
-    * filter (rowgroup min/max skipping past the cursor), which is the
-    * entire point of search_after.
+    * carry the RAW stored TIMESTAMP_NTZ `ts` — against an NTZ literal
+    * cursor the OR predicate is sargable and reaches the parquet scan as
+    * a pushed filter (rowgroup min/max skipping past the cursor), which
+    * is the entire point of search_after.
     */
-  def keysetPage(events: DataFrame, cTs: Long, cId: Long, k: Int = 10): DataFrame =
+  def keysetPage(events: DataFrame, cTs: java.time.LocalDateTime, cId: Long,
+                 k: Int = 10): DataFrame =
     events
-      .filter(col("ts") < cTs || (col("ts") === cTs && col("event_id") < cId))
+      .filter(col("ts") < lit(cTs) ||
+        (col("ts") === lit(cTs) && col("event_id") < cId))
       .orderBy(col("ts").desc, col("event_id").desc)
       .limit(k)
 
@@ -121,7 +123,7 @@ object Dashboards {
       .orderBy(col("ts").desc, col("event_id").desc)
       .limit(10)
       .select(col("user_id"), col("event_id"),
-        expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("ts").cast("timestamp").as("ts"),
         col("event_type"), col("value"))
   }
 
@@ -161,9 +163,8 @@ object Dashboards {
          |SELECT * FROM (
          |  SELECT 'recent', CAST(user_id AS VARCHAR), event_id
          |  FROM v ORDER BY ts DESC, event_id DESC LIMIT 10)""".stripMargin,
-    // cursor + comparisons on the raw TIMESTAMP_NS column (exact
-    // nanosecond order, matching Spark's raw-long path); only the
-    // OUTPUT truncates to microseconds
+    // cursor + comparisons on the stored microsecond column (exactly
+    // the order Spark's raw NTZ path compares)
     "q5_search_after" ->
       """WITH cur AS (
         |  SELECT ts AS c_ts, event_id AS c_id FROM events

@@ -128,18 +128,16 @@ object CdcQueries {
     * The event log IS the history — any past state is a filter away
     * (the batch counterpart of [[graft.ext.Temporal.scd2History]], which
     * materializes ALL states as intervals). The cutoff compares the RAW
-    * nanosecond column, before the timestamp rewrite, so it reaches the
-    * parquet scan as a pushed filter and the rebuild reads only the
-    * prefix's rowgroups — a predicate on the derived timestamp could
-    * never push. (µs-truncation can't change the comparison: the cutoff
-    * is microsecond-aligned.)
+    * stored TIMESTAMP_NTZ column against an NTZ literal, before the
+    * canonical TIMESTAMP cast, so it reaches the parquet scan as a
+    * pushed filter and the rebuild reads only the prefix's rowgroups —
+    * a predicate on the cast column could never push.
     */
   def snapshotAsof(spark: SparkSession, sfDir: String): DataFrame = {
-    val cutoffNanos = java.time.LocalDateTime.parse("2024-01-10T00:00:00")
-      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    val cutoff = java.time.LocalDateTime.parse("2024-01-10T00:00:00")
     Materialize.customerView(Tables.eventsRaw(spark, sfDir)
-      .filter(col("ts") < cutoffNanos)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      .filter(col("ts") < lit(cutoff))
+      .withColumn("ts", col("ts").cast("timestamp")))
   }
 
   /** O15 — schema enforcement + dead-letter routing: the wire is parsed
@@ -326,20 +324,17 @@ object CdcQueries {
     * kind of replay).
     *
     * Shape: two cutoff-filtered materializations (each cutoff pushes into
-    * the scan as a raw-nanos predicate, rowgroup-prunable — see
+    * the scan as an NTZ predicate, rowgroup-prunable — see
     * [[snapshotAsof]]) feeding one FULL OUTER join on the key. Both sides
     * hash-partition on `user_id` for their latest-per-key window, and the
     * join reuses that co-partitioning — at 100 TB: two pruned scans, two
     * narrow shuffles, no extra exchange for the join.
     */
   def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
-    def snap(cutoff: String): DataFrame = {
-      val cutoffNanos = java.time.LocalDateTime.parse(cutoff)
-        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    def snap(cutoff: String): DataFrame =
       Materialize.customerView(Tables.eventsRaw(spark, sfDir)
-        .filter(col("ts") < cutoffNanos)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
-    }
+        .filter(col("ts") < lit(java.time.LocalDateTime.parse(cutoff)))
+        .withColumn("ts", col("ts").cast("timestamp")))
     val s1 = snap("2024-01-10T00:00:00")
       .select(col("user_id"), col("event_id").as("old_seq"))
     val s2 = snap("2024-01-20T00:00:00")
@@ -360,19 +355,20 @@ object CdcQueries {
     * materializes per-key state can measure it from the data). The
     * stream-head watermark is a one-row global aggregate joined back as
     * a broadcast literal (never a per-row re-aggregation); lag math is
-    * exact integer NANOS on the raw parquet column — the per-key max
-    * and the global max ride one shuffle on user_id + one tiny rollup.
+    * exact integer MICROS (the column's stored precision) — the per-key
+    * max and the global max ride one shuffle on user_id + one tiny
+    * rollup.
     */
   def replicationLag(spark: SparkSession, sfDir: String): DataFrame = {
-    val perKey = Tables.eventsRaw(spark, sfDir)
-      .groupBy("user_id").agg(max("ts").as("key_ts"))
+    val perKey = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(max(unix_micros(col("ts"))).as("key_ts"))
     val head = perKey.agg(max("key_ts").as("head_ts"))
     perKey.join(broadcast(head))
       // integer DIV, never `/`: long `/` promotes to double, and a
       // quotient landing on an hour boundary can round to x.9999…,
       // flooring into the wrong band vs the oracle's exact `//`
       .withColumn("lag_hours",
-        expr("(head_ts - key_ts) DIV 3600000000000"))
+        expr("(head_ts - key_ts) DIV 3600000000"))
       .groupBy("lag_hours")
       .agg(count(lit(1)).as("n_keys"))
   }
@@ -437,10 +433,10 @@ object CdcQueries {
   val oracle: Map[String, String] = Map(
     "o23_replication_lag" ->
       """WITH perkey AS (
-        |  SELECT user_id, max(epoch_ns(ts)) AS key_ts
+        |  SELECT user_id, max(epoch_us(CAST(ts AS TIMESTAMP))) AS key_ts
         |  FROM events GROUP BY user_id),
         |h AS (SELECT max(key_ts) AS head_ts FROM perkey)
-        |SELECT (h.head_ts - p.key_ts) // 3600000000000 AS lag_hours,
+        |SELECT (h.head_ts - p.key_ts) // 3600000000 AS lag_hours,
         |  count(*) AS n_keys
         |FROM perkey p CROSS JOIN h
         |GROUP BY 1""".stripMargin,

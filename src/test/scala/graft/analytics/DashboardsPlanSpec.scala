@@ -38,12 +38,15 @@ class DashboardsPlanSpec extends SparkSpec {
     val raw = graft.Tables.eventsRaw(spark, sf)
       .select("user_id", "event_id", "ts", "event_type", "value")
     // a literal cursor (what a real search_after client sends): mid-range
-    val mid = raw.agg(expr("percentile_approx(ts, 0.5, 100)")).head().getLong(0)
+    val mid = raw.agg(expr("percentile_approx(ts, 0.5, 100)")).head()
+      .getAs[java.time.LocalDateTime](0)
     val page = Dashboards.keysetPage(raw, mid, 5000L)
     val p = page.queryExecution.executedPlan.toString
     // the OR-of-comparisons keyset predicate reaches the parquet scan —
     // rowgroup min/max skip everything past the cursor
-    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p).map(_.group(1))
+    // no closing-] in the pattern: Spark truncates long filter lists
+    // with "..." before the bracket ever prints
+    val pushed = "PushedFilters: \\[([^\\]\n]*)".r.findFirstMatchIn(p).map(_.group(1))
     assert(pushed.exists(f => f.contains("Or(") && f.contains("LessThan(ts")),
       s"keyset predicate not pushed: $pushed\n$p")
     // and the page itself is a bounded top-k, never a global sort
