@@ -486,9 +486,19 @@ object Search {
   def fuzzyNameJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val names = graft.Tables.customer(spark, sfDir)
       .select(col("c_name").as("name")).distinct()
+    // The explicit fixed-width repartition on the JOIN key carries the
+    // whole pipeline: AQE coalesces exchanges by BYTE size, and this
+    // frame is byte-tiny but CPU-dense (19-way explode, hashing, ~1M
+    // levenshtein confirms) — left to AQE it collapses to one task and
+    // runs single-threaded. Partitioning by vk is also exactly what the
+    // dedup (keys ⊇ vk) and the self-join (key = vk) require, so this
+    // is the ONLY exchange in the query — the join consumes it twice as
+    // a ReusedExchange. 3-4x at sf0.1; at 100 TB byte volume forces the
+    // fan-out anyway and the single explicit shuffle remains the floor.
     val postings = names
       .select(col("name"), explode(delVariants(col("name"))).as("variant"))
       .select(col("name"), xxhash64(col("variant")).as("vk"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("vk"))
       .distinct()
     val cand = postings.alias("a")
       .join(postings.alias("b"),

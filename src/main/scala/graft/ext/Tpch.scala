@@ -576,7 +576,63 @@ object Tpch {
       .orderBy(col("l_linestatus"))
   }
 
+  /** t24 — forecast revenue change (TPC-H Q6 shape): the revenue a
+    * blanket discount cut would have given up — one scan, zero joins.
+    * The archetype of predicate pushdown: all three conjuncts (date
+    * range, discount band, quantity cap) are sargable and reach the
+    * parquet scan as PushedFilters, so at 100 TB the stage reads only
+    * rowgroups whose min/max straddle the window; the plan is
+    * scan → partial sum → one-row gather, the cheapest shape a query
+    * can have (plan-asserted in `TpchPlanSpec`). The discount band
+    * compares the stored doubles against the same double literals on
+    * both engines — no re-rounding on either side.
+    */
+  def forecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1998-01-01") &&
+        col("l_shipdate") < lit("1999-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(dec("l_extendedprice") * dec("l_discount"))
+          .cast("double").as("forecast_revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** t25 — promotion effect (TPC-H Q14 shape): the share of one month's
+    * discounted revenue that came from promoted parts, as exact
+    * parts-per-million (t19's portability discipline — a double ratio's
+    * last-ulp rounding could flip the final digit between engines).
+    * Revenue is decomposed into two EXACT integer factors — price in
+    * ten-thousandths and (1−discount) in ten-thousandths, each a
+    * scale-4 decimal times 10⁴ so the cast to integer drops nothing —
+    * multiplied in DECIMAL(38,0)/HUGEINT where the product (≤10¹³ per
+    * row) and the monthly sum (≤10²² at sf100) both fit. At scale: the
+    * month predicate pushes to the lineitem scan FIRST, the part join
+    * is SF-scaling so it carries no static hint (AQE broadcasts the
+    * build side when it measures small), and p_type/p_partkey are the
+    * only part columns read.
+    */
+  def promoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val priceU = (dec("l_extendedprice") * lit(10000)).cast("decimal(38,0)")
+    val discU = ((lit(1).cast("decimal(18,4)") - dec("l_discount")) * lit(10000))
+      .cast("decimal(38,0)")
+    val rev8 = priceU * discU
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1998-09-01") &&
+        col("l_shipdate") < lit("1998-10-01"))
+      .join(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev8)
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("promo_u"),
+        sum(rev8).as("tot_u"))
+      .select(expr("CAST((promo_u * 1000000) div tot_u AS BIGINT)")
+        .as("promo_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t24_forecast_revenue" -> (forecastRevenue _),
+    "t25_promo_share" -> (promoShare _),
     "t18_shipping_priority" -> (shippingPriority _),
     "t19_market_share" -> (marketShare _),
     "t20_large_orders" -> (largeOrders _),
@@ -603,6 +659,28 @@ object Tpch {
   )
 
   val oracle: Map[String, String] = Map(
+    "t24_forecast_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS forecast_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "t25_promo_share" ->
+      """SELECT CAST((sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS HUGEINT) *
+        |         CAST((CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * 10000 AS HUGEINT)
+        |    ELSE CAST(0 AS HUGEINT) END) * 1000000)
+        |  // sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS HUGEINT) *
+        |        CAST((CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * 10000 AS HUGEINT))
+        |  AS BIGINT) AS promo_ppm
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-10-01 00:00:00'""".stripMargin,
     "t18_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *

@@ -204,6 +204,36 @@ class TpchPlanSpec extends SparkSpec {
       s"t23: no partial aggregation:\n$p")
   }
 
+  test("t24: all three conjuncts push to the scan; plan is scan->agg, no shuffle but the gather") {
+    val p = plan("t24_forecast_revenue")
+    // toString truncates the PushedFilters list, so assert each conjunct
+    // on the (untruncated) Filter node plus the pushdown list's head
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"t24: no pushed filters on the scan:\n$p")
+    for (f <- Seq(">= 1998-01-01", "< 1999-01-01", ">= 0.05", "<= 0.07",
+      "< 24.0"))
+      assert(p.contains(f), s"t24: conjunct $f missing from the filter:\n$p")
+    assert(!p.contains("Join"), s"t24: unexpected join:\n$p")
+    // single-row gather: exactly one exchange (the final SinglePartition)
+    assert("Exchange".r.findAllIn(p).size == 1 && p.contains("SinglePartition"),
+      s"t24: expected exactly the one-row gather exchange:\n$p")
+  }
+
+  test("t25: month window pushes to the fact scan; part scan reads two columns") {
+    val df = Tpch.queries("t25_promo_share")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"t25: month window not pushed to the lineitem scan:\n$p")
+    val partCols = "FileScan parquet \\[([^\\]]*)\\]".r.findAllMatchIn(p)
+      .map(_.group(1).split(",").map(_.trim.replaceAll("#\\d+L?$", "")).toSet)
+      .find(_.contains("p_type")).getOrElse(Set.empty[String])
+    assert(partCols == Set("p_partkey", "p_type"),
+      s"t25: part scan reads unexpected columns: $partCols\n$p")
+    // share must be integral division over exact decimals (t19 discipline)
+    assert(df.queryExecution.analyzed.toString.contains(" div "),
+      s"t25: share not integral division")
+  }
+
   test("t16: NOT IN plans as a NULL-AWARE anti join, distinct-count is two-phase") {
     val p = plan("t16_supplier_diversity")
     // BroadcastHashJoin ..., LeftAnti, BuildRight, true — the trailing
