@@ -59,11 +59,88 @@ object Pipeline {
         round(col("s") / col("denom") * 10000).cast("long").as("docs_per_10k"))
   }
 
+  /** p4 — token-budget WATER-FILLING across languages: allocate a total
+    * budget (80% of corpus chars — scale-invariant, and at this corpus's
+    * skew it saturates every low-resource language while clipping the
+    * dominant one, so both branches are exercised) giving every language
+    * min(cap, λ) with the water level λ set so allocations exhaust the
+    * budget. CLOSED FORM, no driver loop: caps sort ascending, the
+    * saturation predicate `cap·(remaining) ≤ budget − preceding` is
+    * monotone along that order, so one prefix-sum window finds the
+    * boundary and λ is a single integer division (+1-char remainders to
+    * the first few unsaturated, deterministic by the same order). The
+    * only corpus-sized work is the per-language cap rollup (map-side
+    * combined); the windows then run over the |langs|-row frame, whose
+    * single partition is EXPLICITLY bounded by the language count, never
+    * the corpus. All arithmetic integer → bit-identical across engines.
+    */
+  def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val caps = Tables.documents(spark, sfDir)
+      .groupBy("lang").agg(sum("n_chars").as("cap"))
+    val ord = Window.partitionBy(lit(1)).orderBy(col("cap"), col("lang"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+    caps
+      .withColumn("idx", row_number().over(ord))
+      .withColumn("prefix", sum("cap").over(run))
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("tot", sum("cap").over(all))
+      .withColumn("budget", expr("(tot * 4) DIV 5"))
+      .withColumn("saturated",
+        col("cap") * (col("m") - col("idx") + 1) <=
+          col("budget") - (col("prefix") - col("cap")))
+      .withColumn("k", sum(when(col("saturated"), 1L).otherwise(0L)).over(all))
+      .withColumn("sat_prefix",
+        max(when(col("saturated"), col("prefix")).otherwise(0L)).over(all))
+      .withColumn("alloc_chars", expr(
+        """CASE WHEN saturated THEN cap
+          |WHEN m = k THEN cap
+          |ELSE (budget - sat_prefix) DIV (m - k) +
+          |  CASE WHEN idx - k <= (budget - sat_prefix) % (m - k)
+          |       THEN 1 ELSE 0 END
+          |END""".stripMargin.replace("\n", " ")))
+      .select(col("lang"), col("cap").as("cap_chars"), col("budget"),
+        col("saturated"), col("alloc_chars"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p1_training_mix" -> (trainingMix _),
+    "p4_token_budget" -> (tokenBudget _),
     "p3_temperature_mix" -> (temperatureMix _))
 
   val oracle: Map[String, String] = Map(
+    "p4_token_budget" ->
+      """WITH caps AS (
+        |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS cap
+        |  FROM documents GROUP BY lang),
+        |w1 AS (
+        |  SELECT lang, cap,
+        |    row_number() OVER (ORDER BY cap, lang) AS idx,
+        |    sum(cap) OVER (ORDER BY cap, lang ROWS UNBOUNDED PRECEDING)
+        |      AS prefix,
+        |    count(*) OVER () AS m,
+        |    sum(cap) OVER () AS tot
+        |  FROM caps),
+        |w2 AS (
+        |  SELECT *, (tot * 4) // 5 AS budget,
+        |    cap * (m - idx + 1) <= (tot * 4) // 5 - (prefix - cap)
+        |      AS saturated
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT *,
+        |    sum(CASE WHEN saturated THEN 1 ELSE 0 END) OVER () AS k,
+        |    max(CASE WHEN saturated THEN prefix ELSE 0 END) OVER ()
+        |      AS sat_prefix
+        |  FROM w2)
+        |SELECT lang, cap AS cap_chars, CAST(budget AS BIGINT) AS budget,
+        |  saturated,
+        |  CAST(CASE WHEN saturated THEN cap WHEN m = k THEN cap
+        |    ELSE (budget - sat_prefix) // (m - k) +
+        |      CASE WHEN idx - k <= (budget - sat_prefix) % (m - k)
+        |           THEN 1 ELSE 0 END
+        |  END AS BIGINT) AS alloc_chars
+        |FROM w3""".stripMargin,
     "p1_training_mix" ->
       s"""WITH gated AS (
          |  SELECT doc_id, text FROM documents

@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -262,7 +262,35 @@ object Sessions {
       .agg(count(lit(1)).as("n_events"), sum("decayed").as("score_micro"))
   }
 
+  /** k10 — per-user z-score OUTLIER events (|value − µ| > 3σ against the
+    * user's own population), with NO square root and NO floating-point
+    * statistics: the z test cross-multiplies to
+    * `(n·v − S)² > 9·(n·Q − S²)` over exact integer micro-quantized
+    * values (S = Σv, Q = Σv²) — both sides are DECIMAL(38,0)/HUGEINT
+    * (S² ≈ 10²⁶ overflows a long), so the flag is bit-identical across
+    * engines where a sqrt/stddev formulation would hash-differ in the
+    * last ulp. Plan shape: partition-only window aggregates — ONE
+    * exchange on user_id and a per-partition sort, where the
+    * groupBy+self-join alternative shuffles the event frame twice.
+    */
+  def zscoreOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("v_micro"))
+    ev.withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(d(col("v_micro"))).over(w))
+      .withColumn("q", sum(d(col("v_micro")) * d(col("v_micro"))).over(w))
+      .withColumn("dev", d(col("n")) * d(col("v_micro")) - col("s"))
+      .filter(col("dev") * col("dev") >
+        lit(9) * (d(col("n")) * col("q") - col("s") * col("s")))
+      .select(col("user_id"), col("event_id"), col("v_micro"),
+        col("n").as("n_events"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "k10_zscore_outliers" -> (zscoreOutliers _),
     "k9_decay_score" -> (decayScore _),
     "k8_conversion_lag" -> (conversionLag _),
     "k7_transitions" -> (transitions _),
@@ -275,6 +303,20 @@ object Sessions {
   )
 
   val oracle: Map[String, String] = Map(
+    "k10_zscore_outliers" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS v_micro,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    sum(CAST(CAST(floor(value * 1000000) AS BIGINT) AS HUGEINT))
+        |      OVER (PARTITION BY user_id) AS s,
+        |    sum(CAST(CAST(floor(value * 1000000) AS BIGINT) AS HUGEINT) *
+        |        CAST(CAST(floor(value * 1000000) AS BIGINT) AS HUGEINT))
+        |      OVER (PARTITION BY user_id) AS q
+        |  FROM events)
+        |SELECT user_id, event_id, v_micro, CAST(n AS BIGINT) AS n_events
+        |FROM e
+        |WHERE (n * v_micro - s) * (n * v_micro - s) > 9 * (n * q - s * s)""".stripMargin,
     "k9_decay_score" ->
       """WITH e AS (
         |  SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us

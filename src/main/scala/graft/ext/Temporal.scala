@@ -149,6 +149,50 @@ object Temporal {
       .select(col("user_id"), col("day"), col("value").as("last_value"))
   }
 
+  /** a7 — resample to the daily grid with LINEAR INTERPOLATION (the
+    * `time_bucket_gapfill + interpolate` operator): per user and grid
+    * instant, the value interpolated between the last event at-or-before
+    * and the first event at-or-after; grid points outside the user's
+    * observed range drop (no anchor on one end). Both neighbor lookups
+    * are the SAME union+ordered-window as-of engine as a1/a6 (backward
+    * on µs, forward on the negated axis) — two key shuffles, never a
+    * range join. The slope term is exact integer arithmetic: values in
+    * micro-units, times in integer µs, the product in DECIMAL(38,0)
+    * (vµ·Δt ≈ 10²¹ overflows a long), and the division written with the
+    * sign PULLED OUT — Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors, and they differ exactly on negative
+    * numerators, so both engines only ever divide nonnegatives.
+    */
+  def resampleInterp(spark: SparkSession, sfDir: String): DataFrame = {
+    val instants = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("us"))
+      .agg(expr("max_by(value, event_id)").as("value"))
+      .select(col("user_id"), col("us"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("vu"))
+    val grid = Tables.events(spark, sfDir).select("user_id").distinct()
+      .select(col("user_id"), explode(expr(
+        "sequence(timestamp'2024-01-01 00:00:00'," +
+          " timestamp'2024-01-30 00:00:00', interval 1 day)")).as("day"))
+      .select(col("user_id"), col("day"), unix_micros(col("day")).as("us"))
+    val back = asofJoin(grid,
+      instants.select(col("user_id"), col("us"),
+        col("us").as("t0"), col("vu").as("v0")),
+      "user_id", "us", Seq("t0", "v0"), prefix = "")
+    val fwd = asofJoin(back.withColumn("nus", -col("us")),
+      instants.select(col("user_id"), (-col("us")).as("nus"),
+        col("us").as("t1"), col("vu").as("v1")),
+      "user_id", "nus", Seq("t1", "v1"), prefix = "")
+    fwd.filter(col("t0").isNotNull && col("t1").isNotNull)
+      .withColumn("interp_micro", expr(
+        """CASE WHEN t1 = t0 THEN v0
+          |ELSE v0 + CAST(CASE WHEN v1 >= v0
+          |  THEN (CAST(v1 - v0 AS DECIMAL(38,0)) * (us - t0)) div (t1 - t0)
+          |  ELSE -((CAST(v0 - v1 AS DECIMAL(38,0)) * (us - t0)) div (t1 - t0))
+          |END AS BIGINT) END""".stripMargin.replace("\n", " ")))
+      .select(col("user_id"), col("day"), col("t0"), col("t1"),
+        col("interp_micro"))
+  }
+
   /** a4 — OHLC DOWNSAMPLING: per (user, day) bars — open/close = value
     * at the first/last instant of the bar, high/low = extremes over all
     * events, volume = event count — the time-series rollup every
@@ -216,6 +260,7 @@ object Temporal {
 
   val queries: Map[String, Q] = Map(
     "a5_twa_bars" -> (twaBars _),
+    "a7_resample_interp" -> (resampleInterp _),
     "a1_asof_join" -> (asofClickPurchase _),
     "a2_scd2_history" -> (scd2History _),
     "a3_resample_ffill" -> (resampleFfill _),
@@ -224,6 +269,38 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    // backward neighbor via ASOF (>=), forward neighbor via the
+    // min-qualifying formulation (a6's pattern); interpolation restates
+    // the sign-split truncating division verbatim
+    "a7_resample_interp" ->
+      """WITH days AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+        |    TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS day),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |grid AS (SELECT user_id, day, epoch_us(day) AS us
+        |         FROM u CROSS JOIN days),
+        |inst AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ius,
+        |    CAST(round(arg_max(value, event_id) * 1000000) AS BIGINT) AS vu
+        |  FROM events GROUP BY user_id, epoch_us(CAST(ts AS TIMESTAMP))),
+        |b AS (
+        |  SELECT g.user_id, g.day, g.us, i.ius AS t0, i.vu AS v0
+        |  FROM grid g ASOF JOIN inst i
+        |    ON g.user_id = i.user_id AND g.us >= i.ius),
+        |f AS (
+        |  SELECT g.user_id, g.us, min(i.ius) AS t1
+        |  FROM grid g JOIN inst i
+        |    ON i.user_id = g.user_id AND i.ius >= g.us
+        |  GROUP BY g.user_id, g.us)
+        |SELECT b.user_id, b.day, b.t0, f.t1,
+        |  CASE WHEN f.t1 = b.t0 THEN b.v0
+        |  ELSE b.v0 + CAST(CASE WHEN i1.vu >= b.v0
+        |    THEN (CAST(i1.vu - b.v0 AS HUGEINT) * (b.us - b.t0)) // (f.t1 - b.t0)
+        |    ELSE -((CAST(b.v0 - i1.vu AS HUGEINT) * (b.us - b.t0)) // (f.t1 - b.t0))
+        |  END AS BIGINT) END AS interp_micro
+        |FROM b
+        |JOIN f ON f.user_id = b.user_id AND f.us = b.us
+        |JOIN inst i1 ON i1.user_id = b.user_id AND i1.ius = f.t1""".stripMargin,
     // DuckDB's ASOF is >= only, so the forward join states its
     // definition: the minimum qualifying purchase instant per click,
     // then the (pre-reduced, hence unique) row at that instant

@@ -178,4 +178,24 @@ class SessionsSpec extends SparkSpec {
       math.floor(v * 1000000).toLong / (1L << math.min(days, 20L))
     assert((0L to 25L).map(c).sliding(2).forall(w => w(0) >= w(1)))
   }
+
+  test("k10 outliers equal the brute-force |z| > 3 set, computed in BigInt") {
+    import org.apache.spark.sql.functions._
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val vs = es.map(e => BigInt(math.floor(e._3 * 1000000).toLong))
+      val n = BigInt(es.length); val s = vs.sum
+      val q = vs.map(x => x * x).sum
+      es.zip(vs).collect {
+        case ((_, id, _), v) if (n * v - s).pow(2) > 9 * (n * q - s * s) => id
+      }
+    }.toSet
+    val got = Sessions.zscoreOutliers(spark, sf).collect()
+      .map(_.getLong(1)).toSet
+    assert(expected.nonEmpty, "k10 threshold vacuous at test SF")
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
 }

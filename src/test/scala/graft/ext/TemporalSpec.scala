@@ -210,4 +210,52 @@ class TemporalSpec extends SparkSpec {
     // the left-join semantics to be exercised
     assert(got.exists(_._5.isDefined) && got.exists(_._5.isEmpty))
   }
+
+  test("a7 interpolation equals brute force; exact at event instants; bounded") {
+    import org.apache.spark.sql.functions._
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val inst = evs.groupBy(e => (e._1, e._2)).map { case ((u, us), es) =>
+      (u, us, math.round(es.maxBy(_._3)._4 * 1000000))
+    }.toSeq
+    val dayUs = 86400000000L
+    val day0 = java.time.LocalDateTime.parse("2024-01-01T00:00:00")
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    val grid = for {
+      u <- evs.map(_._1).distinct
+      d <- 0 until 30
+    } yield (u, day0 + d * dayUs)
+    def truncDiv(a: BigInt, b: BigInt): BigInt =
+      if (a.signum >= 0) a / b else -((-a) / b) // both engines' stated form
+    val expected = grid.flatMap { case (u, t) =>
+      val mine = inst.filter(_._1 == u)
+      val before = mine.filter(_._2 <= t)
+      val after = mine.filter(_._2 >= t)
+      if (before.isEmpty || after.isEmpty) None
+      else {
+        val (_, t0, v0) = before.maxBy(_._2)
+        val (_, t1, v1) = after.minBy(_._2)
+        val v = if (t1 == t0) BigInt(v0)
+          else BigInt(v0) + truncDiv(BigInt(v1 - v0) * BigInt(t - t0), BigInt(t1 - t0))
+        Some(((u, t), (t0, t1, v.toLong)))
+      }
+    }.toMap
+    val got = Temporal.resampleInterp(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getTimestamp(1).getTime * 1000L),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected,
+      s"missing=${(expected.toSet -- got.toSet).take(3)} extra=${(got.toSet -- expected.toSet).take(3)}")
+    // interpolated values stay inside [min(v0,v1), max(v0,v1)]
+    val instMap = inst.map(i => (i._1, i._2) -> i._3).toMap
+    got.foreach { case ((u, _), (t0, t1, v)) =>
+      val (v0, v1) = (instMap((u, t0)), instMap((u, t1)))
+      assert(v >= math.min(v0, v1) && v <= math.max(v0, v1),
+        s"interp $v outside [$v0,$v1] for user $u")
+    }
+    // a grid point landing exactly on an event instant returns its value
+    val exact = got.collect { case ((u, _), (t0, t1, v)) if t0 == t1 => (u, t0, v) }
+    exact.foreach { case (u, t0, v) => assert(v == instMap((u, t0))) }
+  }
 }
