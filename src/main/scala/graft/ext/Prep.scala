@@ -377,7 +377,28 @@ object Prep {
 
   // ---- registry ---------------------------------------------------------
 
+  /** c14 — K-ANONYMITY suppression audit: every document carries its
+    * quasi-identifier group size (here (lang, source) — the metadata a
+    * release would expose) and the keep/suppress decision for k = 5; a
+    * group smaller than k re-identifies its members by metadata alone,
+    * so those rows are marked for suppression before the corpus ships.
+    * Partition-only window (k10's shape): ONE exchange on the
+    * quasi-identifier, the count rides back to every member without a
+    * groupBy+re-join's second shuffle. The k literal is part of the
+    * output contract so downstream audits see which policy ran.
+    */
+  def kAnonymity(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy("lang", "source")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("group_n", count(lit(1)).over(w))
+      .select(col("doc_id"), col("lang"), col("source"), col("group_n"),
+        lit(k.toLong).as("k"),
+        (col("group_n") < k).as("suppress"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c14_k_anonymity" -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
     "c1_pii_scrub" -> (piiScrub _),
     "c2_contamination" -> (contamination _),
     "c3_seq_pack" -> (seqPack _),
@@ -454,6 +475,12 @@ object Prep {
   }
 
   val oracle: Map[String, String] = Map(
+    "c14_k_anonymity" ->
+      """SELECT doc_id, lang, source,
+        |  count(*) OVER (PARTITION BY lang, source) AS group_n,
+        |  CAST(5 AS BIGINT) AS k,
+        |  count(*) OVER (PARTITION BY lang, source) < 5 AS suppress
+        |FROM documents""".stripMargin,
     "c10_bpe_train" -> c10Sql,
     "c12_bpe_encode" -> c12Sql,
     "c1_pii_scrub" ->

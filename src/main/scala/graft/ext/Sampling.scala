@@ -329,7 +329,33 @@ object Sampling {
       col("n_rows"))
   }
 
+  /** r12 — per-GROUP exact median from the value HISTOGRAM, no per-group
+    * sort: document lengths are small integers, so the per-(lang, value)
+    * count frame is the sufficient statistic — the corpus-sized pass is
+    * one map-side-combined groupBy, and rank selection (lower median:
+    * the value where the running count first reaches ⌈n/2⌉) runs as a
+    * window over the HISTOGRAM frame, |langs|·|distinct lengths| rows.
+    * The contrast with a `row_number` median, which sorts every group's
+    * full membership, is the same global-sort-avoidance discipline as
+    * r10 — specialized to a bounded value domain, where it needs no
+    * refinement pass at all.
+    */
+  def groupMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val run = Window.partitionBy("lang").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("lang")
+    h.withColumn("cum", sum("c").over(run))
+      .withColumn("n_docs", sum("c").over(tot))
+      .withColumn("r", expr("(n_docs + 1) DIV 2"))
+      .filter(col("cum") >= col("r") && col("cum") - col("c") < col("r"))
+      .select(col("lang"), col("n_docs"), col("n_chars").as("median_chars"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "r12_group_median" -> (groupMedian _),
     "r1_hash_sample" -> (hashSample _),
     "r2_stratified_sample" -> (stratifiedSample _),
     "r3_mixture_summary" -> (mixtureSummary _),
@@ -347,6 +373,21 @@ object Sampling {
   private val gate = s"${tokenHashSql("CAST(doc_id AS VARCHAR)")} % 100"
 
   val oracle: Map[String, String] = Map(
+    "r12_group_median" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars, count(*) AS c
+        |  FROM documents GROUP BY lang, n_chars),
+        |w AS (
+        |  SELECT lang, n_chars, c,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS n_docs
+        |  FROM h)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  n_chars AS median_chars
+        |FROM w
+        |WHERE cum >= (n_docs + 1) // 2
+        |  AND cum - c < (n_docs + 1) // 2""".stripMargin,
     "r1_hash_sample" ->
       s"""SELECT doc_id, lang, source, n_chars
          |FROM documents WHERE $gate < 10""".stripMargin,

@@ -630,7 +630,53 @@ object Tpch {
         .as("promo_ppm"))
   }
 
+  /** t26 — min-cost supplier per part (TPC-H Q2 shape, partsupp-free:
+    * observed unit price from lineitem stands in for ps_supplycost):
+    * for each small part, the EUROPE supplier with the cheapest unit
+    * price. Q2's correlated min-subquery is decorrelated BY
+    * CONSTRUCTION: per-(part,supplier) cost aggregates once (map-side
+    * combined), and the per-part winner is a one-pass lexicographic
+    * `min(struct(cost, suppkey, name))` — associative, so it partial-
+    * aggregates; no per-part re-scan, no window sort. Ties break on the
+    * explicit suppkey field, never engine luck. Unit price is ONE IEEE
+    * division then floor — identical operands on both engines, then all
+    * integer. Scale: the region filter prunes supplier to 1/5 BEFORE
+    * the fact join (broadcast only nation/region, 25/5 rows fixed;
+    * supplier itself is SF-scaling → unhinted), and the top-100 is a
+    * TakeOrderedAndProject heap.
+    */
+  def minCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val eur = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val smallParts = Tables.part(spark, sfDir)
+      .filter(col("p_size") <= 5)
+      .select(col("p_partkey"), col("p_name"))
+    val cost = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("CAST(floor(l_extendedprice * 1000000 / l_quantity) AS BIGINT)")
+          .as("unit_micro"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min("unit_micro").as("cost_micro"))
+    cost.join(eur, col("l_suppkey") === col("s_suppkey"))
+      .join(smallParts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"))
+      .agg(min(struct(col("cost_micro"), col("s_suppkey"), col("s_name")))
+        .as("best"))
+      .select(col("p_partkey"), col("p_name"),
+        col("best.cost_micro").as("cost_micro"),
+        col("best.s_suppkey").as("s_suppkey"),
+        col("best.s_name").as("s_name"))
+      .orderBy(col("cost_micro"), col("p_partkey"))
+      .limit(100)
+  }
+
   val queries: Map[String, Q] = Map(
+    "t26_min_cost_supplier" -> (minCostSupplier _),
     "t24_forecast_revenue" -> (forecastRevenue _),
     "t25_promo_share" -> (promoShare _),
     "t18_shipping_priority" -> (shippingPriority _),
@@ -659,6 +705,34 @@ object Tpch {
   )
 
   val oracle: Map[String, String] = Map(
+    // the argmin is stated as its definition (min cost, then min
+    // suppkey among achievers) — provably equal to the struct-min
+    "t26_min_cost_supplier" ->
+      """WITH eur AS (
+        |  SELECT s_suppkey, s_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(floor(l_extendedprice * 1000000 / l_quantity) AS BIGINT))
+        |      AS cost_micro
+        |  FROM lineitem GROUP BY 1, 2),
+        |j AS (
+        |  SELECT c.l_partkey AS jpk, c.cost_micro, c.l_suppkey
+        |  FROM cost c JOIN eur e ON c.l_suppkey = e.s_suppkey),
+        |mc AS (SELECT jpk, min(cost_micro) AS c FROM j GROUP BY 1),
+        |w AS (
+        |  SELECT j.jpk, j.cost_micro, min(j.l_suppkey) AS s_suppkey
+        |  FROM j JOIN mc ON j.jpk = mc.jpk AND j.cost_micro = mc.c
+        |  GROUP BY 1, 2)
+        |SELECT w.jpk AS p_partkey, p.p_name, w.cost_micro, w.s_suppkey,
+        |  e.s_name
+        |FROM w
+        |JOIN part p ON w.jpk = p.p_partkey AND p.p_size <= 5
+        |JOIN eur e ON w.s_suppkey = e.s_suppkey
+        |ORDER BY w.cost_micro, p_partkey
+        |LIMIT 100""".stripMargin,
     "t24_forecast_revenue" ->
       """SELECT
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
