@@ -20,10 +20,19 @@ object Tables {
     * session timezone (same microsecond value, and DuckDB's naive
     * TIMESTAMP sees the identical wall time, so oracle
     * `CAST(ts AS TIMESTAMP)` stays identity).
+    *
+    * The NTZ->TIMESTAMP cast interprets the wall time in the SESSION
+    * timezone, so the conf is pinned here at read time — otherwise an
+    * external caller with a non-UTC session (e.g. the spark-shell path in
+    * SKILL.md) would get silently shifted epoch values in every
+    * unix_micros-based query (o22/o23, k9, a7) and diverge from the
+    * oracle, which always sees naive-UTC wall times.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     eventsRaw(spark, sfDir)
       .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+  }
 
   /** Events with `ts` as the raw stored TIMESTAMP_NTZ. Time-range
     * operators filter HERE before the cast: a predicate on the stored

@@ -383,10 +383,21 @@ object CdcQueries {
     * same single shuffle as o20), then a per-key rollup; skew stays in
     * exact integer microseconds on both engines.
     */
-  def orderAudit(spark: SparkSession, sfDir: String): DataFrame = {
+  def orderAudit(spark: SparkSession, sfDir: String): DataFrame =
+    orderAuditFrom(Tables.events(spark, sfDir))
+
+  /** Core of o22 over any (user_id, event_id, ts) frame — split out so the
+    * unit test can feed a synthetic stream with KNOWN inversions
+    * (`OrderAuditSpec`): the registry testdata happens to contain zero
+    * arrival-order inversions, so the audit emits EVERY key
+    * (n_inversions >= 0, a per-key health row) rather than filtering to
+    * inverted keys only — a filtered form would make the oracle
+    * comparison empty-vs-empty and prove nothing about the lag window.
+    */
+  def orderAuditFrom(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("event_id")
-    Tables.events(spark, sfDir)
+    events
       .select(col("user_id"), col("event_id"), col("ts"))
       .withColumn("p_ts", lag("ts", 1).over(w))
       .filter(col("p_ts").isNotNull)
@@ -396,7 +407,6 @@ object CdcQueries {
       .agg(count(lit(1)).as("n_steps"),
         sum(when(col("skew_us") > 0, 1L).otherwise(0L)).as("n_inversions"),
         greatest(max("skew_us"), lit(0L)).as("max_skew_us"))
-      .filter(col("n_inversions") > 0)
   }
 
   val queries: Map[String, Q] = Map(
@@ -452,8 +462,7 @@ object CdcQueries {
         |    AS n_inversions,
         |  greatest(max(skew_us), 0) AS max_skew_us
         |FROM steps WHERE skew_us IS NOT NULL
-        |GROUP BY user_id
-        |HAVING sum(CASE WHEN skew_us > 0 THEN 1 ELSE 0 END) > 0""".stripMargin,
+        |GROUP BY user_id""".stripMargin,
     "o01_cdc_scan" ->
       s"""SELECT event_id AS seq, user_id AS key, $opCase AS op,
          |  CAST(ts AS TIMESTAMP) AS ts, value, props

@@ -96,14 +96,17 @@ object Tpch {
         sum(dec("o_totalprice")).cast("double").as("total"))
       .orderBy(col("c_mktsegment"), col("o_orderpriority"))
 
-  /** Brand revenue with a selective dimension filter: the filter on the
-    * broadcast side prunes before the join, so the fact scan is joined
-    * against a handful of part keys.
+  /** Brand revenue with a selective dimension filter: the brand filter
+    * prunes `part` before the join, and the join is left UNHINTED — the
+    * filtered build side is a constant fraction (~2/25) of an SF-scaling
+    * table, so a static hint would force an OOM-sized broadcast at 100x
+    * scale. The size-based planner (or AQE at runtime) broadcasts exactly
+    * when the filtered frame actually fits.
     */
   def brandRevenue(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
-      .join(broadcast(Tables.part(spark, sfDir)
-        .filter(col("p_brand").isin("Brand#11", "Brand#22"))),
+      .join(Tables.part(spark, sfDir)
+        .filter(col("p_brand").isin("Brand#11", "Brand#22")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(sum(dec("l_extendedprice")).cast("double").as("revenue"),
@@ -195,11 +198,13 @@ object Tpch {
 
   /** t10 — disjunctive dimension predicate (TPC-H Q19 shape): revenue
     * under an OR of (brand, size-range, quantity-range) conjunctions.
-    * The part-side conjuncts prune the broadcast build side BEFORE the
-    * join (only rows satisfying SOME branch's brand+size survive), and
-    * the residual mixed predicate evaluates post-join inside codegen.
-    * The shape matters at scale because a naive engine evaluates the
-    * whole disjunction as a join filter against the full dimension.
+    * The part-side conjuncts prune the build side BEFORE the join (only
+    * rows satisfying SOME branch's brand+size survive), and the residual
+    * mixed predicate evaluates post-join inside codegen. The shape
+    * matters at scale because a naive engine evaluates the whole
+    * disjunction as a join filter against the full dimension. Like t5,
+    * the filtered `part` is a constant fraction of an SF-scaling table,
+    * so it is never statically hinted — size-based planning / AQE decide.
     */
   def disjunctiveRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val branch1 = col("p_brand") === "Brand#11" &&
@@ -207,9 +212,9 @@ object Tpch {
     val branch2 = col("p_brand") === "Brand#22" &&
       col("p_size").between(10, 30) && col("l_quantity").between(10, 35)
     Tables.lineitem(spark, sfDir)
-      .join(broadcast(Tables.part(spark, sfDir)
+      .join(Tables.part(spark, sfDir)
         .filter((col("p_brand") === "Brand#11" && col("p_size").between(1, 15)) ||
-          (col("p_brand") === "Brand#22" && col("p_size").between(10, 30)))),
+          (col("p_brand") === "Brand#22" && col("p_size").between(10, 30))),
         col("l_partkey") === col("p_partkey"))
       .filter(branch1 || branch2)
       .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec("l_discount")))

@@ -18,22 +18,24 @@ class TpchPlanSpec extends SparkSpec {
     }
   }
 
-  test("no STATIC broadcast hint on SF-scaling tables (customer/supplier)") {
-    // customer and supplier grow linearly with scale factor: a static
-    // broadcast() hint on either would OOM every executor at 100x scale.
-    // At test SF the size-based planner (or AQE) may still choose a
-    // runtime broadcast — that is fine and expected; what must never
-    // appear is a HINT that forces it regardless of size. A hinted
-    // subtree scanning customer/supplier necessarily carries the key
-    // attribute in its output, so detect it there.
+  test("no STATIC broadcast hint on ANY SF-scaling table, in ANY t-query") {
+    // customer/supplier/part/orders/lineitem all grow linearly with scale
+    // factor: a static broadcast() hint on any of them — even filtered to
+    // a constant fraction, as t5/t10 once did — would OOM every executor
+    // at 100x scale. At test SF the size-based planner (or AQE) may still
+    // choose a runtime broadcast — that is fine and expected; what must
+    // never appear is a HINT that forces it regardless of size. A hinted
+    // subtree scanning an SF-scaling table necessarily carries that
+    // table's key attribute in its output, so detect it there. Runs over
+    // EVERY registered t-query so new queries cannot dodge the check.
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
-    for (q <- Seq("t2_revenue_by_nation", "t3_top_customers",
-      "t4_segment_priority", "t9_volume_shipping", "t18_shipping_priority",
-      "t19_market_share", "t20_large_orders", "t22_returned_revenue")) {
+    val sfScalingKeys = Set("c_custkey", "s_suppkey", "p_partkey",
+      "o_orderkey", "l_orderkey")
+    for (q <- Tpch.queries.keys.toSeq.sorted) {
       val analyzed = Tpch.queries(q)(spark, sf).queryExecution.analyzed
       val offenders = analyzed.collect {
         case h: ResolvedHint if h.child.output.exists(a =>
-          a.name == "c_custkey" || a.name == "s_suppkey") => h
+          sfScalingKeys.contains(a.name)) => h
       }
       assert(offenders.isEmpty,
         s"$q: static broadcast hint on an SF-scaling table:\n${offenders.mkString("\n")}")
