@@ -209,10 +209,12 @@ object Similarity {
     * join are corpus-sized, so it is a SHUFFLE hash join co-partitioned
     * on the cell id; the only broadcast is the |cells|-row centroid
     * frame. Per-query top-k is a WindowGroupLimit: per-partition heaps,
-    * no global sort. At 100 TB the dials are the quantizer granularity
-    * (more, smaller cells bound Σ|cell|² — a skewed giant cell splits by
-    * re-quantizing, the same remedy as a skewed join key) and nprobe;
-    * the join/limit shape is unchanged.
+    * no global sort. The quantizer granularity is AUTOMATED ([[CellN0]]):
+    * cells split along hyperplane-sign bits as the corpus doubles, so
+    * per-cell occupancy — and the Σ|cell|² scoring term — stays constant
+    * instead of growing with N (the fixed-nlist form measured exp 1.71
+    * across a decade in the round-6 sweep). At 100 TB the remaining dial
+    * is nprobe; the join/limit shape is unchanged.
     */
   /** s9 — RANGE (radius) search: every corpus vector within cosine ≥ τ
     * of each query — the "all sufficiently similar" API next to the
@@ -246,23 +248,69 @@ object Similarity {
 
   private[ext] val RangeTau = 0.25
 
+  /** Occupancy dial for s8's ADAPTIVE IVF cell count (the d6 rule applied
+    * to the coarse quantizer): with ≤ [[CellN0]] vectors the cells are
+    * exactly the data's label column; every corpus doubling past it
+    * splits each label cell in two along one more hyperplane-sign bit
+    * (up to 8 bits = 256 sub-cells per label), holding expected per-cell
+    * occupancy — and with it the Σ|cell|² scoring-join term the round-6
+    * sweep measured at exp 1.71 under a FIXED nlist — constant. nlist ∝ N
+    * with |cell| ≈ const is the standard IVF production sizing.
+    */
+  private[ext] val CellN0 = 2000L
+
+  /** Sub-cell bit mask for a corpus of `n` vectors, as a portable integer
+    * expression (no libm log): 0 bits at test scale — so every historical
+    * result is bit-identical — plus one per doubling past [[CellN0]],
+    * capped at 8. The oracle evaluates the identical comparison chain
+    * from its own count.
+    */
+  private def splitMask(n: Column): Column =
+    element_at(
+      array(Seq(0L, 1L, 3L, 7L, 15L, 31L, 63L, 127L, 255L).map(lit(_)): _*),
+      lit(1) + (1 to 8).map(k =>
+        when(n > CellN0 * (1L << (k - 1)), 1).otherwise(0)).reduce(_ + _))
+
+  /** 8-bit hyperplane-sign signature used for the sub-cell split: the
+    * same shared plane family as d6/s7, evaluated on the full 64-dim
+    * vector. A query probes the sub-cell carrying ITS OWN signature in
+    * both probed labels — nearby vectors share sign bits, which is the
+    * LSH recall argument; the masked width keeps the split recall-free
+    * at test scale.
+    */
+  private def subSig(v: Column): Column =
+    (0 until 8).map { p =>
+      when(graft.functions.DotProduct.dotProduct(v,
+        array(Dedup.planes(p).map(x => lit(x.toDouble)): _*)) > 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
   def knnJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = vecs(spark, sfDir)
+    val e0 = vecs(spark, sfDir)
     val cents = centroidVectors(spark, sfDir)
+    // the one-row count frame driving the adaptive cell width — the only
+    // broadcast besides the |cells|-row centroid frame
+    val nv = e0.agg(count(lit(1)).as("n_vecs"))
+    val e = e0.crossJoin(broadcast(nv))
+      .select(col("vec_id"), col("v"), col("label"),
+        subSig(col("v")).bitwiseAND(splitMask(col("n_vecs"))).as("subcell"))
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("label"))
-    val own = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("label"))
+    val own = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("label"), col("subcell"))
     val nearestOther = e
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label").as("qlabel"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("label").as("qlabel"), col("subcell"))
       .crossJoin(broadcast(cents))
       .filter(col("label") =!= col("qlabel"))
-      .select(col("query_id"), col("qv"), col("label"),
+      .select(col("query_id"), col("qv"), col("label"), col("subcell"),
         cosineSim(col("qv"), col("cv")).as("cs"))
       .withColumn("rk", row_number().over(wc))
       .filter(col("rk") === 1)
-      .select(col("query_id"), col("qv"), col("label"))
+      .select(col("query_id"), col("qv"), col("label"), col("subcell"))
     val probes = own.unionByName(nearestOther)
-    val scored = e.join(probes, Seq("label")) // shuffle join on the cell id
+    // shuffle join co-partitioned on the (label, sub-cell) cell id
+    val scored = e.join(probes, Seq("label", "subcell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineSim(col("v"), col("qv")).as("cos_raw"))
@@ -427,6 +475,25 @@ object Similarity {
     "(list_dot_product(e.v, q.qv) / " +
       "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))))"
 
+  /** s8's sub-cell signature, DuckDB side: same 8 planes, same sign
+    * comparisons, same bit weights as [[subSig]].
+    */
+  private val subSigSql: String =
+    (0 until 8).map { p =>
+      s"(CASE WHEN list_dot_product(v, ${Dedup.planesSqlLits(p)}) > 0 " +
+        s"THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** s8's adaptive cell mask, DuckDB side: identical comparison chain to
+    * [[splitMask]], indexing the same (1-based) mask list.
+    */
+  private val splitMaskSql: String = {
+    val idx = (1 to 8).map(k =>
+      s"(CASE WHEN n_vecs > ${CellN0 * (1L << (k - 1))} THEN 1 ELSE 0 END)")
+      .mkString("1 + ", " + ", "")
+    s"(list_value(CAST(0 AS BIGINT), 1, 3, 7, 15, 31, 63, 127, 255)[$idx])"
+  }
+
   private def topkSql(scoredCte: String, k: Int): String =
     s"""SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
        |  round(cos_raw, 6) AS cos
@@ -567,9 +634,13 @@ object Similarity {
          |    (sqrt(list_dot_product(nv, nv)) * sqrt(list_dot_product(qv, qv)))) AS cos_raw
          |FROM short""".stripMargin, 3),
     "s8_knn_join" -> topkSql(
-      s"""WITH ev AS (
+      s"""WITH ev0 AS (
          |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
+         |nv AS (SELECT count(*) AS n_vecs FROM embeddings),
+         |ev AS (
+         |  SELECT vec_id, label, v, $subSigSql & $splitMaskSql AS subcell
+         |  FROM ev0 CROSS JOIN nv),
          |cents AS (
          |  SELECT label, list(centroid ORDER BY dim) AS cv FROM (
          |    SELECT label, CAST(t.i AS INTEGER) AS dim,
@@ -578,10 +649,10 @@ object Similarity {
          |    FROM embeddings, range(64) t(i)
          |    GROUP BY label, t.i)
          |  GROUP BY label),
-         |q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel FROM ev),
+         |q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel, subcell FROM ev),
          |nearest_other AS (
-         |  SELECT query_id, qv, label FROM (
-         |    SELECT q.query_id, q.qv, c.label,
+         |  SELECT query_id, qv, label, subcell FROM (
+         |    SELECT q.query_id, q.qv, c.label, q.subcell,
          |      row_number() OVER (PARTITION BY q.query_id ORDER BY
          |        (list_dot_product(q.qv, c.cv) /
          |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
@@ -589,14 +660,15 @@ object Similarity {
          |    FROM q JOIN cents c ON c.label <> q.qlabel)
          |  WHERE rk = 1),
          |cells AS (
-         |  SELECT query_id, qv, qlabel AS label FROM q
+         |  SELECT query_id, qv, qlabel AS label, subcell FROM q
          |  UNION ALL
-         |  SELECT query_id, qv, label FROM nearest_other)
+         |  SELECT query_id, qv, label, subcell FROM nearest_other)
          |SELECT cells.query_id, e.vec_id AS neighbor_id,
          |  (list_dot_product(e.v, cells.qv) /
          |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cells.qv, cells.qv)))) AS cos_raw
          |FROM cells JOIN ev e
-         |  ON e.label = cells.label AND e.vec_id <> cells.query_id""".stripMargin, 3),
+         |  ON e.label = cells.label AND e.subcell = cells.subcell
+         |  AND e.vec_id <> cells.query_id""".stripMargin, 3),
     "s7_pq_rerank" -> topkSql(
       s"""WITH ev AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -193,11 +193,19 @@ class SimilaritySpec extends SparkSpec {
     val prev = spark.conf.get(key)
     spark.conf.set(key, "-1")
     try {
-      val p = Similarity.knnJoin(spark, sf).queryExecution.executedPlan.toString
+      val df = Similarity.knnJoin(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
       val bjoins = "Broadcast(?:Hash|NestedLoop)Join[^\\n]*".r.findAllIn(p).toList
-      // the centroid crossJoin is recognizable by its label<>qlabel
-      // residual; nothing else may broadcast under threshold -1
-      assert(bjoins.nonEmpty && bjoins.forall(_.contains("qlabel")),
+      // two legitimate broadcasts under threshold -1: the centroid
+      // crossJoin (recognizable by its label<>qlabel residual) and the
+      // ONE-ROW adaptive-cell count frame (a bare Cross with no
+      // residual — the d6 pattern); nothing else may broadcast. The
+      // count frame is provably one row: it is a global aggregate.
+      // a corpus broadcast would appear as a BroadcastHashJoin on the
+      // (label, subcell) scoring keys — neither a qlabel residual nor a
+      // residual-free Cross — and is caught by the allowlist
+      assert(bjoins.nonEmpty && bjoins.forall(j =>
+        j.contains("qlabel") || j.trim.endsWith("Cross")),
         s"non-centroid broadcast join in s8 plan:\n$p")
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
         s"cell-id scoring join is not a shuffle join:\n$p")
