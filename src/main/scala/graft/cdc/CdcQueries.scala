@@ -409,7 +409,50 @@ object CdcQueries {
         greatest(max("skew_us"), lit(0L)).as("max_skew_us"))
   }
 
+  /** o24 — KEY-MIGRATION audit: when a row's business key changes,
+    * logical replication emits delete(old_key) + insert(new_key) with
+    * the same payload close together in the log — the classic
+    * "UPDATE of a primary key" wire pattern (Debezium documents exactly
+    * this decomposition; the reference's consumer would silently leave
+    * the old document behind). This audit pairs every delete with the
+    * NEAREST following insert carrying an identical payload fingerprint
+    * within a bounded seq window, surfacing re-key candidates.
+    *
+    * Scale shape: candidates join on (payload, seq-block) — the delete
+    * side posts under its block and the next (window ≤ one block width),
+    * so a HOT payload value never pairs across the whole log: per-block
+    * candidate counts are bounded by the window's event budget, the
+    * banded-join discipline (x23/d3) applied to the log axis. The
+    * nearest-insert argmin is an associative `min(struct(gap, seq,
+    * key))` — map-side combinable, one shuffle. Window W = 200 seqs.
+    */
+  def keyMigration(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 200L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("props"))
+    val dels = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("d_seq"), col("user_id").as("old_key"),
+        col("props"),
+        explode(array(expr(s"event_id DIV $W"), expr(s"event_id DIV $W + 1")))
+          .as("blk"))
+    val ins = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("c_seq"), col("user_id").as("new_key"),
+        col("props"), expr(s"event_id DIV $W").as("blk"))
+    dels.join(ins, Seq("props", "blk"))
+      .filter(col("c_seq") > col("d_seq") &&
+        col("c_seq") - col("d_seq") <= W &&
+        col("old_key") =!= col("new_key"))
+      .groupBy(col("d_seq"), col("old_key"))
+      .agg(min(struct((col("c_seq") - col("d_seq")).as("gap"),
+        col("c_seq"), col("new_key"))).as("best"))
+      .select(col("d_seq"), col("old_key"),
+        col("best.new_key").as("new_key"),
+        col("best.c_seq").as("c_seq"),
+        col("best.gap").as("gap"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "o24_key_migration" -> (keyMigration _),
     "o23_replication_lag" -> (replicationLag _),
     "o22_order_audit" -> (orderAudit _),
     "o01_cdc_scan" -> (cdcScan _),
@@ -441,6 +484,26 @@ object CdcQueries {
       |     ELSE 'u' END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the oracle states the UNBLOCKED definition (all same-payload pairs
+    // within the window, nearest insert per delete) — a hash match
+    // proves the seq-block banding loses no pair, the same
+    // blocking-completeness argument as x23's brute-force oracle
+    "o24_key_migration" ->
+      """WITH d AS (
+        |  SELECT event_id AS d_seq, user_id AS old_key, props
+        |  FROM events WHERE event_type = 'error'),
+        |c AS (
+        |  SELECT event_id AS c_seq, user_id AS new_key, props
+        |  FROM events WHERE event_type = 'signup'),
+        |cand AS (
+        |  SELECT d.d_seq, d.old_key, c.c_seq, c.new_key,
+        |    c.c_seq - d.d_seq AS gap,
+        |    row_number() OVER (PARTITION BY d.d_seq ORDER BY c.c_seq) AS rk
+        |  FROM d JOIN c ON d.props = c.props
+        |    AND c.c_seq > d.d_seq AND c.c_seq - d.d_seq <= 200
+        |    AND d.old_key <> c.new_key)
+        |SELECT d_seq, old_key, new_key, c_seq, gap
+        |FROM cand WHERE rk = 1""".stripMargin,
     "o23_replication_lag" ->
       """WITH perkey AS (
         |  SELECT user_id, max(epoch_us(CAST(ts AS TIMESTAMP))) AS key_ts

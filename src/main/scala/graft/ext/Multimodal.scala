@@ -248,10 +248,102 @@ object Multimodal {
       .toDF("doc_id", "n_bins", "luma_sum", "hist_checksum")
   }
 
+  /** m6 — REAL tile/patch extraction (the ViT-style patching step of an
+    * image training pipeline): decode the PNG column, split every image
+    * into its four half-width × half-height quadrants, and emit one row
+    * per (doc, tile) with the tile's pixel count and integer luma sum.
+    * All rendered dimensions are even, so the quadrants partition the
+    * pixel grid exactly. Tiling happens INSIDE the decode
+    * `mapPartitions` pass — at 100 TB the payload is decoded once and
+    * every derived patch row leaves the codec batch already reduced
+    * (count + sum), instead of materializing per-patch pixel arrays
+    * into the shuffle. The oracle reconstructs each quadrant from the
+    * source characters by index arithmetic — a hash match proves decode
+    * + tile geometry, not just totals (tile sums pin WHERE every pixel
+    * landed, modulo within-tile permutations m5's total already
+    * constrains).
+    */
+  def tileStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pngRecords(spark, sfDir)
+      .mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
+        batch.flatMap { rec =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(rec.data))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          val n = new Array[Long](4)
+          val s = new Array[Long](4)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val t = (if (y >= h / 2) 2 else 0) + (if (x >= w / 2) 1 else 0)
+              n(t) += 1
+              s(t) += raster.getSample(x, y, 0) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (0 until 4).map(t => (rec.doc_id, t.toLong, n(t), s(t)))
+        }
+      }
+      .toDF("doc_id", "tile", "tile_px", "tile_luma")
+  }
+
+  /** m7 — REAL resize through the real codec: decode the PNG, 2x
+    * nearest-neighbor downscale (output pixel (x,y) = source pixel
+    * (2x,2y) — an actual image-scaling kernel, exactly the deterministic
+    * member of the resize family), re-encode the result as a genuine
+    * PNG, decode THAT, and emit the resized dimensions, integer luma
+    * sum, and an order-sensitive checksum of the resized pixels. Two
+    * full encode→decode trips guard the second round too. The oracle
+    * reconstructs the expected resized pixels straight from the source
+    * characters (source index (2y)·w + 2x), so the hash only matches if
+    * both codec passes and the sampling geometry are exact. Replaces
+    * nothing: the stub [[resize]] stays for codec-less mimes.
+    */
+  def resizeReal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pngRecords(spark, sfDir)
+      .mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
+        batch.map { rec =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(rec.data))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val (w2, h2) = (w / 2, h / 2)
+          val raster = img.getRaster
+          val small = Array.tabulate(w2 * h2) { i =>
+            raster.getSample((i % w2) * 2, (i / w2) * 2, 0) & 0xff
+          }
+          // the real re-encode: the resized image goes through the codec
+          val png2 = PngCodec.encodeGray(w2, h2, small)
+          val img2 = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png2))
+          val r2 = img2.getRaster
+          var sum = 0L
+          var chk = 0L
+          var i = 0
+          while (i < w2 * h2) {
+            val v = r2.getSample(i % w2, i / w2, 0) & 0xff
+            sum += v
+            chk = (chk * 31 + v) % P
+            i += 1
+          }
+          (rec.doc_id, img2.getWidth.toLong, img2.getHeight.toLong, sum, chk)
+        }
+      }
+      .toDF("doc_id", "out_w", "out_h", "luma_sum", "px_checksum")
+  }
+
   val queries: Map[String, Q] = Map(
     "m1_media_meta" -> (mediaMeta _),
     "m2_frame_sample" -> (frameSample _),
-    "m5_png_roundtrip" -> (pngRoundtrip _)
+    "m5_png_roundtrip" -> (pngRoundtrip _),
+    "m6_tile_stats" -> (tileStats _),
+    "m7_resize_real" -> (resizeReal _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -295,6 +387,48 @@ object Multimodal {
          |  CAST(list_sum(list_transform(pixels, v -> CAST(v AS BIGINT))) AS BIGINT)
          |    AS luma_sum,
          |  ${fold31Sql(bins)} AS hist_checksum
+         |FROM p""".stripMargin
+    },
+    // quadrant membership from index arithmetic over the reconstructed
+    // pixel list: row = i // w, col = i % w
+    "m6_tile_stats" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, len(text) AS n,
+         |    (doc_id % 4 + 1) * 8 AS w, (doc_id % 3 + 1) * 6 AS h
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, text, n, w, h, r.tile,
+         |    list_filter(range(0, w * h), i ->
+         |      (CASE WHEN i // w >= h // 2 THEN 2 ELSE 0 END
+         |       + CASE WHEN i % w >= w // 2 THEN 1 ELSE 0 END) = r.tile) AS idx
+         |  FROM d CROSS JOIN range(4) r(tile))
+         |SELECT doc_id, CAST(tile AS BIGINT) AS tile,
+         |  CAST(len(idx) AS BIGINT) AS tile_px,
+         |  CAST(list_sum(list_transform(idx, i ->
+         |    CASE WHEN n = 0 THEN 0
+         |         ELSE CAST(ascii(substring(text, CAST(i % n + 1 AS INTEGER), 1)) % 256 AS BIGINT)
+         |         END)) AS BIGINT) AS tile_luma
+         |FROM t""".stripMargin,
+    // expected resized pixel i = source pixel at (2·(i//w2))·w + 2·(i%w2)
+    "m7_resize_real" -> {
+      val px = "px"
+      s"""WITH d AS (
+         |  SELECT doc_id, text, len(text) AS n,
+         |    (doc_id % 4 + 1) * 8 AS w, (doc_id % 3 + 1) * 6 AS h
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, w // 2 AS w2, h // 2 AS h2,
+         |    list_transform(range(0, (w // 2) * (h // 2)),
+         |      i -> CASE WHEN n = 0 THEN 0
+         |           ELSE ascii(substring(text,
+         |             CAST(((i // (w // 2)) * 2 * w + (i % (w // 2)) * 2) % n + 1 AS INTEGER),
+         |             1)) % 256
+         |           END) AS px
+         |  FROM d)
+         |SELECT doc_id, CAST(w2 AS BIGINT) AS out_w, CAST(h2 AS BIGINT) AS out_h,
+         |  CAST(list_sum(list_transform(px, v -> CAST(v AS BIGINT))) AS BIGINT)
+         |    AS luma_sum,
+         |  ${fold31Sql(px)} AS px_checksum
          |FROM p""".stripMargin
     }
   )

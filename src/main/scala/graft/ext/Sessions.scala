@@ -269,7 +269,17 @@ object Sessions {
     * values (S = Σv, Q = Σv²) — both sides are DECIMAL(38,0)/HUGEINT
     * (S² ≈ 10²⁶ overflows a long), so the flag is bit-identical across
     * engines where a sqrt/stddev formulation would hash-differ in the
-    * last ulp. Plan shape: partition-only window aggregates — ONE
+    * last ulp.
+    *
+    * MAGNITUDE ENVELOPE: decimal(38,0) products silently overflow to
+    * NULL under non-ANSI mode, and `NULL > x` is false — an overflow
+    * would silently DROP outliers, not fail. The largest term is
+    * dev² ≤ (2n·|v|max)², so the contract is `n·|v|max < 10¹⁸·√(1/4)`,
+    * i.e. per-user event count × max |value|·10⁶ below ~5·10¹⁷ —
+    * this corpus sits at ~10¹³ (10⁴ events × 10⁹ micro-value), five
+    * orders inside the envelope, and `SessionsSpec` measures the actual
+    * bound from the data so growth past it fails loudly instead of
+    * silently. Plan shape: partition-only window aggregates — ONE
     * exchange on user_id and a per-partition sort, where the
     * groupBy+self-join alternative shuffles the event frame twice.
     */

@@ -680,7 +680,46 @@ object Tpch {
       .limit(100)
   }
 
+  /** t27 — profit by (supplier nation, order year) — the TPC-H Q9 shape
+    * without a partsupp table: unit cost is approximated from the part's
+    * retail price (retail/10 per unit), keeping Q9's defining feature —
+    * the LONGEST fact-side join chain in the suite. One lineitem scan
+    * threads through FOUR joins on three different SF-scaling keys
+    * (partkey → suppkey → orderkey) plus the fixed-dim nation broadcast.
+    * Scale shape: the selective p_name word filter lands on the part
+    * scan (PushedFilters) and — because it is the first join — prunes
+    * the fact stream before the wider supplier/orders shuffles; every
+    * SF-scaling join is left to the size-based planner / AQE (the t5/t10
+    * lesson), and the profit term is per-row floor'd integer MICROS
+    * (t26's discipline), so partial aggregation is exact under any
+    * partitioning. At 100 TB this is the query where join ORDER is the
+    * whole game; the declared shape gives Catalyst/AQE the reorder
+    * freedom a hand-scheduled chain would forfeit.
+    */
+  def profitByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val redParts = Tables.part(spark, sfDir)
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+      .join(redParts, col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("profit_micro",
+        expr("CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)" +
+          " - CAST(floor(p_retailprice * l_quantity * 100000) AS BIGINT)"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum("profit_micro").as("profit_micro"),
+        count(lit(1)).as("n_items"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t27_profit_by_nation" -> (profitByNation _),
     "t26_min_cost_supplier" -> (minCostSupplier _),
     "t24_forecast_revenue" -> (forecastRevenue _),
     "t25_promo_share" -> (promoShare _),
@@ -710,6 +749,18 @@ object Tpch {
   )
 
   val oracle: Map[String, String] = Map(
+    "t27_profit_by_nation" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)
+        |         - CAST(floor(p_retailprice * l_quantity * 100000) AS BIGINT)) AS BIGINT)
+        |    AS profit_micro,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
     // the argmin is stated as its definition (min cost, then min
     // suppkey among achievers) — provably equal to the struct-min
     "t26_min_cost_supplier" ->

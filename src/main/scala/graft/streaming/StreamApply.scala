@@ -285,19 +285,23 @@ object StreamApply {
       def liveOf(state: DataFrame) = state.filter(col(opCol) =!= deleteOp)
       val retract = liveOf(curState).join(keys, Seq(key), "left_semi")
         .groupBy(aggCol).agg((count(lit(1)) * lit(-1L)).as("n"))
-      // materialize the merge ONCE: the checkpoint job is the only
-      // evaluation of latestByKey; the state write then streams the
-      // checkpointed partitions out, and re-add derives from the same
-      // materialized frame — the bytes the pointer is about to publish.
-      // (The earlier shape wrote first and read the parquet back for
-      // re-add: two full merge evaluations per batch, and the dominant
-      // cost in the ivm_rows_per_sec bench metric.)
-      val newState = Materialize.latestByKey(curState.unionByName(incoming),
-        key, seq, Seq(opCol) ++ payloadCols).localCheckpoint()
+      // evaluate the merge ONCE: the state write is the only evaluation
+      // of latestByKey, and re-add reads the JUST-WRITTEN parquet back —
+      // the bytes the pointer is about to publish — as a (key, op,
+      // aggCol)-pruned columnar scan. Re-deriving re-add from the
+      // unwritten plan would re-evaluate the whole merge (the round-5
+      // shape, dominant in ivm_rows_per_sec). A localCheckpoint before
+      // the write (the round-6 shape) measures the same throughput at
+      // bench scale (A/B via `StreamBench`: both ~15k rows/s on equal
+      // hardware) but pins the FULL state in executor memory every
+      // batch — at 100 TB state the pruned re-read is the shape that
+      // survives, so it wins the tie.
+      val newStatePlan = Materialize.latestByKey(curState.unionByName(incoming),
+        key, seq, Seq(opCol) ++ payloadCols)
       val ver = manifest.nextVersionName(batchId)
-      newState.write.mode("overwrite")
+      newStatePlan.write.mode("overwrite")
         .parquet(s"${manifest.versionPath(ver)}/state")
-      val readd = liveOf(newState)
+      val readd = liveOf(spark.read.parquet(s"${manifest.versionPath(ver)}/state"))
         .join(keys, Seq(key), "left_semi")
         .groupBy(aggCol).agg(count(lit(1)).as("n"))
       val newAgg = curAgg.unionByName(retract).unionByName(readd)

@@ -7,16 +7,38 @@ package graft
   */
 class RegistrySmokeSpec extends SparkSpec {
 
-  test("every registered query executes and returns a schema") {
+  // Queries allowed to return 0 rows at sf0.001 ONLY. Each entry must
+  // name the larger SF where it is provably non-vacuous — enforced by the
+  // dedicated test below, so an allowlisted query cannot rot into
+  // empty-vs-empty at the driver's verify SF either.
+  private val emptyAtTestSf: Map[String, String] = Map(
+    // two-nation shipping filter matches nothing in the 60-customer
+    // sample; 14 rows at the driver's sf0.01 (CORRECTNESS_r06)
+    "t9_volume_shipping" -> "/root/testdata/sf0.01"
+  )
+
+  test("every registered query executes, returns a schema, and is NON-VACUOUS") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val df = fn(spark, sf)
         assert(df.schema.nonEmpty, s"$name: empty schema")
-        df.count() // execution, not just analysis
-        None
+        val n = df.count() // execution, not just analysis
+        // an empty result makes the oracle hash-match vacuous (empty
+        // always equals empty — o22 passed two rounds that way), so >0
+        // rows is part of the contract unless explicitly allowlisted
+        if (n == 0 && !emptyAtTestSf.contains(name))
+          Some(s"$name: 0 rows at test SF (vacuous oracle comparison)")
+        else None
       } catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(200)}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("allowlisted-empty queries are non-vacuous at their declared SF") {
+    for ((name, sfDir) <- emptyAtTestSf) {
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      assert(n > 0, s"$name: vacuous even at $sfDir")
+    }
   }
 
   test("oracle keys are a subset of query keys; flagship entry is live") {

@@ -22,10 +22,12 @@ class PipelineSpec extends SparkSpec {
       s"alloc ${totalAlloc} != budget $budget")
     // never allocate beyond a language's cap
     assert(rows.forall(r => r._5 <= r._2), s"alloc over cap: $rows")
-    // saturated <=> allocated its full cap
-    assert(rows.forall(r => r._4 == (r._5 == r._2) || !r._4),
+    // saturated <=> allocated its full cap, both directions: a saturated
+    // row must have alloc == cap, and an unsaturated row must NOT (an
+    // unsaturated language reaching its cap via the +1 remainder would
+    // mean the flag lied)
+    assert(rows.forall(r => r._4 == (r._5 == r._2)),
       s"saturation flag disagrees with alloc: $rows")
-    rows.filter(_._4).foreach(r => assert(r._5 == r._2))
     // water level: unsaturated languages all sit within 1 char
     val unsat = rows.filter(!_._4).map(_._5)
     if (unsat.nonEmpty)

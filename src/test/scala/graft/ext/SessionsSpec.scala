@@ -197,5 +197,18 @@ class SessionsSpec extends SparkSpec {
     assert(expected.nonEmpty, "k10 threshold vacuous at test SF")
     assert(got == expected,
       s"missing=${expected -- got} extra=${got -- expected}")
+
+    // decimal(38,0) magnitude envelope (see zscoreOutliers doc): the
+    // largest product is dev^2 <= (2 n |v|max)^2, which must stay inside
+    // 38 digits — overflow is a SILENT null->false drop under non-ANSI
+    // mode, so measure the actual bound from the data and fail loudly
+    // with a full order of magnitude to spare.
+    val worst = evs.groupBy(_._1).values.map { es =>
+      val vmax = es.map(e => BigInt(math.abs(
+        math.floor(e._3 * 1000000).toLong))).max
+      (BigInt(2) * es.length * vmax).pow(2)
+    }.max
+    assert(worst < BigInt(10).pow(37),
+      s"k10 dev^2 magnitude $worst within 10x of decimal(38,0) overflow")
   }
 }
