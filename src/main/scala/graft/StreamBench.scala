@@ -13,6 +13,7 @@ import org.apache.spark.sql.SparkSession
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val reps = if (args.nonEmpty) args(0).toInt else 3
+    val nb = if (args.length > 1) args(1).toInt else 5
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,8 +62,8 @@ object StreamBench {
     timeUpsert(1000, 100, 2) // warmup
     timeIvm(1000, 100, 2)    // warmup
     for (r <- 1 to reps) {
-      println(f"STREAMBENCH rep=$r upsert=${timeUpsert(100000, 10000, 5)}%.0f rows/s")
-      println(f"STREAMBENCH rep=$r ivm=${timeIvm(100000, 10000, 5)}%.0f rows/s")
+      println(f"STREAMBENCH rep=$r nb=$nb upsert=${timeUpsert(100000, 10000, nb)}%.0f rows/s")
+      println(f"STREAMBENCH rep=$r nb=$nb ivm=${timeIvm(100000, 10000, nb)}%.0f rows/s")
     }
     spark.stop()
   }

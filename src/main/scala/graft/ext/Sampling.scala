@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import Portable._
@@ -172,9 +172,10 @@ object Sampling {
     * |groups|×|quantiles| rows, always tiny, hence the one justified
     * broadcast of `located`.
     */
-  private def valuesAtRanks(ev: DataFrame, targets: DataFrame): DataFrame = {
+  private def valuesAtRanks(ev: DataFrame, targets: DataFrame,
+      bucketOf: Column => Column = c => floor(c).cast("long")): DataFrame = {
     val hist = ev
-      .groupBy(col("event_type"), floor(col("value")).cast("long").as("bucket"))
+      .groupBy(col("event_type"), bucketOf(col("value")).as("bucket"))
       .agg(count(lit(1)).as("c"))
     val wb = Window.partitionBy("event_type").orderBy("bucket")
     val cum = hist.withColumn("cum", sum("c").over(wb))
@@ -185,7 +186,7 @@ object Sampling {
       .select(col("event_type"), col("quantile"), col("bucket"),
         (col("r") - col("cum_before")).as("local_r"))
     val wv = Window.partitionBy("event_type", "quantile").orderBy("value")
-    ev.withColumn("bucket", floor(col("value")).cast("long"))
+    ev.withColumn("bucket", bucketOf(col("value")))
       .join(broadcast(located), Seq("event_type", "bucket"))
       .withColumn("rn", row_number().over(wv))
       .filter(col("rn") === col("local_r"))
@@ -354,7 +355,54 @@ object Sampling {
       .select(col("lang"), col("n_docs"), col("n_chars").as("median_chars"))
   }
 
+  /** r13 — per-group MODE (most frequent value, deterministic smallest-
+    * value tiebreak) — the categorical twin of r12's median in a
+    * column-profiling pass. Two aggregations, both map-side combinable:
+    * counts per (group, value), then an associative struct-min argmax
+    * (negated count, then value) — never a per-group sort, never a
+    * window over the full frame. At 100 TB the intermediate is bounded
+    * by the DISTINCT (group, value) pairs, not the row count.
+    */
+  def groupMode(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("props"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(min(struct((-col("n")).as("neg_n"), col("props"))).as("m"))
+      .select(col("event_type"), col("m.props").as("mode_value"),
+        (-col("m.neg_n")).as("n_occurrences"))
+
+  /** r14 — inter-event GAP quantiles per event type (arrival-process
+    * profiling: "how bursty is each event stream?"): exact p50/p90 of
+    * the within-(user, type) inter-event times, in integer microseconds.
+    * The gap frame is one key-partitioned lag window (o22's shuffle);
+    * the quantiles ride the SAME histogram-refine locator as r10/r11 —
+    * no sort wider than one bucket — with second-granularity buckets
+    * (`gap DIV 1e6`), since micro-valued gaps would degenerate
+    * floor-buckets into one bucket per distinct value.
+    */
+  def gapQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    val gaps = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("p_us", lag("us", 1).over(w))
+      .filter(col("p_us").isNotNull)
+      .select(col("event_type"), (col("us") - col("p_us")).as("value"))
+    val n = gaps.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val targets = n.select(col("event_type"), explode(array(
+        struct(lit("p50").as("quantile"), expr("(n + 1) DIV 2").as("r")),
+        struct(lit("p90").as("quantile"), expr("(9 * n + 9) DIV 10").as("r"))))
+        .as("t"))
+      .select(col("event_type"), col("t.quantile").as("quantile"), col("t.r").as("r"))
+    // bucketOf is only ever applied to the `value` column (both locator
+    // phases), so the integral-DIV form can name it directly
+    valuesAtRanks(gaps, targets, _ => expr("value DIV 1000000"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "r13_group_mode" -> (groupMode _),
+    "r14_gap_quantiles" -> (gapQuantiles _),
     "r12_group_median" -> (groupMedian _),
     "r1_hash_sample" -> (hashSample _),
     "r2_stratified_sample" -> (stratifiedSample _),
@@ -373,6 +421,34 @@ object Sampling {
   private val gate = s"${tokenHashSql("CAST(doc_id AS VARCHAR)")} % 100"
 
   val oracle: Map[String, String] = Map(
+    "r13_group_mode" ->
+      """SELECT event_type, props AS mode_value, n AS n_occurrences FROM (
+        |  SELECT event_type, props, n,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY n DESC, props) AS rk
+        |  FROM (SELECT event_type, props, count(*) AS n
+        |        FROM events GROUP BY 1, 2))
+        |WHERE rk = 1""".stripMargin,
+    "r14_gap_quantiles" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |          PARTITION BY user_id, event_type ORDER BY event_id) AS value
+        |  FROM events),
+        |g2 AS (SELECT event_type, value FROM g WHERE value IS NOT NULL),
+        |n AS (SELECT event_type, count(*) AS n FROM g2 GROUP BY 1),
+        |targets AS (
+        |  SELECT event_type, 'p50' AS quantile, (n + 1) // 2 AS r FROM n
+        |  UNION ALL
+        |  SELECT event_type, 'p90', (9 * n + 9) // 10 FROM n),
+        |ranked AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+        |  FROM g2)
+        |SELECT t.event_type, t.quantile, r.value
+        |FROM targets t JOIN ranked r
+        |  ON r.event_type = t.event_type AND r.rn = t.r""".stripMargin,
     "r12_group_median" ->
       """WITH h AS (
         |  SELECT lang, n_chars, count(*) AS c
