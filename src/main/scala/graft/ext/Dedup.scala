@@ -443,6 +443,19 @@ object Dedup {
       minLabelClusters(minhashLsh(spark, sfDir), "doc_a", "doc_b",
         docs(spark, sfDir), "doc_id").localCheckpoint())
 
+  /** d18 — cluster SIZE HISTOGRAM (how much of the corpus is duplicated,
+    * and how deeply): n_clusters per exact cluster size — the one-line
+    * health chart a dedup pass is judged by (mass in size-1 clusters =
+    * unique content; the tail = hub near-dup families). Rides the
+    * MEMOIZED d7 labels like c11/c13 — cluster resolution runs once per
+    * pass; this is two count-aggregates over two-long rows, the second
+    * over |clusters| rows only.
+    */
+  def clusterHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    dedupClusters(spark, sfDir)
+      .groupBy(col("canonical")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
   /** c11 — LEAKAGE-SAFE train/valid/test split: the split gate hashes the
     * d7 CLUSTER label, not the document id — near-duplicate documents
     * land on the same side by construction, so the eval set can never
@@ -1089,6 +1102,7 @@ object Dedup {
     "d5_simhash_neardup" -> (simhashNearDup _),
     "d6_embed_neardup" -> (embedNearDup _),
     "d7_dedup_clusters" -> (dedupClusters _),
+    "d18_cluster_histogram" -> (clusterHistogram _),
     "d8_minhash_estimate" -> (minhashEstimate _),
     "d9_embed_clusters" -> (embedClusters _),
     "d10_triangle_census" -> (triangleStats _),
@@ -1322,6 +1336,13 @@ object Dedup {
          |SELECT src AS vec_id, min(dst) AS canonical
          |FROM reach GROUP BY src""".stripMargin,
     "d7_dedup_clusters" -> d7Sql,
+    "d18_cluster_histogram" ->
+      s"""WITH clusters AS ($d7Sql),
+         |sizes AS (
+         |  SELECT canonical, count(*) AS cluster_size
+         |  FROM clusters GROUP BY canonical)
+         |SELECT cluster_size, count(*) AS n_clusters
+         |FROM sizes GROUP BY cluster_size""".stripMargin,
     "c13_cluster_weights" ->
       s"""WITH clusters AS ($d7Sql),
          |sizes AS (

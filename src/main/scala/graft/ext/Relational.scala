@@ -163,7 +163,26 @@ object Relational {
         coalesce(col("n_surplus"), lit(0L)).as("n_surplus"))
   }
 
+  /** w3 — EXACT percent-rank, engine-portably: `percent_rank()` returns
+    * a double whose last ulp can legitimately differ between engines, so
+    * the portable form is the integral ppm
+    * `(rank − 1) · 10⁶ DIV (n − 1)` — rank() shares ties exactly like
+    * percent_rank's numerator, and integral division is bit-stable.
+    * One shuffle on the partition key; the per-partition count rides
+    * the SAME window frame (no second pass, no join).
+    */
+  def percentRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val wp = Window.partitionBy("event_type")
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("rnk", rank().over(wp.orderBy("value")))
+      .withColumn("n", count(lit(1)).over(wp))
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("((rnk - 1) * 1000000) DIV (n - 1)").as("pr_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "w3_percent_rank" -> (percentRank _),
     "w1_window_suite" -> (windowSuite _),
     "w2_time_windows" -> (timeWindows _),
     "u1_set_ops" -> (setOps _),
@@ -175,6 +194,12 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "w3_percent_rank" ->
+      """SELECT event_id, event_type, value,
+        |  ((rank() OVER w - 1) * 1000000)
+        |    // (count(*) OVER (PARTITION BY event_type) - 1) AS pr_ppm
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value)""".stripMargin,
     "w1_window_suite" ->
       """SELECT event_id, user_id, value,
         |  CAST(rank() OVER w AS INTEGER) AS rnk,

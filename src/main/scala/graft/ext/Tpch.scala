@@ -718,7 +718,46 @@ object Tpch {
         count(lit(1)).as("n_items"))
   }
 
+  /** t28 — suppliers who kept orders waiting (TPC-H Q21 shape, lateness
+    * improvised as shipdate > orderdate + 90 days since the testdata has
+    * no receipt/commit dates): for finished orders with MORE THAN ONE
+    * supplier where EXACTLY ONE was late, count waiting incidents per
+    * supplier, top 20. Q21's notorious double correlated quantifier
+    * (EXISTS another supplier / NOT EXISTS another late one) is stated
+    * directly as per-order counts over the (order, supplier) grain —
+    * the decorrelated form Catalyst would have to reach anyway, minus
+    * the rewrite risk: one fact co-partition on l_orderkey serves the
+    * pair aggregate, the per-order rollup AND the join between them
+    * (exchange reuse), the quantifiers become two integer comparisons,
+    * and the supplier join is AQE's choice (SF-scaling, never hinted).
+    * Top-20 bounds through TakeOrderedAndProject with a deterministic
+    * (numwait desc, name) tiebreak.
+    */
+  def waitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val fin = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(fin, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L).otherwise(0L))
+        .as("late"))
+    val perOrder = pairs.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late"))
+    pairs.join(perOrder, Seq("l_orderkey"))
+      .filter(col("late") === 1L && col("n_supp") > 1L && col("n_late") === 1L)
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "t28_waiting_suppliers" -> (waitingSuppliers _),
     "t27_profit_by_nation" -> (profitByNation _),
     "t26_min_cost_supplier" -> (minCostSupplier _),
     "t24_forecast_revenue" -> (forecastRevenue _),
@@ -749,6 +788,26 @@ object Tpch {
   )
 
   val oracle: Map[String, String] = Map(
+    "t28_waiting_suppliers" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_orderdate FROM orders
+        |  WHERE o_orderstatus = 'F'),
+        |p AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |        THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN f ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |o AS (
+        |  SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+        |  FROM p GROUP BY 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM p JOIN o USING (l_orderkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE late = 1 AND n_supp > 1 AND n_late = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
     "t27_profit_by_nation" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
         |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)

@@ -236,6 +236,29 @@ class TpchPlanSpec extends SparkSpec {
       s"t25: share not integral division")
   }
 
+  test("t27: part word-filter pushes to the scan; nation is the only static broadcast") {
+    val p = plan("t27_profit_by_nation")
+    // the selective dimension filter must reach the part scan so the
+    // first join prunes the fact stream before the wider shuffles
+    assert(p.contains("StringContains(p_name,red)"),
+      s"t27: p_name filter not pushed to the part scan:\n$p")
+    // the no-static-hint sweep above already proves no SF-scaling hint;
+    // nation must still broadcast (hinted fixed-size dim)
+    assert(p.contains("BroadcastHashJoin"), s"t27: nation not broadcast:\n$p")
+  }
+
+  test("t28: pair aggregate and per-order rollup share ONE l_orderkey exchange") {
+    val df = Tpch.queries("t28_waiting_suppliers")(spark, sf)
+    df.collect() // AQE decides reuse at materialization
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"t28: per-order rollup re-shuffled the pair frame instead of reusing it:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"t28: top-20 not bounded:\n$p")
+    // the double quantifier is integer comparisons, never a subquery
+    assert(!p.contains("InSubquery") && !p.toLowerCase.contains("scalarsubquery"),
+      s"t28: residual per-row subquery:\n$p")
+  }
+
   test("t16: NOT IN plans as a NULL-AWARE anti join, distinct-count is two-phase") {
     val p = plan("t16_supplier_diversity")
     // BroadcastHashJoin ..., LeftAnti, BuildRight, true — the trailing
