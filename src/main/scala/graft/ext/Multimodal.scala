@@ -124,6 +124,15 @@ object Multimodal {
       .select(col("doc_id"), col("text"),
         ((col("doc_id") % 4 + 1) * 8).cast("int").as("width"),
         ((col("doc_id") % 3 + 1) * 6).cast("int").as("height"))
+      // EXPLICIT fan-out before the codec pass (x23's argument): the
+      // text frame is byte-tiny — a whole corpus shard fits one
+      // maxPartitionBytes split, so without this every encode/decode
+      // runs in ONE task — but codec work is CPU-dense per row. The
+      // round-7 sweep measured m7 at exp 1.37 (serial tail) without the
+      // repartition, 10x-parallel with it. At 100 TB byte volume forces
+      // the fan-out anyway; this keeps the parallelism floor at test
+      // byte sizes.
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .as[(Long, String, Int, Int)]
       .mapPartitions { batch =>
         javax.imageio.ImageIO.setUseCache(false) // per-partition init

@@ -163,22 +163,42 @@ object Relational {
         coalesce(col("n_surplus"), lit(0L)).as("n_surplus"))
   }
 
-  /** w3 — EXACT percent-rank, engine-portably: `percent_rank()` returns
-    * a double whose last ulp can legitimately differ between engines, so
-    * the portable form is the integral ppm
-    * `(rank − 1) · 10⁶ DIV (n − 1)` — rank() shares ties exactly like
-    * percent_rank's numerator, and integral division is bit-stable.
-    * One shuffle on the partition key; the per-partition count rides
-    * the SAME window frame (no second pass, no join).
+  /** w3 — EXACT percent-rank, engine-portably AND skew-safely.
+    *
+    * Portability: `percent_rank()` returns a double whose last ulp can
+    * legitimately differ between engines, so the result is the integral
+    * ppm `(rank − 1) · 10⁶ DIV (n − 1)` — rank() tie semantics, bit-
+    * stable division.
+    *
+    * Scale: the naive `rank() OVER (PARTITION BY event_type ORDER BY
+    * value)` puts each TYPE's entire column through one task's sort —
+    * with a handful of types that is the single-reducer skew that kills
+    * low-cardinality ranking at 100 TB. Instead the global rank is
+    * decomposed r10-style: offset = rows in strictly-smaller VALUE
+    * BUCKETS (from a histogram whose cumulative sums run over
+    * |types|·|buckets| rows, broadcast back), plus rank() WITHIN the
+    * (type, bucket) cell — tie groups share a value, hence a bucket, so
+    * the decomposition is exactly rank(). The event frame shuffles ONCE
+    * on the fine-grained (type, bucket) key; no sort is wider than one
+    * bucket. The oracle states the naive definition — a hash match
+    * proves the decomposition.
     */
   def percentRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val wp = Window.partitionBy("event_type")
-    Tables.events(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"), col("value"))
-      .withColumn("rnk", rank().over(wp.orderBy("value")))
-      .withColumn("n", count(lit(1)).over(wp))
+      .withColumn("bucket", floor(col("value")).cast("long"))
+    val wb = Window.partitionBy("event_type").orderBy("bucket")
+    val offs = ev.groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("offset", coalesce(
+        sum("c").over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+      .select(col("event_type"), col("bucket"), col("offset"), col("n"))
+    ev.join(broadcast(offs), Seq("event_type", "bucket"))
+      .withColumn("within", rank().over(
+        Window.partitionBy("event_type", "bucket").orderBy("value")))
       .select(col("event_id"), col("event_type"), col("value"),
-        expr("((rnk - 1) * 1000000) DIV (n - 1)").as("pr_ppm"))
+        expr("((offset + within - 1) * 1000000) DIV (n - 1)").as("pr_ppm"))
   }
 
   val queries: Map[String, Q] = Map(
