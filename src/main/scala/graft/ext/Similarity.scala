@@ -101,7 +101,10 @@ object Similarity {
     * rows, not vectors: (label, dim, centroid), scalar-comparable.
     */
   def ivfCentroids(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir)
+    centroidRowsOn(Tables.embeddings(spark, sfDir))
+
+  private def centroidRowsOn(emb: DataFrame): DataFrame =
+    emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       // Fixed-point accumulation: floor-quantize to 1e-7, sum longs.
       // Decimal casts are NOT ulp-portable (DuckDB rounds via a scaled
@@ -131,7 +134,10 @@ object Similarity {
     * family.
     */
   private def centroidVectors(spark: SparkSession, sfDir: String): DataFrame =
-    ivfCentroids(spark, sfDir)
+    centroidVectorsOn(Tables.embeddings(spark, sfDir))
+
+  private def centroidVectorsOn(emb: DataFrame): DataFrame =
+    centroidRowsOn(emb)
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
         s => s.getField("centroid")).as("cv"))
@@ -285,9 +291,19 @@ object Similarity {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
-  def knnJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val e0 = vecs(spark, sfDir)
-    val cents = centroidVectors(spark, sfDir)
+  def knnJoin(spark: SparkSession, sfDir: String): DataFrame =
+    knnJoinOn(Tables.embeddings(spark, sfDir))
+
+  /** The s8 pipeline over an arbitrary `(vec_id, embedding, label)`
+    * frame — split out (d6's `buildEmbedNearDupOn` discipline) so
+    * `AdaptiveCellSpec` can drive the adaptive cell split past its
+    * [[CellN0]] threshold on a synthetic corpus the testdata alone
+    * can't reach.
+    */
+  private[ext] def knnJoinOn(emb: DataFrame): DataFrame = {
+    val e0 = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"), col("label"))
+    val cents = centroidVectorsOn(emb)
     // the one-row count frame driving the adaptive cell width — the only
     // broadcast besides the |cells|-row centroid frame
     val nv = e0.agg(count(lit(1)).as("n_vecs"))

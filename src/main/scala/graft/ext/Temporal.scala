@@ -258,7 +258,29 @@ object Temporal {
         col("num_cent_us").cast("double") / col("den_us").cast("double") / lit(100.0))
   }
 
+  /** a8 — as-of join with a TOLERANCE bound (pandas `merge_asof
+    * (tolerance=...)` / kdb `wj` within-window semantics): the most
+    * recent prior purchase counts only if it is at most 7 days stale,
+    * else the click reports no match. Rides a1's union+window engine
+    * UNCHANGED and gates in the final projection — correct because
+    * as-of carries the MOST RECENT prior row: if that one is outside
+    * the tolerance, every other prior row is staler, so nulling the
+    * carried payload is exactly "no match within tolerance" (no second
+    * engine, no range join, zero extra shuffles). Staleness compares
+    * exact integer micros.
+    */
+  def asofTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    val tolUs = 7L * 86400000000L
+    val in = when(
+      unix_micros(col("ts")) - unix_micros(col("purchase_ts")) <= tolUs, true)
+    asofClickPurchase(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("click_value"),
+        when(in, col("purchase_ts")).as("purchase_ts"),
+        when(in, col("purchase_value")).as("purchase_value"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "a8_asof_tolerance" -> (asofTolerance _),
     "a5_twa_bars" -> (twaBars _),
     "a7_resample_interp" -> (resampleInterp _),
     "a1_asof_join" -> (asofClickPurchase _),
@@ -344,6 +366,22 @@ object Temporal {
         |    / CAST(sum(next_us - us) AS DOUBLE) / 100.0 AS twa
         |FROM seg WHERE next_us IS NOT NULL
         |GROUP BY user_id, day""".stripMargin,
+    "a8_asof_tolerance" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    value AS click_value
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS pts,
+        |    CAST(ts AS TIMESTAMP) AS purchase_ts, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts, c.click_value,
+        |  CASE WHEN epoch_us(c.ts) - epoch_us(p.purchase_ts) <= 604800000000
+        |    THEN p.purchase_ts END AS purchase_ts,
+        |  CASE WHEN epoch_us(c.ts) - epoch_us(p.purchase_ts) <= 604800000000
+        |    THEN p.purchase_value END AS purchase_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.pts""".stripMargin,
     "a1_asof_join" ->
       """WITH c AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
