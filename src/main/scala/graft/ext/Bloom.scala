@@ -184,12 +184,81 @@ object Bloom {
   def bloomRegisters(spark: SparkSession, sfDir: String): DataFrame =
     bloomWords(urgentKeys(spark, sfDir), "o_orderkey")
 
+  /** Fact rows annotated with the bloom verdict (`__maybe`): K LEFT
+    * broadcast joins against the register table, a missing word row or
+    * an unset bit meaning "definitely not a member". Same codegen
+    * properties as [[prunedCandidates]], but keeps BOTH populations.
+    */
+  private def bloomFlagged(fact: DataFrame, keyCol: String,
+      words: DataFrame, nWords: Int): DataFrame = {
+    val withP = (0 until K).foldLeft(fact) { (df, i) =>
+      df.withColumn(s"__p$i", fastPos(i, col(keyCol), nWords))
+    }
+    val joined = (0 until K).foldLeft(withP) { (df, i) =>
+      val w = broadcast(words
+        .select(col("w").as(s"__w$i"), col("mask").as(s"__m$i")))
+      df.join(w, expr(s"__p$i DIV $WordBits") === col(s"__w$i"), "left")
+    }
+    joined.withColumn("__maybe",
+      (0 until K).map(i => coalesce(col(s"__m$i").bitwiseAND(
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(__p$i % $WordBits AS INT))"))
+          =!= 0L, lit(false)))
+        .reduce(_ && _))
+      .drop((0 until K).flatMap(i => Seq(s"__p$i", s"__w$i", s"__m$i")): _*)
+  }
+
+  /** b3 — bloom-accelerated ANTI join: revenue over lineitems whose
+    * order is NOT urgent. A bloom filter has no false negatives, so a
+    * fact row whose key FAILS the bit test is PROVABLY a non-member and
+    * bypasses the anti join entirely — it flows map-only into the
+    * aggregate. Only the bloom HITS (true members + the ~2% false
+    * positives) pay the exact anti-join shuffle. At 100 TB the anti
+    * join moves ~|members| rows instead of |fact| rows; the price is a
+    * second column-pruned scan for the two populations (scanning twice
+    * beats shuffling once at fact scale, and a side-output-capable
+    * engine would fuse even that). The barrier pins prune-then-confirm
+    * exactly as in b1 — `PushDownLeftSemiAntiJoin` would otherwise
+    * anti-join the UNPRUNED fact below the flag joins. Result ≡ the
+    * plain anti join (the oracle); `BloomSpec` additionally asserts the
+    * miss population contains zero true members.
+    */
+  def bloomAntiRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = urgentKeys(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_discount"))
+    val words = bloomWordsFast(keys, "o_orderkey", NWords).localCheckpoint()
+    val flagged = bloomFlagged(li, "l_orderkey", words, NWords)
+    val misses = flagged.filter(!col("__maybe")).drop("__maybe")
+    val hits = barrierFilter(flagged.filter(col("__maybe")).drop("__maybe"),
+        lit(true))
+      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_anti")
+    misses.unionByName(hits)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   val queries: Map[String, Q] = Map(
     "b1_bloom_prune" -> (bloomPrunedRevenue _),
-    "b2_bloom_registers" -> (bloomRegisters _)
+    "b2_bloom_registers" -> (bloomRegisters _),
+    "b3_bloom_anti" -> (bloomAntiRevenue _)
   )
 
   val oracle: Map[String, String] = Map(
+    // the bloom split is invisible: plain anti join
+    "b3_bloom_anti" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_orderkey NOT IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag""".stripMargin,
     // the bloom is invisible: plain semi join
     "b1_bloom_prune" ->
       """SELECT l_returnflag,

@@ -27,6 +27,37 @@ class BloomSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("b3 equals the plain anti join; the miss fast-path holds zero true members") {
+    val got = Bloom.bloomAntiRevenue(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val li = graft.Tables.lineitem(spark, sf)
+    val keys = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val want = li.join(keys, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == want, s"bloom-split anti join diverged: $got vs $want")
+
+    // the no-false-negative contract, stated on the SPLIT itself: a row
+    // the sketch lets bypass the anti join must truly be a non-member.
+    // (equivalently: fact keys that ARE members all test positive.)
+    val keySet = keys.collect().map(_.getLong(0)).toSet
+    val n = li.count()
+    val candidates = Bloom.prunedCandidates(
+      li, "l_orderkey",
+      Bloom.bloomWordsFast(keys, "o_orderkey"), Bloom.NWords)
+    val candKeys = candidates.select("l_orderkey").collect().map(_.getLong(0))
+    val missKeys = li.select("l_orderkey").collect().map(_.getLong(0))
+      .diff(candKeys)
+    assert(missKeys.forall(k => !keySet.contains(k)),
+      "a true member leaked into the bypass population")
+    assert(candidates.count() < n, "sketch pruned nothing at test SF")
+  }
+
   test("bloom candidates: superset of true matches, with FPs under a tiny sketch") {
     import spark.implicits._
     // 20 dim keys × 3 hashes over a deliberately tiny sketch (1 word =
