@@ -426,9 +426,17 @@ object CdcQueries {
     * nearest-insert argmin is an associative `min(struct(gap, seq,
     * key))` — map-side combinable, one shuffle. Window W = 200 seqs.
     */
-  def keyMigration(spark: SparkSession, sfDir: String): DataFrame = {
+  def keyMigration(spark: SparkSession, sfDir: String): DataFrame =
+    keyMigrationFrom(Tables.events(spark, sfDir))
+
+  /** Core of o24 over any (event_id, user_id, event_type, props) frame —
+    * split out so `KeyMigrationSpec` can prove the pairing on a
+    * synthetic log with KNOWN re-keys (window edges, nearest-of-many,
+    * same-key exclusion, insert-before-delete).
+    */
+  def keyMigrationFrom(events: DataFrame): DataFrame = {
     val W = 200L
-    val ev = Tables.events(spark, sfDir)
+    val ev = events
       .select(col("event_id"), col("user_id"), col("event_type"), col("props"))
     val dels = ev.filter(col("event_type") === "error")
       .select(col("event_id").as("d_seq"), col("user_id").as("old_key"),
