@@ -443,6 +443,56 @@ object Dedup {
       minLabelClusters(minhashLsh(spark, sfDir), "doc_a", "doc_b",
         docs(spark, sfDir), "doc_id").localCheckpoint())
 
+  /** d19 — within-cluster MEDOID: per near-dup cluster, the member
+    * minimizing total Jaccard DISTANCE to the other members — the
+    * "most representative document" selector next to d16's
+    * keep-longest policy (SemDeDup keeps the point closest to the
+    * centroid; for sets the medoid is its exact combinatorial twin).
+    * All arithmetic is integer ppm (`1e6 − inter·1e6 DIV union`), so
+    * the argmin is hash-stable; ties break on doc_id via the
+    * associative struct-min.
+    *
+    * Scale shape: pairs materialize WITHIN clusters only — a self-join
+    * on the memoized d7 label, so the pair count is Σ|cluster|², which
+    * is bounded by real near-dup family sizes, not corpus size (hub
+    * clusters are exactly the ones worth paying exact medoids for).
+    * Singletons skip the pair path entirely and keep distance 0 via the
+    * left join.
+    */
+  def clusterMedoids(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.SortedIntersectCount.sortedIntersectCount
+    val labels = dedupClusters(spark, sfDir)
+    val toks = docs(spark, sfDir).select(col("doc_id"),
+      sort_array(array_distinct(transform(tokenSet(col("text")),
+        t => tokenHash(t)))).as("toks"))
+    val m = labels.join(toks, Seq("doc_id"))
+      .select(col("canonical"), col("doc_id"), col("toks"))
+    val pairs = m.alias("a").join(m.alias("b"),
+        col("a.canonical") === col("b.canonical") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.canonical").as("canonical"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        sortedIntersectCount(col("a.toks"), col("b.toks")).cast("long").as("inter"),
+        (size(col("a.toks")) + size(col("b.toks"))).cast("long").as("sz"))
+      // two empty token sets are identical (distance 0); the guard also
+      // keeps the engines off x DIV 0 (Spark nulls, DuckDB raises)
+      .withColumn("dist", lit(1000000L) -
+        when(col("sz") - col("inter") === 0L, lit(1000000L))
+          .otherwise(expr("(inter * 1000000) DIV (sz - inter)")))
+    val per = pairs.select(col("canonical"), col("doc_a").as("doc_id"), col("dist"))
+      .unionByName(pairs.select(col("canonical"), col("doc_b").as("doc_id"), col("dist")))
+      .groupBy("canonical", "doc_id").agg(sum("dist").as("sum_dist"))
+    m.select("canonical", "doc_id")
+      .join(per, Seq("canonical", "doc_id"), "left")
+      .withColumn("sum_dist", coalesce(col("sum_dist"), lit(0L)))
+      .groupBy("canonical")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct(col("sum_dist"), col("doc_id"))).as("best"))
+      .select(col("canonical"), col("n_members"),
+        col("best.doc_id").as("medoid_doc_id"),
+        col("best.sum_dist").as("medoid_sum_dist"))
+  }
+
   /** d18 — cluster SIZE HISTOGRAM (how much of the corpus is duplicated,
     * and how deeply): n_clusters per exact cluster size — the one-line
     * health chart a dedup pass is judged by (mass in size-1 clusters =
@@ -1103,6 +1153,7 @@ object Dedup {
     "d6_embed_neardup" -> (embedNearDup _),
     "d7_dedup_clusters" -> (dedupClusters _),
     "d18_cluster_histogram" -> (clusterHistogram _),
+    "d19_cluster_medoids" -> (clusterMedoids _),
     "d8_minhash_estimate" -> (minhashEstimate _),
     "d9_embed_clusters" -> (embedClusters _),
     "d10_triangle_census" -> (triangleStats _),
@@ -1343,6 +1394,50 @@ object Dedup {
          |  FROM clusters GROUP BY canonical)
          |SELECT cluster_size, count(*) AS n_clusters
          |FROM sizes GROUP BY cluster_size""".stripMargin,
+    "d19_cluster_medoids" ->
+      s"""WITH clusters AS ($d7Sql),
+         |d AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(${tokenSetSql("text")}, t -> ${tokenHashSql("t")})) AS toks
+         |  FROM documents),
+         |m AS (
+         |  SELECT c.canonical, c.doc_id, d.toks
+         |  FROM clusters c JOIN d USING (doc_id)),
+         |pr AS (
+         |  SELECT a.canonical, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.toks, b.toks)) AS inter,
+         |    len(a.toks) + len(b.toks) AS sz
+         |  FROM m a JOIN m b
+         |    ON a.canonical = b.canonical AND a.doc_id < b.doc_id),
+         |pd AS (
+         |  SELECT canonical, doc_a AS doc_id,
+         |    1000000 - CASE WHEN sz - inter = 0 THEN 1000000
+         |      ELSE (inter * 1000000) // (sz - inter) END AS dist
+         |  FROM pr
+         |  UNION ALL
+         |  SELECT canonical, doc_b,
+         |    1000000 - CASE WHEN sz - inter = 0 THEN 1000000
+         |      ELSE (inter * 1000000) // (sz - inter) END AS dist
+         |  FROM pr),
+         |per AS (
+         |  SELECT canonical, doc_id, CAST(sum(dist) AS BIGINT) AS sum_dist
+         |  FROM pd GROUP BY 1, 2),
+         |mem AS (
+         |  SELECT m.canonical, m.doc_id,
+         |    CAST(coalesce(per.sum_dist, 0) AS BIGINT) AS sum_dist
+         |  FROM m LEFT JOIN per
+         |    ON m.canonical = per.canonical AND m.doc_id = per.doc_id),
+         |cnt AS (
+         |  SELECT canonical, count(*) AS n_members FROM mem GROUP BY 1),
+         |best AS (
+         |  SELECT canonical, doc_id AS medoid_doc_id,
+         |    sum_dist AS medoid_sum_dist
+         |  FROM (SELECT mem.*, row_number() OVER (
+         |          PARTITION BY canonical ORDER BY sum_dist, doc_id) AS rk
+         |        FROM mem)
+         |  WHERE rk = 1)
+         |SELECT c.canonical, c.n_members, b.medoid_doc_id, b.medoid_sum_dist
+         |FROM cnt c JOIN best b USING (canonical)""".stripMargin,
     "c13_cluster_weights" ->
       s"""WITH clusters AS ($d7Sql),
          |sizes AS (

@@ -198,7 +198,11 @@ object Relational {
       .withColumn("within", rank().over(
         Window.partitionBy("event_type", "bucket").orderBy("value")))
       .select(col("event_id"), col("event_type"), col("value"),
-        expr("((offset + within - 1) * 1000000) DIV (n - 1)").as("pr_ppm"))
+        // n = 1 → percent_rank is 0 by definition; without the guard the
+        // engines diverge on x DIV 0 (Spark nulls, DuckDB raises)
+        when(col("n") === 1L, 0L)
+          .otherwise(expr("((offset + within - 1) * 1000000) DIV (n - 1)"))
+          .as("pr_ppm"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -216,8 +220,9 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "w3_percent_rank" ->
       """SELECT event_id, event_type, value,
-        |  ((rank() OVER w - 1) * 1000000)
-        |    // (count(*) OVER (PARTITION BY event_type) - 1) AS pr_ppm
+        |  CASE WHEN count(*) OVER (PARTITION BY event_type) = 1 THEN 0
+        |  ELSE ((rank() OVER w - 1) * 1000000)
+        |    // (count(*) OVER (PARTITION BY event_type) - 1) END AS pr_ppm
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY value)""".stripMargin,
     "w1_window_suite" ->
