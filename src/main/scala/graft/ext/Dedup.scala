@@ -453,11 +453,15 @@ object Dedup {
     * associative struct-min.
     *
     * Scale shape: pairs materialize WITHIN clusters only — a self-join
-    * on the memoized d7 label, so the pair count is Σ|cluster|², which
-    * is bounded by real near-dup family sizes, not corpus size (hub
-    * clusters are exactly the ones worth paying exact medoids for).
-    * Singletons skip the pair path entirely and keep distance 0 via the
-    * left join.
+    * on the memoized d7 label, so the pair count is Σ|cluster|², bounded
+    * by near-dup family sizes, not corpus size. The honest dial: a
+    * DEGENERATE giant cluster (say 10⁶ byte-identical crawls) makes the
+    * exact medoid quadratic in that one cluster — production caps the
+    * pair path at a member threshold and falls back to d16's
+    * keep-longest (or a sampled medoid) above it, the same
+    * cap-the-hub remedy as the df-capped postings (d2) and the
+    * adaptive cell widths (d6/s8). Singletons skip the pair path
+    * entirely and keep distance 0 via the left join.
     */
   def clusterMedoids(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.SortedIntersectCount.sortedIntersectCount
