@@ -459,7 +459,40 @@ object CdcQueries {
         col("best.gap").as("gap"))
   }
 
+  /** o25 — SEQUENCE-GAP audit: per fixed-width seq block, how many
+    * offsets inside the observed [min, max] span are MISSING — the
+    * "did we lose events?" check a CDC consumer runs against its
+    * offset ledger (the reference trusts Kafka's contiguous offsets;
+    * an engine auditing a materialized log must measure). Emits every
+    * block as a health row (n_missing >= 0, o22's non-vacuity
+    * discipline) — the registry testdata is gap-free, and
+    * `SeqGapSpec` proves gap detection on a synthetic gapped log.
+    *
+    * Scale shape: NO global sort and NO global window — blocks
+    * aggregate independently (one shuffle on the block id, map-side
+    * combinable min/max/count), so a 100 TB log audits at full
+    * parallelism. Within a block, missing = span − present, which
+    * needs no per-offset materialization at all; distinct-counting
+    * guards against redelivered duplicates inflating `present`.
+    */
+  def seqGaps(spark: SparkSession, sfDir: String): DataFrame =
+    seqGapsFrom(Tables.events(spark, sfDir))
+
+  /** Core of o25 over any frame with an `event_id` offset column. */
+  def seqGapsFrom(events: DataFrame): DataFrame = {
+    val B = 1000L
+    events
+      .select(col("event_id"), expr(s"event_id DIV $B").as("blk"))
+      .groupBy("blk")
+      .agg(min("event_id").as("first_seq"),
+        max("event_id").as("last_seq"),
+        countDistinct("event_id").as("n_present"))
+      .withColumn("n_missing",
+        col("last_seq") - col("first_seq") + 1L - col("n_present"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "o25_seq_gaps" -> (seqGaps _),
     "o24_key_migration" -> (keyMigration _),
     "o23_replication_lag" -> (replicationLag _),
     "o22_order_audit" -> (orderAudit _),
@@ -492,6 +525,14 @@ object CdcQueries {
       |     ELSE 'u' END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "o25_seq_gaps" ->
+      """SELECT event_id // 1000 AS blk,
+        |  min(event_id) AS first_seq, max(event_id) AS last_seq,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_present,
+        |  max(event_id) - min(event_id) + 1
+        |    - CAST(count(DISTINCT event_id) AS BIGINT) AS n_missing
+        |FROM events
+        |GROUP BY 1""".stripMargin,
     // the oracle states the UNBLOCKED definition (all same-payload pairs
     // within the window, nearest insert per delete) — a hash match
     // proves the seq-block banding loses no pair, the same
