@@ -397,7 +397,42 @@ object Prep {
         (col("group_n") < k).as("suppress"))
   }
 
+  /** c16 — CURRICULUM PHASE assignment: within each language, documents
+    * split into three quality-ordered training phases (easy→hard
+    * curriculum over x2's quality score, per-language so no language's
+    * whole corpus lands in one phase). Phase = exact tercile by RANK —
+    * `ntile` splits ties by row_number, which is NON-deterministic under
+    * ties, so the phase is `(rank−1)·3 DIV n` instead: tied documents
+    * provably share a phase, bit-stable on both engines.
+    *
+    * Scale: same two-phase rank decomposition as w3 (quality lives in
+    * [0, 1e6] micro-units → ≤101 coarse buckets per language): histogram
+    * offsets broadcast back, rank only WITHIN a (lang, bucket) cell —
+    * no per-language global sort, which is w3's low-cardinality-key
+    * skew argument applied to the lang column.
+    */
+  def curriculumPhases(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = TextAnalysis.qualityScore(spark, sfDir)
+      .select(col("doc_id"),
+        expr("CAST(floor(quality * 1000000) AS BIGINT)").as("q_micro"))
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+      .join(q, Seq("doc_id"))
+      .withColumn("bucket", expr("q_micro DIV 10000"))
+    val wb = Window.partitionBy("lang").orderBy("bucket")
+    val offs = base.groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("c"))
+      .withColumn("offset", coalesce(
+        sum("c").over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+      .select("lang", "bucket", "offset", "n")
+    base.join(broadcast(offs), Seq("lang", "bucket"))
+      .withColumn("within", rank().over(
+        Window.partitionBy("lang", "bucket").orderBy("q_micro")))
+      .select(col("doc_id"), col("lang"), col("q_micro"),
+        expr("((offset + within - 1) * 3) DIV n").as("phase"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c16_curriculum" -> (curriculumPhases _),
     "c14_k_anonymity" -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
     "c1_pii_scrub" -> (piiScrub _),
     "c2_contamination" -> (contamination _),
@@ -475,6 +510,25 @@ object Prep {
   }
 
   val oracle: Map[String, String] = Map(
+    // phase stated by the naive per-language rank definition — the hash
+    // match proves the w3-style bucket decomposition
+    "c16_curriculum" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CAST(floor(round(least(n / 50.0, 1.0) * 0.5
+         |      + (1.0 - stop_n / n) * 0.5, 6) * 1000000) AS BIGINT) AS q_micro
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(len(toks) AS DOUBLE) AS n,
+         |      CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS DOUBLE) AS stop_n
+         |    FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents))),
+         |j AS (
+         |  SELECT d.doc_id, d.lang, q.q_micro
+         |  FROM documents d JOIN q USING (doc_id))
+         |SELECT doc_id, lang, q_micro,
+         |  ((rank() OVER (PARTITION BY lang ORDER BY q_micro) - 1) * 3)
+         |    // (count(*) OVER (PARTITION BY lang)) AS phase
+         |FROM j""".stripMargin,
     "c14_k_anonymity" ->
       """SELECT doc_id, lang, source,
         |  count(*) OVER (PARTITION BY lang, source) AS group_n,
