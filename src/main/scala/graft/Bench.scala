@@ -9,6 +9,57 @@ case class BenchEv(seq: Long, key: Int, op: String, value: Double,
 case class BenchCatEv(seq: Long, key: Int, op: String, cat: String,
   value: Double)
 
+/** The upsert and IVM micro-bench workloads, defined ONCE: `Bench`'s
+  * streaming section and `StreamBench`'s fast A/B harness both call
+  * these, so an A/B'd number always measures exactly the
+  * `upsert_rows_per_sec` / `ivm_rows_per_sec` workload it stands in
+  * for (a drifted copy would silently benchmark different state widths).
+  */
+private[graft] object StreamFeeds {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  val SourceParts = 16
+  private val base = 1735689600000L // 2025-01-01T00:00:00Z
+
+  def ev(i: Int, nKeys: Int): BenchEv = BenchEv(i.toLong, i % nKeys,
+    if (i % 17 == 0) "d" else "u", i * 0.5, new java.sql.Timestamp(base + i))
+
+  def catEv(i: Int, nKeys: Int): BenchCatEv = BenchCatEv(i.toLong, i % nKeys,
+    if (i % 17 == 0) "d" else "u", s"c${i % 5}", i * 0.5)
+
+  def timeUpsert(spark: SparkSession, n: Int, nKeys: Int, nBatches: Int): Double = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-upsert").toString
+    val store = new streaming.StreamApply.ParquetUpsertStore(spark, dir,
+      key = "key", seq = "seq", opCol = "op", deleteOp = "d",
+      payloadCols = Seq("value"))
+    val in = MemoryStream[BenchEv](SourceParts)
+    val q = streaming.StreamApply.upsertWriter(in.toDF(), store, s"$dir/ckpt").start()
+    val batches = (0 until n).map(ev(_, nKeys)).grouped(n / nBatches).toSeq
+    val t0 = System.nanoTime()
+    try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    n / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  def timeIvm(spark: SparkSession, n: Int, nKeys: Int, nBatches: Int): Double = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-ivm").toString
+    val store = new streaming.StreamApply.IvmUpsertStore(spark, dir,
+      key = "key", seq = "seq", opCol = "op", deleteOp = "d",
+      payloadCols = Seq("cat", "value"), aggCol = "cat")
+    val in = MemoryStream[BenchCatEv](SourceParts)
+    val q = streaming.StreamApply.ivmWriter(in.toDF(), store, s"$dir/ckpt").start()
+    val batches = (0 until n).map(catEv(_, nKeys)).grouped(n / nBatches).toSeq
+    val t0 = System.nanoTime()
+    try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    n / ((System.nanoTime() - t0) / 1e9)
+  }
+}
+
 /** Per-round benchmark: one JSON line with per-query and total seconds.
   *
   * A warmup pass at the smallest scale factor runs every query once
@@ -126,9 +177,7 @@ object Bench {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val base = 1735689600000L // 2025-01-01T00:00:00Z
-    def ev(i: Int, nKeys: Int) = BenchEv(i.toLong, i % nKeys,
-      if (i % 17 == 0) "d" else "u", i * 0.5, new java.sql.Timestamp(base + i))
+    def ev(i: Int, nKeys: Int) = StreamFeeds.ev(i, nKeys)
 
     // A single-partition MemoryStream ships the WHOLE batch inside one
     // task binary (20k rows ≈ 1.6 MiB → TaskSetManager "very large task"
@@ -148,21 +197,10 @@ object Bench {
     // commit + state rewrite — dominates at 10k rows: A/B'd with
     // `StreamBench 2 10`), so the feed stays at 5 x 20k and the warning
     // is accepted as documented.
-    val SourceParts = 16
+    val SourceParts = StreamFeeds.SourceParts
 
-    def timeUpsert(n: Int, nKeys: Int, nBatches: Int): Double = {
-      val dir = java.nio.file.Files.createTempDirectory("graft-bench-upsert").toString
-      val store = new streaming.StreamApply.ParquetUpsertStore(spark, dir,
-        key = "key", seq = "seq", opCol = "op", deleteOp = "d",
-        payloadCols = Seq("value"))
-      val in = MemoryStream[BenchEv](SourceParts)
-      val q = streaming.StreamApply.upsertWriter(in.toDF(), store, s"$dir/ckpt").start()
-      val batches = (0 until n).map(ev(_, nKeys)).grouped(n / nBatches).toSeq
-      val t0 = System.nanoTime()
-      try batches.foreach { b => in.addData(b); q.processAllAvailable() }
-      finally q.stop()
-      n / ((System.nanoTime() - t0) / 1e9)
-    }
+    def timeUpsert(n: Int, nKeys: Int, nBatches: Int): Double =
+      StreamFeeds.timeUpsert(spark, n, nKeys, nBatches)
 
     def timeDedup(n: Int, nKeys: Int, nBatches: Int): Double = {
       val in = MemoryStream[BenchEv](SourceParts)
@@ -226,21 +264,8 @@ object Bench {
       }
     }
 
-    def timeIvm(n: Int, nKeys: Int, nBatches: Int): Double = {
-      val dir = java.nio.file.Files.createTempDirectory("graft-bench-ivm").toString
-      val store = new streaming.StreamApply.IvmUpsertStore(spark, dir,
-        key = "key", seq = "seq", opCol = "op", deleteOp = "d",
-        payloadCols = Seq("cat", "value"), aggCol = "cat")
-      val in = MemoryStream[BenchCatEv](SourceParts)
-      val q = streaming.StreamApply.ivmWriter(in.toDF(), store, s"$dir/ckpt").start()
-      val batches = (0 until n).map(i => BenchCatEv(i.toLong, i % nKeys,
-          if (i % 17 == 0) "d" else "u", s"c${i % 5}", i * 0.5))
-        .grouped(n / nBatches).toSeq
-      val t0 = System.nanoTime()
-      try batches.foreach { b => in.addData(b); q.processAllAvailable() }
-      finally q.stop()
-      n / ((System.nanoTime() - t0) / 1e9)
-    }
+    def timeIvm(n: Int, nKeys: Int, nBatches: Int): Double =
+      StreamFeeds.timeIvm(spark, n, nKeys, nBatches)
 
     def timeTopK(n: Int, nGroups: Int, nBatches: Int): Double = {
       val provKey = "spark.sql.streaming.stateStore.providerClass"

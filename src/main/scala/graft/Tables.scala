@@ -26,7 +26,11 @@ object Tables {
     * external caller with a non-UTC session (e.g. the spark-shell path in
     * SKILL.md) would get silently shifted epoch values in every
     * unix_micros-based query (o22/o23, k9, a7) and diverge from the
-    * oracle, which always sees naive-UTC wall times.
+    * oracle, which always sees naive-UTC wall times. The pin IS a global
+    * session mutation — a deliberate trade: the alternative (fail fast on
+    * non-UTC sessions) breaks exactly the external callers this exists to
+    * serve, and every query in this library already assumes UTC
+    * session-wide, so "first graft call pins the clock" is the contract.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -389,10 +389,12 @@ object CdcQueries {
   /** Core of o22 over any (user_id, event_id, ts) frame — split out so the
     * unit test can feed a synthetic stream with KNOWN inversions
     * (`OrderAuditSpec`): the registry testdata happens to contain zero
-    * arrival-order inversions, so the audit emits EVERY key
-    * (n_inversions >= 0, a per-key health row) rather than filtering to
-    * inverted keys only — a filtered form would make the oracle
-    * comparison empty-vs-empty and prove nothing about the lag window.
+    * arrival-order inversions, so the audit emits a health row for every
+    * key WITH AT LEAST TWO EVENTS (n_inversions >= 0; a single-event key
+    * has no ordered step to audit and emits nothing) rather than
+    * filtering to inverted keys only — a filtered form would make the
+    * oracle comparison empty-vs-empty and prove nothing about the lag
+    * window.
     */
   def orderAuditFrom(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

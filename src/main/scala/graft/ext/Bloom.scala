@@ -128,21 +128,35 @@ object Bloom {
     * INTERPRETED, so the md5 chain ran un-codegen'd per row — 50 s at
     * sf0.1 where this shape takes well under a second.)
     */
-  private[ext] def prunedCandidates(fact: DataFrame, keyCol: String,
-      words: DataFrame, nWords: Int): DataFrame = {
-    val withP = (0 until K).foldLeft(fact) { (df, i) =>
+  // -- shared pieces of the two fact-side bit-test shapes (b1's inner
+  //    prune and b3's flagging left joins): ONE definition of the hash
+  //    positions and the bit test, so a K/WordBits/hash change can never
+  //    silently diverge the sketches
+  private def withPositions(fact: DataFrame, keyCol: String,
+      nWords: Int): DataFrame =
+    (0 until K).foldLeft(fact) { (df, i) =>
       df.withColumn(s"__p$i", fastPos(i, col(keyCol), nWords))
     }
-    (0 until K).foldLeft(withP) { (df, i) =>
-      val w = broadcast(words
-        .select(col("w").as(s"__w$i"), col("mask").as(s"__m$i")))
-      df.join(w, expr(s"__p$i DIV $WordBits") === col(s"__w$i") &&
-        (col(s"__m$i").bitwiseAND(
-          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(__p$i % $WordBits AS INT))"))
-          =!= 0L))
-    }.drop((0 until K).flatMap(i =>
-      Seq(s"__p$i", s"__w$i", s"__m$i")): _*)
-  }
+
+  private def wordFor(words: DataFrame, i: Int): DataFrame =
+    broadcast(words.select(col("w").as(s"__w$i"), col("mask").as(s"__m$i")))
+
+  private def bitSet(i: Int): Column =
+    col(s"__m$i").bitwiseAND(
+      expr(s"shiftleft(CAST(1 AS BIGINT), CAST(__p$i % $WordBits AS INT))")) =!= 0L
+
+  private def dropAux(df: DataFrame): DataFrame =
+    df.drop((0 until K).flatMap(i => Seq(s"__p$i", s"__w$i", s"__m$i")): _*)
+
+  private[ext] def prunedCandidates(fact: DataFrame, keyCol: String,
+      words: DataFrame, nWords: Int): DataFrame =
+    dropAux((0 until K).foldLeft(withPositions(fact, keyCol, nWords)) { (df, i) =>
+      // INNER join: rows shed at every stage, so the miss-heavy fact
+      // stream shrinks progressively — the right shape when only the
+      // candidates are wanted
+      df.join(wordFor(words, i),
+        expr(s"__p$i DIV $WordBits") === col(s"__w$i") && bitSet(i))
+    })
 
   /** b1 — bloom-pruned semi-join revenue: lineitem revenue restricted to
     * urgent orders, pruned by the sketch BEFORE the exact semi join.
@@ -191,20 +205,16 @@ object Bloom {
     */
   private def bloomFlagged(fact: DataFrame, keyCol: String,
       words: DataFrame, nWords: Int): DataFrame = {
-    val withP = (0 until K).foldLeft(fact) { (df, i) =>
-      df.withColumn(s"__p$i", fastPos(i, col(keyCol), nWords))
+    // LEFT joins (vs prunedCandidates' inner): every row keeps flowing,
+    // a missing word row meaning "bit trivially 0" via the coalesce —
+    // the shape when BOTH populations are wanted
+    val joined = (0 until K).foldLeft(withPositions(fact, keyCol, nWords)) {
+      (df, i) =>
+        df.join(wordFor(words, i),
+          expr(s"__p$i DIV $WordBits") === col(s"__w$i"), "left")
     }
-    val joined = (0 until K).foldLeft(withP) { (df, i) =>
-      val w = broadcast(words
-        .select(col("w").as(s"__w$i"), col("mask").as(s"__m$i")))
-      df.join(w, expr(s"__p$i DIV $WordBits") === col(s"__w$i"), "left")
-    }
-    joined.withColumn("__maybe",
-      (0 until K).map(i => coalesce(col(s"__m$i").bitwiseAND(
-          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(__p$i % $WordBits AS INT))"))
-          =!= 0L, lit(false)))
-        .reduce(_ && _))
-      .drop((0 until K).flatMap(i => Seq(s"__p$i", s"__w$i", s"__m$i")): _*)
+    dropAux(joined.withColumn("__maybe",
+      (0 until K).map(i => coalesce(bitSet(i), lit(false))).reduce(_ && _)))
   }
 
   /** b3 — bloom-accelerated ANTI join: revenue over lineitems whose

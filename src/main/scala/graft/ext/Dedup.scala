@@ -483,6 +483,10 @@ object Dedup {
       .withColumn("dist", lit(1000000L) -
         when(col("sz") - col("inter") === 0L, lit(1000000L))
           .otherwise(expr("(inter * 1000000) DIV (sz - inter)")))
+      // referenced by BOTH union branches: without this the quadratic
+      // pair join + per-pair intersection — d19's dominant cost — would
+      // evaluate twice (the file's multiply-consumed-frame discipline)
+      .localCheckpoint()
     val per = pairs.select(col("canonical"), col("doc_a").as("doc_id"), col("dist"))
       .unionByName(pairs.select(col("canonical"), col("doc_b").as("doc_id"), col("dist")))
       .groupBy("canonical", "doc_id").agg(sum("dist").as("sum_dist"))

@@ -50,8 +50,12 @@ object DistinctStream {
         if (state.exists()) state.get().registers.toArray
         else new Array[Long](64)
       rows.foreach { r =>
-        val bucket = (r.h % 64).toInt
-        val rest = r.h / 64
+        // floorMod + logical shift: identical to %/÷ for the canonical
+        // non-negative tokenHash feed, and SAFE (no negative array
+        // index, no sign-poisoned lowest-set-bit) should a caller feed
+        // a signed hash like raw xxhash64
+        val bucket = java.lang.Math.floorMod(r.h, 64L).toInt
+        val rest = r.h >>> 6
         val w = rest & -rest // lowest set bit = FM register weight
         if (w > regs(bucket)) regs(bucket) = w
       }

@@ -49,14 +49,21 @@ object SeqGapStream {
 
     override def handleInputRows(key: Long, rows: Iterator[Offset],
         tv: TimerValues): Iterator[BlockHealth] = {
-      val words: Array[Long] =
-        if (state.exists()) state.get().words.toArray
-        else new Array[Long]((BlockWidth + 63) / 64)
-      var first = if (state.exists()) state.get().first else Long.MaxValue
-      var last = if (state.exists()) state.get().last else Long.MinValue
+      // ONE state read per key per batch — each get() deserializes the
+      // full bitmap from the store, so don't read it three times
+      val prev = if (state.exists()) Some(state.get()) else None
+      val words: Array[Long] = prev.map(_.words.toArray)
+        .getOrElse(new Array[Long]((BlockWidth + 63) / 64))
+      var first = prev.map(_.first).getOrElse(Long.MaxValue)
+      var last = prev.map(_.last).getOrElse(Long.MinValue)
       rows.foreach { r =>
-        val off = (r.seq - key * BlockWidth).toInt // 0 until BlockWidth
-        words(off / 64) |= 1L << (off % 64)        // idempotent set-bit
+        val off = r.seq - key * BlockWidth
+        // a mismatched (blk, seq) — negative seq, caller bug — must fail
+        // diagnosably, not as a task-level ArrayIndexOutOfBounds
+        require(off >= 0 && off < BlockWidth,
+          s"offset ${r.seq} outside block $key (width $BlockWidth)")
+        val i = off.toInt
+        words(i / 64) |= 1L << (i % 64) // idempotent set-bit
         if (r.seq < first) first = r.seq
         if (r.seq > last) last = r.seq
       }
