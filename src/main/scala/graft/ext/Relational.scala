@@ -205,7 +205,29 @@ object Relational {
           .as("pr_ppm"))
   }
 
+  /** u5 — RELATIONAL DIVISION (the textbook operator SQL never got):
+    * users with at least one event on EVERY distinct day in the corpus
+    * — "x ÷ y" with x = (user, day) and y = the day set. Stated as
+    * COUNTING, the form that scales: per-user distinct-day counts
+    * compared against the one-row divisor cardinality — two map-side
+    * combinable distinct-aggregations and a one-row broadcast, where
+    * the classical double-NOT-EXISTS form plans nested anti joins and
+    * the cross-join-minus-observed form materializes |users|×|days|.
+    * Selective by construction here: 3 of 150 users cover all 30 days
+    * at sf0.01 (non-vacuous, and the filter actually filters).
+    */
+  def division(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val nDays = ev.select(countDistinct("d").as("n_days"))
+    ev.groupBy("user_id").agg(countDistinct("d").as("n_user_days"))
+      .join(broadcast(nDays)) // one-row divisor-cardinality frame
+      .filter(col("n_user_days") === col("n_days"))
+      .select(col("user_id"), col("n_user_days").as("n_days"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "u5_division" -> (division _),
     "w3_percent_rank" -> (percentRank _),
     "w1_window_suite" -> (windowSuite _),
     "w2_time_windows" -> (timeWindows _),
@@ -218,6 +240,14 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "u5_division" ->
+      """WITH ud AS (
+        |  SELECT user_id,
+        |    count(DISTINCT CAST(ts AS DATE)) AS n_user_days
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days FROM events)
+        |SELECT user_id, CAST(n_user_days AS BIGINT) AS n_days
+        |FROM ud, n WHERE ud.n_user_days = n.n_days""".stripMargin,
     "w3_percent_rank" ->
       """SELECT event_id, event_type, value,
         |  CASE WHEN count(*) OVER (PARTITION BY event_type) = 1 THEN 0
