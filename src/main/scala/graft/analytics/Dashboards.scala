@@ -128,6 +128,7 @@ object Dashboards {
   }
 
   val queries: Map[String, Q] = Map(
+    "q6_top_movers" -> (topMovers _),
     "q1_terms_count" -> (termsCount _),
     "q2_date_histogram" -> (dateHistogram _),
     "q3_recent_topk" -> (recentTopK _),
@@ -142,7 +143,59 @@ object Dashboards {
       |  FROM events
       |) WHERE rn = 1 AND event_type <> 'error'""".stripMargin
 
+  /** The Q1 panel rebuilt AS OF a cutoff: the o14 time-travel prefix
+    * (raw-NTZ filter so it pushes to the scan) materialized and
+    * aggregated — what the dashboard looked like at that instant.
+    */
+  private def termsAsof(spark: SparkSession, sfDir: String,
+      cut: String): DataFrame =
+    Materialize.customerView(
+        Tables.eventsRaw(spark, sfDir)
+          .filter(col("ts") < lit(java.time.LocalDateTime.parse(cut)))
+          .withColumn("ts", col("ts").cast("timestamp")),
+        Seq("event_type"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+
+  /** q6 — dashboard TOP MOVERS: the Q1 panel diffed between two
+    * time-travel points — "what changed since yesterday's refresh", the
+    * trend-arrow column next to every dashboard number. Composes the
+    * CDC time travel (o14's pushed prefix filter) with the panel
+    * aggregation; the diff is a full-outer join of two |classes|-row
+    * frames, so its cost is the two prefix rebuilds, each reading only
+    * its rowgroups. A class present in one snapshot only still shows
+    * (count 0 on the other side) — an inner join would silently hide
+    * births and deaths, the rows a movers panel exists for.
+    */
+  def topMovers(spark: SparkSession, sfDir: String): DataFrame =
+    termsAsof(spark, sfDir, "2024-01-10T00:00:00")
+      .withColumnRenamed("n", "n_before")
+      .join(termsAsof(spark, sfDir, "2024-01-20T00:00:00")
+        .withColumnRenamed("n", "n_after"), Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .withColumn("delta", col("n_after") - col("n_before"))
+
+  private def asofViewSql(cut: String) =
+    s"""SELECT user_id, event_id, ts, event_type, value FROM (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+       |  FROM events WHERE ts < TIMESTAMP '$cut'
+       |) WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q6_top_movers" ->
+      s"""WITH b AS (
+         |  SELECT event_type, count(*) AS n
+         |  FROM (${asofViewSql("2024-01-10 00:00:00")}) GROUP BY 1),
+         |a AS (
+         |  SELECT event_type, count(*) AS n
+         |  FROM (${asofViewSql("2024-01-20 00:00:00")}) GROUP BY 1)
+         |SELECT coalesce(b.event_type, a.event_type) AS event_type,
+         |  CAST(coalesce(b.n, 0) AS BIGINT) AS n_before,
+         |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_after,
+         |  CAST(coalesce(a.n, 0) - coalesce(b.n, 0) AS BIGINT) AS delta
+         |FROM b FULL OUTER JOIN a ON b.event_type = a.event_type""".stripMargin,
     "q1_terms_count" ->
       s"""SELECT event_type, count(*) AS n FROM ($viewSql)
          |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin,
