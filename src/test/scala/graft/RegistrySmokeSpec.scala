@@ -14,7 +14,10 @@ class RegistrySmokeSpec extends SparkSpec {
   private val emptyAtTestSf: Map[String, String] = Map(
     // two-nation shipping filter matches nothing in the 60-customer
     // sample; 14 rows at the driver's sf0.01 (CORRECTNESS_r06)
-    "t9_volume_shipping" -> "/root/testdata/sf0.01"
+    "t9_volume_shipping" -> "/root/testdata/sf0.01",
+    // relational division: at sf0.001 no user covers every distinct
+    // day; 3 qualifying users at the driver's sf0.01
+    "u5_division" -> "/root/testdata/sf0.01"
   )
 
   test("every registered query executes, returns a schema, and is NON-VACUOUS") {
