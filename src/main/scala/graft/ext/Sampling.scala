@@ -400,7 +400,32 @@ object Sampling {
     valuesAtRanks(gaps, targets, _ => expr("value DIV 1000000"))
   }
 
+  /** r15 — WEIGHTED median document length per language: the smallest
+    * length L such that documents of length ≤ L hold at least HALF the
+    * language's total characters — "half the corpus bytes live below
+    * this size", the statistic that actually drives packing/chunking
+    * decisions (the plain median answers about document COUNTS; a few
+    * huge documents move bytes, not counts). Exact integers throughout:
+    * weight = n_chars · multiplicity per distinct length, one
+    * aggregation shuffle, then cum-sum + threshold on the
+    * |langs|×|distinct lengths| frame — the r10 discipline (no sort
+    * wider than the tiny aggregate) applied to weighted rank.
+    */
+  def weightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("n_chars"))
+      .agg((count(lit(1)) * col("n_chars")).as("w"))
+    val wl = Window.partitionBy("lang").orderBy("n_chars")
+    val cum = g.withColumn("cum", sum("w").over(wl))
+      .withColumn("total", sum("w").over(Window.partitionBy("lang")))
+    cum.filter(col("cum") * 2 >= col("total"))
+      .groupBy(col("lang"))
+      .agg(min("n_chars").as("wmedian_chars"),
+        min("total").as("total_chars"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "r15_weighted_median" -> (weightedMedian _),
     "r13_group_mode" -> (groupMode _),
     "r14_gap_quantiles" -> (gapQuantiles _),
     "r12_group_median" -> (groupMedian _),
@@ -421,6 +446,20 @@ object Sampling {
   private val gate = s"${tokenHashSql("CAST(doc_id AS VARCHAR)")} % 100"
 
   val oracle: Map[String, String] = Map(
+    "r15_weighted_median" ->
+      """WITH g AS (
+        |  SELECT lang, n_chars,
+        |    CAST(count(*) * n_chars AS BIGINT) AS w
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, n_chars,
+        |    sum(w) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+        |    sum(w) OVER (PARTITION BY lang) AS total
+        |  FROM g)
+        |SELECT lang, min(n_chars) AS wmedian_chars,
+        |  CAST(min(total) AS BIGINT) AS total_chars
+        |FROM c WHERE cum * 2 >= total
+        |GROUP BY lang""".stripMargin,
     "r13_group_mode" ->
       """SELECT event_type, props AS mode_value, n AS n_occurrences FROM (
         |  SELECT event_type, props, n,
