@@ -1239,8 +1239,9 @@ object Dedup {
        |          JOIN d y ON y.doc_id = cand.doc_b
        |WHERE ${jaccardSql("x.toks", "y.toks")} >= 0.9""".stripMargin
 
-  /** d7's full oracle SQL — the text-cluster closure; also c11's base. */
-  private val d7Sql: String =
+  /** d7's full oracle SQL — the text-cluster closure; also c11's base
+    * and p5's weight source. */
+  private[ext] val d7Sql: String =
     s"""WITH pairs AS ($d3Sql),
        |und AS (SELECT doc_a AS u, doc_b AS v FROM pairs
        |        UNION ALL SELECT doc_b, doc_a FROM pairs),

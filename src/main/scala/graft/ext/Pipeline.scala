@@ -104,12 +104,63 @@ object Pipeline {
         col("saturated"), col("alloc_chars"))
   }
 
+  /** p5 — dedup-aware EFFECTIVE mixture: per source, the raw character
+    * share vs the share after c13's cluster-equalized weights — the
+    * number that tells you how deduplication actually rebalanced the
+    * training mix (a source whose volume is near-dup families loses
+    * mass; unique-content sources gain). Rides the memoized d7 labels
+    * through `Dedup.clusterWeights`; shares are exact integral ppm over
+    * DECIMAL(38,0)/HUGEINT (t19's discipline — eff_units·10⁶ exceeds a
+    * long at corpus scale), so the rollup is order-independent and
+    * hash-stable. One doc_id co-partition join + one |sources| rollup.
+    */
+  def effectiveMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Dedup.clusterWeights(spark, sfDir).select("doc_id", "weight_ppm")
+    val per = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(w, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("raw_chars"),
+        sum(expr("weight_ppm * n_chars")).as("eff_units"))
+    val tot = per.agg(sum("raw_chars").as("t_raw"), sum("eff_units").as("t_eff"))
+    per.crossJoin(broadcast(tot)) // one-row totals frame
+      .select(col("source"), col("n_docs"), col("raw_chars"), col("eff_units"),
+        expr("(CAST(raw_chars AS DECIMAL(38,0)) * 1000000) DIV CAST(t_raw AS DECIMAL(38,0))")
+          .as("raw_share_ppm"),
+        expr("(CAST(eff_units AS DECIMAL(38,0)) * 1000000) DIV CAST(t_eff AS DECIMAL(38,0))")
+          .as("eff_share_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p1_training_mix" -> (trainingMix _),
     "p4_token_budget" -> (tokenBudget _),
+    "p5_effective_mix" -> (effectiveMix _),
     "p3_temperature_mix" -> (temperatureMix _))
 
   val oracle: Map[String, String] = Map(
+    "p5_effective_mix" ->
+      s"""WITH clusters AS (${Dedup.d7Sql}),
+         |sizes AS (
+         |  SELECT canonical, count(*) AS cluster_size
+         |  FROM clusters GROUP BY 1),
+         |wts AS (
+         |  SELECT doc_id, 1000000 // cluster_size AS weight_ppm
+         |  FROM clusters JOIN sizes USING (canonical)),
+         |per AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS raw_chars,
+         |    CAST(sum(weight_ppm * n_chars) AS BIGINT) AS eff_units
+         |  FROM documents JOIN wts USING (doc_id) GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(raw_chars) AS HUGEINT) AS t_raw,
+         |    CAST(sum(eff_units) AS HUGEINT) AS t_eff FROM per)
+         |SELECT source, n_docs, raw_chars, eff_units,
+         |  CAST((CAST(raw_chars AS HUGEINT) * 1000000) // t_raw AS BIGINT)
+         |    AS raw_share_ppm,
+         |  CAST((CAST(eff_units AS HUGEINT) * 1000000) // t_eff AS BIGINT)
+         |    AS eff_share_ppm
+         |FROM per CROSS JOIN tot""".stripMargin,
     "p4_token_budget" ->
       """WITH caps AS (
         |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS cap
