@@ -22,7 +22,8 @@ object Tables {
     * `CAST(ts AS TIMESTAMP)` stays identity).
     *
     * The NTZ->TIMESTAMP cast interprets the wall time in the SESSION
-    * timezone, so the conf is pinned here at read time — otherwise an
+    * timezone, so the conf is pinned at read time in [[eventsRaw]] (the
+    * common root of every events accessor) — otherwise an
     * external caller with a non-UTC session (e.g. the spark-shell path in
     * SKILL.md) would get silently shifted epoch values in every
     * unix_micros-based query (o22/o23, k9, a7) and diverge from the
@@ -32,20 +33,26 @@ object Tables {
     * serve, and every query in this library already assumes UTC
     * session-wide, so "first graft call pins the clock" is the contract.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     eventsRaw(spark, sfDir)
       .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
-  }
 
   /** Events with `ts` as the raw stored TIMESTAMP_NTZ. Time-range
     * operators filter HERE before the cast: a predicate on the stored
     * column (against a TIMESTAMP_NTZ literal, e.g. `lit(LocalDateTime)`)
     * reaches the parquet scan as a pushed filter (rowgroup min/max
     * skipping), which a predicate on the cast column never can.
+    *
+    * The UTC pin lives HERE — the common root of every events accessor —
+    * not in [[events]]: callers that take `eventsRaw` and cast `ts`
+    * themselves (e.g. the as-of dashboards) get the same guarantee as
+    * callers of the canonical cast, so the contract cannot depend on
+    * which accessor a query path happens to touch first.
     */
-  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     table(spark, sfDir, "events")
+  }
   def customer(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "customer")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")

@@ -471,6 +471,11 @@ object Dedup {
         t => tokenHash(t)))).as("toks"))
     val m = labels.join(toks, Seq("doc_id"))
       .select(col("canonical"), col("doc_id"), col("toks"))
+      // consumed THREE times (both sides of the pair self-join + the
+      // final membership join) — without this the tokenize/sort_array
+      // pass over the corpus runs three times (the file's
+      // multiply-consumed-frame discipline)
+      .localCheckpoint()
     val pairs = m.alias("a").join(m.alias("b"),
         col("a.canonical") === col("b.canonical") &&
           col("a.doc_id") < col("b.doc_id"))

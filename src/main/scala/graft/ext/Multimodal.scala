@@ -177,24 +177,49 @@ object Multimodal {
     }
   }
 
-  /** m4 — resize (STUB): target dims + a stride-resampled payload. The
-    * real kernel would be an image scaler; the stub keeps the contract a
-    * resize must have — output dims are the requested ones, payload
-    * shrinks proportionally, determinism — so the Spark plumbing
-    * (partition-batched, schema-stable) is exercised for real.
+  /** m3 (registered) — the mime DISPATCH through one decode pass: a
+    * MIXED media column (even doc_ids render to genuine PNGs, odd ones
+    * to raw 8-bit gray payloads of the same pixels) goes through
+    * [[decodeFeatures]], whose per-partition batch dispatches each row
+    * on `mime` — PNG through the real [[PngCodec]], raw bytes through
+    * the [[StubCodec]] byte statistics. The pixel SUM is
+    * branch-independent (both decoders see the same sample values), but
+    * the histogram BINNING differs (codec bins by `v >> 4`, stub by
+    * `b % 16`), so the checksum pins which decoder ran per row: a
+    * misrouted mime cannot hash-match. The oracle reconstructs both
+    * branches from the source characters with a CASE on the parity.
     */
-  def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { batch =>
-      batch.map { rec =>
-        val ratio = math.max(1,
-          math.ceil(rec.data.length.toDouble * w * h /
-            math.max(1, rec.width * rec.height)).toInt)
-        val stride = math.max(1, rec.data.length / math.max(1, ratio))
-        val sampled = rec.data.indices.by(stride).map(rec.data).toArray
-        rec.copy(data = sampled, width = w, height = h)
+  def decodeDispatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        ((col("doc_id") % 4 + 1) * 8).cast("int").as("width"),
+        ((col("doc_id") % 3 + 1) * 6).cast("int").as("height"))
+      // same explicit fan-out as [[pngRecords]]: codec work is CPU-dense
+      // while the text frame is byte-tiny
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .as[(Long, String, Int, Int)]
+      .mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
+        batch.map { case (id, text, w, h) =>
+          val cps = text.codePoints().toArray
+          val px = Array.tabulate(w * h)(i =>
+            if (cps.isEmpty) 0 else cps(i % cps.length) & 0xff)
+          if (id % 2 == 0)
+            MediaRecord(id, PngCodec.encodeGray(w, h, px), "image/png", w, h)
+          else MediaRecord(id, px.map(_.toByte), "image/x-gray", w, h)
+        }
       }
-    }
+    decodeFeatures(media)
+      .map { f =>
+        (f.doc_id,
+          // luma·Σhist recovers the exact integer sample sum (≤ 255·576,
+          // exactly representable; the division ulp stays under round's
+          // 0.5 — m5's argument)
+          math.round(f.luma * f.histogram.sum),
+          f.histogram.foldLeft(0L)((acc, h) => (acc * 31 + h) % P))
+      }
+      .toDF("doc_id", "luma_sum", "hist_checksum")
   }
 
   // ---- oracle-checked projection queries --------------------------------
@@ -310,8 +335,7 @@ object Multimodal {
     * full encode→decode trips guard the second round too. The oracle
     * reconstructs the expected resized pixels straight from the source
     * characters (source index (2y)·w + 2x), so the hash only matches if
-    * both codec passes and the sampling geometry are exact. Replaces
-    * nothing: the stub [[resize]] stays for codec-less mimes.
+    * both codec passes and the sampling geometry are exact.
     */
   def resizeReal(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -350,6 +374,7 @@ object Multimodal {
   val queries: Map[String, Q] = Map(
     "m1_media_meta" -> (mediaMeta _),
     "m2_frame_sample" -> (frameSample _),
+    "m3_decode_dispatch" -> (decodeDispatch _),
     "m5_png_roundtrip" -> (pngRoundtrip _),
     "m6_tile_stats" -> (tileStats _),
     "m7_resize_real" -> (resizeReal _)
@@ -373,6 +398,33 @@ object Multimodal {
          |    list_transform(range(1, len(text) + 1, 8),
          |      i -> CAST(ascii(substring(text, CAST(i AS INTEGER), 1)) AS BIGINT)) AS frames
          |  FROM documents)""".stripMargin,
+    // both dispatch branches reconstructed from the source characters:
+    // the pixel sum is branch-independent, the histogram binning CASEs
+    // on the parity (codec `v // 16` vs stub `v % 16`) — a misrouted
+    // mime cannot hash-match
+    "m3_decode_dispatch" -> {
+      val binsPng = "list_transform(range(0, 16), b -> " +
+        "CAST(len(list_filter(pixels, v -> v // 16 = b)) AS BIGINT))"
+      val binsStub = "list_transform(range(0, 16), b -> " +
+        "CAST(len(list_filter(pixels, v -> v % 16 = b)) AS BIGINT))"
+      s"""WITH d AS (
+         |  SELECT doc_id, text, len(text) AS n,
+         |    (doc_id % 4 + 1) * 8 * ((doc_id % 3 + 1) * 6) AS n_px
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, n_px),
+         |      i -> CASE WHEN n = 0 THEN 0
+         |           ELSE ascii(substring(text, CAST(i % n + 1 AS INTEGER), 1)) % 256
+         |           END) AS pixels
+         |  FROM d)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(pixels, v -> CAST(v AS BIGINT))) AS BIGINT)
+         |    AS luma_sum,
+         |  CASE WHEN doc_id % 2 = 0 THEN ${fold31Sql(binsPng)}
+         |       ELSE ${fold31Sql(binsStub)} END AS hist_checksum
+         |FROM p""".stripMargin
+    },
     // the oracle never decodes a PNG: it reconstructs the pixel list
     // from the source characters (pixel i = codepoint at i mod len, low
     // byte — exactly how pngRecords rendered the image) and computes the

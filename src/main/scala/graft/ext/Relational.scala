@@ -182,11 +182,34 @@ object Relational {
     * on the fine-grained (type, bucket) key; no sort is wider than one
     * bucket. The oracle states the naive definition — a hash match
     * proves the decomposition.
+    *
+    * The bucket is a BOUNDED linear quantization of the per-type value
+    * range (4096 cells between the type's min and max), not
+    * `floor(value)`: a floor bucket on a wide or continuous domain
+    * approaches distinct-value cardinality, which silently turns the
+    * "tiny histogram broadcast" into a corpus-sized one. The range
+    * aggregate is one row per type; quantization is float arithmetic
+    * but only the bucket ASSIGNMENT depends on it — IEEE multiply/
+    * divide by positive constants is monotone, equal values share a
+    * bucket deterministically, and the decomposition is exact for any
+    * order-preserving bucketization, so the result (and the oracle
+    * hash) is bucket-scheme-independent. Residual skew: a single value
+    * holding most of a type's mass still concentrates one cell —
+    * inherent to exact tie-ranking, not to the bucketization.
     */
   def percentRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+    val cells = 4096
+    val raw = Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"), col("value"))
-      .withColumn("bucket", floor(col("value")).cast("long"))
+    val rng = raw.groupBy("event_type")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    val ev = raw.join(broadcast(rng), Seq("event_type")) // one row per type
+      .withColumn("bucket",
+        when(col("hi") <= col("lo"), lit(0L))
+          .otherwise(least(lit(cells - 1L),
+            floor((col("value") - col("lo")) * cells / (col("hi") - col("lo")))
+              .cast("long"))))
+      .select(col("event_id"), col("event_type"), col("value"), col("bucket"))
     val wb = Window.partitionBy("event_type").orderBy("bucket")
     val offs = ev.groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("c"))

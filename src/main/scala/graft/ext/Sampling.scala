@@ -224,7 +224,7 @@ object Sampling {
 
   private val GroupTopK = 8
 
-  /** r12 — stratified priority sample: r5's weighted-without-replacement
+  /** r16 — stratified priority sample: r5's weighted-without-replacement
     * priority scheme, but top-[[GroupTopK]] PER LANGUAGE instead of
     * top-64 global — the per-stratum variant a curriculum builder uses.
     * The rank filter sits directly on the window, which Spark plans as
@@ -440,7 +440,7 @@ object Sampling {
     "r9_column_profile" -> (columnProfile _),
     "r10_exact_quantiles" -> (exactQuantiles _),
     "r11_decile_bins" -> (decileBins _),
-    "r12_group_topk" -> (groupTopk _)
+    "r16_group_topk" -> (groupTopk _)
   )
 
   private val gate = s"${tokenHashSql("CAST(doc_id AS VARCHAR)")} % 100"
@@ -635,7 +635,7 @@ object Sampling {
         |  count(*) AS n_rows
         |FROM events e JOIN bounds b USING (event_type)
         |GROUP BY e.event_type, bin""".stripMargin,
-    "r12_group_topk" ->
+    "r16_group_topk" ->
       s"""SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
          |FROM (
          |  SELECT lang, doc_id, n_chars,

@@ -72,20 +72,27 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
-  test("resize stub keeps dims contract and shrinks payload deterministically") {
-    val media = Multimodal.mediaRecords(spark, sf)
-    val resized = Multimodal.resize(media, 64, 48).collect()
-    val orig = media.collect().map(r => r.doc_id -> r).toMap
-    assert(resized.nonEmpty)
-    for (r <- resized.take(10)) {
-      assert(r.width == 64 && r.height == 48)
-      assert(r.data.length <= orig(r.doc_id).data.length)
-      assert(r.data.nonEmpty)
+  test("m3 dispatch routes each mime to its decoder and both branches agree on the pixel sum") {
+    val rows = Multimodal.decodeDispatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.map(_._1).toSet == docs.keySet)
+    for ((id, lumaSum, chk) <- rows) {
+      val cps = docs(id).codePoints().toArray
+      val w = (id % 4 + 1).toInt * 8; val h = (id % 3 + 1).toInt * 6
+      val px = Array.tabulate(w * h)(i =>
+        if (cps.isEmpty) 0 else cps(i % cps.length) & 0xff)
+      assert(lumaSum == px.map(_.toLong).sum, s"pixel sum for doc $id")
+      // the checksum must come from THIS row's decoder: codec bins by
+      // v>>4, stub by b%16 — a misrouted mime fails here
+      val hist = new Array[Long](16)
+      px.foreach(v => hist(if (id % 2 == 0) v >> 4 else v % 16) += 1)
+      val expect = hist.foldLeft(0L)((a, c) => (a * 31 + c) % graft.ext.Portable.P)
+      assert(chk == expect, s"dispatch checksum for doc $id (mime parity ${id % 2})")
     }
-    // deterministic: same input → same bytes
-    val again = Multimodal.resize(media, 64, 48).collect()
-      .map(r => r.doc_id -> r.data.toSeq).toMap
-    assert(resized.forall(r => again(r.doc_id) == r.data.toSeq))
   }
 
   test("x22 vocab/OOV matches brute force and caps the vocabulary") {

@@ -64,10 +64,16 @@ build("supplier",
 build("events",
       f"t.event_id + {{s}}*{K} AS event_id, t.ts, t.user_id + {{s}}*{K} AS user_id, "
       "t.event_type, t.value, t.props")
+# n_chars is recomputed as len(text) for sharded copies (the suffix
+# tokens change the length): queries deriving stats from `text` and
+# queries reading `n_chars` must agree about document size, or the sweep
+# silently measures two different corpora.
 build("documents",
       f"t.doc_id + {{s}}*{K} AS doc_id, "
       "CASE WHEN {s} = 0 THEN t.text ELSE t.text || ' " + DOCTOK + "' END AS text, "
-      "t.lang, t.source, t.n_chars")
+      "t.lang, t.source, "
+      "CASE WHEN {s} = 0 THEN t.n_chars "
+      "ELSE t.n_chars + len(' " + DOCTOK + "') END AS n_chars")
 build("embeddings",
       f"t.vec_id + {{s}}*{K} AS vec_id, "
       "(t.embedding[{s}+1:] || t.embedding[:{s}])::FLOAT[] AS embedding, t.label")
