@@ -478,7 +478,12 @@ object Search {
     *   - the exact confirm runs BEFORE the pair-level DISTINCT, with a
     *     BANDED levenshtein (threshold 1 → O(len) per pair, not O(len²)):
     *     the filter kills ~all hub candidates, so the distinct collapses
-    *     a survivor set instead of shuffling the full candidate frame.
+    *     a survivor set instead of shuffling the full candidate frame;
+    *   - a LENGTH band rides the join condition itself: distance 1
+    *     implies |len(a) − len(b)| ≤ 1, so candidates outside the band
+    *     die on a stored-int compare inside the join instead of
+    *     reaching the O(len) levenshtein confirm at all. Completeness
+    *     is untouched (the band is implied by the predicate it guards).
     * At 100 TB the variant posting table stays |entities|×(len+1) rows —
     * linear; within-variant pair counts follow real name collisions, not
     * table size.
@@ -497,12 +502,14 @@ object Search {
     // fan-out anyway and the single explicit shuffle remains the floor.
     val postings = names
       .select(col("name"), explode(delVariants(col("name"))).as("variant"))
-      .select(col("name"), xxhash64(col("variant")).as("vk"))
+      .select(col("name"), xxhash64(col("variant")).as("vk"),
+        length(col("name")).as("ln"))
       .repartition(spark.sessionState.conf.numShufflePartitions, col("vk"))
       .distinct()
     val cand = postings.alias("a")
       .join(postings.alias("b"),
-        col("a.vk") === col("b.vk") && col("a.name") < col("b.name"))
+        col("a.vk") === col("b.vk") && col("a.name") < col("b.name") &&
+          abs(col("a.ln") - col("b.ln")) <= 1)
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
     cand.filter(expr("levenshtein(name_a, name_b, 1) = 1")).distinct()
   }
