@@ -238,8 +238,11 @@ object StreamApply {
     * batch `o17` operator: the store keeps BOTH the keyed state and a
     * maintained aggregate (live keys per `aggCol` value), and each
     * micro-batch updates the aggregate from signed deltas over the
-    * batch's keys only — retract the affected keys' old contributions,
-    * merge, re-add their new ones — never rescanning the full state.
+    * batch's keys only: the state merge EMITS ITS OWN CHANGELOG (the old
+    * winner's op/value recorded in extra columns of the written row, a
+    * touched flag marking batch-affected keys), and the delta unfolds
+    * from one pruned scan of the touched rows — never rescanning the
+    * full state, never re-deriving the merge.
     *
     * Both tables live in the SAME version directory (`state/`, `agg/`)
     * and commit with the ONE pointer rename, so they can never diverge:
@@ -261,9 +264,10 @@ object StreamApply {
     private def aggAt(v: String): DataFrame =
       spark.read.parquet(s"${manifest.versionPath(v)}/agg")
 
-    /** Live (non-deleted) keyed state. */
+    /** Live (non-deleted) keyed state (changelog columns stripped). */
     def view(): DataFrame = manifest.currentVersion() match {
       case Some(v) => stateAt(v).filter(col(opCol) =!= deleteOp)
+        .drop("__old_op", "__old_cat", "__touched")
       case None    => spark.emptyDataFrame
     }
 
@@ -278,36 +282,75 @@ object StreamApply {
       val cols = (key +: seq +: opCol +: payloadCols).distinct
       val incoming = batch.select(cols.map(col): _*)
       val live = manifest.currentVersion()
-      val curState = live.map(stateAt).getOrElse(incoming.limit(0))
+      val curState = live.map(stateAt(_).select(cols.map(col): _*))
+        .getOrElse(incoming.limit(0))
       val curAgg = live.map(aggAt).getOrElse(
         incoming.select(col(aggCol)).limit(0).withColumn("n", lit(0L)))
-      val keys = incoming.select(key).distinct()
-      def liveOf(state: DataFrame) = state.filter(col(opCol) =!= deleteOp)
-      val retract = liveOf(curState).join(keys, Seq(key), "left_semi")
-        .groupBy(aggCol).agg((count(lit(1)) * lit(-1L)).as("n"))
-      // evaluate the merge ONCE: the state write is the only evaluation
-      // of latestByKey, and re-add reads the JUST-WRITTEN parquet back —
-      // the bytes the pointer is about to publish — as a (key, op,
-      // aggCol)-pruned columnar scan. Re-deriving re-add from the
-      // unwritten plan would re-evaluate the whole merge (the round-5
-      // shape, dominant in ivm_rows_per_sec). A localCheckpoint before
-      // the write (the round-6 shape) measures the same throughput at
-      // bench scale (A/B via `StreamBench`: both ~15k rows/s on equal
-      // hardware) but pins the FULL state in executor memory every
-      // batch — at 100 TB state the pruned re-read is the shape that
-      // survives, so it wins the tie.
-      val newStatePlan = Materialize.latestByKey(curState.unionByName(incoming),
-        key, seq, Seq(opCol) ++ payloadCols)
+      // The state merge emits ITS OWN CHANGELOG (the round-8 shape —
+      // Delta's change-data-feed idea reduced to this store): the one
+      // per-key aggregation that picks the new winner ALSO records, in
+      // extra columns of the same written row, the OLD winner's (op,
+      // aggCol) — a conditional max_by over the state-origin rows only —
+      // and whether the key was touched by this batch. The aggregate
+      // delta then needs exactly one pruned scan of the just-written
+      // state (filter `__touched`, pushed to parquet): no second scan of
+      // the old state, no distinct-keys broadcast job, no semi join.
+      // Round-7's shape paid all three per micro-batch, and the A/B
+      // (`StreamBench 2 {2,10}`) showed per-batch FIXED cost — not
+      // per-row work — dominating ivm_rows_per_sec.
+      //
+      // Replay stays self-cancelling with no batch-id bookkeeping: a
+      // replayed batch finds the state-origin winner already equal to
+      // the merged winner (last-write-wins is idempotent; redelivered
+      // rows are byte-identical), so −old and +new cancel per key.
+      val tagged = curState.withColumn("__origin", lit(0))
+        .unionByName(incoming.withColumn("__origin", lit(1)))
+      val packed = struct((seq +: opCol +: payloadCols).distinct.map(col): _*)
+      val payload = (seq +: opCol +: payloadCols).distinct
+      val merged = tagged.groupBy(col(key))
+        .agg(
+          max_by(packed, col(seq)).as("__last"),
+          // old winner: max_by ignores rows whose ordering value is null,
+          // so conditioning the ordering on origin restricts the argmax
+          // to the pre-merge state without a second scan
+          max_by(struct(col(opCol).as("op"), col(aggCol).as("cat")),
+            when(col("__origin") === 0, col(seq))).as("__old"),
+          max(col("__origin")).as("__touched"))
+        .select(col(key) +:
+          payload.map(c => col(s"__last.$c").as(c)) :+
+          col("__old.op").as("__old_op") :+
+          col("__old.cat").as("__old_cat") :+
+          col("__touched"): _*)
       val ver = manifest.nextVersionName(batchId)
-      newStatePlan.write.mode("overwrite")
+      merged.write.mode("overwrite")
         .parquet(s"${manifest.versionPath(ver)}/state")
-      val readd = liveOf(spark.read.parquet(s"${manifest.versionPath(ver)}/state"))
-        .join(keys, Seq(key), "left_semi")
-        .groupBy(aggCol).agg(count(lit(1)).as("n"))
-      val newAgg = curAgg.unionByName(retract).unionByName(readd)
-        .groupBy(aggCol).agg(sum("n").as("n"))
+      // Signed delta from the changelog columns alone: −1 for the old
+      // winner's value if it was live, +1 for the new winner's if live —
+      // both rows unfolded from the ONE touched-state row. Reading the
+      // just-written bytes (the ones the pointer is about to publish)
+      // keeps the merge single-evaluation without pinning state in
+      // executor memory (the round-6/7 trade, unchanged).
+      val st = spark.read.parquet(s"${manifest.versionPath(ver)}/state")
+        .filter(col("__touched") === 1)
+        .select(col(aggCol), col(opCol), col("__old_op"), col("__old_cat"))
+      val delta = st.select(explode(array(
+          struct(col("__old_cat").as(aggCol),
+            when(col("__old_op").isNotNull && col("__old_op") =!= deleteOp,
+              -1L).otherwise(0L).as("w")),
+          struct(col(aggCol),
+            when(col(opCol) =!= deleteOp, 1L).otherwise(0L).as("w")))).as("d"))
+        .select(col(s"d.$aggCol").as(aggCol), col("d.w").as("w"))
+        .filter(col("w") =!= 0L)
+      // ONE aggregation total: the running aggregate joins the delta
+      // stream BEFORE the groupBy, so there is no second (delta-only)
+      // shuffle stage
+      val newAgg = delta
+        .unionByName(curAgg.select(col(aggCol), col("n").as("w")))
+        .groupBy(aggCol).agg(sum("w").as("n"))
         .filter(col("n") > 0)
-      newAgg.write.mode("overwrite")
+      // the maintained aggregate is small by definition (one row per
+      // aggCol value) — one output file, not one per shuffle partition
+      newAgg.coalesce(1).write.mode("overwrite")
         .parquet(s"${manifest.versionPath(ver)}/agg")
       manifest.commitPointer(ver) // ONE atomic step commits both tables
       manifest.clean()
