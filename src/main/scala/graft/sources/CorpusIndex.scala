@@ -1,0 +1,149 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Durable, bucketed DERIVED-TABLE store for expensive corpus indexes —
+  * the persistence layer under the dedup chain (MinHash sketches, LSH
+  * pair sets, cluster labels).
+  *
+  * The production shape this models: cluster resolution (and the sketch
+  * index under it) is computed ONCE per corpus snapshot and written next
+  * to the corpus; every downstream consumer — sampling weights, split
+  * gates, retention policies, medoid pickers, training-mix builders —
+  * READS the label table instead of re-deriving the chain. Before this
+  * existed, every cold consumer of `d7` paid the full d3→d7 derivation
+  * (sketch pass + band joins + contraction CC): the round-7 sweep
+  * measured c13/d18/d19 at exponent 0.71–0.79 with c13 = 37.6 s at
+  * sf1-synth, all of it the chain, none of it the consumer.
+  *
+  * Mechanics:
+  *   - An index is keyed by a CONTENT FINGERPRINT of its source parquet
+  *     (file names, sizes, mtimes — cheap, no data scan). A changed or
+  *     regenerated corpus gets a new fingerprint, hence a fresh build;
+  *     two directories holding byte-identical snapshots share one index.
+  *   - Builds write through `bucketBy().sortBy().saveAsTable` into a
+  *     temp directory, then publish with ONE atomic rename — concurrent
+  *     builders race benignly (the loser reads the winner's files), and
+  *     a crashed build leaves only an unreferenced temp dir.
+  *   - Reads go through a catalog table (bucket metadata lives in the
+  *     catalog, not the files), re-registered per session with
+  *     `CREATE TABLE … CLUSTERED BY … LOCATION` over the published
+  *     files. Consumers that aggregate or join on the bucket key run
+  *     Exchange-free on the bucketed scan (`CorpusIndexSpec` asserts
+  *     exactly that).
+  *
+  * The index root defaults to `target/graft-index` under the working
+  * directory (durable across sessions, disposable with a clean);
+  * override with the `GRAFT_INDEX_DIR` environment variable or the
+  * `spark.graft.index.dir` session conf. Bucket count defaults to the
+  * session's shuffle partitions on the grounds that consumers reduce on
+  * the bucket key; a 100 TB deployment sizes it like any fact-table
+  * bucketing (hundreds to thousands) — the value is recorded in the
+  * published table, so readers never guess.
+  */
+object CorpusIndex {
+
+  private def root(spark: SparkSession): String =
+    sys.env.get("GRAFT_INDEX_DIR")
+      .orElse(spark.conf.getOption("spark.graft.index.dir"))
+      .getOrElse(new File(sys.props.getOrElse("user.dir", "."),
+        "target/graft-index").getPath)
+
+  /** Content fingerprint of the source parquet files: 12 hex chars of
+    * md5 over sorted `name:length:mtime` entries. Metadata-only — no
+    * data scan — which is exactly the staleness signal a rewritten
+    * corpus snapshot changes and an untouched one cannot.
+    */
+  private[sources] def fingerprint(sfDir: String, tables: Seq[String]): String = {
+    def entries(f: File): Seq[String] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(entries)
+      else if (f.exists()) Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+      else Seq(s"${f.getName}:absent")
+    val all = tables.sorted.flatMap(t => entries(new File(sfDir, s"$t.parquet")))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(all.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().take(6).map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Return `name` for the corpus at `sfDir` as a bucketed catalog
+    * table, building and publishing it first iff no published index
+    * matches the corpus fingerprint. `build` is by-name: a hit never
+    * evaluates it.
+    */
+  def ensureBucketed(spark: SparkSession, name: String, sfDir: String,
+      sourceTables: Seq[String], bucketKey: String)(build: => DataFrame): DataFrame = {
+    val fp = fingerprint(sfDir, sourceTables)
+    val table = s"graft_idx_${name}_$fp"
+    if (spark.catalog.tableExists(table)) return spark.table(table)
+    val dir = new File(root(spark), s"${name}_$fp")
+    if (!new File(dir, "_SUCCESS").exists()) publish(spark, dir, bucketKey, build)
+    register(spark, table, dir, bucketKey)
+    spark.table(table)
+  }
+
+  /** Write the frame bucket-by-bucket into a temp sibling, then publish
+    * with one atomic rename. Losing a publish race is fine: the winner's
+    * files are equivalent (same deterministic build), the loser's temp
+    * dir is removed.
+    */
+  private def publish(spark: SparkSession, dir: File, key: String,
+      build: => DataFrame): Unit = {
+    val n = buckets(spark)
+    val tmp = new File(dir.getParent, s"${dir.getName}.tmp.${
+      java.lang.ProcessHandle.current().pid()}.${System.nanoTime()}")
+    val tmpTable = s"graft_idx_build_${System.nanoTime()}"
+    Files.createDirectories(Paths.get(dir.getParent))
+    val df = build
+    df.repartition(n, org.apache.spark.sql.functions.col(key))
+      .write.mode("overwrite")
+      .bucketBy(n, key).sortBy(key)
+      .option("path", tmp.getPath)
+      .format("parquet").saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // external: files stay
+    // sidecar metadata: re-registration must not depend on data files
+    // existing (an empty build writes none) or on parsing file names
+    Files.writeString(Paths.get(tmp.getPath, MetaFile),
+      s"$n\n$key\n${df.schema.toDDL}\n")
+    try Files.move(tmp.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileSystemException
+        if new File(dir, "_SUCCESS").exists() =>
+      // lost the race to an equivalent build — keep the winner's files
+      deleteRecursively(tmp.toPath)
+    }
+  }
+
+  private val MetaFile = "_graft_meta"
+
+  private def buckets(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.index.buckets").map(_.toInt)
+      .getOrElse(spark.sessionState.conf.numShufflePartitions)
+
+  /** Re-register the published files as a bucketed catalog table for
+    * THIS session (the in-memory catalog does not survive the JVM; the
+    * files and their bucket layout do). Bucket count, key, and schema
+    * come from the published sidecar — never guessed from file names,
+    * never dependent on data files existing.
+    */
+  private def register(spark: SparkSession, table: String, dir: File,
+      bucketKey: String): Unit = {
+    val meta = Files.readString(Paths.get(dir.getPath, MetaFile)).split("\n")
+    val (n, key, schemaDdl) = (meta(0).toInt, meta(1), meta(2))
+    require(key == bucketKey,
+      s"index $dir was published bucketed by $key, caller expects $bucketKey")
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $table ($schemaDdl)
+         |USING parquet
+         |CLUSTERED BY ($bucketKey) SORTED BY ($bucketKey) INTO $n BUCKETS
+         |LOCATION '${dir.getPath}'""".stripMargin)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    val w = Files.walk(p)
+    try w.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.delete(f))
+    finally w.close()
+  }
+}
