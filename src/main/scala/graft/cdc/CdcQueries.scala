@@ -244,13 +244,27 @@ object CdcQueries {
     * nothing at scale and composes with any downstream query.
     */
   def shareGate(spark: SparkSession, sfDir: String): DataFrame =
-    Materialize.customerView(Tables.events(spark, sfDir))
-      .filter(col("event_type").isin("click", "view"))
-      .select(
-        graft.ext.Portable.tokenHash(col("user_id").cast("string")).as("user_token"),
-        col("event_type"),
-        date_trunc("day", col("ts")).as("day"),
-        floor(col("value")).cast("long").as("value_floor"))
+    shareGateOf(Materialize.customerView(Tables.events(spark, sfDir)))
+
+  /** The o18 gate over an arbitrary materialized view frame — shared
+    * verbatim by the batch query above and the STREAMING publish sink
+    * ([[graft.streaming.StreamApply.shareGateSink]]), so both paths
+    * apply byte-identical policy (a drifted copy would let the stream
+    * publish what the batch gate redacts).
+    */
+  private[graft] def shareGateOf(view: DataFrame): DataFrame =
+    view.filter(sharePasses).select(shareProjection: _*)
+
+  /** The row policy: which interaction types are shareable. */
+  private[graft] def sharePasses =
+    col("event_type").isin("click", "view")
+
+  /** Pseudonymization + generalization, as named columns. */
+  private[graft] def shareProjection: Seq[org.apache.spark.sql.Column] = Seq(
+    graft.ext.Portable.tokenHash(col("user_id").cast("string")).as("user_token"),
+    col("event_type"),
+    date_trunc("day", col("ts")).as("day"),
+    floor(col("value")).cast("long").as("value_floor"))
 
   /** O19 — additive schema evolution on the wire: Debezium emits the
     * NEW shape the moment the source table gains a column, while the

@@ -41,6 +41,14 @@ object Portable {
   def tokenHashSql(t: String): String =
     s"(CAST('0x' || substring(md5($t), 1, 8) AS BIGINT) % $P)"
 
+  /** H(t) — JVM side, same formula (specs cross-check engine tokens). */
+  def tokenHashOf(t: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % P
+  }
+
   /** h_i(x) over an already-hashed long — both sides share the formula. */
   def affine(i: Int, h: Column): Column = (lit(A(i)) * h + B(i)) % P
   def affineSql(i: Int, h: String): String = s"((${A(i)} * $h + ${B(i)}) % $P)"

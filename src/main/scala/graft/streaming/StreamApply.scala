@@ -365,6 +365,59 @@ object StreamApply {
       .option("checkpointLocation", checkpoint)
       .foreachBatch((batch: DataFrame, id: Long) => store.merge(batch, id))
 
+  /** The SHARE GATE as a stream — the completion of the repo's namesake
+    * ("CDC and Secure Data Sharing"): the reference provisions a
+    * `cdc-sharing` topic and never publishes to it; this sink is that
+    * publish, gated. Each micro-batch (1) merges the raw CDC events
+    * into the private upsert store, then (2) publishes, for every key
+    * the batch TOUCHED, either the gated row (pseudonymized key,
+    * generalized quasi-identifiers — exactly
+    * [[graft.cdc.CdcQueries.shareGateOf]]'s policy, shared code) or a
+    * TOMBSTONE when the key's new state fails the gate (deleted, or its
+    * latest type is not shareable). Tombstones are what make the gate
+    * correct as a STREAM: a key whose state transitions from shareable
+    * to non-shareable must be retracted from the audience's
+    * materialization, not merely stop updating — the batch gate's
+    * filter has no such obligation because it re-derives from scratch.
+    *
+    * The published store is keyed by the PSEUDONYMOUS token and carries
+    * only gated columns, so the share boundary is structural: raw ids
+    * never reach the published files (the spec asserts the schema). Per
+    * batch, the publish scans the private snapshot semi-joined to the
+    * batch's touched keys (broadcast — bounded by batch size): cost
+    * follows the delta, not the state. Replay is absorbed by the
+    * published store's ordinary last-write-wins on the source seq.
+    */
+  def shareGateSink(events: DataFrame, raw: ParquetUpsertStore,
+      published: ParquetUpsertStore, checkpoint: String,
+      key: String = "user_id", seqCol: String = "event_id",
+      opCol: String = "event_type", deleteOp: String = "error")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        raw.merge(batch, id)
+        val touched = batch.select(col(key)).distinct()
+        val snap = raw.snapshot()
+          .join(broadcast(touched), Seq(key), "left_semi")
+        val gated = snap.select(
+          graft.cdc.CdcQueries.shareProjection :+
+            col(seqCol).as("pub_seq") :+
+            when(col(opCol) =!= deleteOp && graft.cdc.CdcQueries.sharePasses,
+              lit("u")).otherwise(lit("d")).as("pub_op"): _*)
+        published.merge(gated, id)
+      }
+
+  /** Constructor for the published (audience-side) store of
+    * [[shareGateSink]]: keyed by the pseudonymous token, delete op "d",
+    * payload = the gated columns only.
+    */
+  def publishedShareStore(spark: SparkSession, dir: String): ParquetUpsertStore =
+    new ParquetUpsertStore(spark, dir, key = "user_token", seq = "pub_seq",
+      opCol = "pub_op", deleteOp = "d",
+      payloadCols = Seq("event_type", "day", "value_floor"))
+
   /** Redelivery dedup (O13): exactly-once per event id within the
     * watermark horizon. Upstream retries land as byte-identical events,
     * so dropping by id is lossless — same contract the reference leans on
