@@ -158,22 +158,27 @@ object TextAnalysis {
     * window the optimizer executes as WindowGroupLimit (per-partition
     * limits before the exchange).
     */
-  /** Per-(doc, term) frequency postings, memoized across consumers (x10
-    * TF-IDF, x12 match search) — one tokenize+explode+aggregate pass per
-    * driver run. df (docs containing a term) is exactly the per-term row
+  /** Per-(doc, term) frequency postings — a PERSISTED corpus index
+    * ([[graft.sources.CorpusIndex]]): one tokenize+explode+aggregate
+    * build per corpus snapshot, read by every consumer (x10 TF-IDF, x12
+    * match search, BM25, facets) in every driver — the search engine's
+    * on-disk postings, literally. df (docs containing a term) is exactly the per-term row
     * count of tf, since tf is unique per (doc, term) — deriving it from
     * tf replaces a second corpus scan + countDistinct expand with a
     * cheap reaggregation of the (already small) tf frame.
     */
   private[ext] def termFreq(spark: SparkSession, sfDir: String): DataFrame =
     FrameMemo("termTf", spark, sfDir)(
-      docs(spark, sfDir)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .localCheckpoint())
+      graft.sources.CorpusIndex.ensureBucketed(spark, "term_freq",
+        sfDir, Seq("documents"), "doc_id")(
+        docs(spark, sfDir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))))
 
-  /** Unigram/bigram/trigram base (doc_id, w1, w2, w3), memoized across
-    * consumers (x11 bigram stats, x15 LM score, x13 phrase search).
+  /** Unigram/bigram/trigram base (doc_id, w1, w2, w3) — a PERSISTED
+    * corpus index shared by x11 bigram stats, x15 LM score, and x13
+    * phrase search (one build per corpus snapshot; small-vocabulary
+    * string columns dictionary-encode to near-nothing in parquet).
     *
     * SCAN-LOCAL: successor tokens come from indexed lookups into the
     * per-document token array (`transform` with the element index +
@@ -188,20 +193,21 @@ object TextAnalysis {
     * [[Dedup.shingleFrame]]).
     */
   private[ext] def gramBase(spark: SparkSession, sfDir: String): DataFrame =
-    FrameMemo("gramBase", spark, sfDir) {
-      val toks = docs(spark, sfDir)
-        .select(col("doc_id"), tokens(col("text")).as("ws"))
-        .localCheckpoint()
-      toks
-        .select(col("doc_id"), explode(expr(
-          """transform(ws, (w, i) -> struct(
-            |  w AS w1,
-            |  try_element_at(ws, i + 2) AS w2,
-            |  try_element_at(ws, i + 3) AS w3))""".stripMargin)).as("g"))
-        .select(col("doc_id"), col("g.w1").as("w1"),
-          col("g.w2").as("w2"), col("g.w3").as("w3"))
-        .localCheckpoint()
-    }
+    FrameMemo("gramBase", spark, sfDir)(
+      graft.sources.CorpusIndex.ensureBucketed(spark, "gram_base",
+        sfDir, Seq("documents"), "doc_id") {
+        val toks = docs(spark, sfDir)
+          .select(col("doc_id"), tokens(col("text")).as("ws"))
+          .localCheckpoint()
+        toks
+          .select(col("doc_id"), explode(expr(
+            """transform(ws, (w, i) -> struct(
+              |  w AS w1,
+              |  try_element_at(ws, i + 2) AS w2,
+              |  try_element_at(ws, i + 3) AS w3))""".stripMargin)).as("g"))
+          .select(col("doc_id"), col("g.w1").as("w1"),
+            col("g.w2").as("w2"), col("g.w3").as("w3"))
+      })
 
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     val tf = termFreq(spark, sfDir)
@@ -287,17 +293,30 @@ object TextAnalysis {
     * cross-engine hash trap; the rational mean ranks documents the same
     * way for gating purposes.) Reuses the memoized gram base and the
     * bigram/unigram counts — corpus scanned zero extra times.
+    *
+    * Scale shape (the round-8 fix, sweep exp 1.14 → sub-linear): the
+    * bigram INSTANCE stream is never joined. Instances first collapse
+    * to per-(doc, w1, w2) counts — a map-side-combinable aggregation
+    * that absorbs the corpus's hot-bigram skew where a join on (w1, w2)
+    * would concentrate it on the hot keys' reducers — and both count
+    * tables derive from that same distinct frame by reaggregation
+    * (Σ_instances P = Σ_distinct k·P, exactly). The joins then move
+    * |distinct doc-bigrams| rows, bounded by doc length × vocabulary
+    * locality, not corpus token count.
     */
   def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
     val bi = gramBase(spark, sfDir).filter(col("w2").isNotNull)
-    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val uni = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-    bi.select(col("doc_id"), col("w1"), col("w2"))
+    val docBi = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+      .localCheckpoint() // consumed three times (both counts + the join spine)
+    val big = docBi.groupBy("w1", "w2").agg(sum("k").as("c12"))
+    val uni = docBi.groupBy("w1").agg(sum("k").as("c1"))
+    docBi
       .join(big, Seq("w1", "w2"))
       .join(uni, Seq("w1"))
       .withColumn("p_micro", expr("c12 * 1000000 DIV c1"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("p_micro").as("score_sum"))
+      .agg(sum("k").as("n_bigrams"),
+        sum(expr("k * p_micro")).as("score_sum"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("score_sum").cast("double") / col("n_bigrams"), 6)
           .as("lm_score_micro"))
