@@ -145,7 +145,7 @@ object Dedup {
     */
   private[graft] def clearMemos(): Unit = FrameMemo.clear()
 
-  private[ext] def shingleFrame(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def shingleFrame(spark: SparkSession, sfDir: String): DataFrame =
     memoFrame("shingles", spark, sfDir)(
       graft.sources.CorpusIndex.ensureBucketed(spark, "shingle_postings",
         sfDir, Seq("documents"), "doc_id")(buildShingleFrame(spark, sfDir)))
@@ -159,7 +159,7 @@ object Dedup {
     * consumer — the index makes that literal: built on first touch,
     * durable across drivers, invalidated by the corpus fingerprint.
     */
-  private[ext] def tokenHashFrame(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def tokenHashFrame(spark: SparkSession, sfDir: String): DataFrame =
     memoFrame("tokHashes", spark, sfDir)(
       graft.sources.CorpusIndex.ensureBucketed(spark, "token_hashes",
         sfDir, Seq("documents"), "doc_id")(
@@ -328,7 +328,7 @@ object Dedup {
     * localCheckpoint is the local[n] stand-in for
     * persist(MEMORY_AND_DISK) + a reliable checkpoint on a cluster.
     */
-  private[ext] def sketchFrame(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def sketchFrame(spark: SparkSession, sfDir: String): DataFrame =
     memoFrame("minhashSketch", spark, sfDir)(
       graft.sources.CorpusIndex.ensureBucketed(spark, "minhash_sketch",
         sfDir, Seq("documents"), "doc_id")(sketchOf(docs(spark, sfDir))))

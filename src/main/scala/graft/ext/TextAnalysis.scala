@@ -167,7 +167,7 @@ object TextAnalysis {
     * tf replaces a second corpus scan + countDistinct expand with a
     * cheap reaggregation of the (already small) tf frame.
     */
-  private[ext] def termFreq(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def termFreq(spark: SparkSession, sfDir: String): DataFrame =
     FrameMemo("termTf", spark, sfDir)(
       graft.sources.CorpusIndex.ensureBucketed(spark, "term_freq",
         sfDir, Seq("documents"), "doc_id")(
@@ -192,7 +192,7 @@ object TextAnalysis {
     * repeated references (the CollapseProject hazard on
     * [[Dedup.shingleFrame]]).
     */
-  private[ext] def gramBase(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def gramBase(spark: SparkSession, sfDir: String): DataFrame =
     FrameMemo("gramBase", spark, sfDir)(
       graft.sources.CorpusIndex.ensureBucketed(spark, "gram_base",
         sfDir, Seq("documents"), "doc_id") {

@@ -58,6 +58,16 @@ class CorpusIndexSpec extends SparkSpec {
     assert(after == mtimes, "re-registration must not rewrite any file")
   }
 
+  test("buildAll publishes every index and is idempotent") {
+    val first = CorpusIndex.buildAll(spark, sf).toMap
+    assert(first.keySet == Set("token_hashes", "shingle_postings",
+      "minhash_sketch", "lsh_pairs", "labels_minhash", "embed_pairs",
+      "labels_embed", "term_freq", "gram_base"))
+    assert(first.values.forall(_ > 0L), s"empty index: $first")
+    // second call is pure reads — identical counts, no rewrites
+    assert(CorpusIndex.buildAll(spark, sf).toMap == first)
+  }
+
   test("corpus fingerprint: a changed source file forces a fresh index") {
     // copy the corpus into a temp dir — its own fingerprint
     val tmp = Files.createTempDirectory("graft-corpus-fp")
