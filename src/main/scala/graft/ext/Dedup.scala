@@ -198,7 +198,21 @@ object Dedup {
   private[ext] val HotShingleCap = 128L
 
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    ngramJaccardOf(shingleFrame(spark, sfDir), HotShingleCap)
+    ngramJaccardFrom(coOccurFrame(spark, sfDir))
+
+  /** The d2/d14 shared co-occurrence engine output as a PERSISTED corpus
+    * index: `(doc_a, doc_b, na, nb, inter)` for every document pair
+    * sharing at least one (df-capped) shingle — the materialized
+    * exact-overlap relation both the Jaccard and the containment
+    * thresholds read. Pair-count bounded by shared structure (62k rows
+    * at sf0.1 against 623k blocked pairs), so the index is SMALLER than
+    * the postings that build it.
+    */
+  private[graft] def coOccurFrame(spark: SparkSession, sfDir: String): DataFrame =
+    memoFrame("coOccur", spark, sfDir)(
+      graft.sources.CorpusIndex.ensureBucketed(spark, "shingle_cooccur",
+        sfDir, Seq("documents"), "doc_a")(
+        coOccurrence(shingleFrame(spark, sfDir), HotShingleCap)))
 
   /** Posting-list co-occurrence `(doc_a < doc_b, na, nb, inter)` over a
     * `(doc_id, source, shingle)` frame — the shared engine of d2 (exact
@@ -238,8 +252,10 @@ object Dedup {
   /** Exact blocked Jaccard over an arbitrary `(doc_id, source, shingle)`
     * frame — the injectable core of d2.
     */
-  private[ext] def ngramJaccardOf(sh: DataFrame, cap: Long): DataFrame = {
-    val co = coOccurrence(sh, cap)
+  private[ext] def ngramJaccardOf(sh: DataFrame, cap: Long): DataFrame =
+    ngramJaccardFrom(coOccurrence(sh, cap))
+
+  private def ngramJaccardFrom(co: DataFrame): DataFrame = {
     val jacRaw = col("inter").cast("double") /
       (col("na") + col("nb") - col("inter")).cast("double")
     barrierFilter(co, jacRaw >= 0.5)
@@ -264,11 +280,14 @@ object Dedup {
     * (`inter·8 ≥ n·7`), so no float boundary exists anywhere.
     */
   def containment(spark: SparkSession, sfDir: String): DataFrame =
-    containmentOf(shingleFrame(spark, sfDir), HotShingleCap)
+    containmentFrom(coOccurFrame(spark, sfDir))
 
   /** d14 over an arbitrary `(doc_id, source, shingle)` frame. */
   private[ext] def containmentOf(sh: DataFrame, cap: Long): DataFrame =
-    coOccurrence(sh, cap)
+    containmentFrom(coOccurrence(sh, cap))
+
+  private def containmentFrom(co: DataFrame): DataFrame =
+    co
       .select(explode(array(
         struct(col("doc_a").as("contained"), col("doc_b").as("container"),
           col("na").as("nc"), col("inter")),

@@ -150,6 +150,7 @@ object CorpusIndex {
   def buildAll(spark: SparkSession, sfDir: String): Seq[(String, Long)] = Seq(
     "token_hashes" -> graft.ext.Dedup.tokenHashFrame(spark, sfDir).count(),
     "shingle_postings" -> graft.ext.Dedup.shingleFrame(spark, sfDir).count(),
+    "shingle_cooccur" -> graft.ext.Dedup.coOccurFrame(spark, sfDir).count(),
     "minhash_sketch" -> graft.ext.Dedup.sketchFrame(spark, sfDir).count(),
     "lsh_pairs" -> graft.ext.Dedup.minhashLsh(spark, sfDir).count(),
     "labels_minhash" -> graft.ext.Dedup.dedupClusters(spark, sfDir).count(),
