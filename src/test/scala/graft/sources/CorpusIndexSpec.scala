@@ -68,6 +68,24 @@ class CorpusIndexSpec extends SparkSpec {
     assert(CorpusIndex.buildAll(spark, sf).toMap == first)
   }
 
+  test("an EMPTY build publishes and re-reads with schema intact") {
+    import org.apache.spark.sql.functions._
+    val empty = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).limit(0)
+    val got = CorpusIndex.ensureBucketed(spark, "test_empty", sf,
+      Seq("documents"), "doc_id")(empty)
+    assert(got.count() == 0L)
+    assert(got.schema.fieldNames.toSeq == Seq("doc_id", "lang"))
+    // survives re-registration (sidecar carries the schema — there are
+    // no data files to infer from)
+    val fp = CorpusIndex.fingerprint(sf, Seq("documents"))
+    spark.sql(s"DROP TABLE graft_idx_test_empty_$fp")
+    val again = CorpusIndex.ensureBucketed(spark, "test_empty", sf,
+      Seq("documents"), "doc_id")(sys.error("must not rebuild"))
+    assert(again.count() == 0L &&
+      again.schema.fieldNames.toSeq == Seq("doc_id", "lang"))
+  }
+
   test("corpus fingerprint: a changed source file forces a fresh index") {
     // copy the corpus into a temp dir — its own fingerprint
     val tmp = Files.createTempDirectory("graft-corpus-fp")
