@@ -159,6 +159,33 @@ object CorpusIndex {
     "term_freq" -> graft.ext.TextAnalysis.termFreq(spark, sfDir).count(),
     "gram_base" -> graft.ext.TextAnalysis.gramBase(spark, sfDir).count())
 
+  /** Retention for superseded indexes: drop every published index whose
+    * fingerprint matches NONE of the live corpus directories (a
+    * regenerated snapshot leaves its predecessors' indexes orphaned —
+    * at 100 TB the label/posting tables are big enough that orphans are
+    * a real storage line item). Also removes crashed builds' temp dirs.
+    * Returns the deleted directory names. Writer-side operation, same
+    * contract as the stores' clean(): never run concurrently with a
+    * build against the same root.
+    */
+  def vacuum(spark: SparkSession, liveSfDirs: Seq[String]): Seq[String] = {
+    val rootDir = new File(root(spark))
+    if (!rootDir.isDirectory) return Seq.empty
+    // every fingerprint any index under a live dir could legitimately
+    // use: all single-table and the exact source sets in use today are
+    // subsets of this cross product
+    val liveFps = (for {
+      d <- liveSfDirs
+      ts <- Seq(Seq("documents"), Seq("embeddings"))
+    } yield fingerprint(d, ts)).toSet
+    val doomed = rootDir.listFiles().toSeq.filter { f =>
+      val n = f.getName
+      n.contains(".tmp.") || !liveFps.exists(fp => n.endsWith(s"_$fp"))
+    }
+    doomed.foreach(f => deleteRecursively(f.toPath))
+    doomed.map(_.getName)
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     val w = Files.walk(p)
     try w.sorted(java.util.Comparator.reverseOrder())

@@ -86,6 +86,24 @@ class CorpusIndexSpec extends SparkSpec {
       again.schema.fieldNames.toSeq == Seq("doc_id", "lang"))
   }
 
+  test("vacuum drops orphaned fingerprints and temp dirs, keeps live ones") {
+    graft.ext.Dedup.dedupClusters(spark, sf).count() // ensure live index
+    val root = new File(sys.props("user.dir"), "target/graft-index")
+    val orphan = new File(root, "labels_minhash_deadbeef0123")
+    val crashed = new File(root, "labels_minhash_deadbeef0123.tmp.1.2")
+    Files.createDirectories(orphan.toPath)
+    Files.createDirectories(crashed.toPath)
+    val fp = CorpusIndex.fingerprint(sf, Seq("documents"))
+    val gone = CorpusIndex.vacuum(spark,
+      Seq(sf, "/root/testdata/sf0.01", "/root/testdata/sf0.1", "/tmp/sf1s"))
+    assert(!orphan.exists() && !crashed.exists(),
+      s"orphans must be deleted (vacuumed: $gone)")
+    assert(new File(root, s"labels_minhash_$fp").exists(),
+      "live index must survive vacuum")
+    // and it still serves
+    assert(graft.ext.Dedup.dedupClusters(spark, sf).count() > 0)
+  }
+
   test("corpus fingerprint: a changed source file forces a fresh index") {
     // copy the corpus into a temp dir — its own fingerprint
     val tmp = Files.createTempDirectory("graft-corpus-fp")
