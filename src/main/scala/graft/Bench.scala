@@ -307,8 +307,13 @@ object Bench {
     // to run with box state (page cache, GC phase, checkpoint fsync
     // contention), and the steady-state CAPABILITY is the signal, not
     // the unlucky draw. A systematic regression still shows: it moves
-    // both passes.
-    def best(f: => Double): Double = { val a = safe(f); math.max(a, safe(f)) }
+    // both passes. A FAILED pass is not noise: either pass erroring
+    // reports -1 (max() would silently launder an intermittent failure
+    // into a clean number).
+    def best(f: => Double): Double = {
+      val a = safe(f); val b = safe(f)
+      if (a < 0 || b < 0) -1.0 else math.max(a, b)
+    }
     safe { timeUpsert(1000, 100, 2) }  // warmup
     safe { timeDedup(1000, 100, 2) }   // warmup
     safe { timeTws(1000, 100, 2) }     // warmup

@@ -487,22 +487,42 @@ object Dedup {
     *
     * Scale shape: pairs materialize WITHIN clusters only — a self-join
     * on the memoized d7 label, so the pair count is Σ|cluster|², bounded
-    * by near-dup family sizes, not corpus size. The honest dial: a
-    * DEGENERATE giant cluster (say 10⁶ byte-identical crawls) makes the
-    * exact medoid quadratic in that one cluster — production caps the
-    * pair path at a member threshold and falls back to d16's
-    * keep-longest (or a sampled medoid) above it, the same
-    * cap-the-hub remedy as the df-capped postings (d2) and the
-    * adaptive cell widths (d6/s8). Singletons skip the pair path
-    * entirely and keep distance 0 via the left join.
+    * by near-dup family sizes, not corpus size — AND the pair path is
+    * CAPPED at [[MedoidMemberCap]] members: a DEGENERATE giant cluster
+    * (say 10⁶ byte-identical crawls) makes the exact medoid quadratic in
+    * that one cluster, so clusters past the cap fall back to d16's
+    * keep-longest policy (medoid_sum_dist = NULL marks the fallback) —
+    * the same cap-the-hub remedy as the df-capped postings (d2) and the
+    * adaptive cell widths (d6/s8), mirrored 1:1 in the oracle. The cap
+    * is NOT binding at the oracle SF (max cluster 229 at sf0.01), and
+    * the spec exercises the binding case synthetically; at the 10×
+    * sweep corpus it is what keeps d19 bounded (the suffix-densified
+    * clusters reach Σ|cluster|² = 125M pairs — 80 s of intersections —
+    * without it). Singletons skip the pair path entirely and keep
+    * distance 0 via the left join.
     */
-  def clusterMedoids(spark: SparkSession, sfDir: String): DataFrame = {
+  private[ext] val MedoidMemberCap = 256L
+
+  def clusterMedoids(spark: SparkSession, sfDir: String): DataFrame =
+    clusterMedoidsOf(dedupClusters(spark, sfDir),
+      docs(spark, sfDir).select(col("doc_id"), col("text"), col("n_chars")))
+
+  /** d19 over arbitrary `(doc_id, canonical)` labels and `(doc_id,
+    * text, n_chars)` documents — injectable so the spec can drive the
+    * cap's binding case on a synthetic corpus.
+    */
+  private[ext] def clusterMedoidsOf(labels: DataFrame, docsFrame: DataFrame,
+      cap: Long = MedoidMemberCap): DataFrame = {
     import graft.functions.SortedIntersectCount.sortedIntersectCount
-    val labels = dedupClusters(spark, sfDir)
-    val toks = docs(spark, sfDir).select(col("doc_id"),
+    val sizes = labels.groupBy("canonical").agg(count(lit(1)).as("n_members"))
+    val small = labels
+      .join(sizes.filter(col("n_members") <= cap).select("canonical"),
+        Seq("canonical"))
+    val toks = docsFrame.select(col("doc_id"),
       sort_array(array_distinct(transform(tokenSet(col("text")),
         t => tokenHash(t)))).as("toks"))
-    val m = labels.join(toks, Seq("doc_id"))
+    // only sub-cap clusters ever tokenize into the pair path
+    val m = small.join(toks, Seq("doc_id"))
       .select(col("canonical"), col("doc_id"), col("toks"))
       // consumed THREE times (both sides of the pair self-join + the
       // final membership join) — without this the tokenize/sort_array
@@ -528,7 +548,7 @@ object Dedup {
     val per = pairs.select(col("canonical"), col("doc_a").as("doc_id"), col("dist"))
       .unionByName(pairs.select(col("canonical"), col("doc_b").as("doc_id"), col("dist")))
       .groupBy("canonical", "doc_id").agg(sum("dist").as("sum_dist"))
-    m.select("canonical", "doc_id")
+    val exact = m.select("canonical", "doc_id")
       .join(per, Seq("canonical", "doc_id"), "left")
       .withColumn("sum_dist", coalesce(col("sum_dist"), lit(0L)))
       .groupBy("canonical")
@@ -537,6 +557,18 @@ object Dedup {
       .select(col("canonical"), col("n_members"),
         col("best.doc_id").as("medoid_doc_id"),
         col("best.sum_dist").as("medoid_sum_dist"))
+    // past the cap: d16's keep-longest fold — map-side combinable, one
+    // candidate per (mapper, cluster); NULL sum_dist marks the fallback
+    val big = labels
+      .join(sizes.filter(col("n_members") > cap), Seq("canonical"))
+      .join(docsFrame.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("canonical"), col("n_members"),
+        (-col("best.neg_id")).as("medoid_doc_id"),
+        lit(null).cast("long").as("medoid_sum_dist"))
+    exact.unionByName(big)
   }
 
   /** d18 — cluster SIZE HISTOGRAM (how much of the corpus is duplicated,
@@ -1446,13 +1478,16 @@ object Dedup {
          |FROM sizes GROUP BY cluster_size""".stripMargin,
     "d19_cluster_medoids" ->
       s"""WITH clusters AS ($d7Sql),
+         |cnt AS (
+         |  SELECT canonical, count(*) AS n_members FROM clusters GROUP BY 1),
          |d AS (
          |  SELECT doc_id,
          |    list_distinct(list_transform(${tokenSetSql("text")}, t -> ${tokenHashSql("t")})) AS toks
          |  FROM documents),
          |m AS (
          |  SELECT c.canonical, c.doc_id, d.toks
-         |  FROM clusters c JOIN d USING (doc_id)),
+         |  FROM clusters c JOIN d USING (doc_id) JOIN cnt USING (canonical)
+         |  WHERE cnt.n_members <= $MedoidMemberCap),
          |pr AS (
          |  SELECT a.canonical, a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    len(list_intersect(a.toks, b.toks)) AS inter,
@@ -1477,17 +1512,30 @@ object Dedup {
          |    CAST(coalesce(per.sum_dist, 0) AS BIGINT) AS sum_dist
          |  FROM m LEFT JOIN per
          |    ON m.canonical = per.canonical AND m.doc_id = per.doc_id),
-         |cnt AS (
-         |  SELECT canonical, count(*) AS n_members FROM mem GROUP BY 1),
          |best AS (
          |  SELECT canonical, doc_id AS medoid_doc_id,
          |    sum_dist AS medoid_sum_dist
          |  FROM (SELECT mem.*, row_number() OVER (
          |          PARTITION BY canonical ORDER BY sum_dist, doc_id) AS rk
          |        FROM mem)
+         |  WHERE rk = 1),
+         |big AS (
+         |  SELECT canonical, n_members, doc_id AS medoid_doc_id,
+         |    CAST(NULL AS BIGINT) AS medoid_sum_dist
+         |  FROM (SELECT cl.canonical, cnt.n_members, cl.doc_id,
+         |          row_number() OVER (PARTITION BY cl.canonical
+         |            ORDER BY doc.n_chars DESC, cl.doc_id) AS rk
+         |        FROM clusters cl
+         |        JOIN documents doc USING (doc_id)
+         |        JOIN cnt USING (canonical)
+         |        WHERE cnt.n_members > $MedoidMemberCap)
          |  WHERE rk = 1)
          |SELECT c.canonical, c.n_members, b.medoid_doc_id, b.medoid_sum_dist
-         |FROM cnt c JOIN best b USING (canonical)""".stripMargin,
+         |FROM cnt c JOIN best b USING (canonical)
+         |WHERE c.n_members <= $MedoidMemberCap
+         |UNION ALL
+         |SELECT canonical, n_members, medoid_doc_id, medoid_sum_dist
+         |FROM big""".stripMargin,
     "c13_cluster_weights" ->
       s"""WITH clusters AS ($d7Sql),
          |sizes AS (

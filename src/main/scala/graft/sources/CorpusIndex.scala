@@ -79,7 +79,8 @@ object CorpusIndex {
     val table = s"graft_idx_${name}_$fp"
     if (spark.catalog.tableExists(table)) return spark.table(table)
     val dir = new File(root(spark), s"${name}_$fp")
-    if (!new File(dir, "_SUCCESS").exists()) publish(spark, dir, bucketKey, build)
+    if (!new File(dir, "_SUCCESS").exists())
+      publish(spark, dir, bucketKey, sourceTables, build)
     register(spark, table, dir, bucketKey)
     spark.table(table)
   }
@@ -90,7 +91,7 @@ object CorpusIndex {
     * dir is removed.
     */
   private def publish(spark: SparkSession, dir: File, key: String,
-      build: => DataFrame): Unit = {
+      sourceTables: Seq[String], build: => DataFrame): Unit = {
     val n = buckets(spark)
     val tmp = new File(dir.getParent, s"${dir.getName}.tmp.${
       java.lang.ProcessHandle.current().pid()}.${System.nanoTime()}")
@@ -104,9 +105,11 @@ object CorpusIndex {
       .format("parquet").saveAsTable(tmpTable)
     spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // external: files stay
     // sidecar metadata: re-registration must not depend on data files
-    // existing (an empty build writes none) or on parsing file names
+    // existing (an empty build writes none) or on parsing file names;
+    // the source-table list makes vacuum's liveness decision derivable
+    // from what was actually published, not from a hardcoded rule
     Files.writeString(Paths.get(tmp.getPath, MetaFile),
-      s"$n\n$key\n${df.schema.toDDL}\n")
+      s"$n\n$key\n${df.schema.toDDL}\n${sourceTables.sorted.mkString(",")}\n")
     try Files.move(tmp.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
     catch { case _: java.nio.file.FileSystemException
         if new File(dir, "_SUCCESS").exists() =>
@@ -171,22 +174,29 @@ object CorpusIndex {
   def vacuum(spark: SparkSession, liveSfDirs: Seq[String]): Seq[String] = {
     val rootDir = new File(root(spark))
     if (!rootDir.isDirectory) return Seq.empty
-    // every fingerprint any index under a live dir could legitimately
-    // use: all single-table and the exact source sets in use today are
-    // subsets of this cross product
-    val liveFps = (for {
-      d <- liveSfDirs
-      ts <- Seq(Seq("documents"), Seq("embeddings"))
-    } yield fingerprint(d, ts)).toSet
-    val doomed = rootDir.listFiles().toSeq.filter { f =>
-      val n = f.getName
-      n.contains(".tmp.") || !liveFps.exists(fp => n.endsWith(s"_$fp"))
+    // An index is live iff its OWN sidecar's source-table list, hashed
+    // against any live corpus directory, reproduces the fingerprint in
+    // its directory name — the rule is derived from what was actually
+    // published, so indexes over future source sets are judged
+    // correctly without touching this code. Unreadable/absent sidecars
+    // (crashed builds, foreign files) are not indexes and go.
+    def isLive(f: File): Boolean = {
+      val meta = new File(f, MetaFile)
+      if (f.getName.contains(".tmp.") || !meta.isFile) return false
+      val lines = Files.readString(meta.toPath).split("\n")
+      if (lines.length < 4 || lines(3).isEmpty) return false
+      val sources = lines(3).split(",").toSeq
+      liveSfDirs.exists(d => f.getName.endsWith(s"_${fingerprint(d, sources)}"))
     }
+    val doomed = rootDir.listFiles().toSeq.filterNot(isLive)
     doomed.foreach(f => deleteRecursively(f.toPath))
     doomed.map(_.getName)
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  /** Shared recursive delete (also used by the streaming stores'
+    * manifest GC — one implementation to harden, not two).
+    */
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
     val w = Files.walk(p)
     try w.sorted(java.util.Comparator.reverseOrder())
       .forEach(f => Files.delete(f))

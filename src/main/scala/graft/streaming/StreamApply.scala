@@ -72,12 +72,8 @@ object StreamApply {
       s"${VersionPrefix}compact_e$epoch"
     }
 
-    private def deleteRecursively(p: java.nio.file.Path): Unit = {
-      val w = Files.walk(p)
-      try w.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-      finally w.close()
-    }
+    private def deleteRecursively(p: java.nio.file.Path): Unit =
+      graft.sources.CorpusIndex.deleteRecursively(p)
 
     /** Garbage-collect version dirs the pointer does not reference
       * (torn writes, superseded states) and orphaned pointer tmp files.
@@ -397,15 +393,32 @@ object StreamApply {
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // the day generalization truncates in the SESSION timezone; a
+        // streaming-only driver never touches Tables.eventsRaw's pin,
+        // so the same "first graft call pins the clock" contract is
+        // enforced here — otherwise a non-UTC session would publish
+        // different day buckets than the batch gate over the same events
+        batch.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         raw.merge(batch, id)
         val touched = batch.select(col(key)).distinct()
         val snap = raw.snapshot()
           .join(broadcast(touched), Seq(key), "left_semi")
-        val gated = snap.select(
+        val pass = col(opCol) =!= deleteOp && graft.cdc.CdcQueries.sharePasses
+        val projected = snap.select(
           graft.cdc.CdcQueries.shareProjection :+
             col(seqCol).as("pub_seq") :+
-            when(col(opCol) =!= deleteOp && graft.cdc.CdcQueries.sharePasses,
-              lit("u")).otherwise(lit("d")).as("pub_op"): _*)
+            when(pass, lit("u")).otherwise(lit("d")).as("pub_op"): _*)
+        // Tombstone rows carry NO attributes: the published store keeps
+        // deletes forever (resurrection protection), so a tombstone that
+        // retained the redacted state's (event_type, day, value_floor)
+        // would park non-shareable interaction data in the audience-side
+        // files — only the pseudonymous key and the sequence may cross
+        // the boundary with a delete.
+        val gated = projected.select(
+          col("user_token") +:
+            Seq("event_type", "day", "value_floor").map(n =>
+              when(col("pub_op") === "u", col(n)).as(n)) :+
+            col("pub_seq") :+ col("pub_op"): _*)
         published.merge(gated, id)
       }
 

@@ -435,6 +435,29 @@ class DedupSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == chars.size)
   }
 
+  test("d19 medoids: exact below the member cap, keep-longest fallback above") {
+    import spark.implicits._
+    // cluster 1: 3 members (<= cap 4) — exact medoid, hand-computed;
+    // cluster 10: 6 members (> cap 4) — keep-longest with NULL sum_dist
+    val docsF = Seq(
+      (1L, "a b c d", 7L), (2L, "a b c e", 7L), (3L, "a b x y", 7L),
+      (10L, "p q", 3L), (11L, "p q r", 5L), (12L, "p q s", 5L),
+      (13L, "p t", 3L), (14L, "p u", 3L), (15L, "p v w z", 7L)
+    ).toDF("doc_id", "text", "n_chars")
+    val labels = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      12L -> 10L, 13L -> 10L, 14L -> 10L, 15L -> 10L)
+      .toDF("doc_id", "canonical")
+    val got = Dedup.clusterMedoidsOf(labels, docsF, cap = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // exact branch: dist(1,2)=1e6-3e6/5=400000, dist(1,3)=dist(2,3)=666667
+    // -> sums 1066667/1066667/1333334, tie to the lower doc_id
+    assert(got(1L) == ((3L, 1L, Some(1066667L))), s"exact branch: ${got(1L)}")
+    // fallback branch: longest member (n_chars 7 -> doc 15), no distance
+    assert(got(10L) == ((6L, 15L, None)), s"fallback branch: ${got(10L)}")
+    assert(got.size == 2)
+  }
+
   test("c11: no near-dup pair straddles the train/valid/test split") {
     val split = Dedup.leakageSplit(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap

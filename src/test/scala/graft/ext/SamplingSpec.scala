@@ -111,12 +111,7 @@ class SamplingSpec extends SparkSpec {
     val docs = graft.Tables.documents(spark, sf)
       .select("doc_id", "lang", "n_chars").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    def h(s: String): Long = { // mirror Portable.tokenHash
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s.getBytes("UTF-8")).take(4)
-        .map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex, 16) % Portable.P
-    }
+    def h(s: String): Long = Portable.tokenHashOf(s)
     val expect = docs.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
       ds.toSeq
         .map { case (id, _, nc) => (id, nc, nc.toDouble / (h(id.toString) + 1L)) }

@@ -75,6 +75,14 @@ class ShareGateStreamSpec extends SparkSpec {
     val tok3 = graft.ext.Portable.tokenHashOf("3")
     assert(tombs.contains(tok2), "purchase transition must retract")
     assert(tombs.contains(tok3), "delete must retract")
+    // tombstones carry NO attributes: the store keeps deletes forever,
+    // so a tombstone retaining the redacted state's columns would park
+    // non-shareable interaction data in the audience-side files
+    val tombRows = p.snapshot().filter(col("pub_op") === "d")
+      .select("event_type", "day", "value_floor").collect()
+    assert(tombRows.nonEmpty && tombRows.forall(r =>
+      r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2)),
+      "tombstone rows must be attribute-free")
   }
 
   test("batching-independent: one batch vs two vs replayed prefix") {
