@@ -671,7 +671,7 @@ object Dedup {
     * iteration-order independent, so the result — and the oracle hash —
     * is identical to single-hop propagation.
     */
-  private[ext] def minLabelClusters(pairs: DataFrame, aCol: String,
+  private[graft] def minLabelClusters(pairs: DataFrame, aCol: String,
       bCol: String, ids: DataFrame, idCol: String): DataFrame = {
     // Mirror each pair into both orientations IN the projection
     // (explode of a 2-struct array) — one pass over the edge derivation,

@@ -58,10 +58,19 @@ object NearDupStream {
     }
   }
 
-  /** One micro-batch of `(doc_id, text)` documents through the ingest
-    * path. Public so tests can drive replay directly.
+  /** Sketch one `(doc_id, text)` micro-batch, find its near-dup pairs
+    * against the index (plus itself), and commit them to the pair store.
+    * Returns the batch sketch and the found pairs (both materialized)
+    * so [[LabelStream]] can maintain cluster labels from the same
+    * derivation — the INDEX merge is deliberately NOT done here: it
+    * must come last in whatever chain consumes this (crash between the
+    * pair/label commits and the index commit replays the batch against
+    * an index that does not yet contain it, re-deriving identical rows;
+    * the reverse order would lose them — a replayed batch already in
+    * the index anti-joins itself away).
     */
-  def applyBatch(batch: DataFrame, batchId: Long, stores: Stores): Unit = {
+  private[streaming] def findAndCommitPairs(batch: DataFrame, batchId: Long,
+      stores: Stores): (DataFrame, DataFrame) = {
     val sk = Dedup.sketchOf(batch.select("doc_id", "text"))
       // consulted by both band joins, both confirm re-joins, and the
       // index merge — one sketch pass per batch, not six
@@ -73,14 +82,31 @@ object NearDupStream {
     val old =
       if (indexed.schema.isEmpty) sk.limit(0)
       else indexed.join(sk.select("doc_id"), Seq("doc_id"), "left_anti")
-    val found = Dedup.incrementalPairs(sk, old)
+    // batch-bounded (delta × collision rate); consumed by the pair merge
+    // and by label maintenance
+    val found = Dedup.incrementalPairs(sk, old).localCheckpoint()
     stores.pairs.merge(found.select(
       concat_ws("_", col("doc_a"), col("doc_b")).as("pair_key"),
       lit(batchId).as("seq"), lit("i").as("op"),
       col("doc_a"), col("doc_b"), col("jac")), batchId)
+    (sk, found)
+  }
+
+  /** Commit the batch sketch into the index — the LAST step of every
+    * ingest chain (see [[findAndCommitPairs]] for the ordering proof).
+    */
+  private[streaming] def commitIndex(sk: DataFrame, batchId: Long,
+      stores: Stores): Unit =
     stores.index.merge(sk.select(col("doc_id"),
       lit(batchId).as("seq"), lit("i").as("op"),
       col("bk0"), col("bk1"), col("toks")), batchId)
+
+  /** One micro-batch of `(doc_id, text)` documents through the ingest
+    * path. Public so tests can drive replay directly.
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, stores: Stores): Unit = {
+    val (sk, _) = findAndCommitPairs(batch, batchId, stores)
+    commitIndex(sk, batchId, stores)
   }
 
   /** foreachBatch writer: dedup a `(doc_id, text)` document stream
