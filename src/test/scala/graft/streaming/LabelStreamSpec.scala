@@ -89,6 +89,41 @@ class LabelStreamSpec extends SparkSpec {
     assert(before == batchCC(s, Seq(2L, 10L, 11L, 20L, 21L)))
   }
 
+  test("randomized: arbitrary families and batchings all equal batch d7") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("qa", "qb", "qc", "qd", "qe", "qf", "qg", "qh",
+      "qi", "qj", "qk", "ql")
+    for (trial <- 1 to 3) {
+      val nFamilies = 3 + rnd.nextInt(3)
+      // disjoint token sets per family ⇒ exact expected components
+      val famTokens = (0 until nFamilies).map(f =>
+        vocab.map(w => s"$w$f").mkString(" "))
+      val docs = (1 to 12).map { i =>
+        val f = rnd.nextInt(nFamilies)
+        (i * 7L + trial, famTokens(f), f)
+      }
+      // random batching: shuffle, then cut into 1..4 batches
+      val shuffled = rnd.shuffle(docs)
+      val cuts = 1 + rnd.nextInt(4)
+      val batches = shuffled.grouped(math.max(1, shuffled.size / cuts)).toSeq
+      val s = {
+        val dir = Files.createTempDirectory(s"graft-labelstream-r$trial").toString
+        val st = new LabelStream.Stores(spark, dir)
+        batches.zipWithIndex.foreach { case (b, i) =>
+          LabelStream.applyBatch(docsDF(b.map(d => (d._1, d._2))), i.toLong, st)
+        }
+        st
+      }
+      val got = labelsOf(s)
+      val expect = docs.groupBy(_._3).values.flatMap { fam =>
+        val minId = fam.map(_._1).min
+        fam.map(d => d._1 -> minId)
+      }.toMap
+      assert(got == expect, s"trial $trial batches=${batches.map(_.size)}")
+      assert(got == batchCC(s, docs.map(_._1)), s"trial $trial vs batch CC")
+    }
+  }
+
   test("the per-batch merge graph is label-space, not corpus-space") {
     // structural scale check: after many batches the label store keeps
     // exactly one row per document and labels are component minima
