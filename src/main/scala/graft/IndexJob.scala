@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The nightly index job as a runnable main: force-build every derived
+  * corpus index for each given corpus directory, then vacuum indexes
+  * whose fingerprints match none of them. This is the operational entry
+  * point the `CorpusIndex` layer assumes exists — run it right after a
+  * corpus snapshot lands and every interactive consumer (dedup
+  * consumers, search, the LM scorer) only ever pays reads.
+  *
+  * Usage: runMain graft.IndexJob <sfDir1,sfDir2,...> [--no-vacuum]
+  */
+object IndexJob {
+  def main(args: Array[String]): Unit = {
+    val dirs = args.headOption
+      .getOrElse("/root/testdata/sf0.001").split(",").toSeq
+    val doVacuum = !args.contains("--no-vacuum")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (d <- dirs) {
+      val t0 = System.nanoTime()
+      val built = sources.CorpusIndex.buildAll(spark, d)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"INDEXJOB dir=$d t=$dt%.1fs " +
+        built.map { case (n, c) => s"$n=$c" }.mkString(" "))
+    }
+    if (doVacuum) {
+      val gone = sources.CorpusIndex.vacuum(spark, dirs)
+      println(s"INDEXJOB vacuumed=${gone.size}" +
+        (if (gone.isEmpty) "" else gone.mkString(" [", ", ", "]")))
+    }
+    spark.stop()
+  }
+}
