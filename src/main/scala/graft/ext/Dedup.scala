@@ -1102,7 +1102,13 @@ object Dedup {
     * in the oracle.
     */
   def substringSpans(spark: SparkSession, sfDir: String): DataFrame =
-    substringSpansOf(tokenHashFrame(spark, sfDir))
+    // persisted corpus index: the maximal duplicated spans are consumed
+    // by d12 itself, d15's coverage gate, and c9's span scrub — the
+    // posting self-join + islands merge runs once per corpus snapshot
+    memoFrame("dupSpans", spark, sfDir)(
+      graft.sources.CorpusIndex.ensureBucketed(spark, "dup_spans",
+        sfDir, Seq("documents"), "doc_id")(
+        substringSpansOf(tokenHashFrame(spark, sfDir))))
 
   /** d15 — SPAN-COVERAGE dedup gate: the whole-document decision on top
     * of d12's localized spans — what fraction of each document is

@@ -154,6 +154,7 @@ object CorpusIndex {
     "token_hashes" -> graft.ext.Dedup.tokenHashFrame(spark, sfDir).count(),
     "shingle_postings" -> graft.ext.Dedup.shingleFrame(spark, sfDir).count(),
     "shingle_cooccur" -> graft.ext.Dedup.coOccurFrame(spark, sfDir).count(),
+    "dup_spans" -> graft.ext.Dedup.substringSpans(spark, sfDir).count(),
     "minhash_sketch" -> graft.ext.Dedup.sketchFrame(spark, sfDir).count(),
     "lsh_pairs" -> graft.ext.Dedup.minhashLsh(spark, sfDir).count(),
     "labels_minhash" -> graft.ext.Dedup.dedupClusters(spark, sfDir).count(),
