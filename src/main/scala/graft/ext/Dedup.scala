@@ -571,6 +571,27 @@ object Dedup {
     exact.unionByName(big)
   }
 
+  /** d17 — per-SOURCE duplication rate: for each ingest source, how many
+    * documents it contributed and what fraction of them are non-canonical
+    * near-dup members (doc_id ≠ its cluster's canonical) — the
+    * source-quality scoreboard a crawl pipeline triages by (a source
+    * whose dup_ppm spikes is re-crawling what the corpus already holds,
+    * and its crawl budget moves elsewhere). Rides the MEMOIZED /
+    * persisted d7 label index like c13/d18: cluster resolution never
+    * re-derives; this query's own cost is one join of two-long label
+    * rows against (doc_id, source) and a |sources|-row aggregate —
+    * map-side combinable, no corpus-sized state. The rate is integer
+    * ppm (`n_dups · 10⁶ DIV n_docs`) — engine-portable, no doubles.
+    */
+  def sourceDupRate(spark: SparkSession, sfDir: String): DataFrame =
+    dedupClusters(spark, sfDir)
+      .join(docs(spark, sfDir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("canonical"), 1L).otherwise(0L)).as("n_dups"))
+      .select(col("source"), col("n_docs"), col("n_dups"),
+        expr("n_dups * 1000000 DIV n_docs").as("dup_ppm"))
+
   /** d18 — cluster SIZE HISTOGRAM (how much of the corpus is duplicated,
     * and how deeply): n_clusters per exact cluster size — the one-line
     * health chart a dedup pass is judged by (mass in size-1 clusters =
@@ -1239,6 +1260,7 @@ object Dedup {
     "d5_simhash_neardup" -> (simhashNearDup _),
     "d6_embed_neardup" -> (embedNearDup _),
     "d7_dedup_clusters" -> (dedupClusters _),
+    "d17_source_dup_rate" -> (sourceDupRate _),
     "d18_cluster_histogram" -> (clusterHistogram _),
     "d19_cluster_medoids" -> (clusterMedoids _),
     "d8_minhash_estimate" -> (minhashEstimate _),
@@ -1475,6 +1497,15 @@ object Dedup {
          |SELECT src AS vec_id, min(dst) AS canonical
          |FROM reach GROUP BY src""".stripMargin,
     "d7_dedup_clusters" -> d7Sql,
+    "d17_source_dup_rate" ->
+      s"""WITH clusters AS ($d7Sql)
+         |SELECT d.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN c.doc_id <> c.canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+         |  CAST((CAST(sum(CASE WHEN c.doc_id <> c.canonical THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // CAST(count(*) AS BIGINT) AS BIGINT) AS dup_ppm
+         |FROM clusters c JOIN documents d USING (doc_id)
+         |GROUP BY d.source""".stripMargin,
     "d18_cluster_histogram" ->
       s"""WITH clusters AS ($d7Sql),
          |sizes AS (

@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Portable._
 
@@ -222,6 +223,60 @@ object Multimodal {
       .toDF("doc_id", "luma_sum", "hist_checksum")
   }
 
+  /** m8 — PERCEPTUAL image dedup (dHash through the real codec): decode
+    * every PNG, reduce it to a 4×3 grid of tile luma sums inside the
+    * decode pass, derive the 17-bit difference hash (9 horizontal + 8
+    * vertical neighbor comparisons of tile sums), and assign each image
+    * the MIN doc_id among same-dimension images with an identical hash —
+    * the image-side twin of d1/d7's canonical assignment, and the step a
+    * multimodal training pipeline runs to drop visually-duplicate crawl
+    * images before captioning. Comparing tile SUMS is exact mean
+    * comparison: the grid tiles an image of constant dims into
+    * equal-pixel cells (w ≡ 0 mod 4, h ≡ 0 mod 3 by construction), so
+    * the denominator cancels — no floats anywhere, the hash is
+    * bit-portable. Scale shape mirrors m6: per-image work happens inside
+    * `mapPartitions` where the codec batch-amortizes, only (doc_id, w,
+    * h, 17-bit sig) rows reach the shuffle, and the canonical is one
+    * window-min over the (w, h, sig) key — the same bucket-then-reduce
+    * discipline as the LSH families (a hash bucket can never go
+    * quadratic here because the reduction is min, not pairing). The
+    * oracle reconstructs tile sums from the source characters by index
+    * arithmetic (m6's technique) and re-derives the hash bit-for-bit:
+    * a match proves decode, tile geometry, AND comparison order.
+    */
+  def phashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = pngRecords(spark, sfDir)
+      .mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
+        batch.map { rec =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(rec.data))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          val s = Array.ofDim[Long](3, 4)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              s(y * 3 / h)(x * 4 / w) += raster.getSample(x, y, 0) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          var sig = 0L
+          for (r <- 0 until 3; c <- 0 until 3)
+            if (s(r)(c) > s(r)(c + 1)) sig |= 1L << (r * 3 + c)
+          for (r <- 0 until 2; c <- 0 until 4)
+            if (s(r)(c) > s(r + 1)(c)) sig |= 1L << (9 + r * 4 + c)
+          (rec.doc_id, w.toLong, h.toLong, sig)
+        }
+      }
+      .toDF("doc_id", "w", "h", "phash")
+    sigs.withColumn("canonical",
+      min("doc_id").over(Window.partitionBy("w", "h", "phash")))
+  }
+
   // ---- oracle-checked projection queries --------------------------------
 
   /** m1 — media metadata extraction: byte length, header byte, synthetic
@@ -377,7 +432,8 @@ object Multimodal {
     "m3_decode_dispatch" -> (decodeDispatch _),
     "m5_png_roundtrip" -> (pngRoundtrip _),
     "m6_tile_stats" -> (tileStats _),
-    "m7_resize_real" -> (resizeReal _)
+    "m7_resize_real" -> (resizeReal _),
+    "m8_phash_dedup" -> (phashDedup _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -470,6 +526,38 @@ object Multimodal {
          |         ELSE CAST(ascii(substring(text, CAST(i % n + 1 AS INTEGER), 1)) % 256 AS BIGINT)
          |         END)) AS BIGINT) AS tile_luma
          |FROM t""".stripMargin,
+    // tile sums from index arithmetic (m6's technique), then the same 17
+    // neighbor comparisons in the same bit positions; `ss` is the
+    // tile-sum list in tile order (tile = row*4 + col, 1-based indexing)
+    "m8_phash_dedup" -> {
+      val hbits = (for (r <- 0 until 3; c <- 0 until 3) yield
+        s"(CASE WHEN ss[${r * 4 + c + 1}] > ss[${r * 4 + c + 2}] THEN ${1L << (r * 3 + c)} ELSE 0 END)")
+        .mkString(" + ")
+      val vbits = (for (r <- 0 until 2; c <- 0 until 4) yield
+        s"(CASE WHEN ss[${r * 4 + c + 1}] > ss[${(r + 1) * 4 + c + 1}] THEN ${1L << (9 + r * 4 + c)} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT doc_id, text, len(text) AS n,
+         |    (doc_id % 4 + 1) * 8 AS w, (doc_id % 3 + 1) * 6 AS h
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, w, h, r.t AS tile,
+         |    CAST(list_sum(list_transform(
+         |      list_filter(range(0, w * h), i ->
+         |        ((i // w) * 3 // h) * 4 + ((i % w) * 4 // w) = r.t),
+         |      i -> CASE WHEN n = 0 THEN 0
+         |           ELSE CAST(ascii(substring(text, CAST(i % n + 1 AS INTEGER), 1)) % 256 AS BIGINT)
+         |           END)) AS BIGINT) AS s
+         |  FROM d CROSS JOIN range(12) r(t)),
+         |sig AS (
+         |  SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+         |    CAST($hbits + $vbits AS BIGINT) AS phash
+         |  FROM (SELECT doc_id, w, h, list(s ORDER BY tile) AS ss
+         |        FROM t GROUP BY doc_id, w, h))
+         |SELECT doc_id, w, h, phash,
+         |  min(doc_id) OVER (PARTITION BY w, h, phash) AS canonical
+         |FROM sig""".stripMargin
+    },
     // expected resized pixel i = source pixel at (2·(i//w2))·w + 2·(i%w2)
     "m7_resize_real" -> {
       val px = "px"

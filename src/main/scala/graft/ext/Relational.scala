@@ -60,6 +60,41 @@ object Relational {
         sum("value_cents").over(w).as("sum_cents_trailing"))
   }
 
+  /** w4 — SLIDING-window exact distinct: hour-long windows stepped every
+    * 15 minutes (the overlapping-window shape `GROUP BY` cannot state),
+    * each reporting its exact event count and exact distinct-user count
+    * — the monitoring panel behind "active users, last hour, refreshed
+    * every 15 min". Implemented by COVER-SET fan-out, not a range join:
+    * an event at µs `u` belongs to exactly the `win/step = 4` windows
+    * starting at `(u div step)·step − j·step`, so a bounded 4× explode
+    * turns the sliding problem into a plain hash aggregate keyed on the
+    * window start — one shuffle, map-side combinable, no window-spine
+    * cross join and no per-key sort. Windows with zero events don't
+    * exist on either engine by construction (the spine is derived from
+    * the data), so the frames agree exactly. The distinct count is
+    * EXACT: Spark plans the mixed count/count-distinct as the standard
+    * two-phase expand over (win, user) partials — at 100 TB the
+    * per-window user sets never materialize anywhere; swap in r7's HLL
+    * sketch when approximate is acceptable. The streaming twin of this
+    * shape (watermarked sliding windows) is `streaming/TopKStream`'s
+    * window machinery; batch≡stream parity for distincts is
+    * `DistinctStreamSpec`'s territory.
+    */
+  def slidingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val step = 900000000L // 15 min in µs
+    val fan = 4           // window length / step
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        explode(sequence(lit(0L), lit(fan - 1L))).as("j"))
+      .select(col("user_id"),
+        expr(s"(us div $step) * $step - j * $step").as("ws"))
+      .groupBy("ws")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"))
+      .select(timestamp_micros(col("ws")).as("win_start"),
+        col("n_events"), col("n_users"))
+  }
+
   /** u1 — set operations: big-ticket clickers INTERSECT big-ticket
     * purchasers, EXCEPT users with a severe error. Spark plans these as
     * joins (left-semi / left-anti after dedup) — no driver-side sets.
@@ -254,6 +289,7 @@ object Relational {
     "w3_percent_rank" -> (percentRank _),
     "w1_window_suite" -> (windowSuite _),
     "w2_time_windows" -> (timeWindows _),
+    "w4_sliding_distinct" -> (slidingDistinct _),
     "u1_set_ops" -> (setOps _),
     "u4_bag_set_ops" -> (bagSetOps _),
     "x8_type_day_cube" -> (typeDayCube _),
@@ -299,6 +335,17 @@ object Relational {
         |  FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
         |  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "w4_sliding_distinct" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |w AS (
+        |  SELECT user_id,
+        |    (us // 900000000) * 900000000 - t.j * 900000000 AS ws
+        |  FROM ev, range(4) t(j))
+        |SELECT make_timestamp(ws) AS win_start,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM w GROUP BY ws""".stripMargin,
     "u1_set_ops" ->
       """SELECT DISTINCT user_id FROM events
         |WHERE event_type = 'click' AND value > 150

@@ -465,8 +465,44 @@ object Similarity {
         col("best.dist").as("dist_sq_q"))
   }
 
+  /** s11 — ANN RECALL EVALUATION: per query, recall@3 of the two IVF
+    * configurations (s2 nprobe=1, s5 nprobe=2) against the exact
+    * brute-force top-3 — the eval loop every production ANN index ships
+    * with (you don't deploy an approximate index without measuring what
+    * it misses). Because s5's candidate set is a superset of s2's (the
+    * own cell is always probed), `recall2 ≥ recall1` per query — the
+    * monotonicity `SimilaritySpec` asserts on this very output.
+    *
+    * Recall is integer ppm (`hits · 10⁶ DIV k`), so the comparison is
+    * bit-stable across engines (the same no-libm discipline as w3/d19).
+    * Scale shape: the COST is the three upstream searches (the brute
+    * baseline is the expensive one — |queries| × |vectors| cosines, the
+    * price of ground truth; at 100 TB the query set is a sample, which
+    * `nQueries` already models); the eval itself joins three
+    * |queries|·k-row frames — driver-dashboard sized, broadcast by AQE.
+    */
+  def recallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val brute = bruteTopk(spark, sfDir).filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id")
+    val i1 = ivfTopk(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in1"))
+    val i2 = ivfNprobeTopk(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in2"))
+    brute
+      .join(i1, Seq("query_id", "neighbor_id"), "left")
+      .join(i2, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("in1"), lit(0L))).as("hits_nprobe1"),
+        sum(coalesce(col("in2"), lit(0L))).as("hits_nprobe2"))
+      .select(col("query_id"), col("k"), col("hits_nprobe1"), col("hits_nprobe2"),
+        expr("hits_nprobe1 * 1000000 DIV k").as("recall1_ppm"),
+        expr("hits_nprobe2 * 1000000 DIV k").as("recall2_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s10_kmeans_step" -> (kmeansStep _),
+    "s11_recall_eval" -> (recallEval _),
     "s1_brute_topk" -> (bruteTopk _),
     "s2_ivf_topk" -> (ivfTopk _),
     "s3_lsh_topk" -> (lshTopk _),
@@ -730,6 +766,74 @@ object Similarity {
          |    FROM sc) WHERE crk <= 64)
          |SELECT short.query_id, short.neighbor_id, $cosSql AS cos_raw
          |FROM short JOIN ev e ON e.vec_id = short.neighbor_id
-         |           JOIN q ON q.query_id = short.query_id""".stripMargin, 3)
+         |           JOIN q ON q.query_id = short.query_id""".stripMargin, 3),
+    // s11: same ev/q/cents/cells CTEs as s1/s2/s5 (the family's SQL
+    // mirrors), reduced to id sets and joined into per-query hit counts
+    "s11_recall_eval" ->
+      s"""WITH ev AS (
+         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel
+         |      FROM ev WHERE vec_id < $nQueries),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY (list_dot_product(e.v, q.qv) /
+         |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))) DESC,
+         |        e.vec_id) AS rank
+         |    FROM ev e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+         |  WHERE rank <= 3),
+         |ivf1 AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY (list_dot_product(e.v, q.qv) /
+         |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))) DESC,
+         |        e.vec_id) AS rank
+         |    FROM ev e JOIN q ON e.label = q.qlabel AND e.vec_id <> q.query_id)
+         |  WHERE rank <= 3),
+         |cents AS (
+         |  SELECT label, list(centroid ORDER BY dim) AS cv FROM (
+         |    SELECT label, CAST(t.i AS INTEGER) AS dim,
+         |      CAST(sum(CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)
+         |        / 10000000.0 / count(*) AS centroid
+         |    FROM embeddings, range(64) t(i)
+         |    GROUP BY label, t.i)
+         |  GROUP BY label),
+         |nearest_other AS (
+         |  SELECT query_id, qv, label FROM (
+         |    SELECT q.query_id, q.qv, c.label,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        (list_dot_product(q.qv, c.cv) /
+         |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+         |        c.label) AS rk
+         |    FROM q JOIN cents c ON c.label <> q.qlabel)
+         |  WHERE rk = 1),
+         |cells AS (
+         |  SELECT query_id, qv, qlabel AS label FROM q
+         |  UNION ALL
+         |  SELECT query_id, qv, label FROM nearest_other),
+         |ivf2 AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT cells.query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY cells.query_id
+         |        ORDER BY (list_dot_product(e.v, cells.qv) /
+         |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cells.qv, cells.qv)))) DESC,
+         |        e.vec_id) AS rank
+         |    FROM cells JOIN ev e ON e.label = cells.label AND e.vec_id <> cells.query_id)
+         |  WHERE rank <= 3)
+         |SELECT b.query_id,
+         |  CAST(count(*) AS BIGINT) AS k,
+         |  CAST(sum(CASE WHEN i1.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_nprobe1,
+         |  CAST(sum(CASE WHEN i2.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_nprobe2,
+         |  CAST((CAST(sum(CASE WHEN i1.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // CAST(count(*) AS BIGINT) AS BIGINT) AS recall1_ppm,
+         |  CAST((CAST(sum(CASE WHEN i2.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // CAST(count(*) AS BIGINT) AS BIGINT) AS recall2_ppm
+         |FROM brute b
+         |LEFT JOIN ivf1 i1 ON i1.query_id = b.query_id AND i1.neighbor_id = b.neighbor_id
+         |LEFT JOIN ivf2 i2 ON i2.query_id = b.query_id AND i2.neighbor_id = b.neighbor_id
+         |GROUP BY b.query_id""".stripMargin
   )
 }

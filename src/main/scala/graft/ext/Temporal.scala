@@ -279,7 +279,36 @@ object Temporal {
         when(in, col("purchase_value")).as("purchase_value"))
   }
 
+  /** a9 — calendar DENSIFICATION (gap fill): daily event counts per
+    * event type over the FULL corpus date spine, zero-filled — the
+    * time-series completion every downstream chart/model assumes
+    * ("no row" and "zero events" are different statements, and a
+    * forecast trained on the sparse frame silently skips the quiet
+    * days). Spine generation is the scale story: the span comes from a
+    * ONE-ROW min/max aggregate, `sequence(lo, hi, 1 day)` explodes it
+    * into |days| rows, and the cross join against the distinct-type
+    * frame is bounded × bounded (days × types — thousands of rows at a
+    * century of data; both sides annotated broadcast). The fact side
+    * stays a map-side-combined daily aggregate; the left join that
+    * lands zeros shuffles only |days|·|types| rows. No range join, no
+    * per-day scan, no driver-side date loop.
+    */
+  def calendarFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(date_trunc("day", col("ts")).as("day"), col("event_type"))
+    val daily = ev.groupBy("day", "event_type").agg(count(lit(1)).as("n_events"))
+    // one-row span; the spine explode is |days| rows, a bounded frame
+    val spine = ev.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val types = ev.select("event_type").distinct()
+    broadcast(spine).crossJoin(broadcast(types))
+      .join(daily, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "a9_calendar_fill" -> (calendarFill _),
     "a8_asof_tolerance" -> (asofTolerance _),
     "a5_twa_bars" -> (twaBars _),
     "a7_resample_interp" -> (resampleInterp _),
@@ -291,6 +320,22 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "a9_calendar_fill" ->
+      """WITH ev AS (
+        |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type
+        |  FROM events),
+        |daily AS (
+        |  SELECT day, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY day, event_type),
+        |span AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        |  FROM span),
+        |types AS (SELECT DISTINCT event_type FROM ev)
+        |SELECT s.day, t.event_type,
+        |  CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type""".stripMargin,
     // backward neighbor via ASOF (>=), forward neighbor via the
     // min-qualifying formulation (a6's pattern); interpolation restates
     // the sign-split truncating division verbatim

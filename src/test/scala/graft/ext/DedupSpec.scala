@@ -418,6 +418,30 @@ class DedupSpec extends SparkSpec {
     assert(sizes.values.exists(_ > 1), "no nontrivial cluster — test is vacuous")
   }
 
+  test("d17: per-source dup rate recomputes from d7 labels exactly") {
+    val labels = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val srcOf = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = labels.toSeq
+      .groupBy { case (id, _) => srcOf(id) }
+      .map { case (src, xs) =>
+        val dups = xs.count { case (id, canon) => id != canon }
+        src -> (xs.size.toLong, dups.toLong)
+      }
+    val rows = Dedup.sourceDupRate(spark, sf).collect()
+    assert(rows.length == expected.size, "one row per source")
+    for (r <- rows) {
+      val (n, d) = expected(r.getString(0))
+      assert(r.getLong(1) == n, s"${r.getString(0)}: n_docs")
+      assert(r.getLong(2) == d, s"${r.getString(0)}: n_dups")
+      assert(r.getLong(3) == d * 1000000L / n, s"${r.getString(0)}: dup_ppm")
+    }
+    // at least one source must actually hold duplicates, else vacuous
+    assert(rows.exists(_.getLong(2) > 0), "no source with dups — vacuous")
+  }
+
   test("d16: keeps the longest member of every cluster, ties to lowest id") {
     val labels = Dedup.dedupClusters(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -152,4 +152,31 @@ class RelationalSpec extends SparkSpec {
     assert("\\bWindow\\b".r.findAllIn(p).size == 1, s"window not fused:\n$p")
     assert("Exchange".r.findAllIn(p).size == 1, s"extra shuffles:\n$p")
   }
+
+  test("w4 sliding distinct equals a brute per-window fold; windows overlap") {
+    import org.apache.spark.sql.functions._
+    val step = 900000000L
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = ev.flatMap { case (u, us) =>
+      (0L until 4L).map(j => ((us / step) * step - j * step, u))
+    }.groupBy(_._1).map { case (ws, xs) =>
+      ws -> (xs.length.toLong, xs.map(_._2).distinct.length.toLong)
+    }
+    val got = Relational.slidingDistinct(spark, sf).collect().map { r =>
+      val ws = r.getTimestamp(0).toInstant
+      ws.getEpochSecond * 1000000L + ws.getNano / 1000 ->
+        (r.getLong(1), r.getLong(2))
+    }.toMap
+    assert(got == expected,
+      s"missing=${(expected.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- expected.keySet).take(3)}")
+    // a genuinely SLIDING result: some event must land in overlapping
+    // windows with different distinct counts, else a plain GROUP BY
+    // would have produced the same frame and the test proves nothing
+    val sorted = expected.toSeq.sortBy(_._1)
+    assert(sorted.sliding(2).exists { case Seq((a, _), (b, _)) => b - a < 3600000000L },
+      "no overlapping windows in the corpus — vacuous")
+  }
 }

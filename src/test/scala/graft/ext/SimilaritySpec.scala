@@ -98,6 +98,30 @@ class SimilaritySpec extends SparkSpec {
     assert(total5 >= total2)
   }
 
+  test("s11 recall eval matches independently recomputed hit sets; monotone") {
+    def byQuery(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val truth = byQuery(Similarity.bruteTopk(spark, sf).filter(col("rank") <= 3))
+    val s2 = byQuery(Similarity.ivfTopk(spark, sf))
+    val s5 = byQuery(Similarity.ivfNprobeTopk(spark, sf))
+    val eval = Similarity.recallEval(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(eval.keySet == truth.keySet, "a query is missing from the eval")
+    for ((q, r) <- eval) {
+      val k = r.getLong(1)
+      assert(k == truth(q).size, s"query $q: k=$k != |truth|=${truth(q).size}")
+      val h1 = truth(q).count(s2.getOrElse(q, Set.empty))
+      val h2 = truth(q).count(s5.getOrElse(q, Set.empty))
+      assert(r.getLong(2) == h1, s"query $q: hits_nprobe1 ${r.getLong(2)} != $h1")
+      assert(r.getLong(3) == h2, s"query $q: hits_nprobe2 ${r.getLong(3)} != $h2")
+      assert(r.getLong(4) == h1 * 1000000L / k)
+      assert(r.getLong(5) == h2 * 1000000L / k)
+      // the superset candidate set can only improve recall
+      assert(r.getLong(5) >= r.getLong(4), s"query $q: recall not monotone")
+    }
+  }
+
   test("s6 quantized-rerank: exact cosines on output, near-exact recall") {
     def byQuery(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().map(r => r.getLong(0) -> r.getLong(1))

@@ -211,6 +211,28 @@ class TemporalSpec extends SparkSpec {
     assert(got.exists(_._5.isDefined) && got.exists(_._5.isEmpty))
   }
 
+  test("a9 calendar fill: complete spine × types, zero-filled, counts exact") {
+    import org.apache.spark.sql.functions._
+    val dayUs = 86400000000L
+    val ev = graft.Tables.events(spark, sf)
+      .select(unix_micros(date_trunc("day", col("ts"))), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val days = ev.map(_._1)
+    val spine = (days.min to days.max by dayUs)
+    val types = ev.map(_._2).distinct
+    val counts = ev.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val got = Temporal.calendarFill(spark, sf).collect().map { r =>
+      (r.getTimestamp(0).getTime * 1000L, r.getString(1)) -> r.getLong(2)
+    }.toMap
+    // the frame is EXACTLY the spine × type grid
+    assert(got.size == spine.length * types.length,
+      s"${got.size} rows != ${spine.length} days x ${types.length} types")
+    for (d <- spine; t <- types)
+      assert(got((d, t)) == counts.getOrElse((d, t), 0L), s"($d,$t) count")
+    // totals conserve: densification adds only zeros
+    assert(got.values.sum == ev.length.toLong, "zero fill altered totals")
+  }
+
   test("a7 interpolation equals brute force; exact at event instants; bounded") {
     import org.apache.spark.sql.functions._
     val evs = graft.Tables.events(spark, sf)

@@ -159,6 +159,51 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m8 phash matches a codec-free recompute; canonical groups dup images") {
+    val rows = Multimodal.phashDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet == docs.keySet, "one signature row per document")
+    // recompute the hash from the SOURCE characters (never touching the
+    // codec): a match here plus the oracle means decode + geometry agree
+    def sigOf(id: Long, text: String): (Long, Long, Long) = {
+      val w = ((id % 4) + 1).toInt * 8
+      val h = ((id % 3) + 1).toInt * 6
+      val cps = text.codePoints().toArray
+      val s = Array.ofDim[Long](3, 4)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = y * w + x
+        val v = if (cps.isEmpty) 0 else cps(i % cps.length) & 0xff
+        s(y * 3 / h)(x * 4 / w) += v
+      }
+      var sig = 0L
+      for (r <- 0 until 3; c <- 0 until 3)
+        if (s(r)(c) > s(r)(c + 1)) sig |= 1L << (r * 3 + c)
+      for (r <- 0 until 2; c <- 0 until 4)
+        if (s(r)(c) > s(r + 1)(c)) sig |= 1L << (9 + r * 4 + c)
+      (w.toLong, h.toLong, sig)
+    }
+    for ((id, text) <- docs) {
+      val (w, h, sig) = sigOf(id, text)
+      val (gw, gh, gsig, _) = rows(id)
+      assert((gw, gh, gsig) == (w, h, sig), s"doc $id: signature mismatch")
+    }
+    // canonical = min doc_id within each (w, h, phash) group
+    val canon = rows.toSeq.groupBy { case (_, (w, h, p, _)) => (w, h, p) }
+      .flatMap { case (_, xs) =>
+        val m = xs.map(_._1).min; xs.map(x => x._1 -> m)
+      }
+    for ((id, (_, _, _, c)) <- rows)
+      assert(c == canon(id), s"doc $id: canonical $c != ${canon(id)}")
+    // the corpus must actually contain perceptual duplicates, else the
+    // assignment is the identity and the test is vacuous
+    assert(rows.exists { case (id, (_, _, _, c)) => c != id },
+      "no perceptual duplicates at test SF — vacuous")
+  }
+
   test("x25: lift matches an exact BigInt recompute; ranking is PMI-equivalent") {
     val texts = graft.Tables.documents(spark, sf).select("text")
       .collect().map(_.getString(0))
