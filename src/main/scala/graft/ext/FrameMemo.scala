@@ -58,6 +58,28 @@ private[ext] object FrameMemo {
     * otherwise min-of-passes would silently exclude the build costs
     * (pass 2 reads pass 1's cache) and the total would understate a
     * cold driver run.
+    *
+    * Eviction UNPERSISTS the checkpoint blocks, not just the
+    * references: a dereferenced localCheckpoint RDD is only released
+    * when a GC cycle hands it to the async ContextCleaner, so a
+    * many-query driver run (Bench, Sweep) would otherwise accumulate
+    * dead blocks in the BlockManager and tax every later CPU-dense
+    * stage with memory pressure — measured as a >10x slowdown on the
+    * codec queries late in a shared-JVM sweep. The memoized frame's
+    * plan root is the checkpointed `LogicalRDD` when the builder
+    * materialized (index reads have plain scan roots — unpersist is a
+    * no-op for them, matching the durable-index contract).
     */
-  def clear(): Unit = memo.clear()
+  def clear(): Unit = {
+    memo.forEach { (_, df) =>
+      try {
+        if (!ownerStopped(df)) df.queryExecution.analyzed.foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
+      } catch { case _: Throwable => () }
+    }
+    memo.clear()
+  }
 }
