@@ -132,9 +132,10 @@ object Bench {
     val errs = results.collect { case (k, (false, _)) => "\"" + k + "\"" }
     val total = results.values.collect { case (true, v) => v }.sum
     val errField = if (errs.isEmpty) "" else s""","errors":${errs.mkString("[", ",", "]")}"""
-    val (upsertRate, dedupRate, twsRate, ivmRate, topkRate) = streamingMetrics(spark)
+    val (upsertRate, dedupRate, twsRate, ivmRate, topkRate, slidingRate) =
+      streamingMetrics(spark)
     val streamField =
-      s""","streaming":{"upsert_rows_per_sec":$upsertRate,"dedup_rows_per_sec":$dedupRate,"tws_view_rows_per_sec":$twsRate,"ivm_rows_per_sec":$ivmRate,"topk_rows_per_sec":$topkRate}"""
+      s""","streaming":{"upsert_rows_per_sec":$upsertRate,"dedup_rows_per_sec":$dedupRate,"tws_view_rows_per_sec":$twsRate,"ivm_rows_per_sec":$ivmRate,"topk_rows_per_sec":$topkRate,"sliding_rows_per_sec":$slidingRate}"""
 
     // The harness that invokes this main keeps only the LAST ~2000 chars of
     // stdout, and the full per-query map (~100 queries) is ~3 KB — a single
@@ -180,7 +181,7 @@ object Bench {
     * reports -1.
     */
   private def streamingMetrics(spark: SparkSession)
-      : (Double, Double, Double, Double, Double) = {
+      : (Double, Double, Double, Double, Double, Double) = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -274,6 +275,24 @@ object Bench {
     def timeIvm(n: Int, nKeys: Int, nBatches: Int): Double =
       StreamFeeds.timeIvm(spark, n, nKeys, nBatches)
 
+    // the chained TWO-stateful-operator pipeline (watermarked dedup →
+    // windowed count): a distinct hot path from the single-operator
+    // streams — state handoff between operators is what's measured.
+    // The rate is INPUT rows/s; each input row fans out to 4 (window,
+    // user) dedup probes (w4's cover set), so state-op throughput is
+    // ~4x the reported number
+    def timeSliding(n: Int, nKeys: Int, nBatches: Int): Double = {
+      val in = MemoryStream[BenchEv](SourceParts)
+      val q = streaming.SlidingStream.slidingDistinctView(
+          in.toDF().selectExpr("CAST(key AS BIGINT) AS user_id", "ts"))
+        .writeStream.outputMode("update").format("noop").start()
+      val batches = (0 until n).map(ev(_, nKeys)).grouped(n / nBatches).toSeq
+      val t0 = System.nanoTime()
+      try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      n / ((System.nanoTime() - t0) / 1e9)
+    }
+
     def timeTopK(n: Int, nGroups: Int, nBatches: Int): Double = {
       val provKey = "spark.sql.streaming.stateStore.providerClass"
       val prev = spark.conf.getOption(provKey)
@@ -319,10 +338,12 @@ object Bench {
     safe { timeTws(1000, 100, 2) }     // warmup
     safe { timeIvm(1000, 100, 2) }     // warmup
     safe { timeTopK(1000, 100, 2) }    // warmup
+    safe { timeSliding(1000, 100, 2) } // warmup
     (best { timeUpsert(100000, 10000, 5) },
       best { timeDedup(100000, 10000, 5) },
       best { timeTws(100000, 10000, 5) },
       best { timeIvm(100000, 10000, 5) },
-      best { timeTopK(100000, 1000, 5) })
+      best { timeTopK(100000, 1000, 5) },
+      best { timeSliding(100000, 10000, 5) })
   }
 }

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Continuously-maintained SLIDING-window distinct-user counts — the
+  * streaming twin of the batch w4 (`ext.Relational.slidingDistinct`):
+  * hour-long windows stepped every 15 minutes, each reporting the exact
+  * number of distinct users, kept current per micro-batch.
+  *
+  * Two CHAINED stateful operators implement the exactness:
+  *
+  *   1. the same bounded cover-set fan-out as batch w4 (an event belongs
+  *      to exactly `win/step = 4` windows, so a 4× explode turns sliding
+  *      into plain grouping — no window spine, no range join), then a
+  *      watermarked `dropDuplicates` on (window, user): its state is the
+  *      set of (window, user) pairs still inside the watermark, which is
+  *      what makes the count EXACT under at-least-once delivery — a
+  *      redelivered event is a duplicate pair and is absorbed;
+  *   2. a per-window count over the deduplicated stream (Update mode):
+  *      state is one long per live window.
+  *
+  * The watermark bounds BOTH states: closed windows age out of the dedup
+  * set and the count map — the memory story at 100 TB/day is
+  * |users active per window| · (watermark/step) pairs, not stream
+  * length. (The sketch-based `DistinctStream` is the same dashboard with
+  * O(64) state per window when approximate is acceptable; this twin is
+  * the exact-contract sibling, `SlidingStreamSpec` proves stream ≡
+  * batch w4.)
+  *
+  * Input: a streaming frame with `user_id` and an event-time `ts`
+  * TIMESTAMP column. The watermark is generous by default so finite
+  * test feeds never drop rows; a production caller tightens it to its
+  * real lateness bound.
+  */
+object SlidingStream {
+
+  private val StepUs = 900000000L // 15 min
+  private val Fan = 4             // window length / step
+
+  def slidingDistinctView(events: DataFrame,
+      watermark: String = "4 hours"): DataFrame =
+    events
+      .select(col("user_id"), col("ts"),
+        explode(sequence(lit(0L), lit(Fan - 1L))).as("j"))
+      .select(col("user_id"),
+        expr(s"timestamp_micros((unix_micros(ts) div $StepUs) * $StepUs - j * $StepUs)")
+          .as("win_start"))
+      .withWatermark("win_start", watermark)
+      .dropDuplicates("win_start", "user_id")
+      .groupBy("win_start")
+      .agg(count(lit(1)).as("n_users"))
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** The streaming sliding-window distinct view must equal the batch w4
+  * fold (same cover-set definition) over the whole feed under ANY
+  * micro-batching, and — because the first stateful operator is a
+  * (window, user) dedup — under redelivery of arbitrary slices.
+  */
+class SlidingStreamSpec extends SparkSpec {
+
+  case class UE(user_id: Long, ts: java.sql.Timestamp)
+
+  private val stepUs = 900000000L
+
+  // deterministic feed: 400 events, 37 users, one event every 7 minutes
+  // (every window overlaps its neighbors; users repeat within windows)
+  private val base = 1700000000000000L // µs
+  private val evs = (0 until 400).map { i =>
+    UE((i * 13 % 37).toLong,
+      new java.sql.Timestamp((base + i.toLong * 7L * 60000000L) / 1000L))
+  }
+
+  // batch w4 semantics in plain Scala (RelationalSpec's fold)
+  private def expected(es: Seq[UE]): Map[Long, Long] =
+    es.flatMap { e =>
+      val us = e.ts.getTime * 1000L
+      (0L until 4L).map(j => ((us / stepUs) * stepUs - j * stepUs, e.user_id))
+    }.distinct.groupBy(_._1).map { case (ws, xs) => ws -> xs.length.toLong }
+
+  private def run(batches: Seq[Seq[UE]]): (Map[Long, Long], Long) = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[UE]
+    val name = s"sliding_out_${System.nanoTime()}"
+    val q = SlidingStream.slidingDistinctView(in.toDF()).writeStream
+      .outputMode("update").format("memory").queryName(name).start()
+    val nStateOps =
+      try {
+        batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        q.lastProgress.stateOperators.size.toLong
+      } finally q.stop()
+    val rows = spark.table(name).collect()
+    // update mode re-emits a window on every change: keep the LAST row
+    val last = rows.zipWithIndex.groupBy(_._1.getTimestamp(0)).map {
+      case (ws, rs) =>
+        ws.getTime * 1000L -> rs.maxBy(_._2)._1.getLong(1)
+    }
+    (last, nStateOps)
+  }
+
+  test("stream equals the batch w4 fold, independent of batching") {
+    val exp = expected(evs)
+    val (one, ops) = run(Seq(evs))
+    val (three, _) = run(Seq(evs.take(70), evs.slice(70, 290), evs.drop(290)))
+    assert(ops == 2L, s"expected dedup + agg as TWO stateful operators, got $ops")
+    assert(one == exp, "1-batch run diverged from batch w4")
+    assert(three == exp, "3-batch run diverged from batch w4")
+    // sliding means overlapping windows: adjacent starts 15 min apart
+    val starts = exp.keySet.toSeq.sorted
+    assert(starts.sliding(2).exists { case Seq(a, b) => b - a < 3600000000L },
+      "no overlapping windows — vacuous")
+  }
+
+  test("redelivered slice is absorbed by the (window, user) dedup state") {
+    val exp = expected(evs)
+    val (got, _) = run(Seq(evs.take(150), evs.slice(80, 220),
+      evs.slice(80, 220), evs.drop(220)))
+    assert(got == exp, "redelivery changed a distinct count")
+  }
+}
