@@ -63,6 +63,28 @@ class SlidingStreamSpec extends SparkSpec {
       "no overlapping windows — vacuous")
   }
 
+  test("randomized feeds, batchings and redeliveries all equal the batch fold") {
+    for (seed <- 1L to 5L) {
+      val rnd = new scala.util.Random(seed)
+      // random users and timestamps (jittered, mildly out of order
+      // WITHIN a batch — legal under the generous watermark)
+      val es = (0 until 200).map { i =>
+        UE(rnd.nextInt(23).toLong,
+          new java.sql.Timestamp(
+            (base + i.toLong * 5L * 60000000L + rnd.nextInt(600) * 1000000L) / 1000L))
+      }
+      val exp = expected(es)
+      // random batching with a random redelivered slice
+      val cut1 = 1 + rnd.nextInt(es.length - 2)
+      val cut2 = cut1 + rnd.nextInt(es.length - cut1)
+      val redel = es.slice(rnd.nextInt(cut1), cut2)
+      val batches = Seq(es.take(cut1), es.slice(cut1, cut2), redel, es.drop(cut2))
+        .filter(_.nonEmpty)
+      val (got, _) = run(batches)
+      assert(got == exp, s"seed=$seed diverged from the batch fold")
+    }
+  }
+
   test("redelivered slice is absorbed by the (window, user) dedup state") {
     val exp = expected(evs)
     val (got, _) = run(Seq(evs.take(150), evs.slice(80, 220),
