@@ -210,6 +210,32 @@ object Sessions {
         expr("n * 1000000 DIV from_total").as("p_micro"))
   }
 
+  /** k11 — top PATHS: the frequency of every 3-step event-type sequence
+    * across user streams — k7's pairwise transition matrix extended one
+    * order up, the "most common click-paths" panel of product analytics
+    * (and the raw counts behind a trigram behavioral model). Same
+    * partition-once shape as k1/k7: ONE window (two leads share one
+    * sort over the user's id-ordered stream), then a map-side-combined
+    * aggregation whose keyspace is |types|³ — bounded by the type
+    * vocabulary, never the event count. The corpus share is integral
+    * ppm over the one bounded aggregate (`OVER ()` on ≤ |types|³ rows —
+    * a single-partition window ONLY over the vocabulary-sized frame,
+    * never over event-scale data).
+    */
+  def topPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead("event_type", 1).over(byUser))
+      .withColumn("t3", lead("event_type", 2).over(byUser))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+        col("t3").as("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .withColumn("share_ppm",
+        expr("n_paths * 1000000 DIV sum(n_paths) OVER ()"))
+  }
+
   /** k8 — CONVERSION LATENCY distribution: time from a user's first
     * `view` to their first `purchase` after it, banded into whole days —
     * the time-to-convert histogram next to k4's depth funnel. Same
@@ -304,6 +330,7 @@ object Sessions {
     "k9_decay_score" -> (decayScore _),
     "k8_conversion_lag" -> (conversionLag _),
     "k7_transitions" -> (transitions _),
+    "k11_top_paths" -> (topPaths _),
     "k1_session_stats" -> (sessionStats _),
     "k2_distinct_types" -> (distinctTypes _),
     "k3_salted_join" -> (saltedJoin _),
@@ -373,6 +400,21 @@ object Sessions {
         |  FROM pairs GROUP BY from_type)
         |SELECT from_type, to_type, n, n * 1000000 // from_total AS p_micro
         |FROM pairs JOIN totals USING (from_type)""".stripMargin,
+    "k11_top_paths" ->
+      """WITH steps AS (
+        |  SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER w AS step2,
+        |    lead(event_type, 2) OVER w AS step3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |paths AS (
+        |  SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n_paths
+        |  FROM steps WHERE step3 IS NOT NULL
+        |  GROUP BY step1, step2, step3)
+        |SELECT step1, step2, step3, n_paths,
+        |  CAST(n_paths * 1000000 // CAST(sum(n_paths) OVER () AS BIGINT) AS BIGINT)
+        |    AS share_ppm
+        |FROM paths""".stripMargin,
     "k1_session_stats" ->
       """WITH s AS (
         |  SELECT event_id, user_id,

@@ -117,6 +117,30 @@ class SessionsSpec extends SparkSpec {
     }
   }
 
+  test("k11 top paths equal a per-user trigram fold; shares sum to ~1") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val brute = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val types = rows.sortBy(_._2).map(_._3).toSeq
+      types.lazyZip(types.drop(1)).lazyZip(types.drop(2)).toSeq
+    }.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val total = brute.values.sum
+    val got = Sessions.topPaths(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == brute.keySet, "trigram sets differ")
+    for ((t, (n, share)) <- got) {
+      assert(n == brute(t), s"count differs for $t")
+      assert(share == n * 1000000L / total, s"share differs for $t")
+    }
+    // floor shares land within |paths| of exactly 1.0
+    val sSum = got.values.map(_._2).sum
+    assert(sSum <= 1000000L && sSum > 1000000L - got.size,
+      s"share mass $sSum out of bounds")
+  }
+
   test("k6 concurrency equals counting sessions per epoch brute-force") {
     import org.apache.spark.sql.functions._
     val epochUs = 1800000000L
