@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Streaming postings maintenance: after every micro-batch the inverted
+  * view equals the batch termFreq relation over the LIVE document set
+  * (CDC materialize semantics: latest non-deleted text per doc_id) —
+  * through in-batch races, updates that must retract old terms, deletes,
+  * and replayed batches.
+  */
+class PostingsStreamSpec extends SparkSpec {
+
+  private def feed(rows: Seq[(Long, Long, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("seq", "doc_id", "text", "op")
+  }
+
+  private def run(batches: Seq[Seq[(Long, Long, String, String)]],
+      replayOf: Option[Int] = None): PostingsStream.Stores = {
+    val dir = Files.createTempDirectory("graft-postings").toString
+    val s = new PostingsStream.Stores(spark, dir)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      PostingsStream.applyBatch(feed(b), i.toLong, s)
+      // optional replay of THIS batch id with the same payload: the
+      // store's (key, seq) idempotence must absorb it
+      if (replayOf.contains(i)) PostingsStream.applyBatch(feed(b), i.toLong, s)
+    }
+    s
+  }
+
+  /** Driver-side oracle: CDC-materialize the events, then term counts. */
+  private def expected(evs: Seq[(Long, Long, String, String)])
+      : Map[(Long, String), Long] = {
+    val live = evs.groupBy(_._2).flatMap { case (doc, es) =>
+      val (seq, _, text, op) = es.maxBy(_._1)
+      if (op == "d") None else Some(doc -> text)
+    }
+    live.toSeq.flatMap { case (doc, text) =>
+      text.split(" ", -1).map(t => (doc, t))
+    }.groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+  }
+
+  private def posted(s: PostingsStream.Stores): Map[(Long, String), Long] =
+    s.postingsView().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  private val b1 = Seq(
+    (1L, 10L, "the quick brown fox", "i"),
+    (2L, 11L, "the lazy dog the dog", "i"),
+    (3L, 12L, "lorem ipsum dolor", "i"))
+  private val b2 = Seq(
+    // update replaces doc 10's postings entirely (fox/brown must go)
+    (4L, 10L, "slow red panda", "u"),
+    // in-batch race: two changes to doc 13 — seq 6 must win
+    (5L, 13L, "first version here", "i"),
+    (6L, 13L, "second version wins", "u"))
+  private val b3 = Seq(
+    (7L, 11L, "", "d"), // delete drops doc 11's postings
+    (8L, 14L, "the end", "i"))
+
+  test("inverted view equals batch termFreq over the live set at every prefix") {
+    val prefixes = Seq(Seq(b1), Seq(b1, b2), Seq(b1, b2, b3))
+    for (p <- prefixes) {
+      val s = run(p)
+      assert(posted(s) == expected(p.flatten), s"prefix of ${p.length} diverged")
+    }
+    // the final state genuinely exercised update-retraction and delete
+    val fin = expected((Seq(b1, b2, b3)).flatten)
+    assert(!fin.contains((10L, "fox")), "old terms survived the update")
+    assert(!fin.exists(_._1._1 == 11L), "deleted doc kept postings")
+    assert(fin.contains((13L, "wins")), "in-batch race resolved wrong")
+  }
+
+  test("replayed batch is absorbed; df view matches a per-term rollup") {
+    val s = run(Seq(b1, b2, b3), replayOf = Some(1))
+    val exp = expected(Seq(b1, b2, b3).flatten)
+    assert(posted(s) == exp, "replay changed the postings")
+    val df = s.dfView().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expDf = exp.keys.toSeq.groupBy(_._2).map { case (t, o) => t -> o.size.toLong }
+    assert(df == expDf, "df rollup diverged")
+  }
+
+  test("one-batch and three-batch ingestion land on the same index") {
+    val all = Seq(b1, b2, b3).flatten
+    assert(posted(run(Seq(all))) == posted(run(Seq(b1, b2, b3))),
+      "batching changed the index")
+  }
+}
