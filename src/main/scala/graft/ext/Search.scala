@@ -63,12 +63,22 @@ object Search {
     */
   def matchSearch(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val q = matchQueries.toDF("query_id", "term")
     // the same memoized posting frame x10's TF-IDF reads — built once
     // per driver run (at 100 TB: the written term-frequency table)
-    val tf = TextAnalysis.termFreq(spark, sfDir)
+    matchSearchOn(TextAnalysis.termFreq(spark, sfDir),
+      docs(spark, sfDir).agg(count(lit(1)).as("n_docs")),
+      matchQueries.toDF("query_id", "term"))
+  }
+
+  /** x12 over an ARBITRARY `(doc_id, term, tf)` postings relation and
+    * one-row `n_docs` frame — injectable so the STREAMING-maintained
+    * postings store ([[graft.streaming.PostingsStream]]) can serve the
+    * same query (`PostingsStreamSpec` proves serving parity), and so
+    * any future snapshot/index source plugs in unchanged.
+    */
+  private[graft] def matchSearchOn(tf: DataFrame, n: DataFrame,
+      q: DataFrame): DataFrame = {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs(spark, sfDir).agg(count(lit(1)).as("n_docs"))
     val hits = tf
       .join(dfreq, Seq("term"))
       .join(broadcast(q), Seq("term")) // tiny literal side: correct broadcast

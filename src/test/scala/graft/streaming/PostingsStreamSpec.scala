@@ -84,6 +84,40 @@ class PostingsStreamSpec extends SparkSpec {
     assert(df == expDf, "df rollup diverged")
   }
 
+  test("the maintained index SERVES the x12 ranked search (end-to-end)") {
+    import spark.implicits._
+    val s = run(Seq(b1, b2, b3))
+    // query terms chosen to hit live docs, replaced terms, and a miss
+    val q = Seq((1, "the"), (1, "end"), (2, "panda"), (2, "fox"))
+      .toDF("query_id", "term")
+    val live = s.store.view().select("doc_id")
+    val n = live.agg(count(lit(1)).as("n_docs"))
+    val got = graft.ext.Search.matchSearchOn(s.postingsView(), n, q)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // brute oracle over the expected live postings
+    val exp = expected(Seq(b1, b2, b3).flatten)
+    val nDocs = exp.keys.map(_._1).toSet.size.toLong
+    val dfOf = exp.keys.toSeq.groupBy(_._2).map { case (t, o) => t -> o.size.toLong }
+    val terms = Map(1 -> Seq("the", "end"), 2 -> Seq("panda", "fox"))
+    val liveDocs: Seq[Long] = exp.keys.map(_._1).toSet.toSeq
+    val brute = terms.toSeq.flatMap { case (qid, ts) =>
+      liveDocs.flatMap { doc =>
+        val hits = ts.filter(t => exp.contains((doc, t)))
+        if (hits.isEmpty) None
+        else Some((qid, doc) -> (hits.size.toLong,
+          hits.map(t => exp((doc, t)) * nDocs * 1000000L / dfOf(t)).sum))
+      }
+    }.toMap
+    assert(got == brute, s"serving diverged: got $got expected $brute")
+    // the query genuinely exercised retraction: 'fox' (replaced in b2)
+    // must hit nothing
+    assert(!got.keys.exists { case (qid, doc) =>
+      qid == 2 && exp.contains((doc, "fox")) }, "replaced term still served")
+    assert(got.nonEmpty)
+  }
+
   test("one-batch and three-batch ingestion land on the same index") {
     val all = Seq(b1, b2, b3).flatten
     assert(posted(run(Seq(all))) == posted(run(Seq(b1, b2, b3))),
