@@ -194,8 +194,17 @@ object Search {
     */
   def bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val q = matchQueries.toDF("query_id", "term")
-    val tf = TextAnalysis.termFreq(spark, sfDir)
+    bm25On(TextAnalysis.termFreq(spark, sfDir),
+      matchQueries.toDF("query_id", "term"))
+  }
+
+  /** x17 over an ARBITRARY `(doc_id, term, tf)` postings relation — all
+    * of BM25's corpus statistics (df, doc length, N, total tokens)
+    * derive from the postings alone, so the STREAMING-maintained store
+    * serves the ranking unchanged (`PostingsStreamSpec`), as would any
+    * snapshot source.
+    */
+  private[graft] def bm25On(tf: DataFrame, q: DataFrame): DataFrame = {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = tf.agg(count_distinct(col("doc_id")).as("n_docs"),

@@ -118,6 +118,36 @@ class PostingsStreamSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("the maintained index serves BM25 (x17) — integer formula parity") {
+    import spark.implicits._
+    val s = run(Seq(b1, b2, b3))
+    val q = Seq((1, "the"), (1, "version"), (2, "panda")).toDF("query_id", "term")
+    val got = graft.ext.Search.bm25On(s.postingsView(), q).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // brute integer-BM25 over the expected live postings
+    val exp = expected(Seq(b1, b2, b3).flatten)
+    val dfOf = exp.keys.toSeq.groupBy(_._2).map { case (t, o) => t -> o.size.toLong }
+    val dlOf = exp.toSeq.groupBy(_._1._1).map { case (d, o) => d -> o.map(_._2).sum }
+    val nDocs = dlOf.size.toLong
+    val aTokens = exp.values.sum
+    val terms = Map(1 -> Seq("the", "version"), 2 -> Seq("panda"))
+    val brute = terms.toSeq.flatMap { case (qid, ts) =>
+      dlOf.keys.toSeq.flatMap { doc =>
+        val hits = ts.filter(t => exp.contains((doc, t)))
+        if (hits.isEmpty) None
+        else Some((qid, doc) -> (hits.size.toLong, hits.map { t =>
+          val tf = exp((doc, t))
+          val tfMicro = (22L * aTokens * tf * 1000000L) /
+            (10L * aTokens * tf + 3L * aTokens + 9L * dlOf(doc) * nDocs)
+          (nDocs * 1000000L / dfOf(t)) * tfMicro / 1000000L
+        }.sum))
+      }
+    }.toMap
+    assert(got == brute, s"bm25 serving diverged: got $got expected $brute")
+    assert(got.nonEmpty)
+  }
+
   test("one-batch and three-batch ingestion land on the same index") {
     val all = Seq(b1, b2, b3).flatten
     assert(posted(run(Seq(all))) == posted(run(Seq(b1, b2, b3))),
