@@ -148,6 +148,21 @@ class PostingsStreamSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("the foreachBatch writer path maintains the same index as direct applyBatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-postings-writer").toString
+    val s = new PostingsStream.Stores(spark, dir)
+    val in = MemoryStream[(Long, Long, String, String)]
+    val q = PostingsStream.postingsWriter(
+      in.toDF().toDF("seq", "doc_id", "text", "op"), s, s"$dir/ckpt").start()
+    try Seq(b1, b2, b3).foreach { b => in.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    assert(posted(s) == expected(Seq(b1, b2, b3).flatten),
+      "writer path diverged from the batch fold")
+  }
+
   test("one-batch and three-batch ingestion land on the same index") {
     val all = Seq(b1, b2, b3).flatten
     assert(posted(run(Seq(all))) == posted(run(Seq(b1, b2, b3))),
