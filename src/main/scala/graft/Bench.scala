@@ -104,7 +104,7 @@ object Bench {
       // steady-state number for their consumers is the indexed read,
       // and the one-time build cost lands visibly in pass 1 of the
       // first bench run against a fresh corpus.
-      ext.Dedup.clearMemos()
+      ext.Dedup.clearMemos(spark)
       SparkEntry.queries.map { case (name, fn) =>
         // GC between queries lets the ContextCleaner reap the previous
         // query's shuffle files and broadcasts — without it, timings bleed

@@ -35,7 +35,7 @@ object Sweep {
       catch { case _: Throwable => () }
     }
     for (dir <- dirs; q <- qs) {
-      ext.Dedup.clearMemos()
+      ext.Dedup.clearMemos(spark)
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9

@@ -144,6 +144,8 @@ object Dedup {
     * run reads them from disk — that read IS the steady-state cost.
     */
   private[graft] def clearMemos(): Unit = FrameMemo.clear()
+  private[graft] def clearMemos(owner: SparkSession): Unit =
+    FrameMemo.clear(Some(owner))
 
   private[graft] def shingleFrame(spark: SparkSession, sfDir: String): DataFrame =
     memoFrame("shingles", spark, sfDir)(

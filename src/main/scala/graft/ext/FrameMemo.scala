@@ -69,17 +69,31 @@ private[ext] object FrameMemo {
     * plan root is the checkpointed `LogicalRDD` when the builder
     * materialized (index reads have plain scan roots — unpersist is a
     * no-op for them, matching the durable-index contract).
+    *
+    * CONTRACT: clearing DESTROYS the checkpoint blocks, and a
+    * localCheckpoint'd plan has truncated lineage — a caller that holds
+    * a memoized frame (or anything derived from one) ACROSS a clear()
+    * gets "checkpoint block not found" on its next action, not a
+    * recompute. The internal callers (Bench/Sweep pass boundaries,
+    * CorpusIndexSpec) hold nothing across the call by construction;
+    * new call sites must preserve that. Pass `owner` to evict only one
+    * session's frames — the shared-JVM-multiple-sessions case (test
+    * matrices) must not have one session destroy another's live blocks.
     */
-  def clear(): Unit = {
-    memo.forEach { (_, df) =>
-      try {
-        if (!ownerStopped(df)) df.queryExecution.analyzed.foreach {
-          case lr: org.apache.spark.sql.execution.LogicalRDD =>
-            lr.rdd.unpersist(blocking = false)
-          case _ => ()
-        }
-      } catch { case _: Throwable => () }
+  def clear(owner: Option[SparkSession] = None): Unit = {
+    val doomed = new scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    memo.forEach { (k, df) =>
+      if (owner.forall(_ eq df.sparkSession)) {
+        doomed += k
+        try {
+          if (!ownerStopped(df)) df.queryExecution.analyzed.foreach {
+            case lr: org.apache.spark.sql.execution.LogicalRDD =>
+              lr.rdd.unpersist(blocking = false)
+            case _ => ()
+          }
+        } catch { case _: Throwable => () }
+      }
     }
-    memo.clear()
+    doomed.foreach(memo.remove)
   }
 }

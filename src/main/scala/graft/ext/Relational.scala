@@ -75,14 +75,22 @@ object Relational {
     * EXACT: Spark plans the mixed count/count-distinct as the standard
     * two-phase expand over (win, user) partials — at 100 TB the
     * per-window user sets never materialize anywhere; swap in r7's HLL
-    * sketch when approximate is acceptable. The streaming twin of this
-    * shape (watermarked sliding windows) is `streaming/TopKStream`'s
-    * window machinery; batch≡stream parity for distincts is
-    * `DistinctStreamSpec`'s territory.
+    * sketch when approximate is acceptable. The streaming TWIN of this
+    * exact definition is [[graft.streaming.SlidingStream]] (same
+    * cover-set constants below, chained dedup → windowed count),
+    * batch ≡ stream proven by `SlidingStreamSpec`.
     */
+  /** w4's cover-set constants — the SINGLE definition both the batch
+    * query and its streaming twin compile against (the oracle SQL and
+    * the spec folds restate them independently on purpose: they are the
+    * cross-checks). Window length = [[SlidingFan]] · [[SlidingStepUs]].
+    */
+  private[graft] val SlidingStepUs = 900000000L // 15 min in µs
+  private[graft] val SlidingFan = 4             // window length / step
+
   def slidingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
-    val step = 900000000L // 15 min in µs
-    val fan = 4           // window length / step
+    val step = SlidingStepUs
+    val fan = SlidingFan
     Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         explode(sequence(lit(0L), lit(fan - 1L))).as("j"))

@@ -29,24 +29,35 @@ import org.apache.spark.sql.functions._
   * batch w4.)
   *
   * Input: a streaming frame with `user_id` and an event-time `ts`
-  * TIMESTAMP column. The watermark is generous by default so finite
-  * test feeds never drop rows; a production caller tightens it to its
-  * real lateness bound.
+  * TIMESTAMP column. The caller states its REAL event lateness bound in
+  * whole minutes; the watermark actually applied is `lateness +
+  * (window − step) = lateness + 45 min`, because it necessarily rides
+  * the DERIVED `win_start` column (Spark evicts dedup state only on a
+  * column in the dedup key), and an on-time event's oldest cover-set
+  * row has `win_start = ts − 45 min`. Without that internal margin, any
+  * tight lateness bound would silently drop the older cover-set rows of
+  * perfectly on-time events and undercount every window but the newest
+  * — the caller-facing contract is therefore lateness-of-EVENTS, and
+  * the fan-out skew is this module's own business.
   */
 object SlidingStream {
 
-  private val StepUs = 900000000L // 15 min
-  private val Fan = 4             // window length / step
+  private val StepUs = graft.ext.Relational.SlidingStepUs
+  private val Fan = graft.ext.Relational.SlidingFan
+  /** (window − step) in minutes: the win_start lag of the oldest
+    * cover-set row of an on-time event.
+    */
+  private val FanSkewMinutes = StepUs * (Fan - 1) / 60000000L
 
   def slidingDistinctView(events: DataFrame,
-      watermark: String = "4 hours"): DataFrame =
+      latenessMinutes: Long = 240L): DataFrame =
     events
       .select(col("user_id"), col("ts"),
         explode(sequence(lit(0L), lit(Fan - 1L))).as("j"))
       .select(col("user_id"),
         expr(s"timestamp_micros((unix_micros(ts) div $StepUs) * $StepUs - j * $StepUs)")
           .as("win_start"))
-      .withWatermark("win_start", watermark)
+      .withWatermark("win_start", s"${latenessMinutes + FanSkewMinutes} minutes")
       .dropDuplicates("win_start", "user_id")
       .groupBy("win_start")
       .agg(count(lit(1)).as("n_users"))
