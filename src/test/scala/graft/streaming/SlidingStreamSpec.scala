@@ -29,12 +29,14 @@ class SlidingStreamSpec extends SparkSpec {
       (0L until 4L).map(j => ((us / stepUs) * stepUs - j * stepUs, e.user_id))
     }.distinct.groupBy(_._1).map { case (ws, xs) => ws -> xs.length.toLong }
 
-  private def run(batches: Seq[Seq[UE]]): (Map[Long, Long], Long) = {
+  private def run(batches: Seq[Seq[UE]],
+      latenessMinutes: Long = 240L): (Map[Long, Long], Long) = {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[UE]
     val name = s"sliding_out_${System.nanoTime()}"
-    val q = SlidingStream.slidingDistinctView(in.toDF()).writeStream
+    val q = SlidingStream.slidingDistinctView(in.toDF(), latenessMinutes)
+      .writeStream
       .outputMode("update").format("memory").queryName(name).start()
     val nStateOps =
       try {
@@ -83,6 +85,20 @@ class SlidingStreamSpec extends SparkSpec {
       val (got, _) = run(batches)
       assert(got == exp, s"seed=$seed diverged from the batch fold")
     }
+  }
+
+  test("a TIGHT lateness bound stays exact for on-time events (fan-out margin)") {
+    // the regression for the watermark contract: a caller stating
+    // lateness = 1 min with a strictly ordered feed must lose nothing —
+    // the (window − step) cover-set skew is the MODULE's margin to add.
+    // Without it, every j ≥ 1 cover row of an on-time event would fall
+    // behind the watermark from batch 2 on and every window but the
+    // newest would undercount.
+    val exp = expected(evs)
+    val (got, _) = run(
+      Seq(evs.take(100), evs.slice(100, 200), evs.slice(200, 300), evs.drop(300)),
+      latenessMinutes = 1L)
+    assert(got == exp, "tight-lateness run undercounted (margin broken)")
   }
 
   test("redelivered slice is absorbed by the (window, user) dedup state") {
