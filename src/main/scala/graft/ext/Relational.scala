@@ -60,6 +60,15 @@ object Relational {
         sum("value_cents").over(w).as("sum_cents_trailing"))
   }
 
+  /** w4's cover-set constants — the SINGLE definition both the batch
+    * query and its streaming twin ([[graft.streaming.SlidingStream]])
+    * compile against (the oracle SQL and the spec folds restate them
+    * independently on purpose: they are the cross-checks). Window
+    * length = [[SlidingFan]] · [[SlidingStepUs]].
+    */
+  private[graft] val SlidingStepUs = 900000000L // 15 min in µs
+  private[graft] val SlidingFan = 4             // window length / step
+
   /** w4 — SLIDING-window exact distinct: hour-long windows stepped every
     * 15 minutes (the overlapping-window shape `GROUP BY` cannot state),
     * each reporting its exact event count and exact distinct-user count
@@ -80,14 +89,6 @@ object Relational {
     * cover-set constants below, chained dedup → windowed count),
     * batch ≡ stream proven by `SlidingStreamSpec`.
     */
-  /** w4's cover-set constants — the SINGLE definition both the batch
-    * query and its streaming twin compile against (the oracle SQL and
-    * the spec folds restate them independently on purpose: they are the
-    * cross-checks). Window length = [[SlidingFan]] · [[SlidingStepUs]].
-    */
-  private[graft] val SlidingStepUs = 900000000L // 15 min in µs
-  private[graft] val SlidingFan = 4             // window length / step
-
   def slidingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     val step = SlidingStepUs
     val fan = SlidingFan

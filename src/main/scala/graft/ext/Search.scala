@@ -70,14 +70,32 @@ object Search {
       matchQueries.toDF("query_id", "term"))
   }
 
+  /** A fresh upsert store's view is a SCHEMA-EMPTY frame (no version
+    * committed yet → `spark.emptyDataFrame`); serving against it must
+    * return zero hits, not an unresolved-column AnalysisException, so
+    * the injectable search paths normalize it to an empty postings
+    * relation with the real schema first.
+    */
+  private def postingsOrEmpty(tf: DataFrame): DataFrame =
+    if (tf.schema.nonEmpty) tf
+    else {
+      import org.apache.spark.sql.types._
+      tf.sparkSession.createDataFrame(
+        tf.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("term", StringType), StructField("tf", LongType))))
+    }
+
   /** x12 over an ARBITRARY `(doc_id, term, tf)` postings relation and
     * one-row `n_docs` frame — injectable so the STREAMING-maintained
     * postings store ([[graft.streaming.PostingsStream]]) can serve the
     * same query (`PostingsStreamSpec` proves serving parity), and so
-    * any future snapshot/index source plugs in unchanged.
+    * any future snapshot/index source plugs in unchanged (including a
+    * not-yet-committed EMPTY store → zero hits).
     */
-  private[graft] def matchSearchOn(tf: DataFrame, n: DataFrame,
+  private[graft] def matchSearchOn(tf0: DataFrame, n: DataFrame,
       q: DataFrame): DataFrame = {
+    val tf = postingsOrEmpty(tf0)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val hits = tf
       .join(dfreq, Seq("term"))
@@ -202,9 +220,11 @@ object Search {
     * of BM25's corpus statistics (df, doc length, N, total tokens)
     * derive from the postings alone, so the STREAMING-maintained store
     * serves the ranking unchanged (`PostingsStreamSpec`), as would any
-    * snapshot source.
+    * snapshot source (including a not-yet-committed EMPTY store → zero
+    * hits, via [[postingsOrEmpty]]).
     */
-  private[graft] def bm25On(tf: DataFrame, q: DataFrame): DataFrame = {
+  private[graft] def bm25On(tf0: DataFrame, q: DataFrame): DataFrame = {
+    val tf = postingsOrEmpty(tf0)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = tf.agg(count_distinct(col("doc_id")).as("n_docs"),

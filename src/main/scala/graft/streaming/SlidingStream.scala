@@ -30,24 +30,27 @@ import org.apache.spark.sql.functions._
   *
   * Input: a streaming frame with `user_id` and an event-time `ts`
   * TIMESTAMP column. The caller states its REAL event lateness bound in
-  * whole minutes; the watermark actually applied is `lateness +
-  * (window − step) = lateness + 45 min`, because it necessarily rides
-  * the DERIVED `win_start` column (Spark evicts dedup state only on a
-  * column in the dedup key), and an on-time event's oldest cover-set
-  * row has `win_start = ts − 45 min`. Without that internal margin, any
-  * tight lateness bound would silently drop the older cover-set rows of
-  * perfectly on-time events and undercount every window but the newest
-  * — the caller-facing contract is therefore lateness-of-EVENTS, and
-  * the fan-out skew is this module's own business.
+  * whole minutes; the watermark actually applied is `lateness + window
+  * length (60 min)`, because it necessarily rides the DERIVED
+  * `win_start` column (Spark evicts dedup state only on a column in the
+  * dedup key), and relative to the maximum event time an event late by
+  * L has its oldest cover-set row at `win_start ≥ T − L − step −
+  * (window − step) = T − L − window` — the fan-out skew (window − step
+  * = 45 min) PLUS up to one step (15 min) of its own truncation.
+  * Without that full internal margin, events within the stated bound
+  * would silently lose their older cover-set rows and windows would
+  * undercount — the caller-facing contract is lateness-of-EVENTS, and
+  * the derived-column skew is this module's own business.
   */
 object SlidingStream {
 
   private val StepUs = graft.ext.Relational.SlidingStepUs
   private val Fan = graft.ext.Relational.SlidingFan
-  /** (window − step) in minutes: the win_start lag of the oldest
-    * cover-set row of an on-time event.
+  /** Full window length in minutes, CEILING division: (window − step)
+    * fan-out skew + one step of win_start truncation. Ceil keeps the
+    * margin safe if the shared constants ever stop being whole minutes.
     */
-  private val FanSkewMinutes = StepUs * (Fan - 1) / 60000000L
+  private val WindowSkewMinutes = (StepUs * Fan + 59999999L) / 60000000L
 
   def slidingDistinctView(events: DataFrame,
       latenessMinutes: Long = 240L): DataFrame =
@@ -57,7 +60,7 @@ object SlidingStream {
       .select(col("user_id"),
         expr(s"timestamp_micros((unix_micros(ts) div $StepUs) * $StepUs - j * $StepUs)")
           .as("win_start"))
-      .withWatermark("win_start", s"${latenessMinutes + FanSkewMinutes} minutes")
+      .withWatermark("win_start", s"${latenessMinutes + WindowSkewMinutes} minutes")
       .dropDuplicates("win_start", "user_id")
       .groupBy("win_start")
       .agg(count(lit(1)).as("n_users"))

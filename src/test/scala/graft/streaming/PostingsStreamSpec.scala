@@ -163,6 +163,16 @@ class PostingsStreamSpec extends SparkSpec {
       "writer path diverged from the batch fold")
   }
 
+  test("a fresh (never-committed) store serves ZERO hits, not an exception") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-postings-empty").toString
+    val s = new PostingsStream.Stores(spark, dir)
+    val q = Seq((1, "anything")).toDF("query_id", "term")
+    val n = spark.sql("SELECT CAST(0 AS BIGINT) AS n_docs")
+    assert(graft.ext.Search.matchSearchOn(s.postingsView(), n, q).count() == 0L)
+    assert(graft.ext.Search.bm25On(s.postingsView(), q).count() == 0L)
+  }
+
   test("one-batch and three-batch ingestion land on the same index") {
     val all = Seq(b1, b2, b3).flatten
     assert(posted(run(Seq(all))) == posted(run(Seq(b1, b2, b3))),

@@ -101,6 +101,27 @@ class SlidingStreamSpec extends SparkSpec {
     assert(got == exp, "tight-lateness run undercounted (margin broken)")
   }
 
+  test("an in-bound late event in an EARLIER 15-min bucket keeps all cover rows") {
+    // the truncation residual: lateness rides the TRUNCATED win_start,
+    // so an event late by < 1 min whose own bucket is one step earlier
+    // than the max event's loses up to a full extra step — the margin
+    // must be lateness + WINDOW (60 min), not lateness + 45 min. This
+    // feed discriminates: with the 45-min margin the late event's
+    // oldest cover row sits 15 min behind the watermark and is dropped.
+    def ue(u: Long, us: Long) = UE(u, new java.sql.Timestamp(us / 1000L))
+    val step = stepUs
+    val alignedBase = ((base / step) + 1L) * step
+    val m = alignedBase + 150L * 60000000L + 10000000L // aligned + 150min + 10s
+    val batch1 = (0 until 30).map(i =>
+      ue((i % 7).toLong, alignedBase + i.toLong * 5L * 60000000L)) :+ ue(50L, m)
+    val late = ue(99L, m - 50000000L) // 50 s late, previous 15-min bucket
+    val batch2 = Seq(late, ue(51L, m + 60000000L), ue(52L, m + 120000000L))
+    val all = batch1 ++ batch2
+    val (got, _) = run(Seq(batch1, batch2), latenessMinutes = 1L)
+    assert(got == expected(all),
+      "in-bound late event lost cover rows (truncation margin broken)")
+  }
+
   test("redelivered slice is absorbed by the (window, user) dedup state") {
     val exp = expected(evs)
     val (got, _) = run(Seq(evs.take(150), evs.slice(80, 220),
