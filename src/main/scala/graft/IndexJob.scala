@@ -10,6 +10,13 @@ import org.apache.spark.sql.SparkSession
   * consumers, search, the LM scorer) only ever pays reads.
   *
   * Usage: runMain graft.IndexJob <sfDir1,sfDir2,...> [--no-vacuum]
+  *
+  * ALWAYS pass EVERY live corpus in ONE invocation (or use
+  * `--no-vacuum` for a partial run): vacuum's retention rule is "an
+  * index is live iff its fingerprint matches one of THIS run's
+  * directories", so back-to-back per-corpus invocations each vacuum
+  * the other corpus's perfectly-live indexes and force full rebuilds
+  * on next touch.
   */
 object IndexJob {
   def main(args: Array[String]): Unit = {
