@@ -19,7 +19,8 @@ private[graft] object StreamFeeds {
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
   val SourceParts = 16
-  private val base = 1735689600000L // 2025-01-01T00:00:00Z
+  private[graft] val baseMs = 1735689600000L // 2025-01-01T00:00:00Z
+  private def base = baseMs
 
   def ev(i: Int, nKeys: Int): BenchEv = BenchEv(i.toLong, i % nKeys,
     if (i % 17 == 0) "d" else "u", i * 0.5, new java.sql.Timestamp(base + i))
@@ -280,13 +281,23 @@ object Bench {
     // streams — state handoff between operators is what's measured.
     // The rate is INPUT rows/s; each input row fans out to 4 (window,
     // user) dedup probes (w4's cover set), so state-op throughput is
-    // ~4x the reported number
+    // ~4x the reported number.
+    // Event times advance 100 ms per row (NOT the 1 ms of the generic
+    // feed): at n=100k that spans ~167 min of event time across ~11
+    // window steps, so with a 10-min stated lateness (watermark 70 min)
+    // the run holds several live windows at once AND evicts closed ones
+    // at batch boundaries — steady-state state-scan + eviction cost is
+    // in the measurement, not just one hot window position.
     def timeSliding(n: Int, nKeys: Int, nBatches: Int): Double = {
       val in = MemoryStream[BenchEv](SourceParts)
       val q = streaming.SlidingStream.slidingDistinctView(
-          in.toDF().selectExpr("CAST(key AS BIGINT) AS user_id", "ts"))
+          in.toDF().selectExpr("CAST(key AS BIGINT) AS user_id", "ts"),
+          latenessMinutes = 10L)
         .writeStream.outputMode("update").format("noop").start()
-      val batches = (0 until n).map(ev(_, nKeys)).grouped(n / nBatches).toSeq
+      val batches = (0 until n)
+        .map(i => ev(i, nKeys).copy(
+          ts = new java.sql.Timestamp(StreamFeeds.baseMs + i * 100L)))
+        .grouped(n / nBatches).toSeq
       val t0 = System.nanoTime()
       try batches.foreach { b => in.addData(b); q.processAllAvailable() }
       finally q.stop()

@@ -143,9 +143,8 @@ object Dedup {
     * corpus snapshot like the corpus parquet itself, and a cold driver
     * run reads them from disk — that read IS the steady-state cost.
     */
-  private[graft] def clearMemos(): Unit = FrameMemo.clear()
   private[graft] def clearMemos(owner: SparkSession): Unit =
-    FrameMemo.clear(Some(owner))
+    FrameMemo.clear(owner)
 
   private[graft] def shingleFrame(spark: SparkSession, sfDir: String): DataFrame =
     memoFrame("shingles", spark, sfDir)(

@@ -79,11 +79,16 @@ private[ext] object FrameMemo {
     * new call sites must preserve that. Pass `owner` to evict only one
     * session's frames — the shared-JVM-multiple-sessions case (test
     * matrices) must not have one session destroy another's live blocks.
+    * `owner` is MANDATORY for that reason: the historical unscoped form
+    * destroyed every session's blocks in the JVM, which turned a
+    * previously-lazy failure (blocks released at GC) into a
+    * deterministic "checkpoint block not found" for any other live
+    * session holding a memoized frame.
     */
-  def clear(owner: Option[SparkSession] = None): Unit = {
+  def clear(owner: SparkSession): Unit = {
     val doomed = new scala.collection.mutable.ArrayBuffer[(String, String, String)]()
     memo.forEach { (k, df) =>
-      if (owner.forall(_ eq df.sparkSession)) {
+      if (owner eq df.sparkSession) {
         doomed += k
         try {
           if (!ownerStopped(df)) df.queryExecution.analyzed.foreach {

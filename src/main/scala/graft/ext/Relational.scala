@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -65,9 +65,23 @@ object Relational {
     * compile against (the oracle SQL and the spec folds restate them
     * independently on purpose: they are the cross-checks). Window
     * length = [[SlidingFan]] · [[SlidingStepUs]].
+    *
+    * Window starts use FLOOR division (`us − pmod(us, step)`), not
+    * Spark's truncating `div`: the two agree on non-negative epochs but
+    * diverge for pre-1970 event times, where truncation both breaks the
+    * "every event belongs to exactly `fan` windows" invariant and
+    * diverges from DuckDB's floor `//`. Both the batch query and
+    * [[graft.streaming.SlidingStream]] use the floor form.
     */
   private[graft] val SlidingStepUs = 900000000L // 15 min in µs
   private[graft] val SlidingFan = 4             // window length / step
+
+  /** Floor-aligned start (µs) of the `j`-th covering window of an event
+    * at µs `us` — THE shared cover-set arithmetic (batch w4 and the
+    * streaming twin both compile against this one definition).
+    */
+  private[graft] def coverStartUs(us: Column, j: Column): Column =
+    us - pmod(us, lit(SlidingStepUs)) - j * lit(SlidingStepUs)
 
   /** w4 — SLIDING-window exact distinct: hour-long windows stepped every
     * 15 minutes (the overlapping-window shape `GROUP BY` cannot state),
@@ -90,13 +104,11 @@ object Relational {
     * batch ≡ stream proven by `SlidingStreamSpec`.
     */
   def slidingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
-    val step = SlidingStepUs
     val fan = SlidingFan
     Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         explode(sequence(lit(0L), lit(fan - 1L))).as("j"))
-      .select(col("user_id"),
-        expr(s"(us div $step) * $step - j * $step").as("ws"))
+      .select(col("user_id"), coverStartUs(col("us"), col("j")).as("ws"))
       .groupBy("ws")
       .agg(count(lit(1)).as("n_events"),
         countDistinct("user_id").as("n_users"))

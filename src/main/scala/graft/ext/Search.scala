@@ -78,13 +78,9 @@ object Search {
     */
   private def postingsOrEmpty(tf: DataFrame): DataFrame =
     if (tf.schema.nonEmpty) tf
-    else {
-      import org.apache.spark.sql.types._
-      tf.sparkSession.createDataFrame(
-        tf.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("doc_id", LongType),
-          StructField("term", StringType), StructField("tf", LongType))))
-    }
+    else tf.sparkSession.createDataFrame(
+      tf.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.streaming.PostingsStream.postingsSchema)
 
   /** x12 over an ARBITRARY `(doc_id, term, tf)` postings relation and
     * one-row `n_docs` frame — injectable so the STREAMING-maintained

@@ -45,6 +45,18 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object PostingsStream {
 
+  /** THE `(doc_id, term, tf)` postings-relation schema — the single
+    * source of truth shared by [[Stores.postingsView]]'s empty-store
+    * path and the batch serving side's normalization
+    * (`Search.postingsOrEmpty`), so a store-schema evolution cannot
+    * silently diverge the two empty-serving paths.
+    */
+  val postingsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("doc_id", LongType),
+      StructField("term", StringType), StructField("tf", LongType)))
+  }
+
   final class Stores(spark: SparkSession, dir: String) {
     val store = new StreamApply.ParquetUpsertStore(spark, s"$dir/postings",
       "doc_id", "seq", "op", "d", Seq("terms"))
@@ -54,7 +66,12 @@ object PostingsStream {
       */
     def postingsView(): DataFrame = {
       val v = store.view()
-      if (v.schema.isEmpty) v
+      if (v.schema.isEmpty)
+        // not-yet-committed store: an EMPTY relation with the real
+        // postings schema (shared constant), so every consumer —
+        // dfView, the injectable search paths — resolves columns
+        // normally and serves zero hits
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], postingsSchema)
       else v.select(col("doc_id"), explode(col("terms")).as("t"))
         .select(col("doc_id"), col("t.term").as("term"), col("t.tf").as("tf"))
     }
@@ -63,11 +80,8 @@ object PostingsStream {
       * view (df = row count per term, since tf rows are unique per
       * (doc, term)).
       */
-    def dfView(): DataFrame = {
-      val p = postingsView()
-      if (p.schema.isEmpty) p
-      else p.groupBy("term").agg(count(lit(1)).as("df"))
-    }
+    def dfView(): DataFrame =
+      postingsView().groupBy("term").agg(count(lit(1)).as("df"))
   }
 
   /** One CDC document micro-batch `(seq, doc_id, text, op)` through the

@@ -58,8 +58,10 @@ object SlidingStream {
       .select(col("user_id"), col("ts"),
         explode(sequence(lit(0L), lit(Fan - 1L))).as("j"))
       .select(col("user_id"),
-        expr(s"timestamp_micros((unix_micros(ts) div $StepUs) * $StepUs - j * $StepUs)")
-          .as("win_start"))
+        // the SHARED floor-aligned cover-set arithmetic (truncating
+        // `div` would diverge on pre-1970 event times)
+        timestamp_micros(graft.ext.Relational.coverStartUs(
+          unix_micros(col("ts")), col("j"))).as("win_start"))
       .withWatermark("win_start", s"${latenessMinutes + WindowSkewMinutes} minutes")
       .dropDuplicates("win_start", "user_id")
       .groupBy("win_start")

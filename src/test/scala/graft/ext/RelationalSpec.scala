@@ -179,4 +179,27 @@ class RelationalSpec extends SparkSpec {
     assert(sorted.sliding(2).exists { case Seq((a, _), (b, _)) => b - a < 3600000000L },
       "no overlapping windows in the corpus — vacuous")
   }
+
+  test("cover-set floor alignment holds for pre-epoch event times") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val step = Relational.SlidingStepUs
+    val fan = Relational.SlidingFan
+    // negative, positive, and boundary-straddling epochs — truncating
+    // div agrees with floor only on the non-negatives, so the negatives
+    // are the regression guard
+    val us = Seq(-3L * step - 1L, -step, -1L, 0L, 1L, step - 1L, 2L * step + 7L)
+    val got = us.toDF("us")
+      .select(col("us"), explode(sequence(lit(0L), lit(fan - 1L))).as("j"))
+      .select(col("us"), Relational.coverStartUs(col("us"), col("j")).as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).toSet }
+    for ((u, starts) <- got) {
+      assert(starts.size == fan, s"event $u covered by ${starts.size} windows")
+      assert(starts.forall(ws => ws % step == 0 || ws % step == -0L),
+        s"unaligned start for $u: $starts")
+      assert(starts.forall(ws => ws <= u && u < ws + fan * step),
+        s"window not containing $u: $starts")
+    }
+  }
 }
