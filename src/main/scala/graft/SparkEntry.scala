@@ -22,7 +22,7 @@ object SparkEntry {
       ext.TextAnalysis.queries ++ ext.Multimodal.queries ++
       ext.Sessions.queries ++ ext.Sampling.queries ++ ext.Pipeline.queries ++
       ext.Temporal.queries ++ ext.Prep.queries ++ ext.Relational.queries ++
-      ext.Search.queries ++ ext.Bloom.queries
+      ext.Search.queries ++ ext.Bloom.queries ++ ext.Validate.queries
 
   def oracleSql: Map[String, String] =
     cdc.CdcQueries.oracle ++ analytics.Dashboards.oracle ++
@@ -30,5 +30,5 @@ object SparkEntry {
       ext.TextAnalysis.oracle ++ ext.Multimodal.oracle ++
       ext.Sessions.oracle ++ ext.Sampling.oracle ++ ext.Pipeline.oracle ++
       ext.Temporal.oracle ++ ext.Prep.oracle ++ ext.Relational.oracle ++
-      ext.Search.oracle ++ ext.Bloom.oracle
+      ext.Search.oracle ++ ext.Bloom.oracle ++ ext.Validate.oracle
 }

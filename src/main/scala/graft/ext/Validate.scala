@@ -1,0 +1,405 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality VALIDATION — the expectation/constraint layer every
+  * production 100 TB ingest runs before data reaches training or
+  * serving (the Deequ/Great-Expectations surface, re-expressed as plain
+  * Catalyst aggregates). The reference pipeline trusts its producer
+  * blindly (`consumer_to_opensearch.py` indexes whatever arrives); a
+  * replacement engine that feeds LLM training must instead PROVE
+  * per-snapshot invariants — completeness, uniqueness, referential
+  * integrity, domain compliance, distribution stability — and gate
+  * downstream jobs on the result.
+  *
+  * Design rules shared by the family:
+  *
+  *   - every check is a METRIC, not a violating-row dump: one row per
+  *     declared constraint with an exact integral ppm value and the
+  *     declared threshold. Violating-row sets over a clean corpus are
+  *     empty — a vacuous oracle comparison — while metric rows always
+  *     exist and carry data-derived values (the registry's
+  *     non-vacuity contract);
+  *   - all ratios are EXACT integer ppm via DECIMAL(38,0) multiply-
+  *     then-DIV (the house arithmetic): no floats in any comparison,
+  *     bit-identical in both engines, overflow-safe past 10^31 rows;
+  *   - each relation is scanned ONCE per query with only the checked
+  *     columns read (one multi-metric partial aggregate per table —
+  *     map-side combined, so the shuffled state is a handful of longs
+  *     per partition regardless of corpus size), and the per-constraint
+  *     rows are unfolded from that single row AFTER aggregation via
+  *     `stack`. At 100 TB the cost is the scan, exactly once.
+  */
+object Validate {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Ppm = 1000000L
+
+  /** Declared event-domain constants — shared by the batch v1 suite and
+    * the streaming compliance monitor
+    * ([[graft.streaming.QualityStream]]), so the two paths can never
+    * check different rules. The value range also fixes v4's histogram
+    * domain.
+    */
+  private[graft] val EventTypeDomain = Seq("click", "error", "purchase", "signup", "view")
+  private[graft] val ValueLo = 0.0
+  private[graft] val ValueHi = 500.0
+
+  /** Exact integral parts-per-million `num/den` over two named long
+    * columns (DECIMAL multiply-then-DIV — the house pattern from
+    * Pipeline's shares; see scaladoc above).
+    */
+  private def ppm(num: String, den: String): Column = expr(ppmSql(num, den))
+
+  /** v1 — EXPECTATION SUITE: the declared per-snapshot contract, one
+    * row per constraint: `(constraint, metric_ppm, threshold_ppm,
+    * passed)`. The mix is deliberate: some constraints hold exactly
+    * (completeness, key uniqueness — metric 10⁶), some measure real
+    * non-trivial rates (user_id repetition, value concentration), so
+    * both the metric values and the pass verdicts carry information.
+    *
+    * Shape: one single-row multi-metric aggregate per table (events,
+    * lineitem, orders, documents), each reading only its checked
+    * columns; `stack` unfolds constraints after aggregation; the final
+    * union is constraint-count rows. Four scans, zero joins, zero
+    * row-grain shuffles.
+    */
+  def expectationSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .agg(count(lit(1)).as("n"),
+        count(col("props")).as("nn_props"),
+        count_distinct(col("event_id")).as("u_event"),
+        count_distinct(col("user_id")).as("u_user"),
+        sum(when(col("value") >= ValueLo && col("value") < ValueHi, 1L)
+          .otherwise(0L)).as("in_range"),
+        sum(when(col("value") < 100, 1L).otherwise(0L)).as("lt100"),
+        sum(when(col("event_type").isin(EventTypeDomain: _*), 1L)
+          .otherwise(0L)).as("type_ok"))
+      .selectExpr(
+        s"""stack(6,
+           |'completeness_events_props', ${ppmSql("nn_props", "n")}, ${Ppm}L,
+           |'uniqueness_events_event_id', ${ppmSql("u_event", "n")}, ${Ppm}L,
+           |'uniqueness_events_user_id', ${ppmSql("u_user", "n")}, 900000L,
+           |'compliance_events_value_range', ${ppmSql("in_range", "n")}, ${Ppm}L,
+           |'compliance_events_value_lt100', ${ppmSql("lt100", "n")}, 500000L,
+           |'accepted_events_type', ${ppmSql("type_ok", "n")}, ${Ppm}L
+           |) AS (constraint_name, metric_ppm, threshold_ppm)""".stripMargin)
+    val li = Tables.lineitem(spark, sfDir)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_discount") >= 0 && col("l_discount") <= 0.1, 1L)
+          .otherwise(0L)).as("disc_ok"),
+        sum(when(col("l_quantity") >= 1 && col("l_quantity") <= 50, 1L)
+          .otherwise(0L)).as("qty_ok"))
+      .selectExpr(
+        s"""stack(2,
+           |'compliance_lineitem_discount', ${ppmSql("disc_ok", "n")}, ${Ppm}L,
+           |'compliance_lineitem_quantity', ${ppmSql("qty_ok", "n")}, ${Ppm}L
+           |) AS (constraint_name, metric_ppm, threshold_ppm)""".stripMargin)
+    val ord = Tables.orders(spark, sfDir)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L)
+          .otherwise(0L)).as("st_ok"),
+        sum(when(col("o_totalprice") > 0, 1L).otherwise(0L)).as("tp_pos"))
+      .selectExpr(
+        s"""stack(2,
+           |'accepted_orders_status', ${ppmSql("st_ok", "n")}, ${Ppm}L,
+           |'compliance_orders_totalprice_pos', ${ppmSql("tp_pos", "n")}, ${Ppm}L
+           |) AS (constraint_name, metric_ppm, threshold_ppm)""".stripMargin)
+    val doc = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n_chars") === length(col("text")), 1L)
+          .otherwise(0L)).as("nc_ok"),
+        sum(when(col("lang").isin("en", "de", "fr", "es", "zh"), 1L)
+          .otherwise(0L)).as("lang_ok"))
+      .selectExpr(
+        s"""stack(2,
+           |'consistency_documents_nchars', ${ppmSql("nc_ok", "n")}, ${Ppm}L,
+           |'accepted_documents_lang', ${ppmSql("lang_ok", "n")}, ${Ppm}L
+           |) AS (constraint_name, metric_ppm, threshold_ppm)""".stripMargin)
+    ev.unionByName(li).unionByName(ord).unionByName(doc)
+      .withColumn("passed", col("metric_ppm") >= col("threshold_ppm"))
+  }
+
+  /** SQL-expression form of [[ppm]] for use inside `stack` strings. */
+  private def ppmSql(num: String, den: String): String =
+    s"CAST(CAST($num AS DECIMAL(38,0)) * $Ppm DIV CAST($den AS DECIMAL(38,0)) AS BIGINT)"
+
+  /** v2 — REFERENTIAL INTEGRITY: one row per declared foreign-key edge
+    * with the child cardinality and the orphan count (children whose
+    * parent key is absent). A healthy snapshot reports zero orphans —
+    * the metric row still carries the data-derived `n_child`, so the
+    * oracle comparison is never empty-vs-empty.
+    *
+    * Shape per edge: project both sides to the key column only,
+    * LEFT OUTER join child→parent(distinct), count parent-null rows in
+    * ONE aggregate. The join shuffles key columns only (8 bytes/row);
+    * `nation` (25 rows) broadcasts — Spark picks that up from size
+    * estimates without a hint. At 100 TB each edge is one key-column
+    * shuffle — the same cost profile as the b1 runtime-filter path,
+    * which composes with this check when the parent side is selective.
+    */
+  def referentialIntegrity(spark: SparkSession, sfDir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val p = parent.select(col(pk).as("__pk")).distinct()
+      child.select(col(ck).as("__ck"))
+        .join(p, col("__ck") === col("__pk"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"))
+    }
+    val li = Tables.lineitem(spark, sfDir)
+    edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+        Tables.orders(spark, sfDir), "o_orderkey")
+      .unionByName(edge("lineitem.l_partkey->part", li, "l_partkey",
+        Tables.part(spark, sfDir), "p_partkey"))
+      .unionByName(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        Tables.supplier(spark, sfDir), "s_suppkey"))
+      .unionByName(edge("orders.o_custkey->customer",
+        Tables.orders(spark, sfDir), "o_custkey",
+        Tables.customer(spark, sfDir), "c_custkey"))
+      .unionByName(edge("customer.c_nationkey->nation",
+        Tables.customer(spark, sfDir), "c_nationkey",
+        Tables.nation(spark, sfDir), "n_nationkey"))
+  }
+
+  /** v3 — UNIQUENESS PROFILE: for each declared candidate key, the row
+    * count, distinct-key count, and surplus rows (rows beyond one per
+    * key — 0 iff the key is unique). `events.user_id` is deliberately
+    * in the list as a NON-key: its large surplus is what proves the
+    * profile measures the data rather than restating the DDL.
+    *
+    * Shape: one `(count, count_distinct)` aggregate per relation —
+    * Spark plans each as the standard two-phase distinct expand; the
+    * composite lineitem key hashes both columns into the same partial.
+    * No row-grain state leaves any executor.
+    */
+  def uniquenessProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    def prof(rel: String, key: String, df: DataFrame, ks: Column*): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), count_distinct(ks.head, ks.tail: _*).as("n_keys"))
+        .select(lit(rel).as("relation"), lit(key).as("key_name"),
+          col("n_rows"), col("n_keys"),
+          (col("n_rows") - col("n_keys")).as("n_surplus"))
+    prof("events", "event_id", Tables.events(spark, sfDir), col("event_id"))
+      .unionByName(prof("events", "user_id",
+        Tables.events(spark, sfDir), col("user_id")))
+      .unionByName(prof("orders", "o_orderkey",
+        Tables.orders(spark, sfDir), col("o_orderkey")))
+      .unionByName(prof("customer", "c_custkey",
+        Tables.customer(spark, sfDir), col("c_custkey")))
+      .unionByName(prof("documents", "doc_id",
+        Tables.documents(spark, sfDir), col("doc_id")))
+      .unionByName(prof("lineitem", "l_orderkey,l_linenumber",
+        Tables.lineitem(spark, sfDir), col("l_orderkey"), col("l_linenumber")))
+  }
+
+  /** Fixed histogram geometry for v4 — DECLARED, not data-derived (a
+    * drift monitor must bin tomorrow's snapshot exactly like today's,
+    * or the comparison measures the binning). `value ∈ [0, 500)` in 10
+    * equal bins; out-of-domain values clamp into the edge bins so the
+    * shares always total 10⁶.
+    */
+  private val DriftBins = 10
+  private val DriftWidth = 50.0
+
+  /** v4 — NUMERIC DISTRIBUTION DRIFT: the per-bin share of `value` in
+    * the older half of the corpus vs the newer half (split at the
+    * midpoint of the observed time range), with the absolute ppm
+    * delta — the total-variation-per-bin monitor that catches a
+    * producer silently changing a metric's distribution.
+    *
+    * Shape: one one-row (min, max) aggregate broadcasts to the binning
+    * scan (the a9 spine pattern); the per-(bin, half) counts partial-
+    * aggregate map-side, and shares divide by the broadcast one-row
+    * half totals. Two scans of `(ts, value)`, shuffled state = 20
+    * longs. Bin boundaries are IEEE double division by a constant —
+    * deterministic and engine-identical.
+    */
+  def valueDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(unix_micros(col("ts")).as("us"), col("value"))
+    val mid = ev.agg(min("us").as("lo_us"), max("us").as("hi_us"))
+      // integer DIV, not `/`: a double round-trip near 2^61 loses the
+      // low bits and the split point would drift off the oracle's
+      .selectExpr("(lo_us + hi_us) DIV 2 AS mid_us")
+    val bin = least(greatest(floor(col("value") / DriftWidth), lit(0.0)),
+      lit(DriftBins - 1.0)).cast("long")
+    val counts = ev.crossJoin(broadcast(mid)) // one-row frame: correct broadcast
+      .groupBy(bin.as("bin"))
+      .agg(sum(when(col("us") < col("mid_us"), 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("us") >= col("mid_us"), 1L).otherwise(0L)).as("n_new"))
+    val totals = counts.agg(sum("n_old").as("t_old"), sum("n_new").as("t_new"))
+    counts.crossJoin(broadcast(totals)) // one-row frame: correct broadcast
+      .select(col("bin"), col("n_old"), col("n_new"),
+        ppm("n_old", "t_old").as("share_old_ppm"),
+        ppm("n_new", "t_new").as("share_new_ppm"))
+      .withColumn("delta_ppm",
+        abs(col("share_old_ppm") - col("share_new_ppm")))
+  }
+
+  /** v5 — CATEGORICAL SHARE DRIFT: per (week, event_type), the type's
+    * share within the week vs its share over the whole corpus, as an
+    * exact ppm delta — the event-mix monitor ("errors doubled this
+    * week") on the calendar grain dashboards use. Weeks are epoch-µs
+    * integer weeks (`us div 7d`), not calendar weeks: identical in both
+    * engines, no session-locale semantics.
+    *
+    * Shape: ONE scan aggregates to (week, type) counts; week totals and
+    * type totals are second-stage aggregates OF THAT SMALL FRAME (weeks
+    * × types rows, not corpus rows), joined back broadcast. At 100 TB
+    * the corpus is touched once, everything after is dashboard-sized.
+    */
+  def shareDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val WeekUs = 604800000000L
+    val wt = Tables.events(spark, sfDir)
+      .selectExpr(s"unix_micros(ts) DIV $WeekUs AS week", "event_type")
+      .groupBy("week", "event_type").agg(count(lit(1)).as("n"))
+    val perWeek = wt.groupBy("week").agg(sum("n").as("week_total"))
+    val perType = wt.groupBy("event_type").agg(sum("n").as("type_total"))
+    val grand = wt.agg(sum("n").as("grand_total"))
+    wt.join(broadcast(perWeek), Seq("week"))
+      .join(broadcast(perType), Seq("event_type"))
+      .crossJoin(broadcast(grand)) // one-row frame: correct broadcast
+      .select(col("week"), col("event_type"), col("n"),
+        ppm("n", "week_total").as("week_share_ppm"),
+        ppm("type_total", "grand_total").as("overall_share_ppm"))
+      .withColumn("delta_ppm",
+        abs(col("week_share_ppm") - col("overall_share_ppm")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "v1_expectation_suite" -> (expectationSuite _),
+    "v2_referential_integrity" -> (referentialIntegrity _),
+    "v3_uniqueness_profile" -> (uniquenessProfile _),
+    "v4_value_drift" -> (valueDrift _),
+    "v5_share_drift" -> (shareDrift _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "v1_expectation_suite" ->
+      s"""WITH ev AS (
+         |  SELECT count(*) AS n, count(props) AS nn_props,
+         |    count(DISTINCT event_id) AS u_event,
+         |    count(DISTINCT user_id) AS u_user,
+         |    count(*) FILTER (WHERE value >= 0 AND value < 500) AS in_range,
+         |    count(*) FILTER (WHERE value < 100) AS lt100,
+         |    count(*) FILTER (WHERE event_type IN ('click','error','purchase','signup','view')) AS type_ok
+         |  FROM events),
+         |li AS (
+         |  SELECT count(*) AS n,
+         |    count(*) FILTER (WHERE l_discount >= 0 AND l_discount <= 0.1) AS disc_ok,
+         |    count(*) FILTER (WHERE l_quantity >= 1 AND l_quantity <= 50) AS qty_ok
+         |  FROM lineitem),
+         |ord AS (
+         |  SELECT count(*) AS n,
+         |    count(*) FILTER (WHERE o_orderstatus IN ('O','F','P')) AS st_ok,
+         |    count(*) FILTER (WHERE o_totalprice > 0) AS tp_pos
+         |  FROM orders),
+         |doc AS (
+         |  SELECT count(*) AS n,
+         |    count(*) FILTER (WHERE n_chars = length(text)) AS nc_ok,
+         |    count(*) FILTER (WHERE lang IN ('en','de','fr','es','zh')) AS lang_ok
+         |  FROM documents),
+         |m AS (
+         |  SELECT 'completeness_events_props' AS constraint_name,
+         |    ${opp("nn_props", "n")} AS metric_ppm, $Ppm AS threshold_ppm FROM ev
+         |  UNION ALL SELECT 'uniqueness_events_event_id', ${opp("u_event", "n")}, $Ppm FROM ev
+         |  UNION ALL SELECT 'uniqueness_events_user_id', ${opp("u_user", "n")}, 900000 FROM ev
+         |  UNION ALL SELECT 'compliance_events_value_range', ${opp("in_range", "n")}, $Ppm FROM ev
+         |  UNION ALL SELECT 'compliance_events_value_lt100', ${opp("lt100", "n")}, 500000 FROM ev
+         |  UNION ALL SELECT 'accepted_events_type', ${opp("type_ok", "n")}, $Ppm FROM ev
+         |  UNION ALL SELECT 'compliance_lineitem_discount', ${opp("disc_ok", "n")}, $Ppm FROM li
+         |  UNION ALL SELECT 'compliance_lineitem_quantity', ${opp("qty_ok", "n")}, $Ppm FROM li
+         |  UNION ALL SELECT 'accepted_orders_status', ${opp("st_ok", "n")}, $Ppm FROM ord
+         |  UNION ALL SELECT 'compliance_orders_totalprice_pos', ${opp("tp_pos", "n")}, $Ppm FROM ord
+         |  UNION ALL SELECT 'consistency_documents_nchars', ${opp("nc_ok", "n")}, $Ppm FROM doc
+         |  UNION ALL SELECT 'accepted_documents_lang', ${opp("lang_ok", "n")}, $Ppm FROM doc)
+         |SELECT constraint_name, metric_ppm, CAST(threshold_ppm AS BIGINT) AS threshold_ppm,
+         |  metric_ppm >= threshold_ppm AS passed FROM m""".stripMargin,
+    "v2_referential_integrity" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+        |  CAST(count(*) AS BIGINT) AS n_child,
+        |  CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_orphans
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part',
+        |  CAST(count(*) AS BIGINT), CAST(count(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT)
+        |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey->supplier',
+        |  CAST(count(*) AS BIGINT), CAST(count(*) FILTER (WHERE s.s_suppkey IS NULL) AS BIGINT)
+        |FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        |  CAST(count(*) AS BIGINT), CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT 'customer.c_nationkey->nation',
+        |  CAST(count(*) AS BIGINT), CAST(count(*) FILTER (WHERE nn.n_nationkey IS NULL) AS BIGINT)
+        |FROM customer c LEFT JOIN nation nn ON c.c_nationkey = nn.n_nationkey""".stripMargin,
+    "v3_uniqueness_profile" ->
+      """SELECT 'events' AS relation, 'event_id' AS key_name,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_keys,
+        |  CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_surplus
+        |FROM events
+        |UNION ALL
+        |SELECT 'events', 'user_id', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT user_id) AS BIGINT),
+        |  CAST(count(*) - count(DISTINCT user_id) AS BIGINT) FROM events
+        |UNION ALL
+        |SELECT 'orders', 'o_orderkey', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT),
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'customer', 'c_custkey', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT c_custkey) AS BIGINT),
+        |  CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer
+        |UNION ALL
+        |SELECT 'documents', 'doc_id', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT doc_id) AS BIGINT),
+        |  CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT 'lineitem', 'l_orderkey,l_linenumber', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+        |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+        |FROM lineitem""".stripMargin,
+    "v4_value_drift" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM ev),
+        |counts AS (
+        |  SELECT CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS bin,
+        |    CAST(count(*) FILTER (WHERE us < mid_us) AS BIGINT) AS n_old,
+        |    CAST(count(*) FILTER (WHERE us >= mid_us) AS BIGINT) AS n_new
+        |  FROM ev CROSS JOIN mid GROUP BY 1),
+        |tot AS (SELECT sum(n_old) AS t_old, sum(n_new) AS t_new FROM counts)
+        |SELECT bin, n_old, n_new,
+        |  CAST(CAST(n_old AS HUGEINT) * 1000000 // t_old AS BIGINT) AS share_old_ppm,
+        |  CAST(CAST(n_new AS HUGEINT) * 1000000 // t_new AS BIGINT) AS share_new_ppm,
+        |  abs(CAST(CAST(n_old AS HUGEINT) * 1000000 // t_old AS BIGINT)
+        |    - CAST(CAST(n_new AS HUGEINT) * 1000000 // t_new AS BIGINT)) AS delta_ppm
+        |FROM counts CROSS JOIN tot""".stripMargin,
+    "v5_share_drift" ->
+      """WITH wt AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |pw AS (SELECT week, sum(n) AS week_total FROM wt GROUP BY 1),
+        |pt AS (SELECT event_type, sum(n) AS type_total FROM wt GROUP BY 1),
+        |g AS (SELECT sum(n) AS grand_total FROM wt)
+        |SELECT wt.week, wt.event_type, wt.n,
+        |  CAST(CAST(wt.n AS HUGEINT) * 1000000 // pw.week_total AS BIGINT) AS week_share_ppm,
+        |  CAST(CAST(pt.type_total AS HUGEINT) * 1000000 // g.grand_total AS BIGINT) AS overall_share_ppm,
+        |  abs(CAST(CAST(wt.n AS HUGEINT) * 1000000 // pw.week_total AS BIGINT)
+        |    - CAST(CAST(pt.type_total AS HUGEINT) * 1000000 // g.grand_total AS BIGINT)) AS delta_ppm
+        |FROM wt JOIN pw USING (week) JOIN pt USING (event_type) CROSS JOIN g""".stripMargin
+  )
+
+  /** DuckDB-side exact ppm (HUGEINT multiply then floor-div). */
+  private def opp(num: String, den: String): String =
+    s"CAST(CAST($num AS HUGEINT) * $Ppm // $den AS BIGINT)"
+}
