@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality VALIDATION — the expectation/constraint layer every
@@ -213,10 +214,13 @@ object Validate {
     *
     * Shape: one one-row (min, max) aggregate broadcasts to the binning
     * scan (the a9 spine pattern); the per-(bin, half) counts partial-
-    * aggregate map-side, and shares divide by the broadcast one-row
-    * half totals. Two scans of `(ts, value)`, shuffled state = 20
-    * longs. Bin boundaries are IEEE double division by a constant —
-    * deterministic and engine-identical.
+    * aggregate map-side, and the half totals come from a GLOBAL WINDOW
+    * over the 10-row bin frame — NOT a second aggregate of the subtree,
+    * which Spark would recompute from the corpus (a duplicate 100 TB
+    * scan; the initial version measured 4 scans, this shape measures
+    * the algorithmic floor of 2). The single-partition WindowExec holds
+    * exactly [[DriftBins]] rows. Bin boundaries are IEEE double
+    * division by a constant — deterministic and engine-identical.
     */
   def valueDrift(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
@@ -227,12 +231,13 @@ object Validate {
       .selectExpr("(lo_us + hi_us) DIV 2 AS mid_us")
     val bin = least(greatest(floor(col("value") / DriftWidth), lit(0.0)),
       lit(DriftBins - 1.0)).cast("long")
-    val counts = ev.crossJoin(broadcast(mid)) // one-row frame: correct broadcast
+    val all = Window.partitionBy()
+    ev.crossJoin(broadcast(mid)) // one-row frame: correct broadcast
       .groupBy(bin.as("bin"))
       .agg(sum(when(col("us") < col("mid_us"), 1L).otherwise(0L)).as("n_old"),
         sum(when(col("us") >= col("mid_us"), 1L).otherwise(0L)).as("n_new"))
-    val totals = counts.agg(sum("n_old").as("t_old"), sum("n_new").as("t_new"))
-    counts.crossJoin(broadcast(totals)) // one-row frame: correct broadcast
+      .withColumn("t_old", sum("n_old").over(all))
+      .withColumn("t_new", sum("n_new").over(all))
       .select(col("bin"), col("n_old"), col("n_new"),
         ppm("n_old", "t_old").as("share_old_ppm"),
         ppm("n_new", "t_new").as("share_new_ppm"))
@@ -247,22 +252,23 @@ object Validate {
     * integer weeks (`us div 7d`), not calendar weeks: identical in both
     * engines, no session-locale semantics.
     *
-    * Shape: ONE scan aggregates to (week, type) counts; week totals and
-    * type totals are second-stage aggregates OF THAT SMALL FRAME (weeks
-    * × types rows, not corpus rows), joined back broadcast. At 100 TB
-    * the corpus is touched once, everything after is dashboard-sized.
+    * Shape: ONE scan aggregates to (week, type) counts; week totals,
+    * type totals, and the grand total are WINDOW sums over that small
+    * frame (weeks × types rows). Separate `wt.groupBy(...)` aggregates
+    * joined back would each recompute the subtree from the corpus —
+    * Spark plans DataFrame reuse by subtree, not by reference — turning
+    * one logical scan into four physical ones (measured); the window
+    * shape pins the corpus to exactly one scan, with the window
+    * shuffles moving only the dashboard-sized frame.
     */
   def shareDrift(spark: SparkSession, sfDir: String): DataFrame = {
     val WeekUs = 604800000000L
     val wt = Tables.events(spark, sfDir)
       .selectExpr(s"unix_micros(ts) DIV $WeekUs AS week", "event_type")
       .groupBy("week", "event_type").agg(count(lit(1)).as("n"))
-    val perWeek = wt.groupBy("week").agg(sum("n").as("week_total"))
-    val perType = wt.groupBy("event_type").agg(sum("n").as("type_total"))
-    val grand = wt.agg(sum("n").as("grand_total"))
-    wt.join(broadcast(perWeek), Seq("week"))
-      .join(broadcast(perType), Seq("event_type"))
-      .crossJoin(broadcast(grand)) // one-row frame: correct broadcast
+    wt.withColumn("week_total", sum("n").over(Window.partitionBy("week")))
+      .withColumn("type_total", sum("n").over(Window.partitionBy("event_type")))
+      .withColumn("grand_total", sum("n").over(Window.partitionBy()))
       .select(col("week"), col("event_type"), col("n"),
         ppm("n", "week_total").as("week_share_ppm"),
         ppm("type_total", "grand_total").as("overall_share_ppm"))

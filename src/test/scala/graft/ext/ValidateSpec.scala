@@ -88,6 +88,21 @@ class ValidateSpec extends SparkSpec {
     assert(rows.exists(_._6 > 0L), "zero drift everywhere — vacuous monitor")
   }
 
+  test("drift plans scan the corpus the minimum number of times") {
+    // DataFrame reuse is by subtree, not reference: the first version of
+    // these queries re-aggregated the base frame per consumer and paid
+    // 4 corpus scans each. The window-shape rewrite pins the floor.
+    def scans(df: org.apache.spark.sql.DataFrame): Int = {
+      df.count()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      "Scan parquet".r.findAllIn(p).size
+    }
+    assert(scans(Validate.valueDrift(spark, sf)) == 2,
+      "v4 must scan events exactly twice (midpoint pass + binning pass)")
+    assert(scans(Validate.shareDrift(spark, sf)) == 1,
+      "v5 must scan events exactly once")
+  }
+
   test("v1/v3 plans hold no joins — pure aggregate pipelines") {
     for (q <- Seq(Validate.expectationSuite(spark, sf),
         Validate.uniquenessProfile(spark, sf))) {
