@@ -593,6 +593,35 @@ object Dedup {
       .select(col("source"), col("n_docs"), col("n_dups"),
         expr("n_dups * 1000000 DIV n_docs").as("dup_ppm"))
 
+  /** d20 — CROSS-SOURCE duplication OVERLAP MATRIX: for every ordered
+    * source pair (A < B), how many near-dup clusters span both and how
+    * many documents of each side sit in those shared clusters — d17's
+    * per-source rate unfolded into the between-sources view ("which
+    * crawls re-scrape which"). This is the number a curation pass uses
+    * to decide which source to DROP wholesale: a pair with high shared
+    * mass means the cheaper source is mostly a re-crawl of the other.
+    *
+    * Scale shape: rides the persisted d7 label index; the self-join key
+    * is the CLUSTER id over the (cluster, source) doc-count frame —
+    * bounded by |clusters| · |sources-per-cluster| rows (tiny vs the
+    * corpus), and within-key fan-out is the per-cluster source count
+    * (≤ |sources|), so the pair frame is posting-list-sized, never
+    * corpus². Output is at most C(|sources|, 2) rows.
+    */
+  def crossSourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val cs = dedupClusters(spark, sfDir)
+      .join(docs(spark, sfDir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("canonical"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    cs.alias("a")
+      .join(cs.alias("b"),
+        col("a.canonical") === col("b.canonical") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_clusters"),
+        sum(col("a.n")).as("n_docs_a"), sum(col("b.n")).as("n_docs_b"))
+  }
+
   /** d18 — cluster SIZE HISTOGRAM (how much of the corpus is duplicated,
     * and how deeply): n_clusters per exact cluster size — the one-line
     * health chart a dedup pass is judged by (mass in size-1 clusters =
@@ -1262,6 +1291,7 @@ object Dedup {
     "d6_embed_neardup" -> (embedNearDup _),
     "d7_dedup_clusters" -> (dedupClusters _),
     "d17_source_dup_rate" -> (sourceDupRate _),
+    "d20_cross_source_overlap" -> (crossSourceOverlap _),
     "d18_cluster_histogram" -> (clusterHistogram _),
     "d19_cluster_medoids" -> (clusterMedoids _),
     "d8_minhash_estimate" -> (minhashEstimate _),
@@ -1507,6 +1537,19 @@ object Dedup {
          |    // CAST(count(*) AS BIGINT) AS BIGINT) AS dup_ppm
          |FROM clusters c JOIN documents d USING (doc_id)
          |GROUP BY d.source""".stripMargin,
+    "d20_cross_source_overlap" ->
+      s"""WITH clusters AS ($d7Sql),
+         |cs AS (
+         |  SELECT c.canonical, d.source, CAST(count(*) AS BIGINT) AS n
+         |  FROM clusters c JOIN documents d USING (doc_id)
+         |  GROUP BY c.canonical, d.source)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared_clusters,
+         |  CAST(sum(a.n) AS BIGINT) AS n_docs_a,
+         |  CAST(sum(b.n) AS BIGINT) AS n_docs_b
+         |FROM cs a JOIN cs b
+         |  ON a.canonical = b.canonical AND a.source < b.source
+         |GROUP BY a.source, b.source""".stripMargin,
     "d18_cluster_histogram" ->
       s"""WITH clusters AS ($d7Sql),
          |sizes AS (

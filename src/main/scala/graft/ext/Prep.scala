@@ -397,6 +397,30 @@ object Prep {
         (col("group_n") < k).as("suppress"))
   }
 
+  /** c17 — L-DIVERSITY audit: k-anonymity's (c14) companion on the GROUP
+    * grain. A quasi-identifier group can satisfy k (enough members to
+    * hide in) yet still leak the sensitive attribute outright if every
+    * member SHARES it — homogeneous groups re-identify the attribute,
+    * not the row. Per (lang, source) group: member count, distinct
+    * sensitive values (the size class `n_chars DIV 100` stands in for
+    * the sensitive column this corpus lacks), and the l = 3 verdict.
+    * Release policy = c14's suppress ∧ this diverse flag.
+    *
+    * One groupBy on the quasi-identifier with a mixed count /
+    * count-distinct — Spark's standard two-phase expand; the shuffled
+    * state is (group × size-class) partials, never document rows.
+    */
+  def lDiversity(spark: SparkSession, sfDir: String, l: Int = 3): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source"),
+        expr("n_chars DIV 100").as("size_class"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("group_n"),
+        count_distinct(col("size_class")).as("l_distinct"))
+      .select(col("lang"), col("source"), col("group_n"), col("l_distinct"),
+        lit(l.toLong).as("l"),
+        (col("l_distinct") >= l).as("diverse"))
+
   /** c16 — CURRICULUM PHASE assignment: within each language, documents
     * split into three quality-ordered training phases (easy→hard
     * curriculum over x2's quality score, per-language so no language's
@@ -434,6 +458,7 @@ object Prep {
   val queries: Map[String, Q] = Map(
     "c16_curriculum" -> (curriculumPhases _),
     "c14_k_anonymity" -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
+    "c17_l_diversity" -> ((s: SparkSession, d: String) => lDiversity(s, d)),
     "c1_pii_scrub" -> (piiScrub _),
     "c2_contamination" -> (contamination _),
     "c3_seq_pack" -> (seqPack _),
@@ -529,6 +554,13 @@ object Prep {
          |  ((rank() OVER (PARTITION BY lang ORDER BY q_micro) - 1) * 3)
          |    // (count(*) OVER (PARTITION BY lang)) AS phase
          |FROM j""".stripMargin,
+    "c17_l_diversity" ->
+      """SELECT lang, source,
+        |  CAST(count(*) AS BIGINT) AS group_n,
+        |  CAST(count(DISTINCT n_chars // 100) AS BIGINT) AS l_distinct,
+        |  CAST(3 AS BIGINT) AS l,
+        |  count(DISTINCT n_chars // 100) >= 3 AS diverse
+        |FROM documents GROUP BY lang, source""".stripMargin,
     "c14_k_anonymity" ->
       """SELECT doc_id, lang, source,
         |  count(*) OVER (PARTITION BY lang, source) AS group_n,

@@ -482,6 +482,29 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 2)
   }
 
+  test("d20 overlap matrix is consistent with the label frame") {
+    val rows = Dedup.crossSourceOverlap(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(rows.nonEmpty, "no cross-source overlap at test SF — vacuous")
+    assert(rows.forall { case ((a, b), _) => a < b }, "unordered pair emitted")
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate pair row")
+    // each shared cluster contributes >= 1 doc on each side
+    assert(rows.forall { case (_, (nc, da, db)) => da >= nc && db >= nc && nc > 0 })
+    // brute recount from the label frame itself
+    val ls = Dedup.dedupClusters(spark, sf)
+      .join(graft.Tables.documents(spark, sf).select("doc_id", "source"), Seq("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    val bySrcPair = ls.groupBy(_._1).values.flatMap { xs =>
+      val counts = xs.groupBy(_._2).map { case (s, ys) => s -> ys.length.toLong }
+      for (a <- counts.keys; b <- counts.keys if a < b)
+        yield (a, b) -> (1L, counts(a), counts(b))
+    }.groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(_._2).reduce((x, y) => (x._1 + y._1, x._2 + y._2, x._3 + y._3))
+    }
+    assert(rows.toMap == bySrcPair, "matrix diverges from brute recount")
+  }
+
   test("c11: no near-dup pair straddles the train/valid/test split") {
     val split = Dedup.leakageSplit(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap

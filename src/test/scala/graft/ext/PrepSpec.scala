@@ -176,4 +176,23 @@ class PrepSpec extends SparkSpec {
     assert(contamIds == rows.keySet -- c6Kept,
       "contaminated flags disagree with the c6 removal set")
   }
+
+  test("c17 l-diversity agrees with c14 group sizes; verdicts follow l") {
+    val ld = Prep.lDiversity(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // same quasi-identifier grain as c14: group sizes must agree
+    val ka = Prep.kAnonymity(spark, sf).collect()
+      .map(r => ((r.getString(1), r.getString(2)), r.getLong(3)))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.head._2 }
+    assert(ld.keySet == ka.keySet, "c14/c17 disagree on the group set")
+    assert(ld.forall { case (g, (n, _, _, _)) => n == ka(g) },
+      "group_n diverges from the c14 window count")
+    for ((g, (n, l, lim, d)) <- ld) {
+      assert(l >= 1L && l <= n, s"$g: l_distinct out of range")
+      assert(d == (l >= lim), s"$g: verdict inconsistent")
+    }
+    // non-trivial verdict mix (data-measured, not DDL-restated)
+    assert(ld.values.exists(_._4) , "no diverse group")
+  }
 }
