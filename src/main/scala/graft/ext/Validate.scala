@@ -276,7 +276,78 @@ object Validate {
         abs(col("week_share_ppm") - col("overall_share_ppm")))
   }
 
+  /** Benford first-digit expectation, exact ppm: `round(log10(1+1/d) ·
+    * 10⁶)` precomputed as LITERALS — the law's probabilities are
+    * irrational, and evaluating `log10` at query time would put libm in
+    * the comparison path (the house rule: no transcendental calls in
+    * ranked/compared values). Both engines read the same nine
+    * constants.
+    */
+  private[ext] val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** v6 — BENFORD FIRST-DIGIT AUDIT over `o_totalprice`: observed vs
+    * expected leading-digit distribution in exact ppm — the classic
+    * fabricated-data / broken-generator screen (a price column produced
+    * by a uniform RNG, a truncated export, or a copy-paste fill lights
+    * up instantly; organically-grown multiplicative amounts track the
+    * law). The verdict is per-digit deltas, not a libm chi-square: the
+    * thresholding policy belongs to the consumer.
+    *
+    * The digit is extracted INTEGERLY (price → exact cents long →
+    * leading decimal digit via string head): no float logs, identical
+    * in both engines. One scan, a 9-group aggregate, window-sum total.
+    */
+  def benfordAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val expected = spark.createDataFrame(BenfordPpm.map {
+      case (d, p) => (d.toLong, p)
+    }).toDF("digit", "expected_ppm")
+    Tables.orders(spark, sfDir)
+      .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0L)
+      .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum("n").over(Window.partitionBy()))
+      .join(broadcast(expected), Seq("digit"))
+      .select(col("digit"), col("n"),
+        ppm("n", "total").as("observed_ppm"), col("expected_ppm"))
+      .withColumn("delta_ppm", abs(col("observed_ppm") - col("expected_ppm")))
+  }
+
+  /** v7 — FUNCTIONAL-DEPENDENCY AUDIT: for each declared FD candidate
+    * `LHS → RHS`, how many LHS groups exist and how many are VIOLATED
+    * (carry more than one distinct RHS value) — the profiling question
+    * "does this column determine that one, and how badly not" (Deequ's
+    * FD constraint; schema-inference pipelines run the same scan). The
+    * candidates are chosen to produce a measured verdict mix: none of
+    * them is a DDL fact.
+    *
+    * Shape per FD: groupBy(LHS) with a distinct-count of RHS, then a
+    * groups-sized rollup — two-phase expand over (LHS, RHS) partials,
+    * violation rate in exact ppm of groups.
+    */
+  def fdAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    def fd(name: String, df: DataFrame, lhs: String, rhs: String): DataFrame =
+      df.select(col(lhs).cast("string").as("__l"), col(rhs).cast("string").as("__r"))
+        .groupBy("__l").agg(count_distinct(col("__r")).as("nd"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("nd") > 1L, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(name).as("fd"), col("n_groups"), col("n_violating"),
+          ppm("n_violating", "n_groups").as("violation_ppm"))
+    fd("documents: source->lang", Tables.documents(spark, sfDir), "source", "lang")
+      .unionByName(fd("orders: o_custkey->o_orderpriority",
+        Tables.orders(spark, sfDir), "o_custkey", "o_orderpriority"))
+      .unionByName(fd("lineitem: l_orderkey->l_linestatus",
+        Tables.lineitem(spark, sfDir), "l_orderkey", "l_linestatus"))
+      .unionByName(fd("customer: c_nationkey->c_mktsegment",
+        Tables.customer(spark, sfDir), "c_nationkey", "c_mktsegment"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "v6_benford_audit" -> (benfordAudit _),
+    "v7_fd_audit" -> (fdAudit _),
     "v1_expectation_suite" -> (expectationSuite _),
     "v2_referential_integrity" -> (referentialIntegrity _),
     "v3_uniqueness_profile" -> (uniquenessProfile _),
@@ -285,6 +356,65 @@ object Validate {
   )
 
   val oracle: Map[String, String] = Map(
+    "v6_benford_audit" -> {
+      val expected = BenfordPpm.map { case (d, p) => s"($d, ${p})" }.mkString(", ")
+      s"""WITH digits AS (
+         |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+         |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM orders WHERE CAST(floor(o_totalprice * 100) AS BIGINT) > 0),
+         |obs AS (
+         |  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY 1),
+         |t AS (SELECT sum(n) AS total FROM obs),
+         |exp_t(digit, expected_ppm) AS (VALUES $expected)
+         |SELECT o.digit, o.n,
+         |  CAST(CAST(o.n AS HUGEINT) * 1000000 // t.total AS BIGINT) AS observed_ppm,
+         |  CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+         |  abs(CAST(CAST(o.n AS HUGEINT) * 1000000 // t.total AS BIGINT)
+         |    - e.expected_ppm) AS delta_ppm
+         |FROM obs o CROSS JOIN t JOIN exp_t e ON o.digit = e.digit""".stripMargin
+    },
+    "v7_fd_audit" ->
+      """WITH
+        |f1 AS (
+        |  SELECT CAST(source AS VARCHAR) AS l, CAST(lang AS VARCHAR) AS r
+        |  FROM documents),
+        |f2 AS (
+        |  SELECT CAST(o_custkey AS VARCHAR) AS l, CAST(o_orderpriority AS VARCHAR) AS r
+        |  FROM orders),
+        |f3 AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) AS l, CAST(l_linestatus AS VARCHAR) AS r
+        |  FROM lineitem),
+        |f4 AS (
+        |  SELECT CAST(c_nationkey AS VARCHAR) AS l, CAST(c_mktsegment AS VARCHAR) AS r
+        |  FROM customer),
+        |g1 AS (SELECT l, count(DISTINCT r) AS nd FROM f1 GROUP BY l),
+        |g2 AS (SELECT l, count(DISTINCT r) AS nd FROM f2 GROUP BY l),
+        |g3 AS (SELECT l, count(DISTINCT r) AS nd FROM f3 GROUP BY l),
+        |g4 AS (SELECT l, count(DISTINCT r) AS nd FROM f4 GROUP BY l)
+        |SELECT 'documents: source->lang' AS fd,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(count(*) FILTER (WHERE nd > 1) AS BIGINT) AS n_violating,
+        |  CAST(CAST(count(*) FILTER (WHERE nd > 1) AS HUGEINT) * 1000000
+        |    // count(*) AS BIGINT) AS violation_ppm
+        |FROM g1
+        |UNION ALL
+        |SELECT 'orders: o_custkey->o_orderpriority', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE nd > 1) AS BIGINT),
+        |  CAST(CAST(count(*) FILTER (WHERE nd > 1) AS HUGEINT) * 1000000
+        |    // count(*) AS BIGINT)
+        |FROM g2
+        |UNION ALL
+        |SELECT 'lineitem: l_orderkey->l_linestatus', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE nd > 1) AS BIGINT),
+        |  CAST(CAST(count(*) FILTER (WHERE nd > 1) AS HUGEINT) * 1000000
+        |    // count(*) AS BIGINT)
+        |FROM g3
+        |UNION ALL
+        |SELECT 'customer: c_nationkey->c_mktsegment', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE nd > 1) AS BIGINT),
+        |  CAST(CAST(count(*) FILTER (WHERE nd > 1) AS HUGEINT) * 1000000
+        |    // count(*) AS BIGINT)
+        |FROM g4""".stripMargin,
     "v1_expectation_suite" ->
       s"""WITH ev AS (
          |  SELECT count(*) AS n, count(props) AS nn_props,

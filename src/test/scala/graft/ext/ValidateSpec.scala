@@ -88,6 +88,32 @@ class ValidateSpec extends SparkSpec {
     assert(rows.exists(_._6 > 0L), "zero drift everywhere — vacuous monitor")
   }
 
+  test("v6 Benford: declared expectation is a ppm partition; audit measures data") {
+    assert(Validate.BenfordPpm.map(_._2).sum == 1000000L,
+      "the nine expected shares must partition one million exactly")
+    val rows = Validate.benfordAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSet.subsetOf((1L to 9L).toSet))
+    val obsSum = rows.map(_._3).sum
+    assert(obsSum > 1000000L - 9 && obsSum <= 1000000L, s"observed shares sum $obsSum")
+    assert(rows.forall(r => r._5 == math.abs(r._3 - r._4)))
+    // the synthetic generator's price bands are NOT Benford — the audit
+    // must say so (a near-zero delta everywhere would be suspicious)
+    assert(rows.map(_._5).max > 10000L, "no measurable deviation — vacuous audit")
+  }
+
+  test("v7 FD audit: violation counts bounded by groups, non-trivial mix") {
+    val rows = Validate.fdAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 4)
+    assert(rows.forall(r => r._3 <= r._2 && r._2 > 0L))
+    assert(rows.forall(r => r._4 >= 0L && r._4 <= 1000000L))
+    // at least one FD candidate must be measurably violated, and the
+    // rates must not all be identical (data-measured, not constant)
+    assert(rows.exists(_._3 > 0L))
+    assert(rows.map(_._4).distinct.length > 1)
+  }
+
   test("drift plans scan the corpus the minimum number of times") {
     // DataFrame reuse is by subtree, not reference: the first version of
     // these queries re-aggregated the base frame per consumer and paid
