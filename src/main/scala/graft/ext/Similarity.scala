@@ -500,7 +500,78 @@ object Similarity {
         expr("hits_nprobe2 * 1000000 DIV k").as("recall2_ppm"))
   }
 
+  private val MmrPool = 20
+  private val MmrK = 5
+
+  /** s12 — MMR-DIVERSIFIED top-k (maximal marginal relevance, λ = 1/2):
+    * greedy re-ranking of a relevance-ordered candidate pool so the
+    * returned set trades relevance against redundancy — the selector a
+    * RAG serving path or a diversity-constrained curation pass runs
+    * AFTER retrieval ("don't hand the model five near-identical
+    * passages"). Step 1 takes the most relevant candidate; each later
+    * step takes `argmax (rel − max_sim_to_selected)/2` over the
+    * remainder, ties on neighbor id.
+    *
+    * λ is exactly 1/2 so the score stays a plain IEEE average of two
+    * cosines — no irrational weight in the comparison path; both
+    * engines evaluate the identical expression over identical doubles.
+    *
+    * Scale shape: MMR is POST-retrieval — the pool is top-[[MmrPool]]
+    * per query (from the exact scan here, from s2/s5's IVF shortlist in
+    * a production path), so everything past the retrieval scan touches
+    * queries · pool (candidates) and queries · pool² (pairwise sims)
+    * rows, independent of corpus size. The pool and pair frames are
+    * `localCheckpoint`ed before the unrolled [[MmrK]]-step chain — each
+    * step re-reads them; without the checkpoint Spark would replay the
+    * corpus-sized retrieval scan once per step (the v4/v5 subtree-reuse
+    * lesson).
+    */
+  def mmrDiversify(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wp = Window.partitionBy("query_id").orderBy(col("rel").desc, col("cid"))
+    val pool = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cid"), col("v"),
+        cosineSim(col("v"), col("qv")).as("rel"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= MmrPool)
+      .select("query_id", "cid", "v", "rel")
+      .localCheckpoint()
+    val pairs = pool.select(col("query_id"), col("cid").as("a"), col("v").as("va"))
+      .join(pool.select(col("query_id"), col("cid").as("b"), col("v").as("vb")),
+        Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        cosineSim(col("va"), col("vb")).as("sim"))
+      .localCheckpoint()
+    val cand = pool.select("query_id", "cid", "rel")
+    val w1 = Window.partitionBy("query_id").orderBy(col("rel").desc, col("cid"))
+    var sel = cand.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("query_id"), col("cid"), lit(1L).as("step"),
+        col("rel").as("mmr_raw"))
+    for (i <- 2 to MmrK) {
+      val maxsim = pairs
+        .join(sel.select(col("query_id"), col("cid").as("b")), Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a")).agg(max("sim").as("maxsim"))
+        .select(col("query_id").as("mq"), col("a"), col("maxsim"))
+      val ws = Window.partitionBy("query_id").orderBy(col("score").desc, col("cid"))
+      val pick = cand
+        .join(sel.select("query_id", "cid"), Seq("query_id", "cid"), "left_anti")
+        .join(maxsim, col("query_id") === col("mq") && col("cid") === col("a"))
+        .select(col("query_id"), col("cid"),
+          ((col("rel") - col("maxsim")) / 2).as("score"))
+        .withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
+        .select(col("query_id"), col("cid"), lit(i.toLong).as("step"),
+          col("score").as("mmr_raw"))
+      sel = sel.unionByName(pick)
+    }
+    sel.select(col("query_id"), col("cid").as("neighbor_id"), col("step"),
+      round(col("mmr_raw"), 6).as("mmr"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s12_mmr_diversify" -> (mmrDiversify _),
     "s10_kmeans_step" -> (kmeansStep _),
     "s11_recall_eval" -> (recallEval _),
     "s1_brute_topk" -> (bruteTopk _),
@@ -767,6 +838,58 @@ object Similarity {
          |SELECT short.query_id, short.neighbor_id, $cosSql AS cos_raw
          |FROM short JOIN ev e ON e.vec_id = short.neighbor_id
          |           JOIN q ON q.query_id = short.query_id""".stripMargin, 3),
+    // s12: the same greedy chain as the Spark side, UNROLLED — sel1 is
+    // the per-query relevance argmax; each later selall_i extends the
+    // selected set with the (rel − maxsim)/2 argmax over the remainder.
+    // DuckDB's recursive CTE can only see the previous iteration, so
+    // the accumulating selected set is spelled out per step instead.
+    "s12_mmr_diversify" -> {
+      val poolSql =
+        s"""ev AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM ev WHERE vec_id < $nQueries),
+           |pool AS (
+           |  SELECT query_id, cid, v, rel FROM (
+           |    SELECT q.query_id, e.vec_id AS cid, e.v, $cosSql AS rel,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY $cosSql DESC, e.vec_id) AS rn
+           |    FROM ev e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+           |  WHERE rn <= $MmrPool),
+           |pairs AS (
+           |  SELECT p1.query_id, p1.cid AS a, p2.cid AS b,
+           |    (list_dot_product(p1.v, p2.v) /
+           |      (sqrt(list_dot_product(p1.v, p1.v)) * sqrt(list_dot_product(p2.v, p2.v)))) AS sim
+           |  FROM pool p1 JOIN pool p2 USING (query_id) WHERE p1.cid <> p2.cid),
+           |sel1 AS (
+           |  SELECT query_id, cid, 1 AS step, rel AS mmr_raw FROM (
+           |    SELECT query_id, cid, rel,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cid) AS rn
+           |    FROM pool) WHERE rn = 1),
+           |selall1 AS (SELECT * FROM sel1)""".stripMargin
+      val steps = (2 to MmrK).map { i =>
+        s"""sel$i AS (
+           |  SELECT query_id, cid, $i AS step, score AS mmr_raw FROM (
+           |    SELECT c.query_id, c.cid, (c.rel - m.maxsim) / 2 AS score,
+           |      row_number() OVER (PARTITION BY c.query_id
+           |        ORDER BY (c.rel - m.maxsim) / 2 DESC, c.cid) AS rn
+           |    FROM pool c
+           |    JOIN (SELECT pr.query_id, pr.a, max(pr.sim) AS maxsim
+           |          FROM pairs pr JOIN selall${i - 1} s
+           |            ON pr.query_id = s.query_id AND pr.b = s.cid
+           |          GROUP BY pr.query_id, pr.a) m
+           |      ON m.query_id = c.query_id AND m.a = c.cid
+           |    WHERE NOT EXISTS (SELECT 1 FROM selall${i - 1} s
+           |                      WHERE s.query_id = c.query_id AND s.cid = c.cid))
+           |  WHERE rn = 1),
+           |selall$i AS (SELECT * FROM selall${i - 1} UNION ALL SELECT * FROM sel$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $poolSql,
+         |$steps
+         |SELECT query_id, cid AS neighbor_id, CAST(step AS BIGINT) AS step,
+         |  round(mmr_raw, 6) AS mmr
+         |FROM selall$MmrK""".stripMargin
+    },
     // s11: same ev/q/cents/cells CTEs as s1/s2/s5 (the family's SQL
     // mirrors), reduced to id sets and joined into per-query hit counts
     "s11_recall_eval" ->

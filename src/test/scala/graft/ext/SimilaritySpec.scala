@@ -287,4 +287,47 @@ class SimilaritySpec extends SparkSpec {
     assert(exchanges.forall(_.contains("query_id")),
       s"unexpected exchange beyond the top-k shuffle:\n$p")
   }
+
+  test("s12 MMR equals a brute greedy recompute; diversified != plain top-k") {
+    val got = Similarity.mmrDiversify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.values.forall(_.length == 5), "every query must select 5")
+    assert(byQ.values.forall(v => v.map(_._2).distinct.length == 5),
+      "duplicate selection")
+    // brute recompute with the same index-order accumulation as cosineSim
+    val vecs = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for ((qid, sel) <- byQ) {
+      val qv = vecs(qid)
+      val pool = vecs.keys.filter(_ != qid).toSeq
+        .map(c => c -> cos(vecs(c), qv))
+        .sortBy { case (c, rel) => (-rel, c) }.take(20)
+      var selected = Vector(pool.minBy { case (c, rel) => (-rel, c) }._1)
+      while (selected.length < 5) {
+        val rem = pool.filterNot { case (c, _) => selected.contains(c) }
+        val next = rem.minBy { case (c, rel) =>
+          val maxsim = selected.map(sc => cos(vecs(c), vecs(sc))).max
+          (-((rel - maxsim) / 2), c)
+        }._1
+        selected :+= next
+      }
+      val gotOrder = sel.sortBy(_._3).map(_._2).toVector
+      assert(gotOrder == selected, s"q$qid: $gotOrder != brute $selected")
+    }
+    // diversification must CHANGE something vs plain relevance order for
+    // at least one query, or the operator is a relabeled top-k
+    val plain = Similarity.bruteTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, v) => q -> v.sortBy(_._3).map(_._2).toVector }
+    assert(byQ.exists { case (q, v) => v.sortBy(_._3).map(_._2).toVector != plain(q) },
+      "MMR output identical to plain top-5 on every query — vacuous")
+  }
 }
