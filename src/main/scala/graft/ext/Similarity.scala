@@ -519,14 +519,21 @@ object Similarity {
     * Scale shape: MMR is POST-retrieval — the pool is top-[[MmrPool]]
     * per query (from the exact scan here, from s2/s5's IVF shortlist in
     * a production path), so everything past the retrieval scan touches
-    * queries · pool (candidates) and queries · pool² (pairwise sims)
-    * rows, independent of corpus size. The pool and pair frames are
-    * `localCheckpoint`ed before the unrolled [[MmrK]]-step chain — each
-    * step re-reads them; without the checkpoint Spark would replay the
-    * corpus-sized retrieval scan once per step (the v4/v5 subtree-reuse
-    * lesson).
+    * queries · pool rows, independent of corpus size. The pool
+    * selection stays in Catalyst (the distributed part); the greedy
+    * selection itself is SEQUENTIAL BY DEFINITION (step i needs step
+    * i−1's pick), so it runs per query group in `flatMapGroups` over
+    * the 20-row pool — one shuffle keyed on query_id, pool² cosines
+    * inside the group. A first cut unrolled the five steps as joined
+    * DataFrame stages instead: ~15 dashboard-sized stages whose
+    * scheduling overhead alone cost ~5 s at EVERY SF — per-group
+    * sequential logic is exactly the case the (d)-tier group operator
+    * exists for. The in-group cosine accumulates in index order —
+    * bit-identical to [[graft.functions.CosineSimilarity]], which the
+    * oracle hash-match then pins.
     */
   def mmrDiversify(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val e = vecs(spark, sfDir)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -537,36 +544,40 @@ object Similarity {
         cosineSim(col("v"), col("qv")).as("rel"))
       .withColumn("rn", row_number().over(wp)).filter(col("rn") <= MmrPool)
       .select("query_id", "cid", "v", "rel")
-      .localCheckpoint()
-    val pairs = pool.select(col("query_id"), col("cid").as("a"), col("v").as("va"))
-      .join(pool.select(col("query_id"), col("cid").as("b"), col("v").as("vb")),
-        Seq("query_id"))
-      .filter(col("a") =!= col("b"))
-      .select(col("query_id"), col("a"), col("b"),
-        cosineSim(col("va"), col("vb")).as("sim"))
-      .localCheckpoint()
-    val cand = pool.select("query_id", "cid", "rel")
-    val w1 = Window.partitionBy("query_id").orderBy(col("rel").desc, col("cid"))
-    var sel = cand.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
-      .select(col("query_id"), col("cid"), lit(1L).as("step"),
-        col("rel").as("mmr_raw"))
-    for (i <- 2 to MmrK) {
-      val maxsim = pairs
-        .join(sel.select(col("query_id"), col("cid").as("b")), Seq("query_id", "b"))
-        .groupBy(col("query_id"), col("a")).agg(max("sim").as("maxsim"))
-        .select(col("query_id").as("mq"), col("a"), col("maxsim"))
-      val ws = Window.partitionBy("query_id").orderBy(col("score").desc, col("cid"))
-      val pick = cand
-        .join(sel.select("query_id", "cid"), Seq("query_id", "cid"), "left_anti")
-        .join(maxsim, col("query_id") === col("mq") && col("cid") === col("a"))
-        .select(col("query_id"), col("cid"),
-          ((col("rel") - col("maxsim")) / 2).as("score"))
-        .withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
-        .select(col("query_id"), col("cid"), lit(i.toLong).as("step"),
-          col("score").as("mmr_raw"))
-      sel = sel.unionByName(pick)
-    }
-    sel.select(col("query_id"), col("cid").as("neighbor_id"), col("step"),
+    val selected = pool.as[(Long, Long, Seq[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // candidates in (rel desc, cid) order — step 1's argmax is head
+        val cands = it.toArray.sortBy(c => (-c._4, c._2))
+        val vs = cands.map(_._3.toArray)
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          val n = math.min(a.length, b.length)
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+          dot / (math.sqrt(na) * math.sqrt(nb))
+        }
+        val sel = scala.collection.mutable.ArrayBuffer(0)
+        val out = scala.collection.mutable.ArrayBuffer(
+          (qid, cands(0)._2, 1L, cands(0)._4))
+        while (sel.length < MmrK && sel.length < cands.length) {
+          var best = -1; var bestScore = Double.NegativeInfinity
+          for (i <- cands.indices if !sel.contains(i)) {
+            var maxsim = Double.NegativeInfinity
+            for (j <- sel) { val s = cos(vs(i), vs(j)); if (s > maxsim) maxsim = s }
+            val score = (cands(i)._4 - maxsim) / 2
+            // argmax with the row_number tie rule: score desc, cid asc
+            if (score > bestScore ||
+                (score == bestScore && best >= 0 && cands(i)._2 < cands(best)._2)) {
+              best = i; bestScore = score
+            }
+          }
+          sel += best
+          out += ((qid, cands(best)._2, sel.length.toLong, bestScore))
+        }
+        out.iterator
+      }
+      .toDF("query_id", "neighbor_id", "step", "mmr_raw")
+    selected.select(col("query_id"), col("neighbor_id"), col("step"),
       round(col("mmr_raw"), 6).as("mmr"))
   }
 
