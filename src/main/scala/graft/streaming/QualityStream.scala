@@ -25,6 +25,44 @@ import org.apache.spark.sql.functions._
   */
 object QualityStream {
 
+  /** The v1 event rules as one violation predicate over a CDC payload
+    * row — the SINGLE definition [[complianceView]], [[gatedSink]] and
+    * (via the shared constants) the batch suite all check.
+    */
+  private[streaming] def violates(value: org.apache.spark.sql.Column,
+      eventType: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    value < graft.ext.Validate.ValueLo ||
+      value >= graft.ext.Validate.ValueHi ||
+      !eventType.isin(graft.ext.Validate.EventTypeDomain: _*)
+
+  /** QUALITY-GATED CDC ingest: per micro-batch, rows violating the
+    * declared rules are routed to a DLQ store and only CLEAN rows merge
+    * into the serving store — o15's dead-letter pattern applied to
+    * SEMANTIC rules instead of parse failures, so bad payloads never
+    * become serving state but are never silently dropped either (the
+    * DLQ retains them for replay after the producer is fixed).
+    *
+    * Policy: the rules gate PAYLOAD-carrying ops; deletes carry no
+    * payload and always pass (a tombstone must reach the store even if
+    * the row it retracts was quarantined). Both stores key on the event
+    * sequence/key exactly like the plain upsert path, so a replayed
+    * batch is idempotent on BOTH sides — `QualityStreamSpec` proves
+    * conservation (every event lands on exactly one side) and
+    * clean-side equality with the batch materialization of the clean
+    * substream.
+    */
+  def gatedSink(events: DataFrame, clean: StreamApply.ParquetUpsertStore,
+      dlq: StreamApply.ParquetUpsertStore, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val bad = col("op") =!= "d" && violates(col("value"), col("event_type"))
+        dlq.merge(batch.filter(bad), id)
+        clean.merge(batch.filter(!bad), id)
+      }
+
   def complianceView(events: DataFrame, latenessMinutes: Long = 60L): DataFrame =
     events
       .withWatermark("ts", s"$latenessMinutes minutes")

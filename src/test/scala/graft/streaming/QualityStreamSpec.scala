@@ -60,6 +60,62 @@ class QualityStreamSpec extends SparkSpec {
     assert(run(evs.grouped(37).toSeq) == exp, "many-batch run diverged")
   }
 
+  case class GE(seq: Long, eid: Long, key: Int, op: String, value: Double,
+    event_type: String)
+
+  test("gated ingest: violations quarantine to the DLQ, clean state equals the clean-substream fold") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-qgate").toString
+    // clean side: the REAL serving upsert (latest per entity key,
+    // tombstones honored); DLQ side: event grain (eid — every
+    // quarantined event retained for post-fix replay)
+    val clean = new StreamApply.ParquetUpsertStore(spark, s"$dir/clean",
+      key = "key", seq = "seq", opCol = "op", deleteOp = "d",
+      payloadCols = Seq("value", "event_type"))
+    val dlq = new StreamApply.ParquetUpsertStore(spark, s"$dir/dlq",
+      key = "eid", seq = "seq", opCol = "op", deleteOp = "never",
+      payloadCols = Seq("key", "value", "event_type"))
+    def ge(seq: Long, key: Int, op: String, v: Double, t: String) =
+      GE(seq, seq, key, op, v, t)
+    // violations on both rules; a DELETE with violating payload columns
+    // must still pass (tombstones gate-exempt); key 7's bad insert is
+    // later corrected by a clean update
+    val evs = Seq(
+      ge(1, 1, "c", 1.0, "view"), ge(2, 2, "c", 999.0, "view"),
+      ge(3, 3, "c", 5.0, "unknown"), ge(4, 1, "d", -1.0, "unknown"),
+      ge(5, 7, "c", 777.0, "click"), ge(6, 7, "u", 7.0, "click"),
+      ge(7, 8, "u", -0.5, "purchase"), ge(8, 9, "u", 499.99, "signup"))
+    val in = MemoryStream[GE]
+    val q = QualityStream.gatedSink(in.toDF(), clean, dlq, s"$dir/ckpt").start()
+    try {
+      for (b <- Seq(evs.take(3), evs.slice(3, 6), evs.drop(6))) {
+        in.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the rule fold, delete-exempt
+    val bad = Set("click", "error", "purchase", "signup", "view")
+    val expectBad = evs.filter(e => e.op != "d" &&
+      (e.value < 0.0 || e.value >= 500.0 || !bad.contains(e.event_type)))
+    val dlqSeqs = dlq.view().select("eid").collect().map(_.getLong(0)).toSet
+    assert(dlqSeqs == expectBad.map(_.eid).toSet, s"dlq $dlqSeqs")
+    // clean view == batch materialization of the clean substream
+    val cleanEvs = evs.filterNot(expectBad.contains)
+    val expectView = cleanEvs.groupBy(_.key).flatMap { case (k, xs) =>
+      val last = xs.maxBy(_.seq)
+      if (last.op == "d") None else Some(k -> (last.seq, last.value))
+    }
+    val gotView = clean.view().collect()
+      .map(r => r.getAs[Int]("key") ->
+        ((r.getAs[Long]("seq"), r.getAs[Double]("value")))).toMap
+    assert(gotView == expectView, s"clean view $gotView != $expectView")
+    // quarantined events never reached serving state in any version
+    val cleanAllSeqs = clean.snapshot().select("seq").collect()
+      .map(_.getLong(0)).toSet
+    assert((cleanAllSeqs & expectBad.map(_.seq).toSet).isEmpty,
+      "a quarantined event leaked into the serving store")
+  }
+
   test("a clean feed reports zero violations with full counts") {
     val clean = evs.map(e => e.copy(event_type = "view", value = 1.5))
     val got = run(Seq(clean))
