@@ -28,12 +28,21 @@ object QualityStream {
   /** The v1 event rules as one violation predicate over a CDC payload
     * row — the SINGLE definition [[complianceView]], [[gatedSink]] and
     * (via the shared constants) the batch suite all check.
+    *
+    * NULL-TOTAL: a null value or type coalesces to VIOLATED. Without
+    * the coalesce the predicate is three-valued and a null-payload row
+    * fails BOTH `filter(p)` and `filter(!p)` — it would vanish from the
+    * gate instead of quarantining, the exact silent drop the DLQ
+    * exists to prevent. (Matches the batch suite, where a null never
+    * counts toward a rule's compliant side.)
     */
   private[streaming] def violates(value: org.apache.spark.sql.Column,
       eventType: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    value < graft.ext.Validate.ValueLo ||
-      value >= graft.ext.Validate.ValueHi ||
-      !eventType.isin(graft.ext.Validate.EventTypeDomain: _*)
+    coalesce(
+      value < graft.ext.Validate.ValueLo ||
+        value >= graft.ext.Validate.ValueHi ||
+        !eventType.isin(graft.ext.Validate.EventTypeDomain: _*),
+      lit(true))
 
   /** QUALITY-GATED CDC ingest: per micro-batch, rows violating the
     * declared rules are routed to a DLQ store and only CLEAN rows merge
@@ -67,10 +76,13 @@ object QualityStream {
     events
       .withWatermark("ts", s"$latenessMinutes minutes")
       .groupBy(window(col("ts"), "1 day").as("win"))
+      // counters in COMPLIANT-else-violated form: the `otherwise` arm
+      // catches nulls, matching the batch suite where a null never
+      // counts as compliant
       .agg(count(lit(1)).as("n_events"),
-        sum(when(col("value") < graft.ext.Validate.ValueLo ||
-            col("value") >= graft.ext.Validate.ValueHi, 1L)
-          .otherwise(0L)).as("n_range_violations"),
+        sum(when(col("value") >= graft.ext.Validate.ValueLo &&
+            col("value") < graft.ext.Validate.ValueHi, 0L)
+          .otherwise(1L)).as("n_range_violations"),
         sum(when(col("event_type").isin(graft.ext.Validate.EventTypeDomain: _*), 0L)
           .otherwise(1L)).as("n_type_violations"))
       .select(col("win.start").as("win_start"), col("n_events"),

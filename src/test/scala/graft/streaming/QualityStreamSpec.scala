@@ -116,6 +116,34 @@ class QualityStreamSpec extends SparkSpec {
       "a quarantined event leaked into the serving store")
   }
 
+  case class GN(seq: Long, eid: Long, key: Int, op: String,
+    value: Option[Double], event_type: Option[String])
+
+  test("null payloads quarantine — they must not vanish from the gate") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-qgate-null").toString
+    val clean = new StreamApply.ParquetUpsertStore(spark, s"$dir/clean",
+      key = "key", seq = "seq", opCol = "op", deleteOp = "d",
+      payloadCols = Seq("value", "event_type"))
+    val dlq = new StreamApply.ParquetUpsertStore(spark, s"$dir/dlq",
+      key = "eid", seq = "seq", opCol = "op", deleteOp = "never",
+      payloadCols = Seq("key", "value", "event_type"))
+    // a three-valued violation predicate drops these rows from BOTH
+    // filter(p) and filter(!p) — the regression this test pins
+    val evs = Seq(
+      GN(1, 1, 1, "c", Some(1.0), Some("view")),
+      GN(2, 2, 2, "c", None, Some("view")),
+      GN(3, 3, 3, "c", Some(2.0), None))
+    val in = MemoryStream[GN]
+    val q = QualityStream.gatedSink(in.toDF(), clean, dlq, s"$dir/ckpt").start()
+    try { in.addData(evs); q.processAllAvailable() } finally q.stop()
+    val dlqSeqs = dlq.view().select("eid").collect().map(_.getLong(0)).toSet
+    val cleanSeqs = clean.view().select("seq").collect().map(_.getLong(0)).toSet
+    assert(dlqSeqs == Set(2L, 3L), s"null payloads must quarantine: $dlqSeqs")
+    assert(cleanSeqs == Set(1L))
+  }
+
   test("a clean feed reports zero violations with full counts") {
     val clean = evs.map(e => e.copy(event_type = "view", value = 1.5))
     val got = run(Seq(clean))
