@@ -222,9 +222,15 @@ object Validate {
     * exactly [[DriftBins]] rows. Bin boundaries are IEEE double
     * division by a constant — deterministic and engine-identical.
     */
-  def valueDrift(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-      .select(unix_micros(col("ts")).as("us"), col("value"))
+  def valueDrift(spark: SparkSession, sfDir: String): DataFrame =
+    valueDriftOf(Tables.events(spark, sfDir))
+
+  /** v4 over an arbitrary `(ts TIMESTAMP, value DOUBLE)` frame —
+    * injectable so `ValidatePropertySpec` can drive randomized corpora
+    * against a driver-side fold of the same definition.
+    */
+  private[ext] def valueDriftOf(events: DataFrame): DataFrame = {
+    val ev = events.select(unix_micros(col("ts")).as("us"), col("value"))
     val mid = ev.agg(min("us").as("lo_us"), max("us").as("hi_us"))
       // integer DIV, not `/`: a double round-trip near 2^61 loses the
       // low bits and the split point would drift off the oracle's
@@ -261,9 +267,15 @@ object Validate {
     * shape pins the corpus to exactly one scan, with the window
     * shuffles moving only the dashboard-sized frame.
     */
-  def shareDrift(spark: SparkSession, sfDir: String): DataFrame = {
+  def shareDrift(spark: SparkSession, sfDir: String): DataFrame =
+    shareDriftOf(Tables.events(spark, sfDir))
+
+  /** v5 over an arbitrary `(ts TIMESTAMP, event_type STRING)` frame —
+    * injectable for the randomized property spec.
+    */
+  private[ext] def shareDriftOf(events: DataFrame): DataFrame = {
     val WeekUs = 604800000000L
-    val wt = Tables.events(spark, sfDir)
+    val wt = events
       .selectExpr(s"unix_micros(ts) DIV $WeekUs AS week", "event_type")
       .groupBy("week", "event_type").agg(count(lit(1)).as("n"))
     wt.withColumn("week_total", sum("n").over(Window.partitionBy("week")))

@@ -1,0 +1,92 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** The drift monitors, property-checked: for ANY event set — including
+  * boundary values exactly on bin edges, single-row corpora, and
+  * all-in-one-half time ranges — the distributed queries equal a
+  * driver-side fold of the same declared definitions (floor midpoint,
+  * clamp-to-edge binning, floor-ppm shares). Fixed ScalaCheck seeds
+  * (the scalatest bridge artifact is not on the offline classpath) —
+  * deterministic across runs.
+  */
+class ValidatePropertySpec extends SparkSpec {
+
+  private val baseUs = 1700000000000000L
+
+  private val genEvents: Gen[List[(Long, Double, String)]] = for {
+    n <- Gen.choose(1, 300)
+    rows <- Gen.listOfN(n, for {
+      // whole MILLISECONDS: java.sql.Timestamp carries ms, so a µs-grain
+      // dt would silently truncate on the Spark side while the driver
+      // fold kept the full value — a mid-boundary flake waiting for the
+      // right seed
+      dtMs <- Gen.choose(0L, 30L * 86400000L) // up to 30 days
+      dt = dtMs * 1000L
+      v <- Gen.oneOf(
+        Gen.choose(0.0, 520.0),                 // incl. out-of-domain
+        Gen.oneOf(0.0, 50.0, 100.0, 499.999999, 500.0)) // bin edges
+      t <- Gen.oneOf("click", "view", "error", "signup", "purchase")
+    } yield (baseUs + dt, v, t))
+  } yield rows
+
+  private def sample(seed: Long): List[(Long, Double, String)] =
+    genEvents.apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+
+  private def toDf(rows: List[(Long, Double, String)]) = {
+    import spark.implicits._
+    rows.map { case (us, v, t) =>
+      (new java.sql.Timestamp(us / 1000L), v, t)
+    }.toDF("ts", "value", "event_type")
+  }
+
+  private def ppm(n: Long, d: Long): Long =
+    (BigInt(n) * 1000000 / BigInt(d)).toLong
+
+  test("v4 equals the driver fold on random corpora (incl. bin edges)") {
+    for (seed <- 1L to 12L) {
+      val rows = sample(seed)
+      val us = rows.map(_._1)
+      val mid = (us.min + us.max) / 2 // non-negative: floor == truncate
+      def bin(v: Double): Long =
+        math.min(math.max(math.floor(v / 50.0), 0.0), 9.0).toLong
+      val old = rows.filter(_._1 < mid); val nw = rows.filter(_._1 >= mid)
+      val expected = (old.map(r => bin(r._2) -> "o") ++ nw.map(r => bin(r._2) -> "n"))
+        .groupBy(_._1).map { case (b, xs) =>
+          val no = xs.count(_._2 == "o").toLong
+          val nn = xs.count(_._2 == "n").toLong
+          val so = if (old.isEmpty) null else ppm(no, old.length.toLong)
+          val sn = if (nw.isEmpty) null else ppm(nn, nw.length.toLong)
+          b -> ((no, nn, so, sn))
+        }
+      val got = Validate.valueDriftOf(toDf(rows)).collect().map { r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3),
+          if (r.isNullAt(4)) null else r.getLong(4)))
+      }.toMap
+      assert(got == expected, s"seed=$seed: $got != $expected")
+    }
+  }
+
+  test("v5 equals the driver fold on random corpora") {
+    val weekUs = 604800000000L
+    for (seed <- 20L to 30L) {
+      val rows = sample(seed)
+      val wt = rows.groupBy(r => (r._1 / weekUs, r._3))
+        .map { case (k, xs) => k -> xs.length.toLong }
+      val perWeek = wt.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+      val perType = wt.groupBy(_._1._2).map { case (t, m) => t -> m.values.sum }
+      val grand = rows.length.toLong
+      val expected = wt.map { case ((w, t), n) =>
+        (w, t) -> ((n, ppm(n, perWeek(w)), ppm(perType(t), grand)))
+      }
+      val got = Validate.shareDriftOf(toDf(rows)).collect().map { r =>
+        (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))
+      }.toMap
+      assert(got == expected, s"seed=$seed: $got != $expected")
+    }
+  }
+}
