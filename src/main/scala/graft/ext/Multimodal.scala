@@ -426,7 +426,61 @@ object Multimodal {
       .toDF("doc_id", "out_w", "out_h", "luma_sum", "px_checksum")
   }
 
+  /** m9 — MEDIA INTEGRITY AUDIT through the REAL codec: deterministic
+    * fault injection (every 13th payload truncated mid-header, every
+    * 13th-shifted-by-5 with its magic bytes flipped) over genuine PNG
+    * payloads, then a decode pass that CLASSIFIES each row — `ok` only
+    * if the payload decodes AND the decoded dimensions match the
+    * declared metadata. The multimodal twin of o15's parse-DLQ: a crawl
+    * delivers corrupt bytes; the ingest must find them BEFORE a
+    * training job does, and the classification must come from the
+    * codec, not from trusting the metadata.
+    *
+    * Corruption classes are chosen to fail differently inside the
+    * decoder (truncation kills the stream mid-IHDR; a flipped magic
+    * leaves no registered reader → `ImageIO.read` returns null), so
+    * the catch-all classification is exercised on both paths. The
+    * oracle states the fault-injection schedule — a hash match proves
+    * the codec caught EXACTLY the injected faults, no false alarms.
+    * Same mapPartitions batching + explicit fan-out as every codec
+    * pass (CPU-dense, byte-tiny input).
+    */
+  def decodeAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        ((col("doc_id") % 4 + 1) * 8).cast("int").as("width"),
+        ((col("doc_id") % 3 + 1) * 6).cast("int").as("height"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .as[(Long, String, Int, Int)]
+      .mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
+        batch.map { case (id, text, w, h) =>
+          val cps = text.codePoints().toArray
+          val px = Array.tabulate(w * h)(i =>
+            if (cps.isEmpty) 0 else cps(i % cps.length) & 0xff)
+          val clean = PngCodec.encodeGray(w, h, px)
+          val data =
+            if (id % 13 == 0) clean.take(12) // truncated mid-IHDR
+            else if (id % 13 == 5) {         // magic bytes flipped
+              val d = clean.clone(); d(0) = (d(0) ^ 0xff).toByte; d
+            } else clean
+          val status =
+            try {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(data))
+              if (img == null) "corrupt"
+              else if (img.getWidth == w && img.getHeight == h) "ok"
+              else "dim_mismatch"
+            } catch { case _: Throwable => "corrupt" }
+          (id, status)
+        }
+      }
+      .toDF("doc_id", "status")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m9_decode_audit" -> (decodeAudit _),
     "m1_media_meta" -> (mediaMeta _),
     "m2_frame_sample" -> (frameSample _),
     "m3_decode_dispatch" -> (decodeDispatch _),
@@ -437,6 +491,12 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // the fault-injection schedule IS the oracle: the codec must flag
+    // exactly the injected rows (no false alarms, no misses)
+    "m9_decode_audit" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 13 IN (0, 5) THEN 'corrupt' ELSE 'ok' END AS status
+        |FROM documents""".stripMargin,
     "m1_media_meta" ->
       s"""SELECT doc_id,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

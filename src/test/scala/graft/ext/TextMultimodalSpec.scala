@@ -233,4 +233,17 @@ class TextMultimodalSpec extends SparkSpec {
     val p2 = Multimodal.frameSample(spark, sf).queryExecution.executedPlan.toString
     assert(!p2.contains("Exchange"), s"frame sampling must not shuffle:\n$p2")
   }
+
+  test("m9: both corruption classes are caught by the codec, no false alarms") {
+    val rows = Multimodal.decodeAudit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trunc = rows.filter(_._1 % 13 == 0)
+    val magic = rows.filter(_._1 % 13 == 5)
+    assert(trunc.nonEmpty && trunc.values.forall(_ == "corrupt"),
+      "truncated payloads must classify corrupt")
+    assert(magic.nonEmpty && magic.values.forall(_ == "corrupt"),
+      "magic-flipped payloads must classify corrupt")
+    assert(rows.filter(r => r._1 % 13 != 0 && r._1 % 13 != 5)
+      .values.forall(_ == "ok"), "clean payload flagged — false alarm")
+  }
 }
