@@ -325,7 +325,52 @@ object Sessions {
         col("n").as("n_events"))
   }
 
+  /** k12 — MULTI-TOUCH ATTRIBUTION: for each purchase, EVERY click by
+    * the same user in the preceding 7-day window, ranked by time, with
+    * an exact integral-ppm linear credit split (1e6 DIV n per touch,
+    * floor remainder credited to the FIRST touch so each purchase's
+    * weights sum to exactly 10⁶) — the marketing-attribution operator
+    * one step past a8's single-touch as-of: the whole touch set
+    * materializes, so last-touch / first-touch / U-shaped models are
+    * all projections of this output.
+    *
+    * Scale shape: the variable-width lookback cannot be a fixed
+    * rows-window, and a plain per-user join is quadratic for hot
+    * users, so the join is BUCKETED on the lookback width (k6's
+    * interval-grid argument): clicks post under their own 7-day bucket
+    * and the next, purchases join their bucket only — every true pair
+    * straddles at most one boundary, so the copies cover exactly the
+    * candidates and the (user, bucket) join bounds pair fan-out by
+    * clicks-per-user-per-14-days, never click history. One join, two
+    * windows on the purchase key, no corpus-sized state.
+    */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val Lookback = 604800000000L // 7 days in µs
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("us").as("pus"), expr(s"us DIV $Lookback").as("bkt"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("us").as("cus"),
+        explode(array(expr(s"us DIV $Lookback"),
+          expr(s"us DIV $Lookback + 1"))).as("bkt"))
+    val wr = Window.partitionBy("purchase_id").orderBy(col("cus"), col("click_id"))
+    val wn = Window.partitionBy("purchase_id")
+    p.join(c, Seq("user_id", "bkt"))
+      .filter(col("pus") >= col("cus") && col("pus") - col("cus") <= Lookback)
+      .withColumn("touch_rank", row_number().over(wr).cast("long"))
+      .withColumn("n_touches", count(lit(1)).over(wn))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("touch_rank"), col("n_touches"),
+        (expr("1000000 DIV n_touches") +
+          when(col("touch_rank") === 1L, expr("1000000 % n_touches"))
+            .otherwise(0L)).as("weight_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "k12_attribution" -> (attribution _),
     "k10_zscore_outliers" -> (zscoreOutliers _),
     "k9_decay_score" -> (decayScore _),
     "k8_conversion_lag" -> (conversionLag _),
@@ -340,6 +385,34 @@ object Sessions {
   )
 
   val oracle: Map[String, String] = Map(
+    // the oracle states the UNBUCKETED definition (plain range join) —
+    // the hash match is the bucketing-completeness proof
+    "k12_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS pus
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS cus
+        |  FROM events WHERE event_type = 'click'),
+        |pairs AS (
+        |  SELECT p.purchase_id, p.user_id, c.click_id, c.cus
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND p.pus >= c.cus AND p.pus - c.cus <= 604800000000),
+        |r AS (
+        |  SELECT purchase_id, user_id, click_id,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |                       ORDER BY cus, click_id) AS touch_rank,
+        |    count(*) OVER (PARTITION BY purchase_id) AS n_touches
+        |  FROM pairs)
+        |SELECT purchase_id, user_id, click_id,
+        |  CAST(touch_rank AS BIGINT) AS touch_rank,
+        |  CAST(n_touches AS BIGINT) AS n_touches,
+        |  CAST(1000000 // n_touches
+        |    + CASE WHEN touch_rank = 1 THEN 1000000 % n_touches ELSE 0 END
+        |    AS BIGINT) AS weight_ppm
+        |FROM r""".stripMargin,
     "k10_zscore_outliers" ->
       """WITH e AS (
         |  SELECT user_id, event_id,

@@ -235,4 +235,35 @@ class SessionsSpec extends SparkSpec {
     assert(worst < BigInt(10).pow(37),
       s"k10 dev^2 magnitude $worst within 10x of decimal(38,0) overflow")
   }
+
+  test("k12: weights partition 1e6 per purchase; bucketed join equals brute range join") {
+    import org.apache.spark.sql.functions._
+    val got = Sessions.attribution(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty, "no attributed purchases at test SF — vacuous")
+    val byP = got.groupBy(_._1)
+    for ((pid, touches) <- byP) {
+      assert(touches.map(_._5).sum == 1000000L, s"purchase $pid weights don't partition 1e6")
+      assert(touches.map(_._2).distinct.length == touches.length,
+        s"purchase $pid: duplicate click pair (bucketing double-count)")
+      assert(touches.map(_._3).sorted.toSeq == (1L to touches.length.toLong),
+        s"purchase $pid: ranks not 1..n")
+      assert(touches.forall(_._4 == touches.length.toLong))
+    }
+    // brute pair recount: plain per-user range condition
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    val brute = byUser.toSeq.flatMap { case (_, xs) =>
+      for {
+        p <- xs.toSeq if p._3 == "purchase"
+        c <- xs.toSeq if c._3 == "click" &&
+          p._4 >= c._4 && p._4 - c._4 <= 604800000000L
+      } yield (p._2, c._2)
+    }.toSet
+    assert(got.map(t => (t._1, t._2)).toSet == brute,
+      "bucketed pair set diverges from the brute range join")
+  }
 }
