@@ -20,7 +20,7 @@ private[graft] object StreamFeeds {
 
   val SourceParts = 16
   private[graft] val baseMs = 1735689600000L // 2025-01-01T00:00:00Z
-  private def base = baseMs
+  private def base = baseMs // feed-local alias
 
   def ev(i: Int, nKeys: Int): BenchEv = BenchEv(i.toLong, i % nKeys,
     if (i % 17 == 0) "d" else "u", i * 0.5, new java.sql.Timestamp(base + i))

@@ -144,6 +144,50 @@ class QualityStreamSpec extends SparkSpec {
     assert(cleanSeqs == Set(1L))
   }
 
+  test("gated ingest: random feeds and batchings always conserve and classify exactly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val domain = Vector("click", "view", "error", "signup", "purchase", "bogus")
+    val rnd = new scala.util.Random(42) // fixed seed — deterministic
+    for (trial <- 1 to 3) {
+      val n = 40 + rnd.nextInt(60)
+      val evs = (1 to n).map { i =>
+        GE(i.toLong, i.toLong, rnd.nextInt(12),
+          if (rnd.nextInt(10) == 0) "d" else "u",
+          rnd.nextDouble() * 600.0 - 30.0, // spans both range violations
+          domain(rnd.nextInt(domain.length)))
+      }
+      val cuts = Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(n)).sorted.distinct
+      val batches = (Seq(0) ++ cuts ++ Seq(n)).distinct.sorted
+        .sliding(2).map { case Seq(a, b) => evs.slice(a, b) }
+        .filter(_.nonEmpty).toSeq
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-qprop$trial").toString
+      val clean = new StreamApply.ParquetUpsertStore(spark, s"$dir/clean",
+        key = "key", seq = "seq", opCol = "op", deleteOp = "d",
+        payloadCols = Seq("value", "event_type"))
+      val dlq = new StreamApply.ParquetUpsertStore(spark, s"$dir/dlq",
+        key = "eid", seq = "seq", opCol = "op", deleteOp = "never",
+        payloadCols = Seq("key", "value", "event_type"))
+      val in = MemoryStream[GE]
+      val q = QualityStream.gatedSink(in.toDF(), clean, dlq, s"$dir/ckpt").start()
+      try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      val isBad = (e: GE) => e.op != "d" &&
+        (e.value < 0.0 || e.value >= 500.0 ||
+          !Set("click", "error", "purchase", "signup", "view").contains(e.event_type))
+      val dlqSeqs = dlq.view().select("eid").collect().map(_.getLong(0)).toSet
+      assert(dlqSeqs == evs.filter(isBad).map(_.eid).toSet,
+        s"trial $trial: DLQ diverged from the rule fold")
+      val expectView = evs.filterNot(isBad).groupBy(_.key).flatMap { case (k, xs) =>
+        val last = xs.maxBy(_.seq)
+        if (last.op == "d") None else Some(k -> last.seq)
+      }
+      val gotView = clean.view().collect()
+        .map(r => r.getAs[Int]("key") -> r.getAs[Long]("seq")).toMap
+      assert(gotView == expectView, s"trial $trial: clean view diverged")
+    }
+  }
+
   test("a clean feed reports zero violations with full counts") {
     val clean = evs.map(e => e.copy(event_type = "view", value = 1.5))
     val got = run(Seq(clean))
