@@ -203,8 +203,8 @@ object Validate {
     * equal bins; out-of-domain values clamp into the edge bins so the
     * shares always total 10⁶.
     */
-  private val DriftBins = 10
-  private val DriftWidth = 50.0
+  private[graft] val DriftBins = 10
+  private[graft] val DriftWidth = 50.0
 
   /** v4 — NUMERIC DISTRIBUTION DRIFT: the per-bin share of `value` in
     * the older half of the corpus vs the newer half (split at the

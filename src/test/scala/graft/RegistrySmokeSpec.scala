@@ -44,6 +44,30 @@ class RegistrySmokeSpec extends SparkSpec {
     }
   }
 
+  test("no cross-module key collisions — Map ++ would shadow silently") {
+    // SparkEntry.queries is a ++ union of fifteen module maps; a key
+    // declared twice (e.g. a new module reusing an old number) would
+    // silently drop one implementation and the oracle comparison would
+    // test the WRONG query under the right name. Guard the invariant
+    // that the union is collision-free, module by module.
+    val modules: Seq[(String, Map[String, _])] = Seq(
+      "cdc" -> cdc.CdcQueries.queries, "dashboards" -> analytics.Dashboards.queries,
+      "tpch" -> ext.Tpch.queries, "dedup" -> ext.Dedup.queries,
+      "similarity" -> ext.Similarity.queries, "text" -> ext.TextAnalysis.queries,
+      "multimodal" -> ext.Multimodal.queries, "sessions" -> ext.Sessions.queries,
+      "sampling" -> ext.Sampling.queries, "pipeline" -> ext.Pipeline.queries,
+      "temporal" -> ext.Temporal.queries, "prep" -> ext.Prep.queries,
+      "relational" -> ext.Relational.queries, "search" -> ext.Search.queries,
+      "bloom" -> ext.Bloom.queries, "validate" -> ext.Validate.queries)
+    val owners = modules.flatMap { case (m, qs) => qs.keys.map(_ -> m) }
+      .groupBy(_._1).filter(_._2.length > 1)
+    assert(owners.isEmpty,
+      s"key(s) declared in multiple modules: " +
+        owners.map { case (k, ms) => s"$k(${ms.map(_._2).mkString("+")})" }.mkString(", "))
+    assert(modules.map(_._2.size).sum == SparkEntry.queries.size,
+      "union size diverges from module sizes — a key was shadowed")
+  }
+
   test("oracle keys are a subset of query keys; flagship entry is live") {
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracle without query: $extra")
