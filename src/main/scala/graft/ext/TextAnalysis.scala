@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Portable._
 
@@ -356,7 +357,39 @@ object TextAnalysis {
           .as("oov_ppm"))
   }
 
+  /** x26 — ZIPF RANK-FREQUENCY audit: the v6-Benford screen's text-side
+    * sibling. For the top-100 corpus terms, `rank × frequency` should be
+    * roughly constant under Zipf's law; a corpus of templated/generated
+    * text (or a tokenizer gone wrong) bends the curve visibly. The
+    * statistic is `rank·freq` itself plus its exact ppm ratio to the
+    * rank-1 product — NO log-log regression, because a slope fit would
+    * put libm in the compared values (the Benford rule) while the
+    * integer products carry the same information.
+    *
+    * Rides the persisted term-frequency index: one reaggregation of the
+    * (doc, term, tf) postings to corpus frequencies, one 100-row top-k
+    * (`TakeOrderedAndProject` — nothing global except those rows), and
+    * the ratios broadcast off the rank-1 row.
+    */
+  def zipfAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val freq = termFreq(spark, sfDir)
+      .groupBy("term").agg(sum("tf").as("freq"))
+      .orderBy(desc("freq"), asc("term")).limit(100)
+    val w = Window.orderBy(desc("freq"), asc("term"))
+    val ranked = freq
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("rank_freq", col("rank") * col("freq"))
+    ranked
+      .withColumn("top_product",
+        first("rank_freq").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .select(col("rank"), col("term"), col("freq"), col("rank_freq"),
+        expr("CAST(CAST(rank_freq AS DECIMAL(38,0)) * 1000000 DIV " +
+          "CAST(top_product AS DECIMAL(38,0)) AS BIGINT)").as("vs_top_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x26_zipf_audit" -> (zipfAudit _),
     "x22_vocab_oov" -> (vocabOov _),
     "x1_token_stats" -> (tokenStats _),
     "x2_quality_score" -> (qualityScore _),
@@ -371,6 +404,23 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "x26_zipf_audit" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |freq AS (
+         |  SELECT term, CAST(sum(tf) AS BIGINT) AS freq FROM tf GROUP BY term
+         |  ORDER BY freq DESC, term LIMIT 100),
+         |r AS (
+         |  SELECT term, freq,
+         |    CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rank
+         |  FROM freq),
+         |t AS (SELECT rank * freq AS top_product FROM r WHERE rank = 1)
+         |SELECT r.rank, r.term, r.freq,
+         |  CAST(r.rank * r.freq AS BIGINT) AS rank_freq,
+         |  CAST(CAST(r.rank * r.freq AS HUGEINT) * 1000000 // t.top_product
+         |    AS BIGINT) AS vs_top_ppm
+         |FROM r CROSS JOIN t""".stripMargin,
     "x22_vocab_oov" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents),

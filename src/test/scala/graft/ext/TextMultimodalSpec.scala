@@ -246,4 +246,21 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rows.filter(r => r._1 % 13 != 0 && r._1 % 13 != 5)
       .values.forall(_ == "ok"), "clean payload flagged — false alarm")
   }
+
+  test("x26: products are exact, rank-1 is the reference, uniformity is flagged") {
+    val rows = TextAnalysis.zipfAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty && rows.map(_._1).toSeq == (1L to rows.length.toLong))
+    assert(rows.forall(r => r._4 == r._1 * r._3), "rank_freq must be rank*freq")
+    assert(rows.head._5 == 1000000L, "rank-1 must be the ppm reference")
+    // frequencies are rank-ordered (ties broken by term)
+    assert(rows.toSeq.sliding(2).forall { case Seq(a, b) => a._3 >= b._3; case _ => true })
+    // the synthetic corpus is UNIFORM, not Zipfian — the audit must say
+    // so (rank x freq grows ~linearly instead of staying ~flat)
+    // (the tail also holds one genuinely rare token, "dup", whose
+    // product dips back below 1e6 — the statistic moves both ways)
+    assert(rows.map(_._5).max > 2000000L,
+      "uniform generated vocabulary not flagged — vacuous audit")
+  }
 }
