@@ -357,7 +357,77 @@ object Validate {
         Tables.customer(spark, sfDir), "c_nationkey", "c_mktsegment"))
   }
 
+  /** v8 anomaly policy: a day is anomalous when its absolute deviation
+    * from the median daily volume exceeds this many MADs, stated in ppm
+    * of a MAD (3.5 MADs — the conventional robust-outlier cutoff). The
+    * score is deliberately in MAD units, NOT the "modified z-score"
+    * (which multiplies by the normal-consistency constant 0.6745 — an
+    * irrational factor that would put a float in the compared value);
+    * the threshold is declared in the same units, so the policy is
+    * identical information.
+    */
+  private[graft] val VolumeAnomalyPpm = 3500000L
+
+  /** v8 — DAILY-VOLUME ANOMALY via exact MAD: per event-time day, the
+    * event count and its robust deviation score `|n − median| / MAD` in
+    * exact ppm — the volume monitor that catches a stuck producer, a
+    * replayed backlog, or a partial day without being dragged by the
+    * very outliers it hunts (mean/stddev break down exactly when the
+    * feed misbehaves; the median/MAD pair does not).
+    *
+    * Exactness without floats: medians are carried DOUBLED as the sum
+    * of the two middle order statistics (`lo = (cnt+1) DIV 2`,
+    * `hi = cnt DIV 2 + 1`; odd counts pick the same rank twice), so
+    * `median_x2 = n@lo + n@hi` is an exact integer in both engines;
+    * per-day deviation `dev_x2 = |2·n − median_x2|` is twice the true
+    * deviation, `mad_x4 = dev_x2@lo + dev_x2@hi` is four times the true
+    * MAD, and `score_ppm = dev_x2 · 2·10⁶ DIV max(mad_x4, 1)` cancels
+    * the doubling exactly (DECIMAL multiply-then-DIV, the house
+    * arithmetic).
+    *
+    * Shape: ONE corpus scan partial-aggregates to day counts (map-side
+    * combined — the shuffled state is one long per day per partition);
+    * everything after lives on the day-grain frame as window functions
+    * over a SINGLE chain — no aggregate-and-join-back, which Spark
+    * would replan as a second corpus scan (the v4/v5 lesson). The
+    * single-partition windows hold one row per calendar day — bounded
+    * by the clock (a decade ≈ 3.7k rows), not the corpus, so the shape
+    * survives 100 TB unchanged.
+    */
+  def volumeAnomaly(spark: SparkSession, sfDir: String): DataFrame =
+    volumeAnomalyOf(Tables.events(spark, sfDir))
+
+  /** v8 over an arbitrary `(ts TIMESTAMP)` frame — injectable for the
+    * randomized property spec.
+    */
+  private[ext] def volumeAnomalyOf(events: DataFrame): DataFrame = {
+    val DayUs = 86400000000L
+    val all = Window.partitionBy()
+    def med2Of(v: String, rn: String): Column =
+      sum(when(col(rn) === expr("(cnt + 1) DIV 2"), col(v)).otherwise(0L)).over(all) +
+        sum(when(col(rn) === expr("cnt DIV 2 + 1"), col(v)).otherwise(0L)).over(all)
+    events
+      .selectExpr(s"unix_micros(ts) DIV $DayUs AS day")
+      .groupBy("day").agg(count(lit(1)).as("n_events"))
+      .withColumn("cnt", count(lit(1)).over(all))
+      // ties on n_events are broken by day for a deterministic PLAN; the
+      // value AT a rank is tie-order-independent, so the oracle's
+      // untie-broken row_number selects the same integers
+      .withColumn("rn", row_number().over(Window.orderBy("n_events", "day")))
+      .withColumn("median_x2", med2Of("n_events", "rn"))
+      .withColumn("dev_x2", abs(lit(2L) * col("n_events") - col("median_x2")))
+      .withColumn("rn2", row_number().over(Window.orderBy("dev_x2", "day")))
+      .withColumn("mad_x4", med2Of("dev_x2", "rn2"))
+      .withColumn("score_ppm", expr(
+        "CAST(CAST(dev_x2 AS DECIMAL(38,0)) * 2000000 " +
+          "DIV CAST(greatest(mad_x4, 1) AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("anomalous", col("score_ppm") > VolumeAnomalyPpm)
+      .select("day", "n_events", "median_x2", "dev_x2", "mad_x4",
+        "score_ppm", "anomalous")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v8_volume_anomaly" -> (volumeAnomaly _),
     "v6_benford_audit" -> (benfordAudit _),
     "v7_fd_audit" -> (fdAudit _),
     "v1_expectation_suite" -> (expectationSuite _),
@@ -368,6 +438,38 @@ object Validate {
   )
 
   val oracle: Map[String, String] = Map(
+    "v8_volume_anomaly" ->
+      s"""WITH d AS (
+         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         |    CAST(count(*) AS BIGINT) AS n_events
+         |  FROM events GROUP BY 1),
+         |r AS (
+         |  SELECT day, n_events,
+         |    row_number() OVER (ORDER BY n_events) AS rn,
+         |    count(*) OVER () AS cnt
+         |  FROM d),
+         |med AS (
+         |  SELECT CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN n_events ELSE 0 END)
+         |    + sum(CASE WHEN rn = cnt // 2 + 1 THEN n_events ELSE 0 END) AS BIGINT) AS m2
+         |  FROM r),
+         |dev AS (
+         |  SELECT day, n_events, m2 AS median_x2,
+         |    abs(2 * n_events - m2) AS dev_x2
+         |  FROM d CROSS JOIN med),
+         |r2 AS (
+         |  SELECT day, n_events, median_x2, dev_x2,
+         |    row_number() OVER (ORDER BY dev_x2) AS rn,
+         |    count(*) OVER () AS cnt
+         |  FROM dev),
+         |mad AS (
+         |  SELECT CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN dev_x2 ELSE 0 END)
+         |    + sum(CASE WHEN rn = cnt // 2 + 1 THEN dev_x2 ELSE 0 END) AS BIGINT) AS m4
+         |  FROM r2)
+         |SELECT day, n_events, median_x2, dev_x2, m4 AS mad_x4,
+         |  CAST(CAST(dev_x2 AS HUGEINT) * 2000000 // greatest(m4, 1) AS BIGINT) AS score_ppm,
+         |  CAST(CAST(dev_x2 AS HUGEINT) * 2000000 // greatest(m4, 1) AS BIGINT)
+         |    > $VolumeAnomalyPpm AS anomalous
+         |FROM dev CROSS JOIN mad""".stripMargin,
     "v6_benford_audit" -> {
       val expected = BenfordPpm.map { case (d, p) => s"($d, ${p})" }.mkString(", ")
       s"""WITH digits AS (

@@ -89,4 +89,29 @@ class ValidatePropertySpec extends SparkSpec {
       assert(got == expected, s"seed=$seed: $got != $expected")
     }
   }
+
+  test("v8 equals the driver fold on random corpora (incl. 1-day and even/odd day counts)") {
+    val dayUs = 86400000000L
+    def med2(vs: Seq[Long]): Long = {
+      val s = vs.sorted; val c = s.length
+      s((c + 1) / 2 - 1) + s(c / 2)
+    }
+    for (seed <- 40L to 52L) {
+      val rows = sample(seed)
+      val counts = rows.groupBy(_._1 / dayUs) // positive epochs: floor == truncate
+        .map { case (d, xs) => d -> xs.length.toLong }
+      val m2 = med2(counts.values.toSeq)
+      val devs = counts.map { case (d, n) => d -> math.abs(2 * n - m2) }
+      val m4 = med2(devs.values.toSeq)
+      val expected = counts.map { case (d, n) =>
+        val s = (BigInt(devs(d)) * 2000000 / BigInt(math.max(m4, 1L))).toLong
+        d -> ((n, m2, devs(d), m4, s, s > Validate.VolumeAnomalyPpm))
+      }
+      val got = Validate.volumeAnomalyOf(toDf(rows)).collect().map { r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      }.toMap
+      assert(got == expected, s"seed=$seed: $got != $expected")
+    }
+  }
 }

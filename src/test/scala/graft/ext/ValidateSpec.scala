@@ -137,4 +137,31 @@ class ValidateSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"))
     }
   }
+
+  test("v8 MAD anomaly: exact doubled-median identities, one scan, no joins") {
+    val df = Validate.volumeAnomaly(spark, sf)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    // med/mad are corpus constants, identical on every row
+    assert(rows.map(_._3).distinct.length == 1 && rows.map(_._5).distinct.length == 1)
+    val med2 = rows.head._3; val mad4 = rows.head._5
+    // doubled median really is the sum of the two middle order stats
+    val ns = rows.map(_._2).sorted
+    val cnt = ns.length
+    assert(med2 == ns((cnt + 1) / 2 - 1) + ns(cnt / 2), "median_x2 identity")
+    val devs = rows.map(_._4).sorted
+    assert(mad4 == devs((cnt + 1) / 2 - 1) + devs(cnt / 2), "mad_x4 identity")
+    // every row's score and verdict re-derive from its own columns
+    for ((_, n, m2, d2, m4, s, a) <- rows) {
+      assert(d2 == math.abs(2 * n - m2))
+      assert(s == (BigInt(d2) * 2000000 / BigInt(math.max(m4, 1L))).toLong)
+      assert(a == (s > Validate.VolumeAnomalyPpm))
+    }
+    // the scores measure the data, not the formula: real spread
+    assert(rows.map(_._6).distinct.length > 5, "scores are near-constant")
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"v8 must scan events once:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"))
+  }
 }
