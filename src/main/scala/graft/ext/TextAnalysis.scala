@@ -388,7 +388,59 @@ object TextAnalysis {
           "CAST(top_product AS DECIMAL(38,0)) AS BIGINT)").as("vs_top_ppm"))
   }
 
+  /** x27 — N-GRAM NOVELTY decay: per ingest-order bucket of the corpus,
+    * how many of its distinct 3-gram shingles are NEW (first seen in that
+    * bucket's documents) vs already known — the saturation curve a
+    * curation pipeline watches to decide when another crawl of the same
+    * sources stops adding information (novelty collapsing toward zero
+    * means the marginal document is re-tread). Reported as exact ppm of
+    * each bucket's distinct shingles.
+    *
+    * "First seen" is attributed at DOCUMENT grain: a shingle belongs to
+    * `min(doc_id)` over the documents containing it, and buckets are ten
+    * equal `doc_id`-RANGE slices (`(doc_id − lo) · 10 DIV (hi − lo + 1)`,
+    * an integer formula both engines state identically). Range slices,
+    * not rank deciles, are deliberate: rank deciles would need order
+    * statistics over the document table, while the range split needs one
+    * 1-row (min, max) broadcast — and the ids ARE the ingest order, so
+    * the curve reads the same.
+    *
+    * Shape: rides the persisted shingle-postings index (built once per
+    * corpus snapshot, shared with d2/c2); one shingle-keyed aggregate
+    * finds first-owners (posting-list-sized shuffle, map-side combined
+    * min), bucket rollups happen BEFORE any join, and the final joins
+    * touch three 10-row frames. Nothing document- or shingle-sized is
+    * ever broadcast or joined at row grain — at 100 TB the cost is the
+    * index scan plus one posting-list shuffle.
+    */
+  def noveltyCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.shingleFrame(spark, sfDir).select("doc_id", "shingle")
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    // 1-row (lo, hi); localCheckpointed so the three bucketings share one
+    // computation instead of re-deriving the aggregate subtree per use
+    val span = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .localCheckpoint()
+    def bucketOf(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(span)) // one-row frame: correct broadcast
+        .withColumn("id_bucket", expr("(doc_id - lo) * 10 DIV (hi - lo + 1)"))
+    val docCounts = bucketOf(docs)
+      .groupBy("id_bucket").agg(count(lit(1)).as("n_docs"))
+    val shCounts = bucketOf(sh)
+      .groupBy("id_bucket").agg(count(lit(1)).as("n_shingles"))
+    val novelCounts = bucketOf(
+        sh.groupBy("shingle").agg(min("doc_id").as("doc_id")))
+      .groupBy("id_bucket").agg(count(lit(1)).as("n_novel"))
+    docCounts
+      .join(shCounts, Seq("id_bucket"), "left")
+      .join(novelCounts, Seq("id_bucket"), "left")
+      .na.fill(0L, Seq("n_shingles", "n_novel"))
+      .withColumn("novelty_ppm", expr(
+        "CAST(CAST(n_novel AS DECIMAL(38,0)) * 1000000 DIV " +
+          "CAST(greatest(n_shingles, 1) AS DECIMAL(38,0)) AS BIGINT)"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x27_novelty" -> (noveltyCurve _),
     "x26_zipf_audit" -> (zipfAudit _),
     "x22_vocab_oov" -> (vocabOov _),
     "x1_token_stats" -> (tokenStats _),
@@ -404,6 +456,31 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "x27_novelty" ->
+      s"""WITH s0 AS (
+         |  SELECT doc_id, ${Dedup.shingleHashesSql} AS sh
+         |  FROM (SELECT doc_id,
+         |          list_transform(${tokensSql("text")}, t -> ${tokenHashSql("t")}) AS hs
+         |        FROM documents)),
+         |post AS (SELECT doc_id, unnest(sh) AS shingle FROM s0),
+         |span AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+         |db AS (
+         |  SELECT doc_id, (doc_id - lo) * 10 // (hi - lo + 1) AS id_bucket
+         |  FROM documents CROSS JOIN span),
+         |dc AS (SELECT id_bucket, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM db GROUP BY 1),
+         |sc AS (SELECT id_bucket, CAST(count(*) AS BIGINT) AS n_shingles
+         |       FROM post JOIN db USING (doc_id) GROUP BY 1),
+         |firsts AS (SELECT shingle, min(doc_id) AS doc_id FROM post GROUP BY 1),
+         |nc AS (SELECT id_bucket, CAST(count(*) AS BIGINT) AS n_novel
+         |       FROM firsts JOIN db USING (doc_id) GROUP BY 1)
+         |SELECT dc.id_bucket, dc.n_docs,
+         |  coalesce(sc.n_shingles, 0) AS n_shingles,
+         |  coalesce(nc.n_novel, 0) AS n_novel,
+         |  CAST(CAST(coalesce(nc.n_novel, 0) AS HUGEINT) * 1000000
+         |    // greatest(coalesce(sc.n_shingles, 0), 1) AS BIGINT) AS novelty_ppm
+         |FROM dc LEFT JOIN sc USING (id_bucket)
+         |LEFT JOIN nc USING (id_bucket)""".stripMargin,
     "x26_zipf_audit" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents),

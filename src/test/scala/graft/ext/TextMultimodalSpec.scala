@@ -263,4 +263,30 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rows.map(_._5).max > 2000000L,
       "uniform generated vocabulary not flagged — vacuous audit")
   }
+
+  test("x27: novelty partitions the shingle universe and genuinely decays") {
+    val df = TextAnalysis.noveltyCurve(spark, sf)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == nDocs, "bucket doc counts must partition the corpus")
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 9))
+    // every distinct shingle is novel in exactly one bucket: the novel
+    // counts partition the shingle universe
+    val universe = Dedup.shingleFrame(spark, sf)
+      .select("shingle").distinct().count()
+    assert(rows.map(_._4).sum == universe,
+      s"novel counts ${rows.map(_._4).sum} must sum to the universe $universe")
+    // a bucket's novel shingles are a subset of its distinct shingles
+    assert(rows.forall(r => r._4 <= r._3))
+    for ((_, _, nsh, nov, p) <- rows)
+      assert(p == (BigInt(nov) * 1000000 / BigInt(math.max(nsh, 1L))).toLong)
+    // the curve must MEASURE saturation: the first bucket sees shingles
+    // first, the last bucket mostly re-treads — strict decay end-to-end
+    assert(rows.head._5 > rows.last._5,
+      s"no novelty decay: ${rows.map(_._5).mkString(",")}")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in x27:\n$p")
+  }
 }
