@@ -369,7 +369,94 @@ object Sessions {
             .otherwise(0L)).as("weight_ppm"))
   }
 
+  /** k13 — RFM SEGMENTATION: every user scored on Recency (days since
+    * their last event, against the corpus's newest event), Frequency
+    * (event count) and Monetary (exact purchase cents), each cut into
+    * quintiles, rolled up to the (R, F, M) segment grid — the classic
+    * audience-segmentation cube (`quintile 1` = smallest metric values;
+    * consumers read R1 as "most recent" after the sign flip they
+    * prefer). Output is ≤ 125 segment rows with user counts and total
+    * monetary mass.
+    *
+    * Quintile BOUNDARIES come from the r10/r11 histogram-refine shape,
+    * NOT `ntile` — ntile drags the whole user-grain frame through one
+    * range-partitioned global sort, while here: (1) one user-keyed
+    * aggregate builds the metric frame (map-side combined); (2) the
+    * three metrics melt into (metric, v) rows and a 3×~1k-bucket
+    * histogram locates each of the 12 target ranks (`ceil(k·n/5)` as
+    * exact integer arithmetic); (3) only the located buckets' rows are
+    * rank-refined (sort bounded by one bucket's width, adaptive
+    * `w = (hi−lo+1) DIV 1024`); (4) assignment is a broadcast of 4
+    * longs per metric against the user frame — `1 + Σ(v > bound)`,
+    * ties landing in the lower quintile, stated identically in the
+    * oracle. The user-metric frame is localCheckpointed: three
+    * consumers (histogram, refine, assignment) read it like the
+    * materialized user-metrics table a production pipeline would keep.
+    */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+    val anchor = ev.agg(max("us").as("anchor_us"))
+    val um = ev.groupBy("user_id")
+      .agg(max("us").as("last_us"), count(lit(1)).as("frequency"),
+        sum(when(col("event_type") === "purchase",
+          expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(0L))
+          .as("monetary_cents"))
+      .crossJoin(broadcast(anchor)) // one-row frame: correct broadcast
+      .withColumn("recency_days", expr(s"(anchor_us - last_us) DIV $DayUs"))
+      .select("user_id", "recency_days", "frequency", "monetary_cents")
+      .localCheckpoint(false)
+    val melted = um.select(explode(array(
+        struct(lit("r").as("metric"), col("recency_days").as("v")),
+        struct(lit("f").as("metric"), col("frequency").as("v")),
+        struct(lit("m").as("metric"), col("monetary_cents").as("v")))).as("mv"))
+      .select(col("mv.metric").as("metric"), col("mv.v").as("v"))
+    val span = melted.groupBy("metric")
+      .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
+      .withColumn("w", expr("greatest(1L, (hi - lo + 1) DIV 1024)"))
+      .localCheckpoint(false) // 3 rows
+    val hist = melted
+      .join(broadcast(span.select("metric", "lo", "w")), Seq("metric"))
+      .groupBy(col("metric"), expr("(v - lo) DIV w").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val wb = Window.partitionBy("metric").orderBy("bucket")
+    val cum = hist.withColumn("cum", sum("c").over(wb))
+      .withColumn("cum_before", col("cum") - col("c"))
+    val targets = span.select(col("metric"), explode(array((1 to 4).map(k =>
+        struct(lit(k.toLong).as("k"), expr(s"($k * n + 4) DIV 5").as("r"))): _*))
+        .as("t"))
+      .select(col("metric"), col("t.k").as("k"), col("t.r").as("r"))
+    val located = targets.join(cum, Seq("metric"))
+      .filter(col("r") > col("cum_before") && col("r") <= col("cum"))
+      .select(col("metric"), col("k"), col("bucket"),
+        (col("r") - col("cum_before")).as("local_r"))
+    val wv = Window.partitionBy("metric", "k").orderBy("v")
+    val bounds = melted
+      .join(broadcast(span.select("metric", "lo", "w")), Seq("metric"))
+      .withColumn("bucket", expr("(v - lo) DIV w"))
+      .join(broadcast(located), Seq("metric", "bucket"))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === col("local_r"))
+      .groupBy("metric").agg(sort_array(collect_list("v")).as("bs"))
+    // 1 row × 3 array-of-4 columns
+    val wide = bounds.groupBy().pivot("metric", Seq("r", "f", "m")).agg(first("bs"))
+    def quint(v: Column, bs: Column): Column =
+      lit(1L) + aggregate(bs, lit(0L),
+        (acc, b) => acc + when(v > b, 1L).otherwise(0L))
+    um.crossJoin(broadcast(wide)) // one-row frame: correct broadcast
+      .select(quint(col("recency_days"), col("r")).as("r_quintile"),
+        quint(col("frequency"), col("f")).as("f_quintile"),
+        quint(col("monetary_cents"), col("m")).as("m_quintile"),
+        col("monetary_cents"))
+      .groupBy("r_quintile", "f_quintile", "m_quintile")
+      .agg(count(lit(1)).as("n_users"),
+        sum("monetary_cents").as("total_monetary_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "k13_rfm_segments" -> (rfmSegments _),
     "k12_attribution" -> (attribution _),
     "k10_zscore_outliers" -> (zscoreOutliers _),
     "k9_decay_score" -> (decayScore _),
@@ -385,6 +472,47 @@ object Sessions {
   )
 
   val oracle: Map[String, String] = Map(
+    "k13_rfm_segments" ->
+      """WITH anchor AS (
+        |  SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS aus FROM events),
+        |um AS (
+        |  SELECT user_id,
+        |    CAST((aus - max(epoch_us(CAST(ts AS TIMESTAMP)))) // 86400000000
+        |      AS BIGINT) AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS monetary_cents
+        |  FROM events CROSS JOIN anchor GROUP BY user_id, aus),
+        |m AS (
+        |  SELECT 'r' AS metric, recency_days AS v FROM um
+        |  UNION ALL SELECT 'f', frequency FROM um
+        |  UNION ALL SELECT 'm', monetary_cents FROM um),
+        |r AS (
+        |  SELECT metric, v,
+        |    row_number() OVER (PARTITION BY metric ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY metric) AS n
+        |  FROM m),
+        |b AS (
+        |  SELECT metric, t.k, v FROM r
+        |  JOIN (VALUES (1), (2), (3), (4)) t(k) ON r.rn = (t.k * r.n + 4) // 5),
+        |bs AS (SELECT metric, list(v ORDER BY v) AS lst FROM b GROUP BY metric),
+        |br AS (SELECT lst AS rl FROM bs WHERE metric = 'r'),
+        |bf AS (SELECT lst AS fl FROM bs WHERE metric = 'f'),
+        |bm AS (SELECT lst AS ml FROM bs WHERE metric = 'm'),
+        |q AS (
+        |  SELECT
+        |    1 + len(list_filter(rl, x -> recency_days > x)) AS r_quintile,
+        |    1 + len(list_filter(fl, x -> frequency > x)) AS f_quintile,
+        |    1 + len(list_filter(ml, x -> monetary_cents > x)) AS m_quintile,
+        |    monetary_cents
+        |  FROM um CROSS JOIN br CROSS JOIN bf CROSS JOIN bm)
+        |SELECT CAST(r_quintile AS BIGINT) AS r_quintile,
+        |  CAST(f_quintile AS BIGINT) AS f_quintile,
+        |  CAST(m_quintile AS BIGINT) AS m_quintile,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(monetary_cents) AS BIGINT) AS total_monetary_cents
+        |FROM q GROUP BY 1, 2, 3""".stripMargin,
     // the oracle states the UNBUCKETED definition (plain range join) —
     // the hash match is the bucketing-completeness proof
     "k12_attribution" ->

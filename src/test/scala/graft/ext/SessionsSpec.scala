@@ -266,4 +266,42 @@ class SessionsSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2)).toSet == brute,
       "bucketed pair set diverges from the brute range join")
   }
+
+  test("k13 RFM segments equal a brute ntile-free fold; no global sort in the plan") {
+    import org.apache.spark.sql.functions._
+    val df = Sessions.rfmSegments(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    // brute: per-user metrics, boundaries as the ceil(k·n/5)-th smallest,
+    // quintile = 1 + strict-greater count over the 4 boundaries
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val anchor = ev.map(_._2).max
+    val um = ev.groupBy(_._1).map { case (u, xs) =>
+      val rec = (anchor - xs.map(_._2).max) / 86400000000L
+      val freq = xs.length.toLong
+      val mon = xs.filter(_._3 == "purchase")
+        .map(x => math.floor(x._4 * 100).toLong).sum
+      (u, rec, freq, mon)
+    }.toSeq
+    def bounds(vs: Seq[Long]): Seq[Long] = {
+      val s = vs.sorted; val n = s.length
+      (1 to 4).map(k => s((k * n + 4) / 5 - 1))
+    }
+    val (rb, fb, mb) = (bounds(um.map(_._2)), bounds(um.map(_._3)), bounds(um.map(_._4)))
+    def q(v: Long, bs: Seq[Long]): Long = 1L + bs.count(v > _)
+    val expected = um.groupBy(x => (q(x._2, rb), q(x._3, fb), q(x._4, mb)))
+      .map { case (k, xs) => k -> ((xs.length.toLong, xs.map(_._4).sum)) }
+    assert(got == expected, s"segments diverge:\n got=$got\n exp=$expected")
+    assert(got.keys.forall { case (a, b, c) =>
+      Seq(a, b, c).forall(x => x >= 1L && x <= 5L) })
+    assert(got.values.map(_._1).sum == um.length.toLong)
+    // the point of the histogram-refine shape: NO range-partitioned
+    // global sort of the user frame anywhere in the plan
+    val p = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(!p.contains("rangepartitioning"), s"global sort in k13 plan:\n$p")
+  }
 }
