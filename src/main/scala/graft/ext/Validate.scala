@@ -400,15 +400,26 @@ object Validate {
   /** v8 over an arbitrary `(ts TIMESTAMP)` frame — injectable for the
     * randomized property spec.
     */
-  private[ext] def volumeAnomalyOf(events: DataFrame): DataFrame = {
+  private[graft] def volumeAnomalyOf(events: DataFrame): DataFrame = {
     val DayUs = 86400000000L
+    scoreDayCounts(events
+      .selectExpr(s"unix_micros(ts) DIV $DayUs AS day")
+      .groupBy("day").agg(count(lit(1)).as("n_events")))
+  }
+
+  /** v8's scoring over an already-aggregated `(day LONG, n_events LONG)`
+    * frame — the arithmetic half of the monitor, shared with the
+    * streaming twin ([[graft.streaming.VolumeStream]]): the live path
+    * maintains the day counts as watermarked state and calls THIS on the
+    * maintained store, so the batch audit and the live monitor cannot
+    * score differently.
+    */
+  private[graft] def scoreDayCounts(days: DataFrame): DataFrame = {
     val all = Window.partitionBy()
     def med2Of(v: String, rn: String): Column =
       sum(when(col(rn) === expr("(cnt + 1) DIV 2"), col(v)).otherwise(0L)).over(all) +
         sum(when(col(rn) === expr("cnt DIV 2 + 1"), col(v)).otherwise(0L)).over(all)
-    events
-      .selectExpr(s"unix_micros(ts) DIV $DayUs AS day")
-      .groupBy("day").agg(count(lit(1)).as("n_events"))
+    days
       .withColumn("cnt", count(lit(1)).over(all))
       // ties on n_events are broken by day for a deterministic PLAN; the
       // value AT a rank is tie-order-independent, so the oracle's
