@@ -253,6 +253,39 @@ object Prep {
         sum(col("n") * col("n_chars")).as("n_chars"))
   }
 
+  /** c18 — TOKENIZER FERTILITY audit: per language, BPE units per word
+    * and characters per unit in exact ppm — the tokenizer-evaluation
+    * metric (Ács' fertility) that tells a training run which languages
+    * the learned vocabulary serves poorly (fertility → word-length ppm
+    * means the merges never fire there; such languages pay more sequence
+    * length per content and train worse). Rides c10's trainer verbatim:
+    * the SAME vocab fold, the SAME encode-as-projection trick as c12 —
+    * the corpus-sized work is one (lang, token) count aggregate joined
+    * to the |vocab| symbol table, then a |langs|-row rollup. Fertility
+    * ≥ 10⁶ by construction (a word is at least one unit), so the spec's
+    * floor is an identity check, not a data accident.
+    */
+  def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, vocab) = bpeTrainFull(Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("t")), BpeMerges)
+    val enc = vocab.select(col("t"), size(col("syms")).as("n_units"),
+      length(col("t")).as("n_chars"))
+    val tc = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(tokens(col("text"))).as("t"))
+      .groupBy("lang", "t").agg(count(lit(1)).as("n"))
+    tc.join(enc, Seq("t"))
+      .groupBy("lang")
+      .agg(sum("n").as("n_words"),
+        sum(col("n") * col("n_units")).as("n_bpe_units"),
+        sum(col("n") * col("n_chars")).as("n_chars"))
+      .withColumn("fertility_ppm", expr(
+        "CAST(CAST(n_bpe_units AS DECIMAL(38,0)) * 1000000 " +
+          "DIV CAST(n_words AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("chars_per_unit_ppm", expr(
+        "CAST(CAST(n_chars AS DECIMAL(38,0)) * 1000000 " +
+          "DIV CAST(n_bpe_units AS DECIMAL(38,0)) AS BIGINT)"))
+  }
+
   // ---- x9: repetition quality signal ------------------------------------
 
   /** x9 — repetition ratios (the Gopher-style quality rules the x2 score
@@ -470,6 +503,7 @@ object Prep {
     "c9_span_scrub" -> (spanScrub _),
     "c10_bpe_train" -> (bpeTrain _),
     "c12_bpe_encode" -> (bpeEncode _),
+    "c18_fertility" -> (tokenizerFertility _),
     "x9_repetition" -> (repetition _)
   )
 
@@ -534,7 +568,34 @@ object Prep {
        |GROUP BY tc.doc_id""".stripMargin
   }
 
+  /** c18 oracle: c10's vocab CTE chain + a per-lang rollup with exact
+    * HUGEINT ppm ratios (fertility = units/word, compression =
+    * chars/unit).
+    */
+  private val c18Sql: String = {
+    val cte = c10Sql.substring(0, c10Sql.lastIndexOf("SELECT step,"))
+      .trim.stripSuffix(",")
+    s"""$cte,
+       |enc AS (SELECT t, len(syms) AS n_units FROM vocab$BpeMerges),
+       |tc AS (
+       |  SELECT lang, t, count(*) AS n
+       |  FROM (SELECT lang, unnest(${tokensSql("text")}) AS t
+       |        FROM documents)
+       |  GROUP BY lang, t)
+       |SELECT tc.lang,
+       |  CAST(sum(tc.n) AS BIGINT) AS n_words,
+       |  CAST(sum(tc.n * enc.n_units) AS BIGINT) AS n_bpe_units,
+       |  CAST(sum(tc.n * len(tc.t)) AS BIGINT) AS n_chars,
+       |  CAST(CAST(sum(tc.n * enc.n_units) AS HUGEINT) * 1000000
+       |    // sum(tc.n) AS BIGINT) AS fertility_ppm,
+       |  CAST(CAST(sum(tc.n * len(tc.t)) AS HUGEINT) * 1000000
+       |    // sum(tc.n * enc.n_units) AS BIGINT) AS chars_per_unit_ppm
+       |FROM tc JOIN enc ON tc.t = enc.t
+       |GROUP BY tc.lang""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "c18_fertility" -> c18Sql,
     // phase stated by the naive per-language rank definition — the hash
     // match proves the w3-style bucket decomposition
     "c16_curriculum" ->

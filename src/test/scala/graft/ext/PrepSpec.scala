@@ -195,4 +195,30 @@ class PrepSpec extends SparkSpec {
     // non-trivial verdict mix (data-measured, not DDL-restated)
     assert(ld.values.exists(_._4) , "no diverse group")
   }
+
+  test("c18 fertility: per-lang totals reconcile with c12's per-doc budgets") {
+    val byLang = Prep.tokenizerFertility(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(byLang.keySet == Set("en", "de", "fr", "es", "zh"))
+    for ((lang, (w, u, c, f, cpu)) <- byLang) {
+      // a word is >= 1 unit, a unit >= 1 char: both ratios have hard floors
+      assert(u >= w && c >= u, s"$lang: impossible budgets")
+      assert(f == (BigInt(u) * 1000000 / BigInt(w)).toLong, s"$lang fertility")
+      assert(cpu == (BigInt(c) * 1000000 / BigInt(u)).toLong, s"$lang chars/unit")
+      assert(f >= 1000000L)
+    }
+    // the metric measures the languages, not the formula
+    assert(byLang.values.map(_._4).toSeq.distinct.length >= 2,
+      "fertility identical across languages — vacuous")
+    // same vocab, different rollup grain: lang totals == c12's doc totals
+    val docTotals = Prep.bpeEncode(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_words"),
+        org.apache.spark.sql.functions.sum("n_bpe_units"),
+        org.apache.spark.sql.functions.sum("n_chars")).collect().head
+    assert((byLang.values.map(_._1).sum, byLang.values.map(_._2).sum,
+      byLang.values.map(_._3).sum) ==
+      ((docTotals.getLong(0), docTotals.getLong(1), docTotals.getLong(2))),
+      "lang-grain and doc-grain budgets diverge")
+  }
 }
