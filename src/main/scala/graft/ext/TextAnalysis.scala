@@ -439,7 +439,115 @@ object TextAnalysis {
           "CAST(greatest(n_shingles, 1) AS DECIMAL(38,0)) AS BIGINT)"))
   }
 
+  /** x28 candidate policy: phrases are maximal stopword-free token runs,
+    * capped at this many words (longer runs are discarded, the standard
+    * RAKE candidate rule — uncapped, the score degenerates into "longest
+    * run wins"). The stopword list is the corpus's function words, the
+    * same two the quality/curriculum queries gate on.
+    */
+  private[graft] val RakeStopwords = Seq("the", "a")
+  private[graft] val RakeMaxLen = 4
+  private[graft] val RakeTopK = 50
+
+  /** x28 — RAKE KEYPHRASE extraction: candidate phrases are maximal
+    * stopword-free runs (≤ [[RakeMaxLen]] words); each word scores
+    * `degree/frequency` over the candidate set (degree = Σ length of the
+    * candidate instances containing it — RAKE's within-phrase
+    * co-occurrence count; frequency = its instance count), and a phrase
+    * scores the sum of its words' scores — the doc-tagging primitive
+    * (Rose et al.'s RAKE) a curation pipeline runs to label corpus
+    * slices. Top-[[RakeTopK]] by (score, phrase) — the unique-phrase
+    * tie-break makes the cut deterministic in both engines.
+    *
+    * Integral scoring: each word's `degree/frequency` is floored to
+    * exact ppm (DECIMAL multiply-then-DIV) BEFORE the phrase sum — a
+    * declared policy stated identically in the oracle, keeping every
+    * compared value an exact integer (true rational sums would need a
+    * common-denominator blowup for no ranking benefit).
+    *
+    * Shape: one posexplode of the corpus, one per-doc window (the
+    * pos − row_number run-id trick), then everything is candidate- or
+    * vocabulary-sized: instance rollup by (doc, run), word stats by
+    * word, phrase-word join bounded by 4 words per phrase, and a
+    * TakeOrdered top-K — no global sort materializes. At 100 TB the
+    * cost is the token scan plus posting-list-scale shuffles.
+    */
+  def rakeKeyphrases(spark: SparkSession, sfDir: String): DataFrame = {
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val inst = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .filter(!col("tok").isin(RakeStopwords: _*))
+      .withColumn("run_id", col("pos") - row_number().over(wd))
+      .groupBy("doc_id", "run_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("ps"))
+      .select(expr("transform(ps, p -> p.tok)").as("ws"))
+      .filter(size(col("ws")) <= RakeMaxLen)
+      .withColumn("len", size(col("ws")).cast("long"))
+      .withColumn("phrase", array_join(col("ws"), " "))
+    val wordScores = inst.select(col("len"), explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"), sum("len").as("deg"))
+      .select(col("w"), expr(
+        "CAST(CAST(deg AS DECIMAL(38,0)) * 1000000 " +
+          "DIV CAST(freq AS DECIMAL(38,0)) AS BIGINT)").as("wscore_ppm"))
+    val phrases = inst.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"), max("len").as("n_words"))
+    val scores = inst.select(col("phrase"), col("ws")).distinct()
+      .select(col("phrase"), explode(col("ws")).as("w"))
+      .join(wordScores, Seq("w"))
+      .groupBy("phrase").agg(sum("wscore_ppm").as("score_ppm"))
+    phrases.join(scores, Seq("phrase"))
+      .orderBy(col("score_ppm").desc, col("phrase"))
+      .limit(RakeTopK)
+  }
+
+  private[graft] val TextRankTopK = 100
+  private[graft] val TextRankIters = 3
+
+  /** x29 — TEXTRANK term ranking: PageRank over the word co-occurrence
+    * graph (Mihalcea & Tarau's TextRank), the graph-centrality
+    * counterpart of x28's frequency-ratio RAKE — the two disagree
+    * exactly where corpus-wide connectivity and within-phrase frequency
+    * diverge, which is why curation pipelines run both. Declared graph
+    * policy: nodes are the content words (the same [[RakeStopwords]]
+    * filter as x28); edges connect CONSECUTIVE content words within a
+    * stopword-free run (stopwords break adjacency — the window-2
+    * syntactic filter of the paper), undirected, deduplicated,
+    * self-loops dropped. Rank is the integral-arithmetic PageRank engine
+    * proven against a sequential fold in `ClustersPropertySpec`
+    * ([[Dedup.pageRankOn]]: Scale 1e12, 0.15/0.85 floor-div teleport),
+    * [[TextRankIters]] iterations. Top-[[TextRankTopK]] by
+    * (rank, word) — deterministic cut.
+    *
+    * Shape: one token scan, two per-doc windows (run-id + lead), then a
+    * DISTINCT on the edge set (vocabulary²-bounded but corpus-sparse) and
+    * per-iteration joins keyed on words — posting-list-scale shuffles; the
+    * only broadcast is the one-row node count. At 100 TB the edge set and
+    * vocabulary are both sublinear in the corpus, so iteration cost
+    * detaches from corpus size after the first scan.
+    */
+  def textRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val content = docs(spark, sfDir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .filter(!col("tok").isin(RakeStopwords: _*))
+      .withColumn("run_id", col("pos") - row_number().over(wd))
+    val wr = Window.partitionBy("doc_id", "run_id").orderBy("pos")
+    val pairs = content
+      .withColumn("nxt", lead(col("tok"), 1).over(wr))
+      .filter(col("nxt").isNotNull && col("tok") =!= col("nxt"))
+      .select(least(col("tok"), col("nxt")).as("wa"),
+        greatest(col("tok"), col("nxt")).as("wb"))
+      .distinct()
+    val nodes = content.select(col("tok").as("word")).distinct()
+    Dedup.pageRankOn(pairs, "wa", "wb", nodes, "word", iters = TextRankIters)
+      .select(col("id").as("word"), col("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("word"))
+      .limit(TextRankTopK)
+  }
+
   val queries: Map[String, Q] = Map(
+    "x29_textrank" -> (textRank _),
+    "x28_keyphrases" -> (rakeKeyphrases _),
     "x27_novelty" -> (noveltyCurve _),
     "x26_zipf_audit" -> (zipfAudit _),
     "x22_vocab_oov" -> (vocabOov _),
@@ -456,6 +564,82 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "x29_textrank" -> {
+      val S = "1000000000000"
+      val stops = RakeStopwords.map(s => s"'$s'").mkString(", ")
+      def iter(i: Int, prev: String) =
+        s"""m$i AS (
+           |  SELECT und.v AS u, CAST(sum($prev.r // deg.deg) AS BIGINT) AS msg
+           |  FROM und JOIN $prev ON und.u = $prev.u JOIN deg ON und.u = deg.u
+           |  GROUP BY und.v),
+           |r$i AS (
+           |  SELECT nodes.u,
+           |    (15 * ($S // (SELECT n FROM nn))) // 100
+           |      + (85 * COALESCE(m$i.msg, 0)) // 100 AS r
+           |  FROM nodes LEFT JOIN m$i ON nodes.u = m$i.u)""".stripMargin
+      val iters = (1 to TextRankIters)
+        .map(i => iter(i, if (i == 1) "r0" else s"r${i - 1}")).mkString(",\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id, generate_subscripts(${tokensSql("text")}, 1) AS pos,
+         |    unnest(${tokensSql("text")}) AS tok
+         |  FROM documents),
+         |content AS (
+         |  SELECT doc_id, pos, tok,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+         |  FROM toks WHERE tok NOT IN ($stops)),
+         |adj AS (
+         |  SELECT tok, lead(tok) OVER (
+         |    PARTITION BY doc_id, run_id ORDER BY pos) AS nxt
+         |  FROM content),
+         |pairs AS (
+         |  SELECT DISTINCT least(tok, nxt) AS wa, greatest(tok, nxt) AS wb
+         |  FROM adj WHERE nxt IS NOT NULL AND tok <> nxt),
+         |nodes AS (SELECT DISTINCT tok AS u FROM content),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |und AS (SELECT wa AS u, wb AS v FROM pairs
+         |        UNION ALL SELECT wb, wa FROM pairs),
+         |deg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
+         |r0 AS (SELECT u, $S // (SELECT n FROM nn) AS r FROM nodes),
+         |$iters
+         |SELECT u AS word, CAST(r AS BIGINT) AS rank_scaled FROM r$TextRankIters
+         |ORDER BY rank_scaled DESC, word LIMIT $TextRankTopK""".stripMargin
+    },
+    "x28_keyphrases" -> {
+      val stops = RakeStopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, generate_subscripts(${tokensSql("text")}, 1) AS pos,
+         |    unnest(${tokensSql("text")}) AS tok
+         |  FROM documents),
+         |content AS (SELECT * FROM toks WHERE tok NOT IN ($stops)),
+         |runs AS (
+         |  SELECT doc_id, pos, tok,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+         |  FROM content),
+         |inst0 AS (
+         |  SELECT doc_id, run_id,
+         |    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         |    count(*) AS len
+         |  FROM runs GROUP BY 1, 2),
+         |inst AS (SELECT phrase, len FROM inst0 WHERE len <= $RakeMaxLen),
+         |words AS (SELECT len, unnest(string_split(phrase, ' ')) AS w FROM inst),
+         |ws AS (
+         |  SELECT w, CAST(CAST(sum(len) AS HUGEINT) * 1000000
+         |    // count(*) AS BIGINT) AS wscore_ppm
+         |  FROM words GROUP BY w),
+         |ph AS (
+         |  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+         |    CAST(max(len) AS BIGINT) AS n_words
+         |  FROM inst GROUP BY 1),
+         |pw AS (
+         |  SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+         |  FROM (SELECT DISTINCT phrase FROM inst)),
+         |sc AS (
+         |  SELECT pw.phrase, CAST(sum(ws.wscore_ppm) AS BIGINT) AS score_ppm
+         |  FROM pw JOIN ws USING (w) GROUP BY 1)
+         |SELECT ph.phrase, ph.n_occurrences, ph.n_words, sc.score_ppm
+         |FROM ph JOIN sc USING (phrase)
+         |ORDER BY score_ppm DESC, phrase LIMIT $RakeTopK""".stripMargin
+    },
     "x27_novelty" ->
       s"""WITH s0 AS (
          |  SELECT doc_id, ${Dedup.shingleHashesSql} AS sh

@@ -289,4 +289,82 @@ class TextMultimodalSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"cartesian in x27:\n$p")
   }
+
+  test("x28 RAKE equals a brute driver fold; top-K never globally sorts") {
+    val df = TextAnalysis.rakeKeyphrases(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // brute: same candidate rule, same floored-ppm word scores
+    val texts = graft.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val stops = TextAnalysis.RakeStopwords.toSet
+    val inst = texts.toSeq.flatMap { t =>
+      val runs = scala.collection.mutable.ArrayBuffer[List[String]]()
+      var cur = List.empty[String]
+      for (tok <- t.split(" ", -1)) {
+        if (stops(tok)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+        else cur = tok :: cur
+      }
+      if (cur.nonEmpty) runs += cur.reverse
+      runs.toSeq
+    }.filter(_.length <= TextAnalysis.RakeMaxLen)
+    val words = inst.flatMap(p => p.map(w => (w, p.length.toLong)))
+    val wscore = words.groupBy(_._1).map { case (w, xs) =>
+      w -> (BigInt(xs.map(_._2).sum) * 1000000 / xs.length).toLong
+    }
+    val expected = inst.groupBy(p => p.mkString(" ")).map { case (ph, xs) =>
+      (ph, xs.length.toLong, xs.head.length.toLong,
+        xs.head.map(wscore).sum)
+    }.toSeq.sortBy(r => (-r._4, r._1)).take(TextAnalysis.RakeTopK)
+    assert(got == expected, s"RAKE diverges:\n got=${got.take(5)}\n exp=${expected.take(5)}")
+    assert(got.forall(r => r._3 >= 1L && r._3 <= TextAnalysis.RakeMaxLen.toLong))
+    assert(got.forall(r => !r._1.split(" ").exists(stops)), "stopword inside a phrase")
+    // limit+order must plan as TakeOrdered, not a global sort
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-K not TakeOrdered:\n$p")
+  }
+
+  test("x29 TextRank equals a sequential fold over the driver-built graph") {
+    val got = TextAnalysis.textRank(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // driver-side graph construction under the declared policy:
+    // stopword-free runs, consecutive-pair edges, undirected distinct
+    val texts = graft.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val stops = TextAnalysis.RakeStopwords.toSet
+    val runs = texts.toSeq.flatMap { t =>
+      val rs = scala.collection.mutable.ArrayBuffer[List[String]]()
+      var cur = List.empty[String]
+      for (tok <- t.split(" ", -1)) {
+        if (stops(tok)) { if (cur.nonEmpty) rs += cur.reverse; cur = Nil }
+        else cur = tok :: cur
+      }
+      if (cur.nonEmpty) rs += cur.reverse
+      rs.toSeq
+    }
+    val nodes = runs.flatten.distinct
+    val edges = runs.flatMap(r => r.zip(r.tail))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .distinct
+    // sequential integral PageRank — the same fold ClustersPropertySpec
+    // proves pageRankOn against, here over string nodes
+    val S = 1000000000000L
+    val und = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = und.groupBy(_._1).map { case (k, vs) => k -> vs.length.toLong }
+    val n = nodes.length.toLong
+    var r = nodes.map(_ -> S / n).toMap
+    for (_ <- 1 to TextAnalysis.TextRankIters) {
+      val msg = und.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / deg(u) }.sum
+      }
+      r = nodes.map(u =>
+        u -> (15L * (S / n) / 100L + 85L * msg.getOrElse(u, 0L) / 100L)).toMap
+    }
+    val expected = r.toSeq.sortBy { case (w, rk) => (-rk, w) }
+      .take(TextAnalysis.TextRankTopK)
+    assert(got == expected, s"TextRank diverges:\n got=${got.take(5)}\n exp=${expected.take(5)}")
+    // non-vacuous: connectivity must actually separate ranks
+    assert(got.map(_._2).distinct.size > 1, "all ranks equal — vacuous graph")
+  }
 }
