@@ -488,7 +488,69 @@ object Prep {
         expr("((offset + within - 1) * 3) DIV n").as("phase"))
   }
 
+  // ---- c19: importance weights against a target slice -------------------
+
+  /** c19 policy knobs: the target slice (the "curated" source the raw
+    * corpus is reweighted toward, DSIR-style) and the fixed-point scales.
+    * Probabilities are Laplace-smoothed add-1 in parts-per-billion; the
+    * per-word importance ratio is reported as its signed deviation from
+    * 1 in parts-per-million.
+    */
+  private[graft] val DsirTargetSource = "src0"
+  private[graft] val DsirPpb = 1000000000L
+  private[graft] val DsirPpm = 1000000L
+
+  /** c19 — IMPORTANCE WEIGHTS for targeted resampling: every document is
+    * scored by how much more its unigrams look like the target slice
+    * ([[DsirTargetSource]]) than like the rest of the corpus — the
+    * data-selection primitive behind importance resampling (DSIR, Xie et
+    * al. 2023: rank raw documents by an n-gram likelihood ratio against
+    * a curated target, then sample by the weight). Declared integral
+    * scoring: with Laplace add-1 unigram models p_t, p_c in ppb over the
+    * shared vocabulary, each word contributes the LINEARIZED
+    * log-likelihood ratio `p_t·1e6 DIV p_c − 1e6` (the first-order
+    * Taylor of ln(p_t/p_c), exact integer arithmetic — whole-bit integer
+    * log2 is too coarse to separate same-template sources, and float log
+    * would hash-diverge between engines); a document's score is the
+    * token-count-weighted sum. `selected` marks documents at or above
+    * ratio parity — the resampling mask.
+    *
+    * Shape: one token scan collapsed to (doc, word) counts with map-side
+    * combine, a vocabulary-sized stats frame joined back on the word key
+    * (posting-list-shaped — never broadcast: vocabulary grows with the
+    * corpus), and the single-row totals frame as the only broadcast. At
+    * 100 TB this is two scans' worth of shuffle on (doc, word) — the
+    * same envelope as x10's tf-idf.
+    */
+  def importanceWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val isTgt = col("source") === lit(DsirTargetSource)
+    val dw = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "source", "w").agg(count(lit(1)).as("c"))
+    val stats = dw.groupBy("w").agg(
+      sum(when(isTgt, col("c")).otherwise(0L)).as("cnt_t"),
+      sum(when(!isTgt, col("c")).otherwise(0L)).as("cnt_c"))
+    val totals = stats.agg(
+      sum("cnt_t").as("n_t"), sum("cnt_c").as("n_c"),
+      count(lit(1)).as("v"))
+    val ratios = stats.crossJoin(broadcast(totals)) // one-row totals frame
+      .select(col("w"), expr(
+        s"""(((cnt_t + 1) * $DsirPpb DIV (n_t + v)) * $DsirPpm)
+           |  DIV greatest((cnt_c + 1) * $DsirPpb DIV (n_c + v), 1)
+           |  - $DsirPpm""".stripMargin).as("r_ppm"))
+    val perDoc = dw.join(ratios, Seq("w"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), sum(col("c") * col("r_ppm")).as("llr_ppm"))
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("llr_ppm"), lit(0L)).as("llr_ppm"),
+        (coalesce(col("llr_ppm"), lit(0L)) >= 0L).as("selected"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c19_importance" -> (importanceWeights _),
     "c16_curriculum" -> (curriculumPhases _),
     "c14_k_anonymity" -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
     "c17_l_diversity" -> ((s: SparkSession, d: String) => lDiversity(s, d)),
@@ -595,6 +657,39 @@ object Prep {
   }
 
   val oracle: Map[String, String] = Map(
+    "c19_importance" ->
+      s"""WITH dw AS (
+         |  SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, source, unnest(${tokensSql("text")}) AS w
+         |        FROM documents)
+         |  GROUP BY 1, 2, 3),
+         |stats AS (
+         |  SELECT w,
+         |    CAST(sum(CASE WHEN source = '$DsirTargetSource' THEN c ELSE 0 END)
+         |      AS BIGINT) AS cnt_t,
+         |    CAST(sum(CASE WHEN source = '$DsirTargetSource' THEN 0 ELSE c END)
+         |      AS BIGINT) AS cnt_c
+         |  FROM dw GROUP BY w),
+         |tot AS (
+         |  SELECT CAST(sum(cnt_t) AS BIGINT) AS n_t,
+         |    CAST(sum(cnt_c) AS BIGINT) AS n_c,
+         |    CAST(count(*) AS BIGINT) AS v
+         |  FROM stats),
+         |ratios AS (
+         |  SELECT w,
+         |    (((cnt_t + 1) * $DsirPpb // (n_t + v)) * $DsirPpm)
+         |      // greatest((cnt_c + 1) * $DsirPpb // (n_c + v), 1)
+         |      - $DsirPpm AS r_ppm
+         |  FROM stats, tot),
+         |perdoc AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(sum(c * r_ppm) AS BIGINT) AS llr_ppm
+         |  FROM dw JOIN ratios USING (w) GROUP BY doc_id)
+         |SELECT d.doc_id, d.source,
+         |  COALESCE(p.n_tokens, 0) AS n_tokens,
+         |  COALESCE(p.llr_ppm, 0) AS llr_ppm,
+         |  COALESCE(p.llr_ppm, 0) >= 0 AS selected
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin,
     "c18_fertility" -> c18Sql,
     // phase stated by the naive per-language rank definition — the hash
     // match proves the w3-style bucket decomposition

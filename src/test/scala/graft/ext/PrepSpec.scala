@@ -221,4 +221,42 @@ class PrepSpec extends SparkSpec {
       ((docTotals.getLong(0), docTotals.getLong(1), docTotals.getLong(2))),
       "lang-grain and doc-grain budgets diverge")
   }
+
+  test("c19 importance weights equal a driver fold; the mask selects a real subset") {
+    val got = Prep.importanceWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).sortBy(_._1)
+    // driver fold under the declared policy: add-1 ppb models over the
+    // shared vocabulary, linearized ratio in ppm, count-weighted sum
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.map { case (id, src, t) => (id, src, t.split(" ", -1).toSeq) }
+    val isT = (s: String) => s == Prep.DsirTargetSource
+    val cntT = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val cntC = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    toks.foreach { case (_, src, ws) =>
+      ws.foreach(w => if (isT(src)) cntT(w) += 1 else cntC(w) += 1)
+    }
+    val vocab = (cntT.keySet ++ cntC.keySet).toSeq
+    val (nT, nC, v) = (cntT.values.sum, cntC.values.sum, vocab.length.toLong)
+    val rPpm = vocab.map { w =>
+      val pT = (cntT(w) + 1) * Prep.DsirPpb / (nT + v)
+      val pC = math.max((cntC(w) + 1) * Prep.DsirPpb / (nC + v), 1L)
+      w -> (pT * Prep.DsirPpm / pC - Prep.DsirPpm)
+    }.toMap
+    val expected = toks.map { case (id, src, ws) =>
+      val llr = ws.map(rPpm).sum
+      (id, src, ws.length.toLong, llr, llr >= 0L)
+    }.sortBy(_._1).toSeq
+    assert(got.toSeq == expected,
+      s"importance diverges:\n got=${got.take(3).toSeq}\n exp=${expected.take(3)}")
+    // the resampling mask must cut, not rubber-stamp
+    val nSel = got.count(_._5)
+    assert(nSel > 0 && nSel < got.length, s"vacuous mask: $nSel/${got.length}")
+    // vocabulary stats must never broadcast (it grows with the corpus);
+    // the only broadcast join allowed is the one-row totals frame
+    val p = Prep.importanceWeights(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in c19:\n$p")
+  }
 }
