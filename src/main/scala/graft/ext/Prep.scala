@@ -488,6 +488,64 @@ object Prep {
         expr("((offset + within - 1) * 3) DIV n").as("phase"))
   }
 
+  // ---- c20: t-closeness audit -------------------------------------------
+
+  /** c20 threshold: groups whose sensitive-attribute distribution sits
+    * within t = 0.15 earth-mover's distance of the global one may be
+    * released (the classic t from Li et al. 2007).
+    */
+  private[graft] val TClosenessPpm = 150000L
+
+  /** c20 — T-CLOSENESS audit, completing the release-policy trio: c14
+    * answers "can a row hide?" (group size), c17 "does the group leak the
+    * attribute outright?" (distinct values), and this answers the attack
+    * both miss — a group can be large AND diverse yet still SKEWED, so
+    * membership alone shifts an attacker's posterior. Per (lang, source)
+    * quasi-identifier group: the earth-mover's distance between the
+    * group's sensitive-value distribution and the corpus-wide one, over
+    * the same ordered size classes c17 uses (`n_chars DIV 100`). For
+    * equally-spaced ordered categories EMD is the mean |cumulative
+    * difference| (Li et al.'s ordered-attribute formula), which is exact
+    * in integers: at class i the term is |cumG_i·T − cumT_i·G| (both
+    * sides scaled by the opposite total instead of dividing), and
+    * emd_ppm = Σ·1e6 DIV (G·T·(m−1)) — DECIMAL(38) intermediates, so the
+    * corpus-squared products survive 100 TB row counts.
+    *
+    * Shape: one scan to (class) and (group, class) count frames, then
+    * everything is statistics-sized: the class frame is value-bounded
+    * (max doc length DIV 100), so its broadcast into the group×class
+    * scaffold is legal at any corpus size; cumulative sums ride windows
+    * over ≤m rows per group.
+    */
+  def tCloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source"), expr("n_chars DIV 100").as("cls"))
+    val clsTot = base.groupBy("cls").agg(count(lit(1)).as("t_cnt"))
+      .withColumn("cum_t", sum("t_cnt").over(
+        Window.orderBy("cls").rowsBetween(Window.unboundedPreceding, 0)))
+    val grp = base.groupBy("lang", "source").agg(count(lit(1)).as("group_n"))
+    val gcls = base.groupBy("lang", "source", "cls").agg(count(lit(1)).as("g_cnt"))
+    val scaffold = grp.crossJoin(broadcast(clsTot)) // class frame: value-bounded
+      .join(gcls, Seq("lang", "source", "cls"), "left")
+      .withColumn("g", coalesce(col("g_cnt"), lit(0L)))
+      .withColumn("cum_g", sum("g").over(
+        Window.partitionBy("lang", "source").orderBy("cls")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val totals = clsTot.agg(sum("t_cnt").as("t_total"), count(lit(1)).as("m"))
+    scaffold.crossJoin(broadcast(totals)) // one-row totals frame
+      .groupBy("lang", "source", "group_n", "t_total", "m")
+      .agg(sum(expr(
+        """abs(CAST(cum_g AS DECIMAL(38,0)) * t_total
+          |  - CAST(cum_t AS DECIMAL(38,0)) * group_n)""".stripMargin)).as("num"))
+      .select(col("lang"), col("source"), col("group_n"),
+        expr(s"""CAST(num * 1000000
+                 |  DIV (CAST(group_n AS DECIMAL(38,0)) * t_total
+                 |       * greatest(m - 1, 1)) AS BIGINT)""".stripMargin)
+          .as("emd_ppm"),
+        lit(TClosenessPpm).as("t_ppm"))
+      .withColumn("close", col("emd_ppm") <= col("t_ppm"))
+  }
+
   // ---- c19: importance weights against a target slice -------------------
 
   /** c19 policy knobs: the target slice (the "curated" source the raw
@@ -550,6 +608,7 @@ object Prep {
   }
 
   val queries: Map[String, Q] = Map(
+    "c20_t_closeness" -> (tCloseness _),
     "c19_importance" -> (importanceWeights _),
     "c16_curriculum" -> (curriculumPhases _),
     "c14_k_anonymity" -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
@@ -657,6 +716,42 @@ object Prep {
   }
 
   val oracle: Map[String, String] = Map(
+    "c20_t_closeness" ->
+      s"""WITH base AS (
+         |  SELECT lang, source, n_chars // 100 AS cls FROM documents),
+         |clstot AS (
+         |  SELECT cls, CAST(count(*) AS BIGINT) AS t_cnt,
+         |    CAST(sum(count(*)) OVER (ORDER BY cls) AS BIGINT) AS cum_t
+         |  FROM base GROUP BY cls),
+         |grp AS (
+         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS group_n
+         |  FROM base GROUP BY 1, 2),
+         |gcls AS (
+         |  SELECT lang, source, cls, CAST(count(*) AS BIGINT) AS g_cnt
+         |  FROM base GROUP BY 1, 2, 3),
+         |tot AS (
+         |  SELECT CAST(sum(t_cnt) AS BIGINT) AS t_total,
+         |    CAST(count(*) AS BIGINT) AS m
+         |  FROM clstot),
+         |scaffold AS (
+         |  SELECT g.lang, g.source, g.group_n, c.cls, c.cum_t,
+         |    CAST(sum(COALESCE(gc.g_cnt, 0)) OVER (
+         |      PARTITION BY g.lang, g.source ORDER BY c.cls) AS BIGINT) AS cum_g
+         |  FROM grp g CROSS JOIN clstot c
+         |  LEFT JOIN gcls gc
+         |    ON gc.lang = g.lang AND gc.source = g.source AND gc.cls = c.cls)
+         |SELECT s.lang, s.source, s.group_n,
+         |  CAST(sum(abs(CAST(s.cum_g AS HUGEINT) * t.t_total
+         |                 - CAST(s.cum_t AS HUGEINT) * s.group_n)) * 1000000
+         |    // (CAST(s.group_n AS HUGEINT) * t.t_total * greatest(t.m - 1, 1))
+         |    AS BIGINT) AS emd_ppm,
+         |  CAST($TClosenessPpm AS BIGINT) AS t_ppm,
+         |  CAST(sum(abs(CAST(s.cum_g AS HUGEINT) * t.t_total
+         |                 - CAST(s.cum_t AS HUGEINT) * s.group_n)) * 1000000
+         |    // (CAST(s.group_n AS HUGEINT) * t.t_total * greatest(t.m - 1, 1))
+         |    AS BIGINT) <= $TClosenessPpm AS close
+         |FROM scaffold s, tot t
+         |GROUP BY s.lang, s.source, s.group_n, t.t_total, t.m""".stripMargin,
     "c19_importance" ->
       s"""WITH dw AS (
          |  SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS c

@@ -259,4 +259,33 @@ class PrepSpec extends SparkSpec {
     val p = Prep.importanceWeights(spark, sf).queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"cartesian in c19:\n$p")
   }
+
+  test("c20 t-closeness equals a driver EMD fold; the threshold splits groups") {
+    val got = Prep.tCloseness(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).sortBy(x => (x._1, x._2))
+    val rows = graft.Tables.documents(spark, sf)
+      .select(col("lang"), col("source"), expr("n_chars DIV 100").as("cls"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val classes = rows.map(_._3).distinct.sorted
+    val t = rows.length.toLong
+    val tCnt = rows.groupBy(_._3).map { case (c, xs) => c -> xs.length.toLong }
+    val m = classes.length.toLong
+    val expected = rows.groupBy(x => (x._1, x._2)).map { case ((lang, src), xs) =>
+      val g = xs.length.toLong
+      val gCnt = xs.groupBy(_._3).map { case (c, ys) => c -> ys.length.toLong }
+      var cumG = BigInt(0); var cumT = BigInt(0); var num = BigInt(0)
+      for (c <- classes) {
+        cumG += BigInt(gCnt.getOrElse(c, 0L)); cumT += BigInt(tCnt(c))
+        num += (cumG * t - cumT * g).abs
+      }
+      val emd = (num * 1000000 / (BigInt(g) * t * math.max(m - 1, 1L))).toLong
+      (lang, src, g, emd, Prep.TClosenessPpm, emd <= Prep.TClosenessPpm)
+    }.toSeq.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == expected,
+      s"EMD diverges:\n got=${got.take(3).toSeq}\n exp=${expected.take(3)}")
+    // the audit must separate groups, not rubber-stamp the corpus
+    assert(got.exists(_._6) && got.exists(!_._6),
+      s"vacuous verdict: ${got.count(_._6)}/${got.length} close")
+  }
 }
