@@ -367,4 +367,33 @@ class TextMultimodalSpec extends SparkSpec {
     // non-vacuous: connectivity must actually separate ranks
     assert(got.map(_._2).distinct.size > 1, "all ranks equal — vacuous graph")
   }
+
+  test("m10 blur audit: codec TV equals the source-pixel fold; threshold splits") {
+    val got = Multimodal.blurAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).sortBy(_._1)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, text) =>
+      val w = ((id % 4 + 1) * 8).toInt
+      val h = ((id % 3 + 1) * 6).toInt
+      val cps = text.codePoints().toArray
+      def px(i: Int): Int = if (cps.isEmpty) 0 else cps(i % cps.length) & 0xff
+      var tv = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = y * w + x
+        if (x < w - 1) tv += math.abs(px(i + 1) - px(i))
+        if (y < h - 1) tv += math.abs(px(i + w) - px(i))
+      }
+      val edges = (w - 1).toLong * h + w.toLong * (h - 1)
+      val ppm = tv * 1000000L / (edges * 255L)
+      (id, w.toLong, h.toLong, tv, ppm, ppm < Multimodal.BlurPpm)
+    }.sortBy(_._1)
+    assert(got.toSeq == expected.toSeq,
+      s"TV diverges:\n got=${got.take(3).toSeq}\n exp=${expected.take(3).toSeq}")
+    // the screen must separate images, not rubber-stamp the corpus
+    assert(got.exists(_._6) && got.exists(!_._6),
+      s"vacuous blur mask: ${got.count(_._6)}/${got.length}")
+  }
 }
