@@ -581,10 +581,22 @@ object Prep {
     * same envelope as x10's tf-idf.
     */
   def importanceWeights(spark: SparkSession, sfDir: String): DataFrame = {
-    val isTgt = col("source") === lit(DsirTargetSource)
     val dw = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
       .groupBy("doc_id", "source", "w").agg(count(lit(1)).as("c"))
+    importanceOn(dw, Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")))
+  }
+
+  /** The c19 scoring engine over an arbitrary `(doc_id, source, w, c)`
+    * word-count frame and its `(doc_id, source)` document base —
+    * parameterized like [[Dedup.pageRankOn]] so the streaming twin
+    * (`ImportanceStream`, which maintains the word counts incrementally
+    * from a CDC document stream) scores with PROVABLY the same
+    * arithmetic as the batch query.
+    */
+  private[graft] def importanceOn(dw: DataFrame, docs: DataFrame): DataFrame = {
+    val isTgt = col("source") === lit(DsirTargetSource)
     val stats = dw.groupBy("w").agg(
       sum(when(isTgt, col("c")).otherwise(0L)).as("cnt_t"),
       sum(when(!isTgt, col("c")).otherwise(0L)).as("cnt_c"))
@@ -599,8 +611,7 @@ object Prep {
     val perDoc = dw.join(ratios, Seq("w"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_tokens"), sum(col("c") * col("r_ppm")).as("llr_ppm"))
-    Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
-      .join(perDoc, Seq("doc_id"), "left")
+    docs.join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("llr_ppm"), lit(0L)).as("llr_ppm"),
