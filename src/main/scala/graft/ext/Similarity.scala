@@ -581,7 +581,92 @@ object Similarity {
       round(col("mmr_raw"), 6).as("mmr"))
   }
 
+  /** s13 rerank budget: deeper than s6's 16 (PQ codes rank coarsely,
+    * s7's argument) but shallower than s7's 64 — the probed cells hold
+    * ~2/|cells| of the corpus, so the shortlist competes among fewer
+    * candidates.
+    */
+  private val IvfPqShortlist = 32
+
+  /** s13 — IVF-PQ FUSED query: the full production ANN read path (FAISS's
+    * IndexIVFPQ) assembled from the family's proven parts — s5's probe
+    * selection (own coarse cell + nearest other by fixed-point centroid
+    * cosine), s7's asymmetric-distance PQ scoring (per-query ADC table of
+    * integer partial dot products, M table lookups + an integer sum per
+    * candidate), and s1's exact cosine rerank over a
+    * [[IvfPqShortlist]]-deep shortlist. The composition is the point: s2
+    * measures the coarse quantizer alone, s7 measures PQ over the WHOLE
+    * corpus — this is what a serving system actually executes, scanning
+    * codes for the probed cells only.
+    *
+    * Scale: candidate volume is Σ|probed cell| · 4 bytes of codes (the
+    * 64× storage cut where it matters — the scan), the ADC and cell
+    * frames broadcast at queries×M×16 and queries×nprobe rows, and the
+    * per-query top-k is a window over probed-cells-sized groups. The
+    * nprobe dial and the adaptive cell split (s8) govern 100 TB recall
+    * and cost; the join shape is unchanged.
+    */
+  def ivfPqTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = vecs(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("v"),
+        array((0 until M).map(m => codeOf(col("v"), m)): _*).as("codes"))
+      // referenced by the codebook build, the query side, the candidate
+      // scan, and the rerank join — materialize the encode pass once
+      .localCheckpoint()
+    val codebook = enc
+      .select(col("codes"), posexplode(col("v")).as(Seq("dim", "value")))
+      .select(expr(s"dim DIV $SubDim").as("m"), expr(s"dim % $SubDim").as("sd"),
+        expr(s"codes[dim DIV $SubDim]").as("code"),
+        floor(col("value") * 1e7).cast("long").as("q"))
+      .groupBy("m", "sd", "code")
+      .agg((sum(col("q")).cast("double") / 1e7 / count(lit(1))).as("centroid"))
+    val q = enc.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("label").as("qlabel"))
+    val cents = centroidVectors(spark, sfDir)
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("label"))
+    val nearestOther = q.crossJoin(broadcast(cents)) // |cells|-row frame
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("label"),
+        cosineSim(col("qv"), col("cv")).as("cs"))
+      .withColumn("rk", row_number().over(wc))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("label"))
+    val cells = q.select(col("query_id"), col("qlabel").as("label"))
+      .unionByName(nearestOther)
+    val qDims = q.select(col("query_id"), posexplode(col("qv")).as(Seq("dim", "qval")))
+      .select(col("query_id"), expr(s"dim DIV $SubDim").as("m"),
+        expr(s"dim % $SubDim").as("sd"), col("qval"))
+    val adc = qDims.join(broadcast(codebook), Seq("m", "sd"))
+      .select(col("query_id"), col("m"), col("code"),
+        floor(col("qval") * col("centroid") * 1e7).cast("long").as("t"))
+      .groupBy("query_id", "m", "code")
+      .agg(sum("t").as("partial"))
+    // the fused scan: codes of the probed cells only
+    val cand = enc.join(broadcast(cells), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+    val scored = cand.join(broadcast(adc), Seq("query_id", "m", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("partial").as("iscore"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("iscore").desc, col("vec_id"))
+    val shortlist = scored.withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= IvfPqShortlist)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val reranked = shortlist
+      .join(enc.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+        Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("nv"), col("qv")).as("cos_raw"))
+    topkOut(reranked, 3)
+  }
+
   val queries: Map[String, Q] = Map(
+    "s13_ivf_pq" -> (ivfPqTopk _),
     "s12_mmr_diversify" -> (mmrDiversify _),
     "s10_kmeans_step" -> (kmeansStep _),
     "s11_recall_eval" -> (recallEval _),
@@ -639,6 +724,78 @@ object Similarity {
        |WHERE rank <= $k""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // s5's probe selection + s7's ADC scoring + s1's exact rerank,
+    // composed over the probed cells only
+    "s13_ivf_pq" -> topkSql(
+      s"""WITH ev AS (
+         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |enc AS (
+         |  SELECT vec_id, label, v,
+         |    [${(0 until M).map(codeSql).mkString(",\n     ")}] AS codes
+         |  FROM ev),
+         |cents AS (
+         |  SELECT label, list(centroid ORDER BY dim) AS cv FROM (
+         |    SELECT label, CAST(t.i AS INTEGER) AS dim,
+         |      CAST(sum(CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)
+         |        / 10000000.0 / count(*) AS centroid
+         |    FROM embeddings, range(64) t(i)
+         |    GROUP BY label, t.i)
+         |  GROUP BY label),
+         |q AS (
+         |  SELECT vec_id AS query_id, v AS qv, label AS qlabel
+         |  FROM ev WHERE vec_id < $nQueries),
+         |nearest_other AS (
+         |  SELECT query_id, label FROM (
+         |    SELECT q.query_id, c.label,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        (list_dot_product(q.qv, c.cv) /
+         |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+         |        c.label) AS rk
+         |    FROM q JOIN cents c ON c.label <> q.qlabel)
+         |  WHERE rk = 1),
+         |cells AS (
+         |  SELECT query_id, qlabel AS label FROM q
+         |  UNION ALL
+         |  SELECT query_id, label FROM nearest_other),
+         |dims AS (
+         |  SELECT t.i // $SubDim AS m, t.i % $SubDim AS sd,
+         |    codes[t.i // $SubDim + 1] AS code,
+         |    CAST(floor(v[t.i + 1] * 10000000.0) AS BIGINT) AS qq
+         |  FROM enc, range(64) t(i)),
+         |codebook AS (
+         |  SELECT m, sd, code,
+         |    CAST(sum(qq) AS DOUBLE) / 10000000.0 / count(*) AS centroid
+         |  FROM dims GROUP BY m, sd, code),
+         |qd AS (
+         |  SELECT query_id, t.i // $SubDim AS m, t.i % $SubDim AS sd,
+         |    qv[t.i + 1] AS qval
+         |  FROM q, range(64) t(i)),
+         |adc AS (
+         |  SELECT query_id, m, code,
+         |    CAST(sum(CAST(floor(qval * centroid * 10000000.0) AS BIGINT)) AS BIGINT)
+         |      AS partial
+         |  FROM qd JOIN codebook USING (m, sd)
+         |  GROUP BY query_id, m, code),
+         |cand AS (
+         |  SELECT cells.query_id, e.vec_id, t.m AS m, e.codes[t.m + 1] AS code
+         |  FROM cells JOIN enc e ON e.label = cells.label
+         |    AND e.vec_id <> cells.query_id
+         |  CROSS JOIN range($M) t(m)),
+         |sc AS (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    CAST(sum(partial) AS BIGINT) AS iscore
+         |  FROM cand JOIN adc USING (query_id, m, code)
+         |  GROUP BY cand.query_id, cand.vec_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY iscore DESC, vec_id) AS crk
+         |    FROM sc) WHERE crk <= $IvfPqShortlist)
+         |SELECT short.query_id, short.neighbor_id, $cosSql AS cos_raw
+         |FROM short JOIN ev e ON e.vec_id = short.neighbor_id
+         |           JOIN q ON q.query_id = short.query_id""".stripMargin, 3),
     "s9_range_search" ->
       s"""WITH ev AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -330,4 +330,69 @@ class SimilaritySpec extends SparkSpec {
     assert(byQ.exists { case (q, v) => v.sortBy(_._3).map(_._2).toVector != plain(q) },
       "MMR output identical to plain top-5 on every query — vacuous")
   }
+
+  test("s13 IVF-PQ: neighbors only from probed cells; exact rerank; recall holds") {
+    val rows = Similarity.ivfPqTopk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // ranks dense 1..k per query
+    for ((_, rs) <- rows.groupBy(_.getLong(0)))
+      assert(rs.map(_.getLong(2)).sorted.sameElements(1L to rs.length))
+    // CONTAINMENT: every neighbor's cell must be one the query probed —
+    // recompute the probe set (own label + nearest-other centroid label)
+    // driver-side from the raw vectors
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val labelOf = emb.map(e => e._1 -> e._2).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // fixed-point centroids (s4's discipline: floor 1e-7 grid, mean)
+    val cents = emb.groupBy(_._2).map { case (l, vs) =>
+      val n = vs.length
+      l -> Array.tabulate(64)(d =>
+        vs.map(v => math.floor(v._3(d) * 1e7).toLong).sum.toDouble / 1e7 / n)
+    }
+    val probed = emb.filter(_._1 < 8).map { case (qid, ql, qv) =>
+      val other = cents.filter(_._1 != ql).toSeq
+        .map { case (l, cv) => (l, cos(qv, cv)) }
+        .minBy { case (l, c) => (-c, l) }._1
+      qid -> Set(ql, other)
+    }.toMap
+    for (r <- rows)
+      assert(probed(r.getLong(0)).contains(labelOf(r.getLong(1))),
+        s"neighbor ${r.getLong(1)} outside query ${r.getLong(0)}'s probed cells")
+    // the rerank contract: output cos is the exact cosine
+    val vecs = emb.map(e => e._1 -> e._3).toMap
+    for (r <- rows) {
+      val expect = math.rint(cos(vecs(r.getLong(0)), vecs(r.getLong(1))) * 1e6) / 1e6
+      assert(math.abs(r.getDouble(3) - expect) < 1e-9, "rerank cosine not exact")
+    }
+    // where the probed cells fit the 32-deep shortlist, the PQ stage
+    // cannot drop anyone — the fused path must EQUAL s5 exactly (same
+    // candidates, same exact-cosine ordering)
+    val cellSize = emb.groupBy(_._2).map { case (l, vs) => l -> vs.length }
+    val s5 = Similarity.ivfNprobeTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._3).map(_._2).toSeq }
+    val s13 = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._3).map(_._2).toSeq }
+    for ((q, cellsOf) <- probed) {
+      val nCand = cellsOf.toSeq.map(cellSize).sum - 1 // minus the query
+      if (nCand <= 32)
+        assert(s13(q) == s5(q),
+          s"query $q: shortlist covers all $nCand candidates yet differs from s5")
+    }
+    // recall floor vs the exact top-3: sf0.001's coarse quantizer is weak
+    // (s5 itself retrieves ~4/24 here) — the fused path must still beat
+    // chance, which 3 random picks from a probed cell would not
+    val truth = Similarity.bruteTopk(spark, sf).filter(col("rank") <= 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val hits = s13.map { case (q, ns) => ns.count(truth(q)) }.sum
+    assert(hits >= 2, s"IVF-PQ recall collapsed: $hits hits")
+  }
 }
