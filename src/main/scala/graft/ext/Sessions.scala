@@ -455,7 +455,43 @@ object Sessions {
         sum("monetary_cents").as("total_monetary_cents"))
   }
 
+  /** k14 — DAU/WAU STICKINESS: per epoch week, the ratio of summed daily
+    * active users to weekly active users — the habit-formation metric
+    * every product-analytics stack reports (DAU/MAU in its week-scaled
+    * form; the corpus spans one month, so weeks are the non-degenerate
+    * grain). Declared calendar: day = `unix_micros DIV 1 day`, week =
+    * `day DIV 7` (epoch weeks — v5's discipline, identical integers in
+    * both engines); `n_days` counts OBSERVED days so a partial first or
+    * last week is normalized by its own coverage, not by 7;
+    * `stickiness_ppm = Σdau · 1e6 DIV (wau · n_days)` — exactly 1e6 when
+    * every weekly-active user shows up every observed day.
+    *
+    * Shape: one events scan projected to (user, day, week), one distinct,
+    * then two week-grain aggregates over calendar-bounded frames (a
+    * week-count of rows, never corpus-sized) joined on the week key. At
+    * 100 TB the only corpus-sized stage is the scan + the (week, day,
+    * user) distinct — map-side combined, keyed wider than any hot key.
+    */
+  def stickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val udw = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) DIV $dayUs").as("day"))
+      .withColumn("week", expr("day DIV 7"))
+      .distinct() // (user, day, week) — a user counts once per day
+    val daily = udw.groupBy("week", "day")
+      .agg(count_distinct(col("user_id")).as("dau"))
+      .groupBy("week")
+      .agg(sum("dau").as("dau_sum"), count(lit(1)).as("n_days"))
+    val weekly = udw.groupBy("week")
+      .agg(count_distinct(col("user_id")).as("wau"))
+    daily.join(weekly, Seq("week"))
+      .select(col("week"), col("n_days"), col("dau_sum"), col("wau"),
+        expr("dau_sum * 1000000 DIV (wau * n_days)").as("stickiness_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "k14_stickiness" -> (stickiness _),
     "k13_rfm_segments" -> (rfmSegments _),
     "k12_attribution" -> (attribution _),
     "k10_zscore_outliers" -> (zscoreOutliers _),
@@ -472,6 +508,24 @@ object Sessions {
   )
 
   val oracle: Map[String, String] = Map(
+    "k14_stickiness" ->
+      """WITH udw AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 // 7 AS week
+        |  FROM events),
+        |daily AS (
+        |  SELECT week, CAST(sum(dau) AS BIGINT) AS dau_sum,
+        |    CAST(count(*) AS BIGINT) AS n_days
+        |  FROM (SELECT week, day, count(DISTINCT user_id) AS dau
+        |        FROM udw GROUP BY 1, 2)
+        |  GROUP BY week),
+        |weekly AS (
+        |  SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM udw GROUP BY week)
+        |SELECT week, n_days, dau_sum, wau,
+        |  dau_sum * 1000000 // (wau * n_days) AS stickiness_ppm
+        |FROM daily JOIN weekly USING (week)""".stripMargin,
     "k13_rfm_segments" ->
       """WITH anchor AS (
         |  SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS aus FROM events),

@@ -304,4 +304,29 @@ class SessionsSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString.toLowerCase
     assert(!p.contains("rangepartitioning"), s"global sort in k13 plan:\n$p")
   }
+
+  test("k14 stickiness equals a driver fold; ratio bounded by its definition") {
+    val got = Sessions.stickiness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val udw = evs.map { case (u, d) => (u, d, d / 7) }.distinct
+    val expected = udw.groupBy(_._3).map { case (w, xs) =>
+      val dauSum = xs.groupBy(_._2).values.map(_.map(_._1).distinct.length.toLong).sum
+      val nDays = xs.map(_._2).distinct.length.toLong
+      val wau = xs.map(_._1).distinct.length.toLong
+      (w, nDays, dauSum, wau, dauSum * 1000000L / (wau * nDays))
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expected, s"stickiness diverges:\n got=${got.toSeq}\n exp=$expected")
+    // bounds: a weekly active is active on >= 1 of the observed days and
+    // <= all of them
+    for ((w, nDays, dauSum, wau, ppm) <- got) {
+      assert(dauSum >= wau && dauSum <= wau * nDays, s"week $w impossible mass")
+      assert(ppm >= 1000000L / nDays && ppm <= 1000000L, s"week $w ratio out of range")
+    }
+    // non-vacuous: daily habit strength must differ from full attendance
+    assert(got.exists(_._5 < 1000000L), "every user active every day — vacuous")
+  }
 }
