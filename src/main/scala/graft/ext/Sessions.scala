@@ -490,7 +490,40 @@ object Sessions {
         expr("dau_sum * 1000000 DIV (wau * n_days)").as("stickiness_ppm"))
   }
 
+  /** k15 — USER GROWTH curve: per event-time day, newly-seen users,
+    * returning actives, and the running distinct-user total — the
+    * new-vs-returning decomposition every growth dashboard opens with.
+    * The cumulative distinct is NOT a windowed count-distinct (state
+    * explosion at scale): each user collapses to a `first_day` row
+    * (one min aggregate), the day grain rolls up new-user counts, and
+    * the running total is a cumulative sum over the CALENDAR-bounded
+    * day frame. `returning = dau − new` needs dau per day — one more
+    * (day, user) distinct rollup. Identity `cum_users_day = Σ new ≤ day`
+    * is exact by construction.
+    *
+    * Shape: two corpus-sized map-side-combined aggregates (per-user min,
+    * per-(day, user) distinct) and day-frame windows bounded by the
+    * calendar — the single-partition window holds days, never users.
+    */
+  def userGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $dayUs").as("day"))
+    val firstDay = ud.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val dau = ud.distinct()
+      .groupBy("day").agg(count(lit(1)).as("dau"))
+    val wd = Window.orderBy("day") // day-grain frame: calendar-bounded
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dau.join(firstDay, Seq("day"), "left")
+      .select(col("day"), col("dau"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("returning", col("dau") - col("new_users"))
+      .withColumn("cum_users", sum("new_users").over(wd))
+  }
+
   val queries: Map[String, Q] = Map(
+    "k15_user_growth" -> (userGrowth _),
     "k14_stickiness" -> (stickiness _),
     "k13_rfm_segments" -> (rfmSegments _),
     "k12_attribution" -> (attribution _),
@@ -508,6 +541,24 @@ object Sessions {
   )
 
   val oracle: Map[String, String] = Map(
+    "k15_user_growth" ->
+      """WITH ud AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |fd AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM (
+        |    SELECT user_id, min(day) AS day FROM ud GROUP BY user_id)
+        |  GROUP BY day),
+        |dau AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |  FROM (SELECT DISTINCT day, user_id FROM ud) GROUP BY day)
+        |SELECT day, dau,
+        |  COALESCE(new_users, 0) AS new_users,
+        |  dau - COALESCE(new_users, 0) AS returning,
+        |  CAST(sum(COALESCE(new_users, 0)) OVER (ORDER BY day) AS BIGINT)
+        |    AS cum_users
+        |FROM dau LEFT JOIN fd USING (day)""".stripMargin,
     "k14_stickiness" ->
       """WITH udw AS (
         |  SELECT DISTINCT user_id,

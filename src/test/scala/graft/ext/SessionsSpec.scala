@@ -329,4 +329,31 @@ class SessionsSpec extends SparkSpec {
     // non-vacuous: daily habit strength must differ from full attendance
     assert(got.exists(_._5 < 1000000L), "every user active every day — vacuous")
   }
+
+  test("k15 user growth equals a driver fold; identities hold") {
+    val got = Sessions.userGrowth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val firstOf = evs.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val days = evs.map(_._2).distinct.sorted
+    var cum = 0L
+    val expected = days.map { d =>
+      val dau = evs.filter(_._2 == d).map(_._1).distinct.length.toLong
+      val nu = firstOf.values.count(_ == d).toLong
+      cum += nu
+      (d, dau, nu, dau - nu, cum)
+    }
+    assert(got.toSeq == expected.toSeq,
+      s"growth diverges:\n got=${got.take(3).toSeq}\n exp=${expected.take(3).toSeq}")
+    // identities: day-1 actives are all new; the curve ends at the true
+    // distinct-user total; returning never negative
+    assert(got.head._3 == got.head._2, "day one must be all new users")
+    assert(got.last._5 == firstOf.size.toLong, "curve must end at total distinct users")
+    assert(got.forall(_._4 >= 0L))
+    // non-vacuous: the corpus must actually contain returning users
+    assert(got.exists(_._4 > 0L), "no returning users — vacuous decomposition")
+  }
 }
