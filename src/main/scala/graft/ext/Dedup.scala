@@ -958,16 +958,21 @@ object Dedup {
   private[ext] def pageRankOn(pairs: DataFrame, aCol: String, bCol: String,
       ids: DataFrame, idCol: String, iters: Int = 3): DataFrame = {
     val Scale = 1000000000000L
+    // LAZY checkpoints throughout (k13's measured trade): each frame
+    // still materializes exactly once — on its first reference — and
+    // every later iteration reads the cached blocks, but the driver
+    // never BLOCKS between stages, so independent stages of an
+    // iteration overlap instead of serializing on eager materialization
     val und = pairs
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .localCheckpoint() // referenced every iteration
+      .localCheckpoint(false) // referenced every iteration
     val nodes = ids.select(col(idCol).as("u"))
     val nF = nodes.agg(count(lit(1)).as("n"))
-    val deg = und.groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint(false)
     var r = nodes.crossJoin(broadcast(nF)) // one-row frame: correct broadcast
       .select(col("u"), expr(s"$Scale DIV n").as("r"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (_ <- 1 to iters) {
       val contrib = r.join(deg, Seq("u"))
         .select(col("u"), expr("r DIV deg").as("c"))
@@ -979,7 +984,7 @@ object Dedup {
         .select(col("u"),
           expr(s"(15 * ($Scale DIV n)) DIV 100 + (85 * coalesce(msg, CAST(0 AS BIGINT))) DIV 100")
             .as("r"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     r.select(col("u").as("id"), col("r").as("rank_scaled"))
   }
