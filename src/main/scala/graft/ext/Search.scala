@@ -549,7 +549,57 @@ object Search {
     cand.filter(expr("levenshtein(name_a, name_b, 1) = 1")).distinct()
   }
 
+  /** x30's saved-search registry (the percolator's stored queries):
+    * conjunctive term sets, declared once and mirrored as VALUES in the
+    * oracle. Query 4 carries a term outside the corpus vocabulary — a
+    * registered alert that must NEVER fire, so silence is tested, not
+    * assumed. Terms are unique per query (n_terms = the VALUES row
+    * count).
+    */
+  private[graft] val savedSearches: Seq[(Int, String)] = Seq(
+    1 -> "dup",
+    2 -> "vector", 2 -> "window",
+    3 -> "customer", 3 -> "order", 3 -> "fast",
+    4 -> "spark", 4 -> "zebra")
+
+  /** x30 — PERCOLATION (reverse search): match the REGISTERED queries
+    * against the documents — OpenSearch's percolator, the primitive
+    * under saved-search alerting ("tell me when a doc arrives matching
+    * X"). A document alerts a saved query iff it contains EVERY term of
+    * the query (conjunctive match semantics). Batch form runs over the
+    * persisted postings index; the injectable engine ([[percolateOn]])
+    * is what the STREAMING twin ([[graft.streaming.PercolateStream]])
+    * runs per delta — same code, so alert parity is structural.
+    *
+    * Shape: the saved-query frame broadcasts (registries are small by
+    * definition — thousands of alerts, not corpora), the postings join
+    * is term-keyed, and the conjunction check is one (query, doc) count
+    * against the per-query term count. At 100 TB: one posting-list join
+    * per registered term.
+    */
+  def percolate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    percolateOn(TextAnalysis.termFreq(spark, sfDir),
+      savedSearches.toDF("query_id", "term"))
+  }
+
+  /** x30 over an arbitrary `(doc_id, term, tf)` postings relation —
+    * injectable for the streaming twin (per-delta percolation) and any
+    * snapshot source, including a not-yet-committed EMPTY store.
+    */
+  private[graft] def percolateOn(tf0: DataFrame, q: DataFrame): DataFrame = {
+    val tf = postingsOrEmpty(tf0)
+    val qn = q.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
+    tf.join(broadcast(q), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hit"))
+      .join(broadcast(qn), Seq("query_id"))
+      .filter(col("n_hit") === col("n_terms"))
+      .select(col("query_id"), col("doc_id"), col("n_terms"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x30_percolate" -> (percolate _),
     "x21_facets" -> (facets _),
     "x19_more_like_this" -> (moreLikeThis _),
     "x20_significant_terms" -> (significantTerms _),
@@ -586,6 +636,18 @@ object Search {
          |WHERE rank <= 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "x30_percolate" ->
+      s"""WITH q(query_id, term) AS (VALUES ${valuesSql(savedSearches)}),
+         |toks AS (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |hits AS (
+         |  SELECT q.query_id, tf.doc_id, count(*) AS n_hit
+         |  FROM tf JOIN q USING (term) GROUP BY 1, 2),
+         |qn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms
+         |       FROM q GROUP BY 1)
+         |SELECT query_id, doc_id, n_terms
+         |FROM hits JOIN qn USING (query_id)
+         |WHERE n_hit = n_terms""".stripMargin,
     "x19_more_like_this" ->
       s"""WITH toks AS (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),

@@ -323,4 +323,26 @@ class SearchSpec extends SparkSpec {
       s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
     assert(expect.nonEmpty, "no distance-1 name pairs — test is vacuous")
   }
+
+  test("x30 percolation equals the conjunctive driver fold; silence is proven") {
+    val got = Search.percolate(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val byQ = Search.savedSearches.groupBy(_._1)
+      .map { case (q, ts) => q -> ts.map(_._2).toSet }
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSet))
+    val expect = docs.flatMap { case (id, toks) =>
+      byQ.filter { case (_, ts) => ts.subsetOf(toks) }
+        .map { case (q, ts) => (q, id, ts.size.toLong) }
+    }.toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+    // mixed outcomes or the registry proves nothing: some query fires,
+    // the out-of-vocabulary one never does, and some doc alerts nobody
+    assert(got.nonEmpty, "no alerts — vacuous registry")
+    assert(!got.exists(_._1 == 4), "the never-matching saved search fired")
+    assert(docs.exists { case (id, _) => !got.exists(_._2 == id) },
+      "every document alerts — conjunction proves nothing")
+  }
 }
