@@ -1285,9 +1285,57 @@ object Dedup {
       col("ta"), col("tb"), 0.9, (9, 10))
   }
 
+  // ---- d21: ingest-impact cluster churn ----------------------------------
+
+  /** d21 — INGEST CHURN audit: what the delta batch (d13's convention —
+    * `doc_id % 10 = 0` is the arriving ingest) did to the cluster
+    * structure. Per after-cluster TOUCHED by the ingest (≥1 new member):
+    * member count, new members, and how many PRE-EXISTING clusters its
+    * old members came from — `n_before_clusters ≥ 2` means the batch
+    * BRIDGED previously-separate near-dup families (`merged`), the event
+    * a dedup-pipeline operator actually watches for (a crawl that glues
+    * families together changes every downstream keep/drop and weight).
+    *
+    * Before-labels run the SAME fold-proven CC engine
+    * ([[minLabelClusters]]) over the persisted pair index restricted to
+    * old×old edges; after-labels are the memoized d7 table. Output is
+    * bounded by delta-touching clusters, not the corpus. At 100 TB the
+    * before-labels of the PREVIOUS snapshot would be the persisted label
+    * table itself — here they are recomputed from the same pair index
+    * the snapshot would have had, which is the identical relation.
+    */
+  def ingestChurn(spark: SparkSession, sfDir: String): DataFrame = {
+    val isDelta = col("doc_id") % 10 === 0
+    val after = dedupClusters(spark, sfDir)
+    // the pre-ingest label table is itself a persisted corpus index (in
+    // production it IS the previous snapshot's label table) — one CC run
+    // per corpus snapshot, read by every later driver
+    val before = memoFrame("cc:minhashOld", spark, sfDir)(
+      graft.sources.CorpusIndex.ensureBucketed(spark, "labels_minhash_old",
+        sfDir, Seq("documents"), "canonical")(
+        minLabelClusters(
+          minhashLsh(spark, sfDir)
+            .filter(col("doc_a") % 10 =!= 0 && col("doc_b") % 10 =!= 0),
+          "doc_a", "doc_b",
+          docs(spark, sfDir).select("doc_id").filter(!isDelta), "doc_id")))
+      .withColumnRenamed("canonical", "before_label")
+    val touched = after.groupBy("canonical")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(isDelta, 1L).otherwise(0L)).as("n_new"))
+      .filter(col("n_new") > 0)
+    val merges = after.join(before, Seq("doc_id")) // old members only
+      .groupBy("canonical")
+      .agg(count_distinct(col("before_label")).as("n_before_clusters"))
+    touched.join(merges, Seq("canonical"), "left")
+      .select(col("canonical"), col("n_docs"), col("n_new"),
+        coalesce(col("n_before_clusters"), lit(0L)).as("n_before_clusters"))
+      .withColumn("merged", col("n_before_clusters") >= 2)
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "d21_ingest_churn" -> (ingestChurn _),
     "d1_exact_dedup" -> (exactDedup _),
     "d2_ngram_jaccard" -> (ngramJaccard _),
     "d3_minhash_lsh" -> (minhashLsh _),
@@ -1533,6 +1581,38 @@ object Dedup {
          |SELECT src AS vec_id, min(dst) AS canonical
          |FROM reach GROUP BY src""".stripMargin,
     "d7_dedup_clusters" -> d7Sql,
+    // two closures: the full corpus (after) and old×old edges over old
+    // docs (before); churn is a rollup joining the two label relations
+    "d21_ingest_churn" ->
+      s"""WITH after AS ($d7Sql),
+         |bp AS (SELECT doc_a, doc_b FROM ($d3Sql)
+         |       WHERE doc_a % 10 <> 0 AND doc_b % 10 <> 0),
+         |bund AS (SELECT doc_a AS u, doc_b AS v FROM bp
+         |         UNION ALL SELECT doc_b, doc_a FROM bp),
+         |breach AS (
+         |  WITH RECURSIVE r(src, dst) AS (
+         |    SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 <> 0
+         |    UNION
+         |    SELECT r.src, e.v FROM r JOIN bund e ON r.dst = e.u)
+         |  SELECT src, dst FROM r),
+         |before AS (
+         |  SELECT src AS doc_id, min(dst) AS before_label
+         |  FROM breach GROUP BY src),
+         |touched AS (
+         |  SELECT canonical, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_new
+         |  FROM after GROUP BY canonical),
+         |merges AS (
+         |  SELECT a.canonical,
+         |    CAST(count(DISTINCT b.before_label) AS BIGINT) AS n_before_clusters
+         |  FROM after a JOIN before b USING (doc_id)
+         |  GROUP BY a.canonical)
+         |SELECT t.canonical, t.n_docs, t.n_new,
+         |  COALESCE(m.n_before_clusters, 0) AS n_before_clusters,
+         |  COALESCE(m.n_before_clusters, 0) >= 2 AS merged
+         |FROM touched t LEFT JOIN merges m USING (canonical)
+         |WHERE t.n_new > 0""".stripMargin,
     "d17_source_dup_rate" ->
       s"""WITH clusters AS ($d7Sql)
          |SELECT d.source,

@@ -520,4 +520,44 @@ class DedupSpec extends SparkSpec {
       "two members of one cluster drew different splits")
     assert(split.values.map(_._2).toSet == Set("train", "valid", "test"))
   }
+
+  test("d21 ingest churn equals a driver union-find recount; identities hold") {
+    val got = Dedup.ingestChurn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).sortBy(_._1)
+    val ids = graft.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val pairs = Dedup.minhashLsh(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def unionFind(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val p = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long = { if (p(x) != x) p(x) = find(p(x)); p(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) p(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      nodes.map(n => n -> find(n)).toMap
+    }
+    val after = unionFind(ids.toSeq, pairs.toSeq)
+    val oldIds = ids.filter(_ % 10 != 0).toSeq
+    val before = unionFind(oldIds,
+      pairs.filter { case (a, b) => a % 10 != 0 && b % 10 != 0 }.toSeq)
+    val expected = after.groupBy(_._2).flatMap { case (can, ms) =>
+      val docs = ms.keys.toSeq
+      val nNew = docs.count(_ % 10 == 0).toLong
+      if (nNew == 0) None
+      else {
+        val nbc = docs.filter(_ % 10 != 0).map(before).distinct.length.toLong
+        Some((can, docs.length.toLong, nNew, nbc, nbc >= 2))
+      }
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expected, s"churn diverges:\n got=${got.toSeq}\n exp=$expected")
+    // identities: new members never exceed the cluster; a pure-new
+    // cluster has zero before-clusters; output covers every delta doc
+    assert(got.forall(r => r._3 >= 1L && r._3 <= r._2))
+    assert(got.filter(r => r._2 == r._3).forall(_._4 == 0L),
+      "a pure-new cluster claims pre-existing members")
+    // every delta doc is covered exactly once across the touched clusters
+    assert(got.map(_._3).sum == ids.count(_ % 10 == 0).toLong)
+  }
 }
