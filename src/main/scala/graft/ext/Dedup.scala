@@ -1304,20 +1304,27 @@ object Dedup {
     * table itself — here they are recomputed from the same pair index
     * the snapshot would have had, which is the identical relation.
     */
-  def ingestChurn(spark: SparkSession, sfDir: String): DataFrame = {
-    val isDelta = col("doc_id") % 10 === 0
-    val after = dedupClusters(spark, sfDir)
-    // the pre-ingest label table is itself a persisted corpus index (in
-    // production it IS the previous snapshot's label table) — one CC run
-    // per corpus snapshot, read by every later driver
-    val before = memoFrame("cc:minhashOld", spark, sfDir)(
+  /** The PRE-INGEST label table (labels over old docs and old×old
+    * edges) — a persisted corpus index like d7's: in production it IS
+    * the previous snapshot's label table; here it derives from the same
+    * pair index that snapshot would have had. Built by `IndexJob`
+    * alongside `labels_minhash`.
+    */
+  private[graft] def preIngestLabels(spark: SparkSession, sfDir: String): DataFrame =
+    memoFrame("cc:minhashOld", spark, sfDir)(
       graft.sources.CorpusIndex.ensureBucketed(spark, "labels_minhash_old",
         sfDir, Seq("documents"), "canonical")(
         minLabelClusters(
           minhashLsh(spark, sfDir)
             .filter(col("doc_a") % 10 =!= 0 && col("doc_b") % 10 =!= 0),
           "doc_a", "doc_b",
-          docs(spark, sfDir).select("doc_id").filter(!isDelta), "doc_id")))
+          docs(spark, sfDir).select("doc_id").filter(col("doc_id") % 10 =!= 0),
+          "doc_id")))
+
+  def ingestChurn(spark: SparkSession, sfDir: String): DataFrame = {
+    val isDelta = col("doc_id") % 10 === 0
+    val after = dedupClusters(spark, sfDir)
+    val before = preIngestLabels(spark, sfDir)
       .withColumnRenamed("canonical", "before_label")
     val touched = after.groupBy("canonical")
       .agg(count(lit(1)).as("n_docs"),

@@ -158,6 +158,7 @@ object CorpusIndex {
     "minhash_sketch" -> graft.ext.Dedup.sketchFrame(spark, sfDir).count(),
     "lsh_pairs" -> graft.ext.Dedup.minhashLsh(spark, sfDir).count(),
     "labels_minhash" -> graft.ext.Dedup.dedupClusters(spark, sfDir).count(),
+    "labels_minhash_old" -> graft.ext.Dedup.preIngestLabels(spark, sfDir).count(),
     "embed_pairs" -> graft.ext.Dedup.embedNearDup(spark, sfDir).count(),
     "labels_embed" -> graft.ext.Dedup.embedClusters(spark, sfDir).count(),
     "term_freq" -> graft.ext.TextAnalysis.termFreq(spark, sfDir).count(),
