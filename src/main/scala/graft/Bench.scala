@@ -133,10 +133,10 @@ object Bench {
     val errs = results.collect { case (k, (false, _)) => "\"" + k + "\"" }
     val total = results.values.collect { case (true, v) => v }.sum
     val errField = if (errs.isEmpty) "" else s""","errors":${errs.mkString("[", ",", "]")}"""
-    val (upsertRate, dedupRate, twsRate, ivmRate, topkRate, slidingRate) =
-      streamingMetrics(spark)
+    val (upsertRate, dedupRate, twsRate, ivmRate, topkRate, slidingRate,
+      percolateRate) = streamingMetrics(spark)
     val streamField =
-      s""","streaming":{"upsert_rows_per_sec":$upsertRate,"dedup_rows_per_sec":$dedupRate,"tws_view_rows_per_sec":$twsRate,"ivm_rows_per_sec":$ivmRate,"topk_rows_per_sec":$topkRate,"sliding_rows_per_sec":$slidingRate}"""
+      s""","streaming":{"upsert_rows_per_sec":$upsertRate,"dedup_rows_per_sec":$dedupRate,"tws_view_rows_per_sec":$twsRate,"ivm_rows_per_sec":$ivmRate,"topk_rows_per_sec":$topkRate,"sliding_rows_per_sec":$slidingRate,"percolate_rows_per_sec":$percolateRate}"""
 
     // The harness that invokes this main keeps only the LAST ~2000 chars of
     // stdout, and the full per-query map (~100 queries) is ~3 KB — a single
@@ -182,7 +182,7 @@ object Bench {
     * reports -1.
     */
   private def streamingMetrics(spark: SparkSession)
-      : (Double, Double, Double, Double, Double, Double) = {
+      : (Double, Double, Double, Double, Double, Double, Double) = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -348,13 +348,40 @@ object Bench {
     safe { timeDedup(1000, 100, 2) }   // warmup
     safe { timeTws(1000, 100, 2) }     // warmup
     safe { timeIvm(1000, 100, 2) }     // warmup
+    // documents through the saved-search percolator: every row tokenizes
+    // and joins the query registry; text mixes registry terms (some rows
+    // alert, most don't — the production ratio) with filler vocabulary
+    def timePercolate(n: Int, nBatches: Int): Double = {
+      val words = Seq("key", "value", "scan", "table", "slow", "fast",
+        "merge", "batch", "vector", "window", "customer", "order", "dup")
+      val dir = java.nio.file.Files
+        .createTempDirectory("bench-percolate").toString
+      val a = new streaming.PercolateStream.Alerts(spark, dir)
+      val queries = graft.ext.Search.savedSearches.toDF("query_id", "term")
+      val in = MemoryStream[(Long, Long, String, String)](SourceParts)
+      val q = streaming.PercolateStream.percolateWriter(
+        in.toDF().toDF("seq", "doc_id", "text", "op"), a, queries,
+        s"$dir/ckpt").start()
+      val batches = (0 until n).map { i =>
+        val text = (0 until (3 + i % 6))
+          .map(j => words((i * 7 + j * 5) % words.length)).mkString(" ")
+        (i.toLong, (i % (n / 2)).toLong, text, "i")
+      }.grouped(n / nBatches).toSeq
+      val t0 = System.nanoTime()
+      try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      n / ((System.nanoTime() - t0) / 1e9)
+    }
+
     safe { timeTopK(1000, 100, 2) }    // warmup
     safe { timeSliding(1000, 100, 2) } // warmup
+    safe { timePercolate(1000, 2) }    // warmup
     (best { timeUpsert(100000, 10000, 5) },
       best { timeDedup(100000, 10000, 5) },
       best { timeTws(100000, 10000, 5) },
       best { timeIvm(100000, 10000, 5) },
       best { timeTopK(100000, 1000, 5) },
-      best { timeSliding(100000, 10000, 5) })
+      best { timeSliding(100000, 10000, 5) },
+      best { timePercolate(100000, 5) })
   }
 }

@@ -62,7 +62,7 @@ class CorpusIndexSpec extends SparkSpec {
     val first = CorpusIndex.buildAll(spark, sf).toMap
     assert(first.keySet == Set("token_hashes", "shingle_postings",
       "shingle_cooccur", "dup_spans", "minhash_sketch", "lsh_pairs", "labels_minhash",
-      "embed_pairs", "labels_embed", "term_freq", "gram_base"))
+      "labels_minhash_old", "embed_pairs", "labels_embed", "term_freq", "gram_base"))
     assert(first.values.forall(_ > 0L), s"empty index: $first")
     // second call is pure reads — identical counts, no rewrites
     assert(CorpusIndex.buildAll(spark, sf).toMap == first)
