@@ -1339,10 +1339,51 @@ object Dedup {
       .withColumn("merged", col("n_before_clusters") >= 2)
   }
 
+  // ---- d22: chunk-grain dedup retention ----------------------------------
+
+  /** d22 — dedup at CHUNK grain rather than document grain: every 32-token
+    * chunk (the [[Prep.chunks]] frame, same fingerprints the curation
+    * pipeline already carries) keeps only its first occurrence in corpus
+    * order `(doc_id, chunk_id)`; later copies anywhere in the corpus are
+    * dropped. Output is the per-source attrition report — chunks seen /
+    * retained and the token-weighted retained fraction — the number a
+    * pipeline owner reads to see how much of each feed is boilerplate
+    * already covered elsewhere (doc-grain dedup d1/d3 misses exactly this:
+    * near-identical docs share most chunks but few survive a whole-doc
+    * hash or a 0.9 Jaccard).
+    *
+    * Scale shape: ONE shuffle on `(chunk_fp, n_tokens)` for the
+    * first-occurrence window (fingerprints are longs — the text never
+    * moves), one doc_id-keyed join to recover `source`, then a 20-row
+    * rollup. `row_number` over the fp partition is the dedup decision
+    * itself, so there is no self-join and no candidate set: at 100 TB the
+    * cost is the chunk scan plus a fingerprint-keyed exchange, the same
+    * class as d1. Ties cannot exist — `(doc_id, chunk_id)` is unique — so
+    * the retained set is deterministic and the oracle hash-matches.
+    */
+  def chunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("chunk_fp", "n_tokens")
+      .orderBy("doc_id", "chunk_id")
+    val marked = Prep.chunks(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+    val retTok = sum(when(col("rn") === 1, col("n_tokens")).otherwise(0L))
+    marked
+      .join(docs(spark, sfDir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_retained"),
+        sum(col("n_tokens")).as("tok_total"),
+        retTok.as("tok_retained"),
+        round(retTok.cast("double") / sum(col("n_tokens")).cast("double"), 6)
+          .as("retained_frac"))
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "d21_ingest_churn" -> (ingestChurn _),
+    "d22_chunk_dedup" -> (chunkDedup _),
     "d1_exact_dedup" -> (exactDedup _),
     "d2_ngram_jaccard" -> (ngramJaccard _),
     "d3_minhash_lsh" -> (minhashLsh _),
@@ -1502,6 +1543,23 @@ object Dedup {
   }
 
   val oracle: Map[String, String] = Map(
+    "d22_chunk_dedup" ->
+      s"""${Prep.chunkFrameSql},
+         |m AS (
+         |  SELECT doc_id, n_tokens,
+         |    row_number() OVER (PARTITION BY chunk_fp, n_tokens
+         |      ORDER BY doc_id, chunk_id) AS rn
+         |  FROM chunks)
+         |SELECT s.source,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+         |  CAST(sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+         |    AS tok_retained,
+         |  round(sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) * 1.0
+         |    / sum(n_tokens), 6) AS retained_frac
+         |FROM m JOIN documents s USING (doc_id)
+         |GROUP BY s.source""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_doc_id,
         |  count(*) AS n_copies

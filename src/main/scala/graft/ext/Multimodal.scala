@@ -534,7 +534,133 @@ object Multimodal {
       .withColumn("blurry", col("sharp_ppm") < BlurPpm)
   }
 
+  // ---- m11: REAL audio (WAV) path ----------------------------------------
+
+  /** A REAL audio codec on `javax.sound.sampled` (JDK-built-in, no audio
+    * hardware needed for stream I/O): 16-bit mono little-endian PCM
+    * encode/decode through genuine RIFF/WAVE files. PCM-in-WAV is
+    * lossless, so decoded samples are bit-identical to the encoded ones
+    * — the same property that lets m5 oracle a PNG round trip lets m11
+    * oracle an AUDIO one: the DuckDB side recomputes the frame
+    * statistics from the synthesis arithmetic, and only an exact codec
+    * round trip hash-matches.
+    */
+  object WavCodec {
+    private val Format = new javax.sound.sampled.AudioFormat(
+      8000f, 16, 1, true, false) // 8 kHz, 16-bit, mono, signed, little-endian
+
+    def encodePcm(samples: Array[Short]): Array[Byte] = {
+      val raw = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), Format, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    def decodePcm(wav: Array[Byte]): Array[Short] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val raw = in.readAllBytes()
+      val samples = new Array[Short](raw.length / 2)
+      var i = 0
+      while (i < samples.length) {
+        samples(i) =
+          (((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort
+        i += 1
+      }
+      samples
+    }
+  }
+
+  private val WavFrame = 256
+  /** A frame is silent when its mean |amplitude| < 100 — masked frames
+    * are exactly zero and active frames average ~2^14, so the margin is
+    * ~160x on both sides.
+    */
+  private val WavSilentSum = 100L * WavFrame
+
+  /** documents → REAL WAV payloads: each document synthesizes
+    * `(doc_id mod 4 + 1)·512` PCM samples — sample i =
+    * `((cp(i mod len)·257 + i·31) mod 65536) − 32768` gated by an
+    * every-third-frame silence mask (`(i DIV 256) mod 3 = 0` → 0) — so
+    * every clip carries both silent and active frames, and the whole
+    * signal is integer arithmetic the oracle can replay. Encoded through
+    * [[WavCodec]] inside `mapPartitions` after the same explicit fan-out
+    * as [[pngRecords]] (codec work is CPU-dense per row while the text
+    * frame is byte-tiny).
+    */
+  def wavRecords(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        ((col("doc_id") % 4 + 1) * 512).cast("int").as("n"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .as[(Long, String, Int)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text, n) =>
+          val cps = text.codePoints().toArray
+          val samples = Array.tabulate(n) { i =>
+            if ((i / WavFrame) % 3 == 0) 0.toShort
+            else {
+              val cp = if (cps.isEmpty) 0 else cps(i % cps.length) & 0xff
+              ((cp * 257 + i * 31) % 65536 - 32768).toShort
+            }
+          }
+          MediaRecord(id, WavCodec.encodePcm(samples), "audio/wav", n, 1)
+        }
+      }
+  }
+
+  /** m11 — WAV frame-energy audit (the VAD/silence screen of an audio
+    * training pipeline): decode the WAV column through the real codec
+    * and emit per clip the frame count, silent-frame count, total
+    * absolute amplitude, and peak — the numbers that drive
+    * keep/trim/drop decisions on speech corpora. Statistics are
+    * integers accumulated INSIDE the decode batch (like m6): only five
+    * longs per clip leave the codec pass, never sample arrays. The
+    * oracle replays the synthesis arithmetic per (doc, frame) and
+    * aggregates the same stats — a hash match proves the encode → RIFF
+    * container → decode loop returned every sample bit-exactly.
+    */
+  def wavEnergy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    wavRecords(spark, sfDir)
+      .mapPartitions { batch =>
+        batch.map { rec =>
+          val s = WavCodec.decodePcm(rec.data)
+          var (sumAbs, peak, nSilent) = (0L, 0L, 0L)
+          var f = 0
+          while (f < s.length / WavFrame) {
+            var fs = 0L
+            var i = f * WavFrame
+            while (i < (f + 1) * WavFrame) {
+              val a = math.abs(s(i).toLong)
+              fs += a
+              if (a > peak) peak = a
+              i += 1
+            }
+            if (fs < WavSilentSum) nSilent += 1
+            sumAbs += fs
+            f += 1
+          }
+          (rec.doc_id, s.length.toLong, (s.length / WavFrame).toLong,
+            nSilent, sumAbs, peak)
+        }
+      }
+      .toDF("doc_id", "n_samples", "n_frames", "n_silent", "sum_abs",
+        "peak_abs")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m11_wav_energy" -> (wavEnergy _),
     "m10_blur_audit" -> (blurAudit _),
     "m9_decode_audit" -> (decodeAudit _),
     "m1_media_meta" -> (mediaMeta _),
@@ -547,6 +673,31 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // the synthesis arithmetic replayed per (doc, sample), aggregated at
+    // frame then clip grain — matches only if the WAV loop is bit-exact
+    "m11_wav_energy" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, (doc_id % 4 + 1) * 512 AS n FROM documents),
+         |s AS (SELECT doc_id, text, unnest(range(0, n)) AS i FROM d),
+         |v AS (
+         |  SELECT doc_id, i // $WavFrame AS frame,
+         |    CASE WHEN (i // $WavFrame) % 3 = 0 THEN 0
+         |         ELSE ((ascii(substring(text,
+         |                  CAST(i % length(text) AS INTEGER) + 1, 1))
+         |                * 257 + i * 31) % 65536) - 32768 END AS samp
+         |  FROM s),
+         |f AS (
+         |  SELECT doc_id, frame, sum(abs(samp)) AS fsum,
+         |    max(abs(samp)) AS fpeak
+         |  FROM v GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(count(*) * $WavFrame AS BIGINT) AS n_samples,
+         |  CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(sum(CASE WHEN fsum < $WavSilentSum THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_silent,
+         |  CAST(sum(fsum) AS BIGINT) AS sum_abs,
+         |  CAST(max(fpeak) AS BIGINT) AS peak_abs
+         |FROM f GROUP BY doc_id""".stripMargin,
     // every gradient re-derived from the source characters by index
     // arithmetic; p is the 1-based pixel list, pixel i = p[i+1]
     "m10_blur_audit" ->

@@ -125,6 +125,29 @@ object Prep {
           x => x.getField("h"))).as("chunk_fp"))
   }
 
+  /** DuckDB-side twin of [[chunks]] as a WITH-prologue ending in a
+    * `chunks(doc_id, chunk_id, n_tokens, chunk_fp)` CTE — shared by the
+    * c4 oracle and [[Dedup]]'s chunk-grain dedup (d22) oracle so the two
+    * engines' chunk definition can never drift apart.
+    */
+  private[ext] val chunkSliceSql: String =
+    "hs[CAST(chunk_id * 32 + 1 AS INTEGER):CAST(least((chunk_id + 1) * 32, len(hs)) AS INTEGER)]"
+
+  private[ext] val chunkFrameSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_transform(${tokensSql("text")}, t -> ${tokenHashSql("t")}) AS hs
+       |  FROM documents),
+       |u AS (
+       |  SELECT doc_id, hs,
+       |    unnest(range(0, (len(hs) + 31) // 32)) AS chunk_id
+       |  FROM d),
+       |chunks AS (
+       |  SELECT doc_id, chunk_id,
+       |    CAST(len($chunkSliceSql) AS BIGINT) AS n_tokens,
+       |    ${fold31Sql(chunkSliceSql)} AS chunk_fp
+       |  FROM u)""".stripMargin
+
   // ---- c5: BPE pair counts ----------------------------------------------
 
   /** c5 — the first step of a BPE vocabulary build: corpus-wide counts
@@ -408,6 +431,64 @@ object Prep {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_cut_tokens"))
   }
 
+  // ---- c21: rule-funnel quality audit ------------------------------------
+
+  /** c21 — Gopher-style quality RULE FUNNEL: the five classic document
+    * filters applied in a fixed order, reported as an attrition funnel —
+    * for each rule, how many documents reached it, how many it killed,
+    * and how many survive. This is the ablation table a corpus curator
+    * reads before committing to a filter stack (c7 answers "why was THIS
+    * doc dropped"; c21 answers "which RULE costs how much corpus"). Rules
+    * adapted to the whitespace-token corpus, each an exact integer
+    * predicate (no float thresholds — both engines compare longs):
+    *
+    *   r1 word count in [32, 100 000];
+    *   r2 mean token length in [4, 10]  (10·Σlen ≥ 40·n ∧ Σlen ≤ 10·n);
+    *   r3 ≤ 1/10 of tokens of length ≤ 2;
+    *   r4 distinct-token fraction ≥ 2/5 (the repetition gate);
+    *   r5 ≥ 2 stopword tokens ("a"/"the" in this corpus).
+    *
+    * Scale shape: ONE corpus scan computes the five booleans inside the
+    * projection (array higher-order functions, no explode), one partial
+    * aggregate reduces to a single row of prefix-conjunction survivor
+    * counts, and the 5-row funnel is unpivoted from that row — nothing
+    * but six longs crosses the wire at any size.
+    */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = size(col("toks")).cast("long")
+    val totlen = aggregate(transform(col("toks"),
+      t => length(t).cast("long")), lit(0L), _ + _)
+    val nshort = size(filter(col("toks"), t => length(t) <= 2)).cast("long")
+    val ndist = size(array_distinct(col("toks"))).cast("long")
+    val nstop = size(filter(col("toks"), t => t.isin("a", "the"))).cast("long")
+    val per = Tables.documents(spark, sfDir)
+      .select(tokens(col("text")).as("toks"))
+      .select((n >= 32L && n <= 100000L).as("r1"),
+        (totlen * 10L >= n * 40L && totlen <= n * 10L).as("r2"),
+        (nshort * 10L <= n).as("r3"),
+        (ndist * 5L >= n * 2L).as("r4"),
+        (nstop >= 2L).as("r5"))
+    def surv(cs: Column*): Column =
+      sum(when(cs.reduce(_ && _), 1L).otherwise(0L))
+    val f = per.agg(count(lit(1)).as("n0"),
+      surv(col("r1")).as("s1"),
+      surv(col("r1"), col("r2")).as("s2"),
+      surv(col("r1"), col("r2"), col("r3")).as("s3"),
+      surv(col("r1"), col("r2"), col("r3"), col("r4")).as("s4"),
+      surv(col("r1"), col("r2"), col("r3"), col("r4"), col("r5")).as("s5"))
+    def row(name: String, in: String, out: String) =
+      struct(lit(name).as("rule"), col(in).as("n_checked"),
+        (col(in) - col(out)).as("n_fail"), col(out).as("n_pass"))
+    f.select(explode(array(
+        row("r1_word_count", "n0", "s1"),
+        row("r2_mean_word_len", "s1", "s2"),
+        row("r3_short_token_frac", "s2", "s3"),
+        row("r4_distinct_frac", "s3", "s4"),
+        row("r5_stopword_coverage", "s4", "s5"))).as("f"))
+      .select(col("f.rule").as("rule"), col("f.n_checked").as("n_checked"),
+        col("f.n_fail").as("n_fail"), col("f.n_pass").as("n_pass"))
+  }
+
   // ---- registry ---------------------------------------------------------
 
   /** c14 — K-ANONYMITY suppression audit: every document carries its
@@ -631,6 +712,7 @@ object Prep {
     "c5_bpe_pairs" -> (bpePairs _),
     "c6_decontaminated" -> (decontaminated _),
     "c7_quality_gate" -> (qualityGate _),
+    "c21_gopher_rules" -> (gopherRules _),
     "c8_length_buckets" -> (lengthBuckets _),
     "c9_span_scrub" -> (spanScrub _),
     "c10_bpe_train" -> (bpeTrain _),
@@ -867,18 +949,8 @@ object Prep {
         |  ("offset" + n_tokens - 1) // 512 AS last_seq
         |FROM o""".stripMargin,
     "c4_chunks" ->
-      s"""WITH d AS (
-         |  SELECT doc_id,
-         |    list_transform(${tokensSql("text")}, t -> ${tokenHashSql("t")}) AS hs
-         |  FROM documents),
-         |u AS (
-         |  SELECT doc_id, hs,
-         |    unnest(range(0, (len(hs) + 31) // 32)) AS chunk_id
-         |  FROM d)
-         |SELECT doc_id, chunk_id,
-         |  CAST(len(hs[CAST(chunk_id * 32 + 1 AS INTEGER):CAST(least((chunk_id + 1) * 32, len(hs)) AS INTEGER)]) AS BIGINT) AS n_tokens,
-         |  ${fold31Sql("hs[CAST(chunk_id * 32 + 1 AS INTEGER):CAST(least((chunk_id + 1) * 32, len(hs)) AS INTEGER)]")} AS chunk_fp
-         |FROM u""".stripMargin,
+      s"""$chunkFrameSql
+         |SELECT doc_id, chunk_id, n_tokens, chunk_fp FROM chunks""".stripMargin,
     "c5_bpe_pairs" ->
       s"""SELECT pair, CAST(count(*) AS BIGINT) AS n FROM (
          |  SELECT unnest(list_transform(range(1, length(t)),
@@ -902,6 +974,31 @@ object Prep {
          |FROM documents d
          |WHERE d.doc_id % 97 <> 0
          |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+    "c21_gopher_rules" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT CAST(len(toks) AS BIGINT) AS n,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS totlen,
+        |  CAST(len(list_filter(toks, x -> length(x) <= 2)) AS BIGINT) AS nshort,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS ndist,
+        |  CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS BIGINT) AS nstop
+        |  FROM t),
+        |p AS (SELECT (n >= 32 AND n <= 100000) AS r1,
+        |  (totlen * 10 >= n * 40 AND totlen <= n * 10) AS r2,
+        |  (nshort * 10 <= n) AS r3,
+        |  (ndist * 5 >= n * 2) AS r4,
+        |  (nstop >= 2) AS r5 FROM s),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+        |  CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        |  CAST(sum(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+        |  CAST(sum(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+        |  CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+        |  CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 THEN 1 ELSE 0 END) AS BIGINT) AS s5
+        |  FROM p)
+        |SELECT 'r1_word_count' AS rule, n0 AS n_checked, n0 - s1 AS n_fail, s1 AS n_pass FROM f
+        |UNION ALL SELECT 'r2_mean_word_len', s1, s1 - s2, s2 FROM f
+        |UNION ALL SELECT 'r3_short_token_frac', s2, s2 - s3, s3 FROM f
+        |UNION ALL SELECT 'r4_distinct_frac', s3, s3 - s4, s4 FROM f
+        |UNION ALL SELECT 'r5_stopword_coverage', s4, s4 - s5, s5 FROM f""".stripMargin,
     "c7_quality_gate" ->
       s"""WITH s AS (
          |  SELECT doc_id, ${Dedup.shingleHashesSql} AS sh

@@ -269,6 +269,74 @@ object Sampling {
       .groupBy("event_type", "bucket")
       .agg(max(expr("rest & -rest")).as("register"))
 
+  /** Contribution scale 2^26: a register stores `rest & -rest` =
+    * 2^(ρ−1) for max rank ρ (first-set-bit position, 1-based) with
+    * `rest < 2^25`, so the HLL term 2^(−ρ) scales to the exact integer
+    * `T DIV (2·register)` ≥ 2; an EMPTY bucket contributes T (rank 0),
+    * and the degenerate register 0 (every hash in the bucket had
+    * rest = 0, i.e. rank beyond the 25 rest bits) contributes 1.
+    */
+  private val HllT = 67108864L
+  private val HllM = 64L
+  /** α₆₄·m²·T with α₆₄ ≈ 0.709 as the exact rational 709/1000 — the
+    * numerator of the integer HLL estimate; the /1000 lives in the
+    * denominator so the whole estimate is one 64-bit integer division.
+    */
+  private val HllEstNum = 709L * HllM * HllM * HllT
+
+  /** r17 — HLL UNION: the mergeability law of r7's register sketches,
+    * exercised end-to-end over USER-DAYS (user × event-time day — the
+    * activity-volume key, whose per-type sets genuinely differ, unlike
+    * plain user_id where every user touches every type). Per-event-type
+    * registers union into a global sketch by per-bucket `max` — no raw
+    * keys revisited — and both the per-type and the merged sketches are
+    * read out as integer-exact distinct estimates next to the true
+    * distinct counts. This is THE pattern that makes cardinality
+    * tracking free at 100 TB: per-shard/per-day sketches (64 longs
+    * each) roll up along any hierarchy by max, while the truth requires
+    * a distinct over the raw key set; at thousands of user-days per
+    * scope the raw harmonic estimate sits in its accurate regime
+    * (n ≫ 2.5·m, error ~1.04/√m ≈ ±13%), bounds the spec asserts.
+    *
+    * The estimate stays in 64-bit integer arithmetic (no libm, no float
+    * sums — order-insensitive, hash-exact in both engines):
+    * `est = (709·m²·T) DIV (1000·(Σ T/R_j + (m − hit)·T))` — the raw
+    * Flajolet-style harmonic estimate with α = 709/1000; T = 2^25 makes
+    * every contribution exact.
+    */
+  def hllUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          expr("CAST(unix_micros(ts) DIV 86400000000 AS STRING)")).as("k"))
+    val regs = keyed
+      .select(col("event_type"), tokenHash(col("k")).as("h"))
+      .select(col("event_type"), (col("h") % HllM).as("bucket"),
+        expr(s"h DIV $HllM").as("rest"))
+      .groupBy("event_type", "bucket")
+      .agg(max(expr("rest & -rest")).as("register"))
+    val merged = regs.groupBy("bucket").agg(max("register").as("register"))
+      .select(lit("__all__").as("scope"), col("bucket"), col("register"))
+    val scoped = regs
+      .select(col("event_type").as("scope"), col("bucket"), col("register"))
+      .unionByName(merged)
+    val est = scoped.groupBy("scope")
+      .agg(count(lit(1)).as("n_hit"),
+        sum(expr(s"CASE WHEN register = 0 THEN 1 ELSE $HllT DIV (2 * register) END"))
+          .as("dsum"))
+      .select(col("scope"), col("n_hit"),
+        expr(s"$HllEstNum DIV (1000 * (dsum + ($HllM - n_hit) * $HllT))")
+          .as("est_distinct"))
+    val pairs = keyed.distinct()
+    val truth = pairs
+      .groupBy(col("event_type").as("scope"))
+      .agg(count(lit(1)).as("true_distinct"))
+      .unionByName(pairs
+        .agg(count_distinct(col("k")).as("true_distinct"))
+        .select(lit("__all__").as("scope"), col("true_distinct")))
+    est.join(truth, Seq("scope"))
+  }
+
   private val CmRows = 4
   private val CmWidth = 32
 
@@ -436,6 +504,7 @@ object Sampling {
     "r5_priority_sample" -> (prioritySample _),
     "r6_approx_stats" -> (approxStats _),
     "r7_hll_registers" -> (hllRegisters _),
+    "r17_hll_union" -> (hllUnion _),
     "r8_cm_heavy_hitters" -> (cmHeavyHitters _),
     "r9_column_profile" -> (columnProfile _),
     "r10_exact_quantiles" -> (exactQuantiles _),
@@ -555,6 +624,40 @@ object Sampling {
         |  f.f50 BETWEEN 0.45 AND 0.55 AS p50_ok,
         |  f.f95 BETWEEN 0.90 AND 0.99 AS p95_ok
         |FROM s JOIN f USING (event_type)""".stripMargin,
+    "r17_hll_union" ->
+      s"""WITH keyed AS (
+         |  SELECT event_type,
+         |    CAST(user_id AS VARCHAR) || ':' ||
+         |      CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS VARCHAR)
+         |      AS k
+         |  FROM events),
+         |regs AS (
+         |  SELECT event_type, bucket, max(rest & -rest) AS register
+         |  FROM (SELECT event_type, h % $HllM AS bucket, h // $HllM AS rest
+         |        FROM (SELECT event_type, ${tokenHashSql("k")} AS h
+         |              FROM keyed))
+         |  GROUP BY event_type, bucket),
+         |scoped AS (
+         |  SELECT event_type AS scope, bucket, register FROM regs
+         |  UNION ALL
+         |  SELECT '__all__', bucket, max(register) FROM regs GROUP BY bucket),
+         |est AS (
+         |  SELECT scope, CAST(count(*) AS BIGINT) AS n_hit,
+         |    CAST(sum(CASE WHEN register = 0 THEN 1
+         |                  ELSE $HllT // (2 * register) END) AS BIGINT) AS dsum
+         |  FROM scoped GROUP BY scope),
+         |pairs AS (SELECT DISTINCT event_type, k FROM keyed),
+         |truth AS (
+         |  SELECT event_type AS scope,
+         |    CAST(count(*) AS BIGINT) AS true_distinct
+         |  FROM pairs GROUP BY 1
+         |  UNION ALL
+         |  SELECT '__all__', CAST(count(DISTINCT k) AS BIGINT) FROM pairs)
+         |SELECT scope, n_hit,
+         |  $HllEstNum // (1000 * (dsum + ($HllM - n_hit) * $HllT))
+         |    AS est_distinct,
+         |  true_distinct
+         |FROM est JOIN truth USING (scope)""".stripMargin,
     "r7_hll_registers" ->
       s"""SELECT event_type, bucket, max(rest & -rest) AS register
          |FROM (

@@ -522,8 +522,35 @@ object Sessions {
       .withColumn("cum_users", sum("new_users").over(wd))
   }
 
+  /** k16 — L28 ENGAGEMENT HISTOGRAM (the "power-user curve"): for the
+    * 28-day window ending at the corpus's last active day, bucket users
+    * by how many distinct days they were active and count users per
+    * bucket — the frequency curve a growth team reads to see whether the
+    * product has a daily-habit spine or a long casual tail (k14 gives
+    * the one-number DAU/WAU summary; k16 is its full distribution).
+    *
+    * Shape: the anchor day is a ONE-ROW aggregate cross-joined back with
+    * an explicit broadcast (never a corpus broadcast); then one
+    * (user, day) distinct and a per-user count — both map-side-combined
+    * user-keyed aggregates — and a ≤28-row rollup. Nothing wider than
+    * (user_id, day) ever shuffles, so the plan is two narrow exchanges
+    * at any corpus size.
+    */
+  def engagementHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $dayUs").as("day"))
+    val anchor = ud.agg(max("day").as("max_day")) // one row, broadcast-safe
+    ud.crossJoin(broadcast(anchor))
+      .filter(col("day") > col("max_day") - 28)
+      .select("user_id", "day").distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("active_days"))
+      .groupBy("active_days").agg(count(lit(1)).as("n_users"))
+  }
+
   val queries: Map[String, Q] = Map(
     "k15_user_growth" -> (userGrowth _),
+    "k16_l28_histogram" -> (engagementHistogram _),
     "k14_stickiness" -> (stickiness _),
     "k13_rfm_segments" -> (rfmSegments _),
     "k12_attribution" -> (attribution _),
@@ -541,6 +568,18 @@ object Sessions {
   )
 
   val oracle: Map[String, String] = Map(
+    "k16_l28_histogram" ->
+      """WITH ud AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |a AS (SELECT max(day) AS max_day FROM ud),
+        |act AS (
+        |  SELECT user_id, CAST(count(DISTINCT day) AS BIGINT) AS active_days
+        |  FROM ud, a WHERE day > max_day - 28
+        |  GROUP BY user_id)
+        |SELECT active_days, CAST(count(*) AS BIGINT) AS n_users
+        |FROM act GROUP BY active_days""".stripMargin,
     "k15_user_growth" ->
       """WITH ud AS (
         |  SELECT user_id,

@@ -81,6 +81,50 @@ class ApproxSpec extends SparkSpec {
     assert(sketch(ev) == whole)
   }
 
+  test("r17 union estimate recomputes from raw keys; merge row is the max-fold") {
+    val rows = Sampling.hllUnion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // driver recount: registers per scope from the raw user-day keys,
+    // then the integer estimate formula verbatim
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getString(0),
+        s"${r.getLong(1)}:${r.getLong(2)}"))
+    val (tT, m) = (67108864L, 64L)
+    def regsOf(keys: Seq[String]): Map[Long, Long] =
+      keys.map(graft.ext.Portable.tokenHashOf).groupBy(_ % m)
+        .map { case (b, hs) =>
+          b -> hs.map { h => val r = h / m; if (r == 0) 0L else r & -r }.max
+        }
+    def estOf(regs: Map[Long, Long]): Long = {
+      val dsum = regs.values.map(r => if (r == 0) 1L else tT / (2 * r)).sum
+      (709L * m * m * tT) / (1000L * (dsum + (m - regs.size) * tT))
+    }
+    val perType = evs.groupBy(_._1).map { case (t, xs) =>
+      t -> regsOf(xs.map(_._2).distinct)
+    }
+    val globalRegs = (0L until m).flatMap { b =>
+      val vs = perType.values.flatMap(_.get(b))
+      if (vs.isEmpty) None else Some(b -> vs.max) // merge = per-bucket max
+    }.toMap
+    val expect = (perType.map { case (t, r) =>
+      (t, r.size.toLong, estOf(r))
+    }.toSeq :+ (("__all__", globalRegs.size.toLong, estOf(globalRegs))))
+      .sortBy(_._1)
+    assert(rows.map(x => (x._1, x._2, x._3)).toSeq == expect)
+    // truth columns are the exact distincts; estimate lands within the
+    // generous 3-sigma band (sigma ≈ 1.04/sqrt(64) = 13%)
+    val truth = evs.distinct.groupBy(_._1).map { case (t, xs) => t -> xs.size.toLong }
+    for ((s0, _, est, tru) <- rows) {
+      val exp = if (s0 == "__all__") evs.map(_._2).distinct.size.toLong else truth(s0)
+      assert(tru == exp, s"$s0: true_distinct mismatch")
+      assert(math.abs(est - tru).toDouble <= 0.4 * tru,
+        s"$s0: estimate $est vs true $tru outside 40%")
+    }
+  }
+
   test("r8 count-min estimates dominate true counts and sketches merge by sum") {
     val rows = Sampling.cmHeavyHitters(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

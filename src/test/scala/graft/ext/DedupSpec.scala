@@ -22,6 +22,31 @@ class DedupSpec extends SparkSpec {
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  test("d22 chunk dedup equals a driver-side first-occurrence recount") {
+    val src = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ch = Prep.chunks(spark, sf)
+      .select("doc_id", "chunk_id", "n_tokens", "chunk_fp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // First occurrence in (doc_id, chunk_id) order wins, per (fp, len) key.
+    val firstOf = ch.groupBy(c => (c._4, c._3))
+      .map { case (k, cs) => k -> cs.map(c => (c._1, c._2)).min }
+    val expect = ch.groupBy(c => src(c._1)).map { case (s, cs) =>
+      val retained = cs.filter(c => firstOf((c._4, c._3)) == ((c._1, c._2)))
+      s -> (cs.length.toLong, retained.length.toLong,
+        cs.map(_._3).sum, retained.map(_._3).sum)
+    }
+    val got = Dedup.chunkDedup(spark, sf).collect().map { r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }.toMap
+    assert(got == expect)
+    // Non-vacuity: chunk-grain dedup must actually drop something here
+    // (doc-grain near-dups share chunks), but never everything.
+    val (tot, ret) = (got.values.map(_._1).sum, got.values.map(_._2).sum)
+    assert(ret < tot && ret > 0)
+  }
+
   test("exact dedup groups identical texts under the min doc_id") {
     import spark.implicits._
     val df = Seq((10L, "x y z"), (3L, "x y z"), (7L, "other text"))

@@ -8,6 +8,34 @@ import org.apache.spark.sql.functions._
   */
 class PrepSpec extends SparkSpec {
 
+  test("c21 funnel chains exactly and matches a driver-side rule recount") {
+    val rows = Prep.gopherRules(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("r1_word_count", "r2_mean_word_len",
+      "r3_short_token_frac", "r4_distinct_frac", "r5_stopword_coverage"))
+    // funnel algebra: fail + pass = checked; next stage checks the passers
+    rows.foreach { case (_, in, fail, pass) => assert(in == fail + pass) }
+    rows.sliding(2).foreach { case Array((_, _, _, p), (_, in2, _, _)) =>
+      assert(p == in2)
+    }
+    // driver recount of the five predicates
+    val docs = graft.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0).split(" ").toSeq)
+    val preds: Seq[Seq[String] => Boolean] = Seq(
+      t => t.length >= 32 && t.length <= 100000,
+      t => { val s = t.map(_.length.toLong).sum; val n = t.length.toLong
+             s * 10 >= n * 40 && s <= n * 10 },
+      t => t.count(_.length <= 2).toLong * 10 <= t.length.toLong,
+      t => t.distinct.length.toLong * 5 >= t.length.toLong * 2,
+      t => t.count(w => w == "a" || w == "the") >= 2)
+    val expect = (1 to 5).map { i =>
+      docs.count(t => preds.take(i).forall(_(t))).toLong
+    }
+    assert(rows.map(_._4).toSeq == expect)
+    assert(rows.head._2 == docs.length.toLong)
+  }
+
   test("pii scrub leaves no digit in the masked name; pseudonym is stable") {
     val out = Prep.piiScrub(spark, sf)
     assert(out.filter(col("name_masked").rlike("[0-9]")).count() == 0)

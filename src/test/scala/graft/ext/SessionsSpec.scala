@@ -356,4 +356,23 @@ class SessionsSpec extends SparkSpec {
     // non-vacuous: the corpus must actually contain returning users
     assert(got.exists(_._4 > 0L), "no returning users — vacuous decomposition")
   }
+
+  test("k16 L28 histogram equals a driver recount and conserves users") {
+    val got = Sessions.engagementHistogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxDay = evs.map(_._2).max
+    val inWin = evs.filter(_._2 > maxDay - 28).distinct
+    val expected = inWin.groupBy(_._1).map(_._2.map(_._2).distinct.length.toLong)
+      .groupBy(identity).map { case (d, us) => (d, us.size.toLong) }
+      .toArray.sortBy(_._1)
+    assert(got.toSeq == expected.toSeq)
+    // buckets stay inside the window; user total is conserved
+    assert(got.forall { case (d, _) => d >= 1L && d <= 28L })
+    assert(got.map(_._2).sum == inWin.map(_._1).distinct.length.toLong)
+    // non-vacuous: a habit spine AND a casual tail must both exist
+    assert(got.length > 1, "degenerate single-bucket histogram")
+  }
 }

@@ -115,6 +115,51 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0), "no OOV tokens anywhere — vacuous")
   }
 
+  test("WAV codec: genuine RIFF payloads, bit-exact PCM round trip") {
+    // fixture round trip, including negative samples and both byte orders
+    val fixture = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val wav = Multimodal.WavCodec.encodePcm(fixture)
+    assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F' &&
+      wav(8) == 'W' && wav(9) == 'A' && wav(10) == 'V' && wav(11) == 'E',
+      "not a RIFF/WAVE payload")
+    assert(Multimodal.WavCodec.decodePcm(wav).toSeq == fixture.toSeq)
+    // pipeline payloads are all real WAV files
+    val recs = Multimodal.wavRecords(spark, sf).collect()
+    assert(recs.nonEmpty)
+    recs.foreach { r =>
+      assert(r.data(0) == 'R' && r.data(8) == 'W', s"doc ${r.doc_id} not WAV")
+      assert(r.mime == "audio/wav")
+    }
+  }
+
+  test("m11: silence grid is exact; energy conserved against a driver replay") {
+    val got = Multimodal.wavEnergy(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val texts = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == texts.keySet)
+    for ((id, text) <- texts) {
+      val n = ((id % 4) + 1).toInt * 512
+      val cps = text.codePoints().toArray
+      val samples = Array.tabulate(n) { i =>
+        if ((i / 256) % 3 == 0) 0L
+        else ((cps(i % cps.length) & 0xff) * 257 + i * 31) % 65536 - 32768
+      }
+      val frames = samples.grouped(256).toArray
+      val expSilent = frames.count(_.map(math.abs).sum < 25600L).toLong
+      val exp = (n.toLong, (n / 256).toLong, expSilent,
+        frames.map(_.map(math.abs).sum).sum,
+        samples.map(math.abs).max)
+      assert(got(id) == exp, s"doc $id mismatch: ${got(id)} vs $exp")
+      // every third frame is masked silent by construction
+      assert(expSilent == (0 until n / 256).count(_ % 3 == 0).toLong)
+    }
+    // non-vacuous: active frames exist and carry real energy
+    assert(got.values.forall(v => v._3 < v._2 && v._4 > 0L))
+  }
+
   test("PNG codec: exact pixel stats on an embedded fixture") {
     // 2×2 gray fixture with known samples — exact luma and histogram
     val px = Array(0, 64, 128, 255)
