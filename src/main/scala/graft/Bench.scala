@@ -134,9 +134,9 @@ object Bench {
     val total = results.values.collect { case (true, v) => v }.sum
     val errField = if (errs.isEmpty) "" else s""","errors":${errs.mkString("[", ",", "]")}"""
     val (upsertRate, dedupRate, twsRate, ivmRate, topkRate, slidingRate,
-      percolateRate) = streamingMetrics(spark)
+      percolateRate, chunkDedupRate) = streamingMetrics(spark)
     val streamField =
-      s""","streaming":{"upsert_rows_per_sec":$upsertRate,"dedup_rows_per_sec":$dedupRate,"tws_view_rows_per_sec":$twsRate,"ivm_rows_per_sec":$ivmRate,"topk_rows_per_sec":$topkRate,"sliding_rows_per_sec":$slidingRate,"percolate_rows_per_sec":$percolateRate}"""
+      s""","streaming":{"upsert_rows_per_sec":$upsertRate,"dedup_rows_per_sec":$dedupRate,"tws_view_rows_per_sec":$twsRate,"ivm_rows_per_sec":$ivmRate,"topk_rows_per_sec":$topkRate,"sliding_rows_per_sec":$slidingRate,"percolate_rows_per_sec":$percolateRate,"chunk_dedup_docs_per_sec":$chunkDedupRate}"""
 
     // The harness that invokes this main keeps only the LAST ~2000 chars of
     // stdout, and the full per-query map (~100 queries) is ~3 KB — a single
@@ -182,7 +182,7 @@ object Bench {
     * reports -1.
     */
   private def streamingMetrics(spark: SparkSession)
-      : (Double, Double, Double, Double, Double, Double, Double) = {
+      : (Double, Double, Double, Double, Double, Double, Double, Double) = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -373,15 +373,41 @@ object Bench {
       n / ((System.nanoTime() - t0) / 1e9)
     }
 
+    def timeChunkDedup(n: Int, nBatches: Int): Double = {
+      val words = Seq("key", "value", "scan", "table", "slow", "fast",
+        "merge", "batch", "vector", "window", "customer", "order", "dup")
+      val dir = java.nio.file.Files
+        .createTempDirectory("bench-chunkdedup").toString
+      val stores = new streaming.ChunkDedupStream.Stores(spark, dir)
+      val in = MemoryStream[(Long, String)](SourceParts)
+      val q = streaming.ChunkDedupStream.chunkDedupWriter(
+        in.toDF().toDF("doc_id", "text"), stores, s"$dir/ckpt").start()
+      // 64-token docs (2 chunks each) with heavy cross-doc repetition —
+      // the owner index stays small while every batch exercises both the
+      // dedup join and genuine first-occurrence inserts
+      val batches = (0 until n).map { i =>
+        val text = (0 until 64)
+          .map(j => words((i * 7 + j * 5 + j * j % 11) % words.length))
+          .mkString(" ")
+        (i.toLong, text)
+      }.grouped(n / nBatches).toSeq
+      val t0 = System.nanoTime()
+      try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      n / ((System.nanoTime() - t0) / 1e9)
+    }
+
     safe { timeTopK(1000, 100, 2) }    // warmup
     safe { timeSliding(1000, 100, 2) } // warmup
     safe { timePercolate(1000, 2) }    // warmup
+    safe { timeChunkDedup(1000, 2) }   // warmup
     (best { timeUpsert(100000, 10000, 5) },
       best { timeDedup(100000, 10000, 5) },
       best { timeTws(100000, 10000, 5) },
       best { timeIvm(100000, 10000, 5) },
       best { timeTopK(100000, 1000, 5) },
       best { timeSliding(100000, 10000, 5) },
-      best { timePercolate(100000, 5) })
+      best { timePercolate(100000, 5) },
+      best { timeChunkDedup(20000, 5) })
   }
 }

@@ -113,8 +113,15 @@ object Prep {
     * rows; the ordered fold sorts inside the aggregation, never a
     * global sort.
     */
-  def chunks(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
+  def chunks(spark: SparkSession, sfDir: String): DataFrame =
+    chunksOf(Tables.documents(spark, sfDir))
+
+  /** The c4 chunk frame over an arbitrary `(doc_id, text)` frame — shared
+    * by the batch query and [[graft.streaming.ChunkDedupStream]], which
+    * chunks one micro-batch at a time with the SAME fingerprints.
+    */
+  def chunksOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       .select(col("doc_id"), expr("CAST(pos DIV 32 AS LONG)").as("chunk_id"),
         col("pos"), tokenHash(col("tok")).as("h"))
