@@ -598,7 +598,58 @@ object Search {
       .select(col("query_id"), col("doc_id"), col("n_terms"))
   }
 
+  // ---- x31: trigram-indexed regex search ---------------------------------
+
+  /** The registered regex and the literals every match MUST contain.
+    * `[a-z]+` cannot cross a space, so any match embeds both literal
+    * fragments verbatim — the completeness fact the trigram prefilter
+    * rests on.
+    */
+  private[graft] val RegexPattern = "slow [a-z]+ batch"
+  private[graft] val RegexLiterals = Seq("slow ", " batch")
+
+  private[graft] def trigramsOf(s: String): Seq[String] =
+    (0 to s.length - 3).map(i => s.substring(i, i + 3)).distinct
+
+  /** x31 — TRIGRAM-INDEXED regex search (the Google-Code-Search /
+    * PostgreSQL-pg_trgm pattern): a regex over a corpus never runs the
+    * automaton on every document at scale — the regex's required
+    * literals are decomposed into character trigrams, a posting-shaped
+    * trigram pass finds the documents containing ALL of them (a
+    * provably NECESSARY condition: every match embeds the literals, and
+    * containing a string implies containing its trigrams), and only
+    * that candidate set pays the regex confirm. The oracle states the
+    * unindexed definition — regex over every document — so a hash match
+    * IS the completeness proof of the prefilter, x23-style.
+    *
+    * Shape: one scan projecting needed-trigram hits (the `isin` prunes
+    * inside the projection — only the ~7 registry trigrams survive, so
+    * the exploded frame is hit-sized, not |text|-sized), one (doc,
+    * count) aggregate, and the regex evaluates on candidates only. At
+    * 100 TB the trigram frame is the persisted index; the per-query
+    * cost is |postings of the rarest trigrams| + |candidates| regex
+    * confirms.
+    */
+  def trigramRegex(spark: SparkSession, sfDir: String): DataFrame = {
+    val needed = RegexLiterals.flatMap(trigramsOf).distinct
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val tri = docs
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        expr("transform(sequence(1, length(text) - 2), " +
+          "i -> substring(text, i, 3))"))).as("g"))
+      .filter(col("g").isin(needed: _*))
+    val cand = tri.groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === needed.size)
+    docs.join(cand.select("doc_id"), Seq("doc_id"))
+      .filter(col("text").rlike(RegexPattern))
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(RegexPattern)).cast("long")
+          .as("n_matches"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x31_trigram_regex" -> (trigramRegex _),
     "x30_percolate" -> (percolate _),
     "x21_facets" -> (facets _),
     "x19_more_like_this" -> (moreLikeThis _),
@@ -636,6 +687,14 @@ object Search {
          |WHERE rank <= 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the UNINDEXED definition: regex over every document — hash match
+    // proves the trigram prefilter lost nothing
+    "x31_trigram_regex" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$RegexPattern')) AS BIGINT)
+         |    AS n_matches
+         |FROM documents
+         |WHERE regexp_matches(text, '$RegexPattern')""".stripMargin,
     "x30_percolate" ->
       s"""WITH q(query_id, term) AS (VALUES ${valuesSql(savedSearches)}),
          |toks AS (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents),

@@ -548,7 +548,48 @@ object Sessions {
       .groupBy("active_days").agg(count(lit(1)).as("n_users"))
   }
 
+  /** k17 — CEP SEQUENCE-PATTERN matching (Flink CEP / SQL
+    * MATCH_RECOGNIZE, stated relationally): each user's event history
+    * becomes an ordered journey string (one character per event type,
+    * ordered by time then event id), and the conversion pattern
+    * `s[cv]*p` — a signup followed by any run of clicks/views closed by
+    * a purchase, with no intervening error — is counted per user by the
+    * regex engine. This is the operator class k4's fixed funnel cannot
+    * express: arbitrary regular patterns over event sequences
+    * (negations, alternations, bounded runs) with non-overlapping match
+    * semantics, for free from the regex automaton.
+    *
+    * Shape: one (user)-keyed shuffle of (sort-key, char) rows; the
+    * journey materializes per user inside the aggregate and the
+    * automaton runs once over each user's |events| characters — exactly
+    * the per-key state a CEP engine keeps. At 100 TB the journey is
+    * bounded by windowing the sequence (sub-journeys per session/day,
+    * k1's session cut) before the same aggregate; the operator shape is
+    * unchanged.
+    */
+  def cepFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ch = when(col("event_type") === "signup", "s")
+      .when(col("event_type") === "click", "c")
+      .when(col("event_type") === "view", "v")
+      .when(col("event_type") === "purchase", "p")
+      .otherwise("e")
+    val journeys = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        struct(expr("unix_micros(ts)").as("us"), col("event_id")).as("k"),
+        ch.as("c"))
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("k"), col("c")))),
+        x => x.getField("c")), "").as("journey"))
+    journeys.select(col("user_id"),
+      length(col("journey")).cast("long").as("n_events"),
+      regexp_count(col("journey"), lit("s[cv]*p")).cast("long")
+        .as("n_conversions"))
+      .withColumn("converted", col("n_conversions") > 0L)
+  }
+
   val queries: Map[String, Q] = Map(
+    "k17_cep_funnel" -> (cepFunnel _),
     "k15_user_growth" -> (userGrowth _),
     "k16_l28_histogram" -> (engagementHistogram _),
     "k14_stickiness" -> (stickiness _),
@@ -568,6 +609,20 @@ object Sessions {
   )
 
   val oracle: Map[String, String] = Map(
+    "k17_cep_funnel" ->
+      """WITH j AS (
+        |  SELECT user_id,
+        |    string_agg(CASE event_type
+        |        WHEN 'signup' THEN 's' WHEN 'click' THEN 'c'
+        |        WHEN 'view' THEN 'v' WHEN 'purchase' THEN 'p'
+        |        ELSE 'e' END, '' ORDER BY ts, event_id) AS journey
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(length(journey) AS BIGINT) AS n_events,
+        |  CAST(len(regexp_extract_all(journey, 's[cv]*p')) AS BIGINT)
+        |    AS n_conversions,
+        |  len(regexp_extract_all(journey, 's[cv]*p')) > 0 AS converted
+        |FROM j""".stripMargin,
     "k16_l28_histogram" ->
       """WITH ud AS (
         |  SELECT user_id,

@@ -345,4 +345,30 @@ class SearchSpec extends SparkSpec {
     assert(docs.exists { case (id, _) => !got.exists(_._2 == id) },
       "every document alerts — conjunction proves nothing")
   }
+
+  test("x31 trigram-indexed regex equals brute regex; prefilter necessary") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val rx = Search.RegexPattern.r
+    val brute = docs.map { case (id, t) => id -> rx.findAllIn(t).size.toLong }
+      .filter(_._2 > 0).toMap
+    val got = Search.trigramRegex(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == brute,
+      s"missing=${(brute.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- brute.keySet).take(5)}")
+    assert(brute.nonEmpty, "no regex matches in the corpus — vacuous")
+    // the literal-containment argument the prefilter rests on: every
+    // matching document contains every required literal verbatim
+    for ((id, _) <- brute) {
+      val t = docs.find(_._1 == id).get._2
+      Search.RegexLiterals.foreach(l =>
+        assert(t.contains(l), s"doc $id matches without literal '$l'"))
+    }
+    // and the index actually prunes: some document lacks a needed trigram
+    val needed = Search.RegexLiterals.flatMap(Search.trigramsOf).distinct
+    assert(docs.exists { case (_, t) => !needed.forall(t.contains) },
+      "every document is a candidate — the prefilter proves nothing")
+  }
 }

@@ -375,4 +375,35 @@ class SessionsSpec extends SparkSpec {
     // non-vacuous: a habit spine AND a casual tail must both exist
     assert(got.length > 1, "degenerate single-bucket histogram")
   }
+
+  test("k17 CEP funnel equals a driver regex over the ordered journey") {
+    val got = Sessions.cepFunnel(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val chOf = Map("signup" -> 's', "click" -> 'c', "view" -> 'v',
+      "purchase" -> 'p').withDefaultValue('e')
+    val rx = "s[cv]*p".r
+    val expect = evs.groupBy(_._1).map { case (u, xs) =>
+      val j = xs.sortBy(x => (x._2, x._3)).map(x => chOf(x._4)).mkString
+      u -> (j.length.toLong, rx.findAllIn(j).size.toLong,
+        rx.findAllIn(j).nonEmpty)
+    }
+    assert(got == expect)
+    // identities: conversions bounded by signups and purchases; the
+    // verdict restates the count; the pattern fires somewhere
+    for ((u, (_, conv, isConv)) <- got) {
+      val types = evs.filter(_._1 == u).map(_._4)
+      assert(conv <= math.min(types.count(_ == "signup"),
+        types.count(_ == "purchase")).toLong, s"user $u overcounts")
+      assert(isConv == (conv > 0L))
+    }
+    assert(got.values.map(_._2).sum > 0L, "no conversion anywhere — vacuous")
+    assert(got.values.map(_._2).toSet.size > 1,
+      "every user converts identically — pattern proves nothing")
+  }
 }
