@@ -622,26 +622,21 @@ object Search {
     * unindexed definition — regex over every document — so a hash match
     * IS the completeness proof of the prefilter, x23-style.
     *
-    * Shape: one scan projecting needed-trigram hits (the `isin` prunes
-    * inside the projection — only the ~7 registry trigrams survive, so
-    * the exploded frame is hit-sized, not |text|-sized), one (doc,
-    * count) aggregate, and the regex evaluates on candidates only. At
-    * 100 TB the trigram frame is the persisted index; the per-query
-    * cost is |postings of the rarest trigrams| + |candidates| regex
-    * confirms.
+    * Shape: per needed trigram, ONE containment test inside the scan
+    * projection — exactly the membership answer a trigram posting list
+    * gives, evaluated index-free (at 100 TB the same conjunction is an
+    * intersection of ~7 posting lists from the persisted trigram index,
+    * so the per-query cost is |postings of the rarest trigram|, not a
+    * corpus scan) — and only the conjunction's survivors pay the regex
+    * automaton. No explode, no shuffle before the confirm: the whole
+    * prefilter is a codegen'd scan predicate.
     */
   def trigramRegex(spark: SparkSession, sfDir: String): DataFrame = {
     val needed = RegexLiterals.flatMap(trigramsOf).distinct
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val tri = docs
-      .filter(length(col("text")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(
-        expr("transform(sequence(1, length(text) - 2), " +
-          "i -> substring(text, i, 3))"))).as("g"))
-      .filter(col("g").isin(needed: _*))
-    val cand = tri.groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-      .filter(col("n_hit") === needed.size)
-    docs.join(cand.select("doc_id"), Seq("doc_id"))
+    val candidate = needed
+      .map(g => col("text").contains(g)).reduce(_ && _)
+    Tables.documents(spark, sfDir).select("doc_id", "text")
+      .filter(candidate) // the trigram-index conjunction
       .filter(col("text").rlike(RegexPattern))
       .select(col("doc_id"),
         regexp_count(col("text"), lit(RegexPattern)).cast("long")
