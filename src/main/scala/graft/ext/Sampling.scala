@@ -337,6 +337,86 @@ object Sampling {
     est.join(truth, Seq("scope"))
   }
 
+  /** KMV sketch size: estimate error ~1/√k ≈ ±12.5% — same accuracy
+    * class as r17's m = 64 HLL, so the two sketches are directly
+    * comparable on the same key.
+    */
+  private val KmvK = 64L
+  /** Coarse locator histogram: 4096 equal hash ranges over [0, P). */
+  private val KmvW = Portable.P / 4096L + 1L
+
+  /** r18 — KMV (k-minimum-values / bottom-k) distinct sketch, the
+    * HLL alternative whose state is the k smallest hash values seen:
+    * per-event-type sketches over the same user-day key as r17, merged
+    * into a global sketch by SET UNION + re-prune (bottom-k of a union
+    * = bottom-k of the concatenated bottom-k's — the mergeability law,
+    * exercised end-to-end like r17's register max-fold), read out as
+    * the integer-exact estimator `(k−1)·P DIV h_k` next to the true
+    * distinct counts. A sketch that hasn't filled (n ≤ k) IS the exact
+    * set, so the estimate degrades to exact — the small-scope mode the
+    * spec pins.
+    *
+    * The 100 TB shape: the k-th smallest hash per scope is found by a
+    * HISTOGRAM-REFINE locator (the r10 exact-quantile idiom), not a
+    * per-scope sort — one 4096-bin coarse count per scope picks the
+    * cutoff bin containing the k-th value, and only hashes at or below
+    * that bin (expected ≈ n/4096 + k rows) reach the row_number. The
+    * locator is exact, not probabilistic: every hash strictly below the
+    * cutoff bin survives the prune, so the bottom-k is complete by
+    * construction. Everything is 64-bit integer arithmetic on the
+    * Portable hash — no libm, engine-exact.
+    */
+  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          expr("CAST(unix_micros(ts) DIV 86400000000 AS STRING)")).as("k"))
+    val tu = keyed.distinct()
+    // distinct hash values per scope; the '__all__' scope re-distincts
+    // because the same user-day (hence hash) appears under many types
+    val dh = tu.select(col("event_type"), tokenHash(col("k")).as("h"))
+      .distinct()
+    val scoped = dh.select(col("event_type").as("scope"), col("h"))
+      .unionByName(
+        dh.select(col("h")).distinct()
+          .select(lit("__all__").as("scope"), col("h")))
+    // locator: coarse histogram → first bin whose running count reaches
+    // k holds the k-th smallest hash (bins are per-scope counts, a few
+    // thousand rows total — window over a statistics-sized frame)
+    val bcnt = scoped
+      .groupBy(col("scope"), expr(s"h DIV $KmvW").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val cut = bcnt
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("scope").orderBy("b")))
+      .groupBy("scope")
+      .agg(min(when(col("cum") >= KmvK, col("b"))).as("cutb0"),
+        max("b").as("maxb"), sum("c").as("n_distinct"))
+      .select(col("scope"), coalesce(col("cutb0"), col("maxb")).as("cutb"),
+        col("n_distinct"))
+    // prune to the cutoff bin (sketch-sized survivor set), THEN rank
+    val sk = scoped
+      .join(broadcast(cut), Seq("scope"))
+      .filter(expr(s"h DIV $KmvW") <= col("cutb"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("scope").orderBy("h")))
+      .filter(col("rk") <= KmvK)
+      .groupBy("scope")
+      .agg(count(lit(1)).as("n_kept"), max("h").as("kth_min"),
+        max("n_distinct").as("n_distinct"))
+      .select(col("scope"), col("n_kept"), col("kth_min"),
+        when(col("n_distinct") <= KmvK, col("n_distinct"))
+          .otherwise(expr(s"${(KmvK - 1L) * Portable.P}L DIV kth_min"))
+          .as("est_distinct"))
+    val truth = tu
+      .groupBy(col("event_type").as("scope"))
+      .agg(count(lit(1)).as("true_distinct"))
+      .unionByName(tu
+        .agg(count_distinct(col("k")).as("true_distinct"))
+        .select(lit("__all__").as("scope"), col("true_distinct")))
+    sk.join(truth, Seq("scope"))
+  }
+
   private val CmRows = 4
   private val CmWidth = 32
 
@@ -505,6 +585,7 @@ object Sampling {
     "r6_approx_stats" -> (approxStats _),
     "r7_hll_registers" -> (hllRegisters _),
     "r17_hll_union" -> (hllUnion _),
+    "r18_kmv_distinct" -> (kmvDistinct _),
     "r8_cm_heavy_hitters" -> (cmHeavyHitters _),
     "r9_column_profile" -> (columnProfile _),
     "r10_exact_quantiles" -> (exactQuantiles _),
@@ -658,6 +739,52 @@ object Sampling {
          |    AS est_distinct,
          |  true_distinct
          |FROM est JOIN truth USING (scope)""".stripMargin,
+    "r18_kmv_distinct" ->
+      s"""WITH keyed AS (
+         |  SELECT event_type,
+         |    CAST(user_id AS VARCHAR) || ':' ||
+         |      CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS VARCHAR)
+         |      AS k
+         |  FROM events),
+         |tu AS (SELECT DISTINCT event_type, k FROM keyed),
+         |dh AS (SELECT DISTINCT event_type, ${tokenHashSql("k")} AS h FROM tu),
+         |scoped AS (
+         |  SELECT event_type AS scope, h FROM dh
+         |  UNION ALL
+         |  SELECT '__all__', h FROM (SELECT DISTINCT h FROM dh)),
+         |bcnt AS (
+         |  SELECT scope, h // $KmvW AS b, CAST(count(*) AS BIGINT) AS c
+         |  FROM scoped GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT scope, b, c,
+         |    sum(c) OVER (PARTITION BY scope ORDER BY b) AS cum
+         |  FROM bcnt),
+         |cut AS (
+         |  SELECT scope,
+         |    coalesce(min(CASE WHEN cum >= $KmvK THEN b END), max(b)) AS cutb,
+         |    CAST(sum(c) AS BIGINT) AS n_distinct
+         |  FROM cum GROUP BY scope),
+         |rk AS (
+         |  SELECT s.scope, s.h, cut.n_distinct,
+         |    row_number() OVER (PARTITION BY s.scope ORDER BY s.h) AS rk
+         |  FROM scoped s JOIN cut ON s.scope = cut.scope
+         |  WHERE s.h // $KmvW <= cut.cutb),
+         |sk AS (
+         |  SELECT scope, CAST(count(*) AS BIGINT) AS n_kept,
+         |    max(h) AS kth_min, max(n_distinct) AS n_distinct
+         |  FROM rk WHERE rk <= $KmvK GROUP BY scope),
+         |truth AS (
+         |  SELECT event_type AS scope,
+         |    CAST(count(*) AS BIGINT) AS true_distinct
+         |  FROM tu GROUP BY 1
+         |  UNION ALL
+         |  SELECT '__all__', CAST(count(DISTINCT k) AS BIGINT) FROM tu)
+         |SELECT sk.scope, n_kept, kth_min,
+         |  CASE WHEN n_distinct <= $KmvK THEN n_distinct
+         |       ELSE ${(KmvK - 1L) * Portable.P} // kth_min
+         |  END AS est_distinct,
+         |  true_distinct
+         |FROM sk JOIN truth USING (scope)""".stripMargin,
     "r7_hll_registers" ->
       s"""SELECT event_type, bucket, max(rest & -rest) AS register
          |FROM (

@@ -125,6 +125,50 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("r18 KMV bottom-k recomputes from raw keys; union row is the merge law") {
+    val rows = Sampling.kmvDistinct(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), s"${r.getLong(1)}:${r.getLong(2)}"))
+    val (k, p) = (64, 2147483647L)
+    def sketchOf(keys: Seq[String]): Seq[Long] =
+      keys.distinct.map(graft.ext.Portable.tokenHashOf).distinct.sorted.take(k)
+    def estOf(bottom: Seq[Long], nDistinct: Long): Long =
+      if (nDistinct <= k) nDistinct else (k - 1L) * p / bottom.last
+    val perType = evs.groupBy(_._1).map { case (t, xs) =>
+      val hs = xs.map(_._2).distinct.map(graft.ext.Portable.tokenHashOf).distinct
+      (t, sketchOf(xs.map(_._2)), hs.size.toLong)
+    }.toSeq
+    // MERGE LAW: bottom-k of the union of hash sets == bottom-k of the
+    // concatenated per-type sketches (no raw keys revisited)
+    val allH = evs.map(_._2).distinct.map(graft.ext.Portable.tokenHashOf).distinct
+    val mergedFromSketches =
+      perType.flatMap(_._2).distinct.sorted.take(k)
+    assert(mergedFromSketches.toSeq == allH.sorted.take(k).toSeq,
+      "KMV merge law violated")
+    val expect = (perType.map { case (t, sk0, nd) =>
+      (t, sk0.size.toLong, sk0.last, estOf(sk0, nd))
+    } :+ (("__all__", math.min(k, allH.size).toLong,
+      mergedFromSketches.last, estOf(mergedFromSketches, allH.size.toLong))))
+      .sortBy(_._1)
+    assert(rows.map(x => (x._1, x._2, x._3, x._4)).toSeq == expect)
+    // truth columns exact; estimate within the generous 3-sigma band
+    // (sigma ~ 1/sqrt(64) = 12.5%)
+    val truth = evs.distinct.groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(_._2).distinct.size.toLong }
+    for ((s0, _, _, est, tru) <- rows) {
+      val exp = if (s0 == "__all__") evs.map(_._2).distinct.size.toLong
+        else truth(s0)
+      assert(tru == exp, s"$s0: true_distinct mismatch")
+      assert(math.abs(est - tru).toDouble <= 0.4 * tru,
+        s"$s0: estimate $est vs true $tru outside 40%")
+    }
+  }
+
   test("r8 count-min estimates dominate true counts and sketches merge by sum") {
     val rows = Sampling.cmHeavyHitters(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
