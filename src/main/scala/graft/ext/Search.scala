@@ -598,6 +598,48 @@ object Search {
       .select(col("query_id"), col("doc_id"), col("n_terms"))
   }
 
+  /** Search-as-you-type workload: what a user has typed so far (mixed
+    * lengths; every prefix completes to ≥ 1 corpus term).
+    */
+  private[ext] val typedPrefixes: Seq[String] =
+    Seq("s", "b", "sc", "cu", "qu", "ta", "val", "win")
+
+  /** x32 — autocomplete (search-as-you-type): top-4 completions per typed
+    * prefix, ranked by document frequency with corpus frequency as the
+    * displayed hint — the OpenSearch `search_as_you_type` /
+    * `completion` suggester surface over the corpus vocabulary.
+    *
+    * Shape: completions come from the VOCABULARY rollup of the memoized
+    * postings index (one `(term, df, cf)` row per distinct term — the
+    * frame an edge-n-gram index is built from), never the corpus. Per
+    * distinct typed length the prefix key is a `substring` projection
+    * joined hash-equi against the broadcast typed-prefix list, so each
+    * length is one codegen'd vocab pass with no explode; the rank window
+    * partitions by prefix over candidate sets already reduced to the
+    * matching terms. At 100 TB: the corpus-sized work is the postings
+    * index the whole text family shares; autocomplete itself is
+    * vocabulary-sized — which is why real engines serve it from an
+    * in-memory FST. Top-4 with `df DESC, term` tiebreak is total-order
+    * deterministic.
+    */
+  def autocomplete(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = TextAnalysis.termFreq(spark, sfDir)
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+    val cand = typedPrefixes.map(_.length).distinct.sorted.map { l =>
+      val qs = typedPrefixes.filter(_.length == l).toDF("prefix")
+      vocab.withColumn("prefix", substring(col("term"), 1, l))
+        .join(broadcast(qs), Seq("prefix"))
+    }.reduce(_ unionByName _)
+    cand
+      .withColumn("rank", row_number().over(
+          Window.partitionBy("prefix").orderBy(col("df").desc, col("term")))
+        .cast("long"))
+      .filter(col("rank") <= 4)
+      .select(col("prefix"), col("rank"), col("term"), col("df"), col("cf"))
+  }
+
   // ---- x31: trigram-indexed regex search ---------------------------------
 
   /** The registered regex and the literals every match MUST contain.
@@ -644,6 +686,7 @@ object Search {
   }
 
   val queries: Map[String, Q] = Map(
+    "x32_autocomplete" -> (autocomplete _),
     "x31_trigram_regex" -> (trigramRegex _),
     "x30_percolate" -> (percolate _),
     "x21_facets" -> (facets _),
@@ -682,6 +725,26 @@ object Search {
          |WHERE rank <= 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "x32_autocomplete" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS term
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |v AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |    CAST(sum(tf) AS BIGINT) AS cf
+         |  FROM tf GROUP BY 1),
+         |q(prefix) AS (VALUES ${typedPrefixes.map(p => s"('$p')").mkString(", ")}),
+         |cand AS (
+         |  SELECT q.prefix, v.term, v.df, v.cf
+         |  FROM v JOIN q ON substring(v.term, 1, length(q.prefix)) = q.prefix),
+         |r AS (
+         |  SELECT prefix, term, df, cf,
+         |    row_number() OVER (PARTITION BY prefix
+         |                       ORDER BY df DESC, term) AS rank
+         |  FROM cand)
+         |SELECT prefix, rank, term, df, cf FROM r WHERE rank <= 4""".stripMargin,
     // the UNINDEXED definition: regex over every document — hash match
     // proves the trigram prefilter lost nothing
     "x31_trigram_regex" ->

@@ -371,4 +371,30 @@ class SearchSpec extends SparkSpec {
     assert(docs.exists { case (_, t) => !needed.forall(t.contains) },
       "every document is a candidate — the prefilter proves nothing")
   }
+
+  test("x32 autocomplete equals the brute vocabulary fold; ranks dense") {
+    val vocab = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").groupBy(identity)
+        .map { case (t, xs) => (t, xs.length.toLong) })
+      .groupBy(_._1)
+      .map { case (t, xs) => (t, xs.length.toLong, xs.map(_._2).sum) }
+    val brute = Search.typedPrefixes.flatMap { p =>
+      vocab.filter(_._1.startsWith(p)).toSeq
+        .sortBy { case (t, df, _) => (-df, t) }.take(4).zipWithIndex
+        .map { case ((t, df, cf), i) => (p, i + 1L, t, df, cf) }
+    }.toSet
+    val got = Search.autocomplete(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+    // every typed prefix completes, and at least one is rank-limited
+    // (more candidates than the page size — the top-8 actually cuts)
+    Search.typedPrefixes.foreach(p =>
+      assert(got.exists(_._1 == p), s"prefix '$p' has no completion"))
+    assert(Search.typedPrefixes.exists(p =>
+      vocab.count(_._1.startsWith(p)) > 4),
+      "no prefix exceeds the page size — the rank cut proves nothing")
+  }
 }
