@@ -925,6 +925,78 @@ object Dedup {
           .otherwise(lit(null).cast("double")).as("transitivity"))
   }
 
+  /** Peeling threshold for d23: the 4-core — every surviving document
+    * keeps ≥ 4 confirmed near-dup partners INSIDE the core.
+    */
+  private val CoreK = 4L
+  /** Unroll bound for the d23 oracle: fixed peel rounds the SQL states
+    * explicitly. Both test SFs converge in 2; the Spark loop always runs
+    * to its true fixpoint, so this only bounds the ORACLE's validity.
+    */
+  private[ext] val CoreUnroll = 6
+
+  /** d23 — k-core decomposition of the MinHash near-dup graph (edges =
+    * [[minhashLsh]] pairs, d7's cluster substrate): repeatedly delete
+    * every node of degree < k until fixpoint. The k-core separates the
+    * DENSE duplication communities (near-cliques, safe to collapse to
+    * one canonical) from the chain/tendril periphery hiding inside the
+    * same connected component — d10's census asks the clique-vs-chain
+    * question globally; this answers it per document. Output: core
+    * members with their within-core degree (`peel_round` 0) and peeled
+    * documents with the round they died and their degree at the start of
+    * that round — the shell profile.
+    *
+    * Scale: each round is one degree aggregation plus two semi-joins on
+    * the SHRINKING mirrored edge frame, all keyed on node ids — nothing
+    * corpus-sized broadcasts; lineage truncates per round and the loop
+    * is driven by the count the checkpoint already materializes (the
+    * [[minLabelClusters]] contraction discipline). Rounds to fixpoint =
+    * the graph's peel depth (2 here; shallow on near-clique dup graphs).
+    * Removal is SIMULTANEOUS per round, so the result is iteration-order
+    * independent — the standard k-core uniqueness argument — which is
+    * what lets the oracle's unrolled fixed-round form hash-match the
+    * converged loop. A node whose every neighbor dies in round r drops
+    * to degree 0 but is itself recorded in round r+1 (it was alive all
+    * of round r) — the left-join recount keeps such nodes visible.
+    */
+  def kcore(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir)
+    var alive = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("u"), col("doc_b").as("v")),
+        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint()
+    var deg = alive.groupBy(col("u").as("doc_id"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val shells = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var round = 1L
+    var nDoomed = deg.filter(col("deg") < CoreK).count()
+    while (nDoomed > 0) {
+      shells += deg.filter(col("deg") < CoreK)
+        .select(col("doc_id"), lit(false).as("in_core"),
+          lit(round).as("peel_round"), col("deg"))
+      val surv = deg.filter(col("deg") >= CoreK).select("doc_id")
+      alive = alive
+        .join(surv.withColumnRenamed("doc_id", "u"), Seq("u"))
+        .join(surv.withColumnRenamed("doc_id", "v"), Seq("v"))
+        .localCheckpoint()
+      // left-join recount: survivors whose last neighbors just died
+      // must stay visible at degree 0 for next round's shell
+      deg = surv
+        .join(alive.groupBy(col("u").as("doc_id"))
+          .agg(count(lit(1)).as("deg0")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("deg0"), lit(0L)).as("deg"))
+        .localCheckpoint()
+      round += 1
+      nDoomed = deg.filter(col("deg") < CoreK).count()
+    }
+    val core = deg.select(col("doc_id"), lit(true).as("in_core"),
+      lit(0L).as("peel_round"), col("deg"))
+    (shells :+ core).reduce(_ unionByName _)
+  }
+
   /** d11 — PageRank over the semantic near-dup graph (same memoized edge
     * set as d9/d10): the canonical-document selector. When a near-dup
     * cluster collapses to one representative, "highest PageRank in the
@@ -1398,6 +1470,7 @@ object Dedup {
     "d8_minhash_estimate" -> (minhashEstimate _),
     "d9_embed_clusters" -> (embedClusters _),
     "d10_triangle_census" -> (triangleStats _),
+    "d23_kcore" -> (kcore _),
     "d11_pagerank" -> ((s, d) => pageRank(s, d)),
     "d12_substring_spans" -> (substringSpans _),
     "d13_incremental_lsh" -> (incrementalLsh _),
@@ -1798,6 +1871,41 @@ object Dedup {
          |FROM (SELECT doc_id, canonical,
          |        ${Portable.tokenHashSql("CAST(canonical AS VARCHAR)")} % 100 AS g
          |      FROM clusters)""".stripMargin,
+    // UNROLLED peeling: CoreUnroll explicit rounds (fixpoint is reached
+    // in 2 at both test SFs; the unroll bound only limits the oracle)
+    "d23_kcore" -> {
+      val roundCtes = (1 to CoreUnroll).map { r =>
+        s"""doom$r AS (
+           |  SELECT doc_id, CAST(FALSE AS BOOLEAN) AS in_core,
+           |    CAST($r AS BIGINT) AS peel_round, deg
+           |  FROM n${r - 1} WHERE deg < $CoreK),
+           |surv$r AS MATERIALIZED (
+           |  SELECT doc_id FROM n${r - 1} WHERE deg >= $CoreK),
+           |a$r AS MATERIALIZED (
+           |  SELECT a.u, a.v FROM a${r - 1} a
+           |  JOIN surv$r su ON a.u = su.doc_id
+           |  JOIN surv$r sv ON a.v = sv.doc_id),
+           |n$r AS MATERIALIZED (
+           |  SELECT s.doc_id, CAST(coalesce(d.deg, 0) AS BIGINT) AS deg
+           |  FROM surv$r s LEFT JOIN (
+           |    SELECT u AS doc_id, count(*) AS deg FROM a$r GROUP BY u) d
+           |  ON s.doc_id = d.doc_id)""".stripMargin
+      }.mkString(",\n")
+      val shellUnion = (1 to CoreUnroll)
+        .map(r => s"SELECT * FROM doom$r").mkString("\n  UNION ALL ")
+      s"""WITH pairs AS ($d3Sql),
+         |a0 AS MATERIALIZED (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |n0 AS MATERIALIZED (
+         |  SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS deg
+         |  FROM a0 GROUP BY u),
+         |$roundCtes
+         |SELECT * FROM (
+         |  $shellUnion
+         |  UNION ALL
+         |  SELECT doc_id, TRUE, CAST(0 AS BIGINT), deg FROM n$CoreUnroll)""".stripMargin
+    },
     "d10_triangle_census" ->
       s"""WITH pairs AS ($d6Sql),
          |edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs),

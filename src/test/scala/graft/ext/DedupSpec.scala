@@ -585,4 +585,41 @@ class DedupSpec extends SparkSpec {
     // every delta doc is covered exactly once across the touched clusters
     assert(got.map(_._3).sum == ids.count(_ % 10 == 0).toLong)
   }
+
+  test("d23 k-core equals a driver peeling fold; both regions non-empty") {
+    import scala.collection.mutable
+    val k = 4
+    val pairs = Dedup.minhashLsh(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+    for ((a, b) <- pairs) {
+      adj.getOrElseUpdate(a, mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, mutable.Set.empty) += a
+    }
+    val expected = mutable.Set.empty[(Long, Boolean, Long, Long)]
+    var round = 1L
+    var doomed = adj.filter(_._2.size < k).keySet.toSeq
+    while (doomed.nonEmpty) {
+      // SIMULTANEOUS removal: record degrees as of the round start
+      doomed.foreach(n => expected += ((n, false, round, adj(n).size.toLong)))
+      doomed.foreach { n =>
+        adj(n).foreach(m => adj(m) -= n)
+        adj -= n
+      }
+      round += 1
+      doomed = adj.filter(_._2.size < k).keySet.toSeq
+    }
+    adj.foreach { case (n, s) => expected += ((n, true, 0L, s.size.toLong)) }
+    val got = Dedup.kcore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected.toSet,
+      s"missing=${(expected.toSet -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(got.exists(_._2) && got.exists(!_._2),
+      "core or shell empty — the peel proves nothing")
+    // the oracle's unroll bound must dominate the true peel depth
+    assert(round - 1 <= Dedup.CoreUnroll,
+      s"peel depth ${round - 1} exceeds the oracle unroll ${Dedup.CoreUnroll}")
+  }
 }
