@@ -254,6 +254,66 @@ object Similarity {
 
   private[ext] val RangeTau = 0.25
 
+  /** Neighborhood depth for s14's margin normalizer. */
+  private val MarginK = 4
+
+  /** s14 — margin-based alignment mining (the bitext-mining scorer): the
+    * even-id half of the corpus seeks its best odd-id counterpart, scored
+    * not by raw cosine but by the RATIO MARGIN — cosine divided by the
+    * mean of both endpoints' top-k neighborhoods — the standard fix for
+    * hub vectors that sit close to everything and would win every raw-
+    * cosine retrieval. A pair is MINED only when its margin clears 1.0
+    * (strictly better than the neighborhoods it sits in).
+    *
+    * Candidates are IVF-cell-coblocked (same `label`, opposite parity —
+    * s2's retrieval structure), so the pair frame is Σ|cell_A|·|cell_B|,
+    * never |A|·|B|; forward and backward top-k stats and the final
+    * per-query argmax are bounded windows over that same frame, which
+    * materializes once and feeds all three consumers. Arithmetic is
+    * integer end-to-end past the one cosine: each cosine floor-quantizes
+    * to micro units BEFORE any sum (double sums are addend-order-
+    * dependent; long sums are not), and the margin is one 64-bit
+    * division `2e6·c·n_f·n_b DIV (Σ_f·n_b + Σ_b·n_f)` — exact in both
+    * engines, no libm.
+    */
+  def bitextMargin(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    val e = vecs(spark, sfDir)
+    val a = e.filter(col("vec_id") % 2 === 0)
+      .select(col("label"), col("vec_id").as("query_id"), col("v").as("qv"))
+    val b = e.filter(col("vec_id") % 2 === 1)
+      .select(col("label"), col("vec_id").as("neighbor_id"),
+        col("v").as("nv"))
+    val cand = a.join(b, Seq("label"))
+      .select(col("query_id"), col("neighbor_id"),
+        floor(cosineSim(col("nv"), col("qv")) * lit(1000000.0))
+          .cast("long").as("cmic"))
+      .filter(col("cmic") > 0)
+      .localCheckpoint() // feeds fwd stats, bwd stats, and the margin join
+    val fwd = cand
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cmic").desc, col("neighbor_id"))))
+      .filter(col("rk") <= MarginK)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("nf"), sum("cmic").as("sumf"))
+    val bwd = cand
+      .withColumn("rk", row_number().over(Window.partitionBy("neighbor_id")
+        .orderBy(col("cmic").desc, col("query_id"))))
+      .filter(col("rk") <= MarginK)
+      .groupBy("neighbor_id")
+      .agg(count(lit(1)).as("nb"), sum("cmic").as("sumb"))
+    val m = cand
+      .join(fwd, Seq("query_id"))
+      .join(bwd, Seq("neighbor_id"))
+      .withColumn("margin_micro",
+        expr("2000000 * cmic * nf * nb DIV (sumf * nb + sumb * nf)"))
+    m.withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("margin_micro").desc, col("neighbor_id"))))
+      .filter(col("rank") === 1 && col("margin_micro") >= 1000000L)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cmic").as("cos_micro"), col("margin_micro"))
+  }
+
   /** Occupancy dial for s8's ADAPTIVE IVF cell count (the d6 rule applied
     * to the coarse quantizer): with ≤ [[CellN0]] vectors the cells are
     * exactly the data's label column; every corpus doubling past it
@@ -678,7 +738,8 @@ object Similarity {
     "s6_sq_rerank" -> (sqRerankTopk _),
     "s7_pq_rerank" -> (pqRerankTopk _),
     "s8_knn_join" -> (knnJoin _),
-    "s9_range_search" -> (rangeSearch _)
+    "s9_range_search" -> (rangeSearch _),
+    "s14_bitext_margin" -> (bitextMargin _)
   )
 
   /** s7's subspace-code expression, DuckDB side (lists are 1-based). */
@@ -796,6 +857,45 @@ object Similarity {
          |SELECT short.query_id, short.neighbor_id, $cosSql AS cos_raw
          |FROM short JOIN ev e ON e.vec_id = short.neighbor_id
          |           JOIN q ON q.query_id = short.query_id""".stripMargin, 3),
+    "s14_bitext_margin" ->
+      s"""WITH ev AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |pos AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, cmic FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |      CAST(floor($cosSql * 1000000.0) AS BIGINT) AS cmic
+         |    FROM ev e JOIN (SELECT vec_id, label, v AS qv FROM ev
+         |                    WHERE vec_id % 2 = 0) q
+         |      ON e.label = q.label
+         |    WHERE e.vec_id % 2 = 1)
+         |  WHERE cmic > 0),
+         |fwd AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS nf,
+         |    CAST(sum(cmic) AS BIGINT) AS sumf
+         |  FROM (SELECT query_id, cmic,
+         |          row_number() OVER (PARTITION BY query_id
+         |                             ORDER BY cmic DESC, neighbor_id) AS rk
+         |        FROM pos)
+         |  WHERE rk <= $MarginK GROUP BY query_id),
+         |bwd AS (
+         |  SELECT neighbor_id, CAST(count(*) AS BIGINT) AS nb,
+         |    CAST(sum(cmic) AS BIGINT) AS sumb
+         |  FROM (SELECT neighbor_id, cmic,
+         |          row_number() OVER (PARTITION BY neighbor_id
+         |                             ORDER BY cmic DESC, query_id) AS rk
+         |        FROM pos)
+         |  WHERE rk <= $MarginK GROUP BY neighbor_id),
+         |m AS (
+         |  SELECT p.query_id, p.neighbor_id, p.cmic,
+         |    (2000000 * p.cmic * nf * nb) // (sumf * nb + sumb * nf)
+         |      AS margin_micro
+         |  FROM pos p JOIN fwd USING (query_id) JOIN bwd USING (neighbor_id))
+         |SELECT query_id, neighbor_id, cmic AS cos_micro, margin_micro
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY margin_micro DESC, neighbor_id) AS rank FROM m)
+         |WHERE rank = 1 AND margin_micro >= 1000000""".stripMargin,
     "s9_range_search" ->
       s"""WITH ev AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -395,4 +395,52 @@ class SimilaritySpec extends SparkSpec {
     val hits = s13.map { case (q, ns) => ns.count(truth(q)) }.sum
     assert(hits >= 2, s"IVF-PQ recall collapsed: $hits hits")
   }
+
+  test("s14 margin mining equals a driver recount; the margin cut bites") {
+    val rows = vecs.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val pos = for {
+      (qa, va, la) <- rows if qa % 2 == 0
+      (nb, vb, lb) <- rows if nb % 2 == 1 && lb == la
+      c = math.floor(cos(vb, va) * 1000000.0).toLong if c > 0
+    } yield (qa, nb, c)
+    def topStats(xs: Seq[(Long, Long)]): (Long, Long) = {
+      val top = xs.sortBy { case (id, c) => (-c, id) }.take(4)
+      (top.size.toLong, top.map(_._2).sum)
+    }
+    val fwd = pos.groupBy(_._1).map { case (q, xs) =>
+      q -> topStats(xs.map(x => (x._2, x._3)).toSeq) }
+    val bwd = pos.groupBy(_._2).map { case (n, xs) =>
+      n -> topStats(xs.map(x => (x._1, x._3)).toSeq) }
+    val mined = pos.groupBy(_._1).flatMap { case (q, xs) =>
+      val scored = xs.map { case (_, n, c) =>
+        val (nf, sumf) = fwd(q); val (nb2, sumb) = bwd(n)
+        (n, c, 2000000L * c * nf * nb2 / (sumf * nb2 + sumb * nf))
+      }.toSeq
+      val best = scored.minBy { case (n, _, m) => (-m, n) }
+      if (best._3 >= 1000000L) Some((q, best._1, best._2, best._3)) else None
+    }.toSet
+    val got = Similarity.bitextMargin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == mined,
+      s"missing=${(mined -- got).take(3)} extra=${(got -- mined).take(3)}")
+    assert(got.nonEmpty, "no pair mined — vacuous")
+    // the margin threshold rejects someone with candidates, and the
+    // argmax genuinely reorders raw cosine for someone
+    assert(pos.map(_._1).toSet.size > got.size,
+      "every candidate query mined a pair — the margin cut proves nothing")
+    val rawBest = pos.groupBy(_._1).map { case (q, xs) =>
+      q -> xs.map(x => (x._2, x._3)).toSeq
+        .minBy { case (n, c) => (-c, n) }._1 }
+    assert(got.exists { case (q, n, _, _) => rawBest(q) != n },
+      "margin ranking never disagrees with raw cosine — normalizer inert")
+  }
 }
