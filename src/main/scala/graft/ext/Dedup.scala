@@ -946,51 +946,63 @@ object Dedup {
     * documents with the round they died and their degree at the start of
     * that round — the shell profile.
     *
-    * Scale: each round is one degree aggregation plus two semi-joins on
-    * the SHRINKING mirrored edge frame, all keyed on node ids — nothing
-    * corpus-sized broadcasts; lineage truncates per round and the loop
-    * is driven by the count the checkpoint already materializes (the
-    * [[minLabelClusters]] contraction discipline). Rounds to fixpoint =
-    * the graph's peel depth (2 here; shallow on near-clique dup graphs).
-    * Removal is SIMULTANEOUS per round, so the result is iteration-order
-    * independent — the standard k-core uniqueness argument — which is
-    * what lets the oracle's unrolled fixed-round form hash-match the
-    * converged loop. A node whose every neighbor dies in round r drops
-    * to degree 0 but is itself recorded in round r+1 (it was alive all
-    * of round r) — the left-join recount keeps such nodes visible.
+    * Scale: the mirrored edge frame materializes ONCE and is never
+    * rewritten — each round subtracts the degree LOSS instead: edges
+    * whose `v` endpoint just died, joined against the (shrinking) doomed
+    * frame and counted per surviving `u`. Rewriting the edges every
+    * round (the first formulation) re-materialized the full frame per
+    * round and swept at exp 1.47 on the decade (116 s at sf1-synth);
+    * the subtract form touches the full frame read-only per round with
+    * only node-sized frames ever written, and the doomed join side is
+    * exactly the nodes that died this round — small after round 1 (AQE
+    * runtime-broadcasts it when it measures small; never a static hint,
+    * since round 1's doomed set is data-dependent and can be large).
+    * Lineage truncates per round on the node-sized frames only; the loop
+    * is driven by the count the checkpoint already runs (the
+    * [[minLabelClusters]] discipline). Rounds to fixpoint = the graph's
+    * peel depth (2–3 here; shallow on near-clique dup graphs). Removal
+    * is SIMULTANEOUS per round, so the result is iteration-order
+    * independent — the standard k-core uniqueness argument — which lets
+    * the oracle's unrolled fixed-round form hash-match the converged
+    * loop. A node whose every neighbor dies in round r drops to degree 0
+    * but is itself recorded in round r+1 (it was alive all of round r) —
+    * `deg − lost = 0` keeps such nodes visible.
     */
   def kcore(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashLsh(spark, sfDir)
-    var alive = pairs
+    // NOT checkpointed: `pairs` is the persisted lsh_pairs index, so
+    // each per-round use re-scans parquet + mirrors in the projection —
+    // cheaper than serializing the 2|E|-row frame into block storage
+    // (the sf1-synth graph is 19M pairs; materializing 38M mirrored
+    // rows cost more than every peel round combined)
+    val edges = pairs
       .select(explode(array(
         struct(col("doc_a").as("u"), col("doc_b").as("v")),
         struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .localCheckpoint()
-    var deg = alive.groupBy(col("u").as("doc_id"))
+    var deg = edges.groupBy(col("u").as("doc_id"))
       .agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val shells = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 1L
-    var nDoomed = deg.filter(col("deg") < CoreK).count()
+    var doomed = deg.filter(col("deg") < CoreK).localCheckpoint()
+    var nDoomed = doomed.count()
     while (nDoomed > 0) {
-      shells += deg.filter(col("deg") < CoreK)
-        .select(col("doc_id"), lit(false).as("in_core"),
-          lit(round).as("peel_round"), col("deg"))
-      val surv = deg.filter(col("deg") >= CoreK).select("doc_id")
-      alive = alive
-        .join(surv.withColumnRenamed("doc_id", "u"), Seq("u"))
-        .join(surv.withColumnRenamed("doc_id", "v"), Seq("v"))
-        .localCheckpoint()
-      // left-join recount: survivors whose last neighbors just died
-      // must stay visible at degree 0 for next round's shell
-      deg = surv
-        .join(alive.groupBy(col("u").as("doc_id"))
-          .agg(count(lit(1)).as("deg0")), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("deg0"), lit(0L)).as("deg"))
+      shells += doomed.select(col("doc_id"), lit(false).as("in_core"),
+        lit(round).as("peel_round"), col("deg"))
+      // degree loss: edges whose far endpoint just died, per survivor
+      val loss = edges
+        .join(doomed.select(col("doc_id").as("v")), Seq("v"))
+        .groupBy(col("u").as("doc_id"))
+        .agg(count(lit(1)).as("lost"))
+      deg = deg.filter(col("deg") >= CoreK)
+        .join(loss, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"))
         .localCheckpoint()
       round += 1
-      nDoomed = deg.filter(col("deg") < CoreK).count()
+      doomed = deg.filter(col("deg") < CoreK).localCheckpoint()
+      nDoomed = doomed.count()
     }
     val core = deg.select(col("doc_id"), lit(true).as("in_core"),
       lit(0L).as("peel_round"), col("deg"))

@@ -265,26 +265,36 @@ object Similarity {
     * cosine retrieval. A pair is MINED only when its margin clears 1.0
     * (strictly better than the neighborhoods it sits in).
     *
-    * Candidates are IVF-cell-coblocked (same `label`, opposite parity —
-    * s2's retrieval structure), so the pair frame is Σ|cell_A|·|cell_B|,
-    * never |A|·|B|; forward and backward top-k stats and the final
-    * per-query argmax are bounded windows over that same frame, which
-    * materializes once and feeds all three consumers. Arithmetic is
-    * integer end-to-end past the one cosine: each cosine floor-quantizes
-    * to micro units BEFORE any sum (double sums are addend-order-
-    * dependent; long sums are not), and the margin is one 64-bit
-    * division `2e6·c·n_f·n_b DIV (Σ_f·n_b + Σ_b·n_f)` — exact in both
-    * engines, no libm.
+    * Candidates are IVF-cell-coblocked (same ADAPTIVE cell — `label`
+    * plus s8's occupancy-driven sub-cell bits, 0 bits at test scale so
+    * the cell is exactly the label, one more per corpus doubling past
+    * [[CellN0]]), opposite parity — so the pair frame is Σ|cell_A|·
+    * |cell_B| with |cell| held ≈ constant, never |A|·|B| (label-only
+    * blocking re-grows Σ|cell|² linearly with the corpus and measured
+    * exp 1.16 on the decade sweep; the split restores ~linear). Forward
+    * and backward top-k stats and the final per-query argmax are bounded
+    * windows over that same frame, which materializes once and feeds all
+    * three consumers. Arithmetic is integer end-to-end past the one
+    * cosine: each cosine floor-quantizes to micro units BEFORE any sum
+    * (double sums are addend-order-dependent; long sums are not), and
+    * the margin is one 64-bit division
+    * `2e6·c·n_f·n_b DIV (Σ_f·n_b + Σ_b·n_f)` — exact in both engines,
+    * no libm.
     */
   def bitextMargin(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.CosineSimilarity.cosineSim
-    val e = vecs(spark, sfDir)
+    val e0 = vecs(spark, sfDir)
+    val nv = e0.agg(count(lit(1)).as("n_vecs"))
+    val e = e0.crossJoin(broadcast(nv)) // one-row frame: correct broadcast
+      .select(col("vec_id"), col("v"), col("label"),
+        subSig(col("v")).bitwiseAND(splitMask(col("n_vecs"))).as("subcell"))
     val a = e.filter(col("vec_id") % 2 === 0)
-      .select(col("label"), col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("label"), col("subcell"),
+        col("vec_id").as("query_id"), col("v").as("qv"))
     val b = e.filter(col("vec_id") % 2 === 1)
-      .select(col("label"), col("vec_id").as("neighbor_id"),
-        col("v").as("nv"))
-    val cand = a.join(b, Seq("label"))
+      .select(col("label"), col("subcell"),
+        col("vec_id").as("neighbor_id"), col("v").as("nv"))
+    val cand = a.join(b, Seq("label", "subcell"))
       .select(col("query_id"), col("neighbor_id"),
         floor(cosineSim(col("nv"), col("qv")) * lit(1000000.0))
           .cast("long").as("cmic"))
@@ -858,17 +868,21 @@ object Similarity {
          |FROM short JOIN ev e ON e.vec_id = short.neighbor_id
          |           JOIN q ON q.query_id = short.query_id""".stripMargin, 3),
     "s14_bitext_margin" ->
-      s"""WITH ev AS (
+      s"""WITH ev0 AS (
          |  SELECT vec_id, label,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
+         |nvv AS (SELECT count(*) AS n_vecs FROM embeddings),
+         |ev AS (
+         |  SELECT vec_id, label, v, $subSigSql & $splitMaskSql AS subcell
+         |  FROM ev0 CROSS JOIN nvv),
          |pos AS MATERIALIZED (
          |  SELECT query_id, neighbor_id, cmic FROM (
          |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
          |      CAST(floor($cosSql * 1000000.0) AS BIGINT) AS cmic
-         |    FROM ev e JOIN (SELECT vec_id, label, v AS qv FROM ev
+         |    FROM ev e JOIN (SELECT vec_id, label, subcell, v AS qv FROM ev
          |                    WHERE vec_id % 2 = 0) q
-         |      ON e.label = q.label
+         |      ON e.label = q.label AND e.subcell = q.subcell
          |    WHERE e.vec_id % 2 = 1)
          |  WHERE cmic > 0),
          |fwd AS (
