@@ -659,7 +659,97 @@ object Multimodal {
         "peak_abs")
   }
 
+  /** documents → tonal WAV payloads for m12: each frame carries a SQUARE
+    * wave of period `4·2^((doc_id+frame) mod 4)` ∈ {4,8,16,32} samples at
+    * amplitude `8000 + (doc_id mod 7)·1000` — periodic integer signals
+    * whose true pitch the oracle knows from the synthesis rule alone.
+    * Frame length 256 is a multiple of every period, so the CIRCULAR
+    * autocorrelation at the true period equals the zero-lag energy
+    * exactly, and at no smaller lag (a half-high/half-low square's
+    * minimal period is its full period) — the argmax-with-smallest-lag
+    * detector is provably exact on this family.
+    */
+  def wavToneRecords(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), ((col("doc_id") % 4 + 1) * 512).cast("int").as("n"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .as[(Long, Int)]
+      .mapPartitions { batch =>
+        batch.map { case (id, n) =>
+          val amp = (8000 + (id % 7) * 1000).toInt
+          val samples = Array.tabulate(n) { i =>
+            val f = i / WavFrame
+            val p = 4 << ((id + f) % 4).toInt
+            (if (i % p < p / 2) amp else -amp).toShort
+          }
+          MediaRecord(id, WavCodec.encodePcm(samples), "audio/wav", n, 1)
+        }
+      }
+  }
+
+  /** m12 — PITCH detection through the real audio codec: decode each
+    * clip, and per 256-sample frame run an integer circular-
+    * autocorrelation argmax over lags 1..32 (smallest lag attaining the
+    * max wins — the textbook pitch tracker, in exact 64-bit arithmetic:
+    * no FFT, no floats). Output is the clip's pitch histogram
+    * (detected period → frame count) plus the peak amplitude seen at
+    * that pitch. The oracle computes the TRUE period and amplitude from
+    * the synthesis rule per (doc, frame) — so a hash match proves the
+    * encode → RIFF → decode loop is bit-exact AND the detector recovers
+    * every frame's pitch, the m5 round-trip discipline extended to a
+    * real DSP kernel. Cost shape is m11's: ~256·32 multiplies per frame
+    * inside the decode batch, four longs per (clip, period) leaving it.
+    */
+  /** The per-frame pitch kernel: circular autocorrelation argmax over
+    * lags 1..32, smallest lag wins ties; returns (period, peak |amp|).
+    * Exposed so the spec can drive it on waveforms OUTSIDE the synthesis
+    * family (proof it measures the signal, not the generation rule).
+    */
+  private[ext] def detectPeriod(s: Array[Short], base: Int): (Long, Long) = {
+    var bestLag = 0L
+    var bestR = Long.MinValue
+    var peak = 0L
+    var lag = 1
+    while (lag <= 32) {
+      var r = 0L
+      var i = 0
+      while (i < WavFrame) {
+        val a = s(base + i).toLong
+        val b = s(base + (i + lag) % WavFrame).toLong
+        r += a * b
+        if (lag == 1 && math.abs(a) > peak) peak = math.abs(a)
+        i += 1
+      }
+      if (r > bestR) { bestR = r; bestLag = lag.toLong }
+      lag += 1
+    }
+    (bestLag, peak)
+  }
+
+  def pitchDetect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    wavToneRecords(spark, sfDir)
+      .mapPartitions { batch =>
+        batch.flatMap { rec =>
+          val s = WavCodec.decodePcm(rec.data)
+          val nFrames = s.length / WavFrame
+          val hist = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+          var f = 0
+          while (f < nFrames) {
+            val (p, peak) = detectPeriod(s, f * WavFrame)
+            val (n0, p0) = hist.getOrElse(p, (0L, 0L))
+            hist(p) = (n0 + 1L, math.max(p0, peak))
+            f += 1
+          }
+          hist.toSeq.map { case (p, (n, pk)) => (rec.doc_id, p, n, pk) }
+        }
+      }
+      .toDF("doc_id", "period", "n_frames", "peak_abs")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m12_pitch_detect" -> (pitchDetect _),
     "m11_wav_energy" -> (wavEnergy _),
     "m10_blur_audit" -> (blurAudit _),
     "m9_decode_audit" -> (decodeAudit _),
@@ -675,6 +765,21 @@ object Multimodal {
   val oracle: Map[String, String] = Map(
     // the synthesis arithmetic replayed per (doc, sample), aggregated at
     // frame then clip grain — matches only if the WAV loop is bit-exact
+    // the TRUTH side of m12: period and amplitude straight from the
+    // synthesis rule — matching means codec round trip AND detector are
+    // both exact on every frame
+    "m12_pitch_detect" ->
+      """WITH f AS (
+        |  SELECT doc_id, t.f AS frame,
+        |    CASE CAST((doc_id + t.f) % 4 AS INTEGER)
+        |      WHEN 0 THEN 4 WHEN 1 THEN 8 WHEN 2 THEN 16 ELSE 32
+        |    END AS period
+        |  FROM documents, range(8) t(f)
+        |  WHERE t.f < (doc_id % 4 + 1) * 2)
+        |SELECT doc_id, CAST(period AS BIGINT) AS period,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(8000 + (doc_id % 7) * 1000 AS BIGINT) AS peak_abs
+        |FROM f GROUP BY doc_id, period""".stripMargin,
     "m11_wav_energy" ->
       s"""WITH d AS (
          |  SELECT doc_id, text, (doc_id % 4 + 1) * 512 AS n FROM documents),

@@ -441,4 +441,32 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.exists(_._6) && got.exists(!_._6),
       s"vacuous blur mask: ${got.count(_._6)}/${got.length}")
   }
+
+  test("m12: detected pitch equals the synthesis truth; kernel is signal-driven") {
+    val got = Multimodal.pitchDetect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // truth from the synthesis rule (the oracle's definition, in Scala)
+    val ids = graft.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = ids.flatMap { id =>
+      val nFrames = (id % 4 + 1) * 2
+      val amp = 8000L + (id % 7) * 1000L
+      (0L until nFrames).map(f => 4L << ((id + f) % 4).toInt)
+        .groupBy(identity)
+        .map { case (p, fs) => (id, p) -> ((fs.size.toLong, amp)) }
+    }.toMap
+    assert(got == expected,
+      s"missing=${(expected.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- expected.keySet).take(3)}")
+    // the kernel measures the SIGNAL, not the id rule: a period outside
+    // the synthesis family {4,8,16,32} is still recovered exactly
+    val odd = Array.tabulate(256)(i =>
+      (if (i % 12 < 6) 9000 else -9000).toShort)
+    assert(Multimodal.detectPeriod(odd, 0) == ((12L, 9000L)),
+      "detector failed on an out-of-family period")
+    // and a codec round trip preserves it bit-exactly
+    val rt = Multimodal.WavCodec.decodePcm(Multimodal.WavCodec.encodePcm(odd))
+    assert(rt.sameElements(odd) && Multimodal.detectPeriod(rt, 0)._1 == 12L)
+  }
 }
