@@ -251,6 +251,52 @@ object Validate {
         abs(col("share_old_ppm") - col("share_new_ppm")))
   }
 
+  def ksDrift(spark: SparkSession, sfDir: String): DataFrame =
+    ksDriftOf(Tables.events(spark, sfDir))
+
+  /** v9 — exact two-sample KOLMOGOROV–SMIRNOV drift per event type: the
+    * sup-norm CDF distance between the older and newer half of the
+    * corpus (v4's mid-epoch split), computed on the exact value grain
+    * (cents) with NO binning — the classic distribution-shift test v4's
+    * fixed histogram approximates, and the one that catches a shift v4's
+    * 10 coarse bins can hide (mass moving within a bin). For step CDFs
+    * the supremum is attained at an observed value, so evaluating
+    * |F_old − F_new| at every distinct (type, cent) point is exact; each
+    * CDF term floors to ppm BEFORE the difference, keeping the whole
+    * statistic 64-bit integer and engine-identical.
+    *
+    * Shape: one corpus scan into a (type, cent) count frame; cumulative
+    * and total windows ride that DISTINCT-VALUE-grain frame (bounded by
+    * the cents domain — thousands of rows per type, a statistics-sized
+    * sort, which is why the test is stated on quantized cents rather
+    * than raw doubles). Types with an empty half are dropped: a
+    * one-sided KS is undefined, not zero.
+    */
+  private[ext] def ksDriftOf(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"), unix_micros(col("ts")).as("us"),
+      expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+    val mid = ev.agg(min("us").as("lo"), max("us").as("hi"))
+      .selectExpr("(lo + hi) DIV 2 AS mid_us")
+    val counts = ev.crossJoin(broadcast(mid)) // one-row frame
+      .groupBy(col("event_type"), col("v"))
+      .agg(sum(when(col("us") < col("mid_us"), 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("us") >= col("mid_us"), 1L).otherwise(0L)).as("n_new"))
+    val wcum = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy("event_type")
+    counts
+      .withColumn("cum_old", sum("n_old").over(wcum))
+      .withColumn("cum_new", sum("n_new").over(wcum))
+      .withColumn("t_old", sum("n_old").over(wall))
+      .withColumn("t_new", sum("n_new").over(wall))
+      .filter(col("t_old") > 0 && col("t_new") > 0)
+      .groupBy(col("event_type"))
+      .agg(max("t_old").as("n_old"), max("t_new").as("n_new"),
+        max(abs(expr("cum_old * 1000000 DIV t_old") -
+          expr("cum_new * 1000000 DIV t_new"))).as("ks_ppm"))
+      .withColumn("drifted", col("ks_ppm") > 50000L)
+  }
+
   /** v5 — CATEGORICAL SHARE DRIFT: per (week, event_type), the type's
     * share within the week vs its share over the whole corpus, as an
     * exact ppm delta — the event-mix monitor ("errors doubled this
@@ -445,6 +491,7 @@ object Validate {
     "v2_referential_integrity" -> (referentialIntegrity _),
     "v3_uniqueness_profile" -> (uniquenessProfile _),
     "v4_value_drift" -> (valueDrift _),
+    "v9_ks_drift" -> (ksDrift _),
     "v5_share_drift" -> (shareDrift _)
   )
 
@@ -628,6 +675,37 @@ object Validate {
         |  CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
         |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
         |FROM lineitem""".stripMargin,
+    "v9_ks_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM ev),
+        |c AS (
+        |  SELECT event_type, v,
+        |    CAST(sum(CASE WHEN us < mid_us THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_old,
+        |    CAST(sum(CASE WHEN us >= mid_us THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new
+        |  FROM ev CROSS JOIN mid GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, v,
+        |    CAST(sum(n_old) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_old,
+        |    CAST(sum(n_new) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_new,
+        |    CAST(sum(n_old) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS t_old,
+        |    CAST(sum(n_new) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS t_new
+        |  FROM c),
+        |agg AS (
+        |  SELECT event_type, max(t_old) AS n_old, max(t_new) AS n_new,
+        |    max(abs(cum_old * 1000000 // t_old - cum_new * 1000000 // t_new))
+        |      AS ks_ppm
+        |  FROM w WHERE t_old > 0 AND t_new > 0 GROUP BY 1)
+        |SELECT event_type, n_old, n_new, ks_ppm, ks_ppm > 50000 AS drifted
+        |FROM agg""".stripMargin,
     "v4_value_drift" ->
       """WITH ev AS (
         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),

@@ -114,4 +114,31 @@ class ValidatePropertySpec extends SparkSpec {
       assert(got == expected, s"seed=$seed: $got != $expected")
     }
   }
+
+  test("v9 KS drift equals the driver fold on random corpora") {
+    for (seed <- 60L to 72L) {
+      val rows = sample(seed)
+      val us = rows.map(_._1)
+      val mid = (us.min + us.max) / 2 // non-negative: floor == truncate
+      val expected = rows.groupBy(_._3).flatMap { case (t, xs) =>
+        val old = xs.filter(_._1 < mid); val nw = xs.filter(_._1 >= mid)
+        if (old.isEmpty || nw.isEmpty) None
+        else {
+          def cents(v: Double) = math.floor(v * 100).toLong
+          val vs = xs.map(x => cents(x._2)).distinct.sorted
+          val ks = vs.map { v =>
+            val co = old.count(x => cents(x._2) <= v).toLong
+            val cn = nw.count(x => cents(x._2) <= v).toLong
+            math.abs(co * 1000000L / old.length - cn * 1000000L / nw.length)
+          }.max
+          Some(t -> ((old.length.toLong, nw.length.toLong, ks, ks > 50000L)))
+        }
+      }
+      val got = Validate.ksDriftOf(toDf(rows)).collect().map { r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4)))
+      }.toMap
+      assert(got == expected, s"seed=$seed: $got != $expected")
+    }
+  }
 }
