@@ -622,13 +622,24 @@ object Search {
     * in-memory FST. Top-4 with `df DESC, term` tiebreak is total-order
     * deterministic.
     */
-  def autocomplete(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val vocab = TextAnalysis.termFreq(spark, sfDir)
+  def autocomplete(spark: SparkSession, sfDir: String): DataFrame =
+    autocompleteOn(TextAnalysis.termFreq(spark, sfDir), typedPrefixes)
+
+  /** x32 over an arbitrary `(doc_id, term, tf)` postings relation — the
+    * injectable engine, so the STREAMING-maintained postings store
+    * serves the same completions (`PostingsStreamSpec` proves serving
+    * parity) and an empty store completes to zero suggestions. The
+    * typed prefixes are a literal workload (per-length equi-join keys
+    * are derived at plan time), so they stay a Scala Seq, not a frame.
+    */
+  private[graft] def autocompleteOn(tf0: DataFrame,
+      prefixes: Seq[String]): DataFrame = {
+    import tf0.sparkSession.implicits._
+    val vocab = postingsOrEmpty(tf0)
       .groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
-    val cand = typedPrefixes.map(_.length).distinct.sorted.map { l =>
-      val qs = typedPrefixes.filter(_.length == l).toDF("prefix")
+    val cand = prefixes.map(_.length).distinct.sorted.map { l =>
+      val qs = prefixes.filter(_.length == l).toDF("prefix")
       vocab.withColumn("prefix", substring(col("term"), 1, l))
         .join(broadcast(qs), Seq("prefix"))
     }.reduce(_ unionByName _)

@@ -118,6 +118,35 @@ class PostingsStreamSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("the maintained index serves AUTOCOMPLETE (x32) — incl. retraction") {
+    val s = run(Seq(b1, b2, b3))
+    val got = graft.ext.Search.autocompleteOn(s.postingsView(),
+        Seq("w", "f", "se"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+      .toSet
+    val exp = expected(Seq(b1, b2, b3).flatten)
+    val vocab = exp.toSeq.groupBy(_._1._2).map { case (t, xs) =>
+      (t, xs.size.toLong, xs.map(_._2).sum)
+    }
+    val brute = Seq("w", "f", "se").flatMap { p =>
+      vocab.filter(_._1.startsWith(p)).toSeq
+        .sortBy { case (t, df, _) => (-df, t) }.take(4).zipWithIndex
+        .map { case ((t, df, cf), i) => (p, i + 1L, t, df, cf) }
+    }.toSet
+    assert(got == brute, s"completion diverged: got $got expected $brute")
+    // retraction visible at the suggest layer: 'fox' was replaced in b2,
+    // so the 'f' prefix must not suggest it
+    assert(!got.exists(_._3 == "fox"), "replaced term still suggested")
+    assert(got.nonEmpty)
+    // and a fresh store suggests nothing (not an exception)
+    val fresh = new PostingsStream.Stores(spark,
+      java.nio.file.Files.createTempDirectory("pidx").toString)
+    assert(graft.ext.Search.autocompleteOn(fresh.postingsView(),
+      Seq("w")).count() == 0L)
+  }
+
   test("the maintained index serves BM25 (x17) — integer formula parity") {
     import spark.implicits._
     val s = run(Seq(b1, b2, b3))
