@@ -307,7 +307,46 @@ object Temporal {
         coalesce(col("n_events"), lit(0L)).as("n_events"))
   }
 
+  /** a10's pixel-column width: 6-hour epoch buckets. */
+  private val M4BucketUs = 21600000000L
+
+  /** a10 — M4 DOWNSAMPLING (Jugel et al., VLDB'14): per (event_type,
+    * time bucket) the first, last, min and max points with their
+    * timestamps — the four rows per pixel column that make a line chart
+    * of millions of points render IDENTICALLY to the full data, and the
+    * standard answer to "ship a dashboard series without shipping the
+    * corpus". a4's OHLC bars are the finance special case; M4 keeps the
+    * extremes' TIMES too, which is what pixel-exact rendering needs.
+    *
+    * One groupBy with four struct-ordered argmin/argmax aggregates
+    * (r13's associative struct-min idiom — map-side combinable, no
+    * windows, no sort): first/last order by (ts, id), min/max by
+    * (value, ts, id) — value ties resolve to the earliest point for min
+    * and the latest for max, both total orders, so the result and the
+    * oracle hash are partitioning-independent. Values are exact cents.
+    * At 100 TB: the scan is the cost; output is 4 points × pixels.
+    */
+  def m4Downsample(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+      .withColumn("bucket", expr(s"us DIV $M4BucketUs"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n_points"),
+        min(struct(col("us"), col("event_id"), col("v"))).as("f"),
+        max(struct(col("us"), col("event_id"), col("v"))).as("l"),
+        min(struct(col("v"), col("us"), col("event_id"))).as("mn"),
+        max(struct(col("v"), col("us"), col("event_id"))).as("mx"))
+      .select(col("event_type"), col("bucket"), col("n_points"),
+        col("f.v").as("first_v"), col("f.us").as("first_us"),
+        col("l.v").as("last_v"), col("l.us").as("last_us"),
+        col("mn.v").as("min_v"), col("mn.us").as("min_us"),
+        col("mx.v").as("max_v"), col("mx.us").as("max_us"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "a10_m4_downsample" -> (m4Downsample _),
     "a9_calendar_fill" -> (calendarFill _),
     "a8_asof_tolerance" -> (asofTolerance _),
     "a5_twa_bars" -> (twaBars _),
@@ -320,6 +359,33 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "a10_m4_downsample" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    event_id, CAST(floor(value * 100) AS BIGINT) AS v,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // $M4BucketUs AS bucket
+         |  FROM events),
+         |r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY event_type, bucket
+         |      ORDER BY us, event_id) AS rf,
+         |    row_number() OVER (PARTITION BY event_type, bucket
+         |      ORDER BY us DESC, event_id DESC) AS rl,
+         |    row_number() OVER (PARTITION BY event_type, bucket
+         |      ORDER BY v, us, event_id) AS rmn,
+         |    row_number() OVER (PARTITION BY event_type, bucket
+         |      ORDER BY v DESC, us DESC, event_id DESC) AS rmx
+         |  FROM ev)
+         |SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n_points,
+         |  CAST(max(CASE WHEN rf = 1 THEN v END) AS BIGINT) AS first_v,
+         |  CAST(max(CASE WHEN rf = 1 THEN us END) AS BIGINT) AS first_us,
+         |  CAST(max(CASE WHEN rl = 1 THEN v END) AS BIGINT) AS last_v,
+         |  CAST(max(CASE WHEN rl = 1 THEN us END) AS BIGINT) AS last_us,
+         |  CAST(max(CASE WHEN rmn = 1 THEN v END) AS BIGINT) AS min_v,
+         |  CAST(max(CASE WHEN rmn = 1 THEN us END) AS BIGINT) AS min_us,
+         |  CAST(max(CASE WHEN rmx = 1 THEN v END) AS BIGINT) AS max_v,
+         |  CAST(max(CASE WHEN rmx = 1 THEN us END) AS BIGINT) AS max_us
+         |FROM r GROUP BY 1, 2""".stripMargin,
     "a9_calendar_fill" ->
       """WITH ev AS (
         |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type

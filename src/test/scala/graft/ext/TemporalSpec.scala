@@ -280,4 +280,33 @@ class TemporalSpec extends SparkSpec {
     val exact = got.collect { case ((u, _), (t0, t1, v)) if t0 == t1 => (u, t0, v) }
     exact.foreach { case (u, t0, v) => assert(v == instMap((u, t0))) }
   }
+
+  test("a10 M4 equals a driver fold; extremes' times add over OHLC") {
+    val bucketUs = 21600000000L
+    val evs = graft.Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) AS us", "event_id",
+        "CAST(floor(value * 100) AS BIGINT) AS v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = evs.groupBy(e => (e._1, e._2 / bucketUs)).map {
+      case ((t, b), xs) =>
+        val f = xs.minBy(e => (e._2, e._3))
+        val l = xs.maxBy(e => (e._2, e._3))
+        val mn = xs.minBy(e => (e._4, e._2, e._3))
+        val mx = xs.maxBy(e => (e._4, e._2, e._3))
+        (t, b) -> ((xs.size.toLong, f._4, f._2, l._4, l._2,
+          mn._4, mn._2, mx._4, mx._2))
+    }
+    val got = Temporal.m4Downsample(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9), r.getLong(10)))
+    }.toMap
+    assert(got == expected,
+      s"M4 diverged; sample got=${got.take(1)} exp=${expected.take(1)}")
+    // the min/max TIMES are information OHLC doesn't carry: in some
+    // bucket the extreme is neither the first nor the last point
+    assert(got.exists { case (_, (_, _, fUs, _, lUs, _, mnUs, _, mxUs)) =>
+      (mnUs != fUs && mnUs != lUs) || (mxUs != fUs && mxUs != lUs)
+    }, "extremes always at bucket edges — M4 adds nothing over first/last")
+  }
 }
