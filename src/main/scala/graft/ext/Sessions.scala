@@ -588,7 +588,131 @@ object Sessions {
       .withColumn("converted", col("n_conversions") > 0L)
   }
 
+  /** k18 — CONVERSION HAZARD CURVE (discrete survival analysis with
+    * right-censoring): per whole day since a user's first signup, how
+    * many cohort members were still "at risk" (no purchase yet, corpus
+    * hasn't ended for them) and what fraction of them converted that
+    * day — the time-to-convert analysis k8's lag histogram approximates
+    * without handling CENSORING (a user who signed up two days before
+    * the corpus ends and hasn't purchased is not a non-converter; they
+    * are unobserved past day 2, and dropping or mis-counting them biases
+    * every later-day rate). Survival analysis keeps the estimate honest:
+    * each user contributes to the risk set exactly up to their
+    * conversion or censoring horizon.
+    *
+    * Kept integer-exact by reporting per-day HAZARD (conversions·10⁶
+    * DIV at-risk) and cumulative conversions rather than the
+    * Kaplan–Meier running PRODUCT (a product of rationals neither stays
+    * in 64 bits nor floors portably; the hazard curve carries the same
+    * information point-wise). Shape: two user-keyed aggregates build the
+    * per-user (conversion day, censoring horizon) frame; everything
+    * after is day-grain — a horizon histogram, a reverse-cumulative
+    * risk count, one bounded spine — statistics-sized regardless of
+    * corpus scale.
+    */
+  def hazardCurve(spark: SparkSession, sfDir: String): DataFrame =
+    hazardCurveOf(Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us")))
+
+  /** k18 over an arbitrary `(user_id, event_type, us)` frame — injectable
+    * because the synthetic corpus happens to convert EVERY signup, so the
+    * censoring branch (the reason survival analysis exists) needs a spec-
+    * built cohort to be exercised at all; `SessionsSpec` drives both.
+    */
+  private[ext] def hazardCurveOf(ev: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val hi = ev.agg(max("us").as("max_us"))
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("us").as("s_us"))
+    val conv = s
+      .join(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("p_us0")), Seq("user_id"))
+      .filter(col("p_us0") >= col("s_us"))
+      .groupBy("user_id").agg(min("p_us0").as("p_us"))
+    val u = s.join(conv, Seq("user_id"), "left")
+      .crossJoin(broadcast(hi)) // one-row frame: correct broadcast
+      .select(
+        when(col("p_us").isNotNull,
+          expr(s"(p_us - s_us) DIV $dayUs")).as("d"),
+        expr(s"(max_us - s_us) DIV $dayUs").as("c"))
+      .select(col("d"), coalesce(col("d"), col("c")).as("horizon"))
+    val hh = u.groupBy(col("horizon").as("day")).agg(count(lit(1)).as("n_h"))
+    val ch = u.filter(col("d").isNotNull)
+      .groupBy(col("d").as("day")).agg(count(lit(1)).as("n_conv"))
+    val spine = u.agg(max("horizon").as("maxh"), count(lit(1)).as("total"))
+      .select(explode(expr("sequence(CAST(0 AS BIGINT), maxh)")).as("day"),
+        col("total"))
+    val w = Window.partitionBy(lit(1)).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(hh, Seq("day"), "left")
+      .join(ch, Seq("day"), "left")
+      .select(col("day"), col("total"),
+        coalesce(col("n_h"), lit(0L)).as("n_h"),
+        coalesce(col("n_conv"), lit(0L)).as("n_conv"))
+      .withColumn("leaving", sum("n_h").over(w))
+      // at risk on day k = cohort minus everyone whose horizon ended
+      // BEFORE k (reverse-cumulative of the horizon histogram)
+      .withColumn("at_risk", col("total") - (col("leaving") - col("n_h")))
+      .withColumn("hazard_ppm", expr("n_conv * 1000000 DIV at_risk"))
+      .withColumn("cum_conv", sum("n_conv").over(w))
+      .select(col("day"), col("at_risk"), col("n_conv"),
+        col("hazard_ppm"), col("cum_conv"))
+  }
+
+  /** k19 — next-event-prediction BACKTEST: train the order-1 Markov
+    * predictor (per from-type argmax next-type, k7's matrix reduced to
+    * its decision rule) on transitions whose from-event precedes the
+    * corpus midpoint, then score top-1 accuracy on the newer half — the
+    * train/eval split evaluation loop, in-engine. k7 reports the
+    * transition PROBABILITIES; k19 reports whether the rule they imply
+    * actually predicts held-out behavior, which is the number a product
+    * team can act on (and the honest guard against reading structure
+    * into a near-uniform matrix: accuracy ≈ the majority-class rate
+    * says the model adds nothing).
+    *
+    * Exactness: the predictor is an argmax over integer counts
+    * (struct-min with to_type tie-break — total order, so both engines
+    * pick the same rule even on tied counts) and accuracy is integer
+    * ppm. Shape: one user-keyed window builds all transitions; train
+    * and eval are two filters of that one frame; the model is
+    * |types|² counts collapsing to |types| rows, so the eval join is a
+    * broadcast-sized lookup (AQE, never a static hint).
+    */
+  def markovEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val mid = ev.agg(min("us").as("lo"), max("us").as("hi"))
+      .selectExpr("(lo + hi) DIV 2 AS mid_us")
+    val byUser = Window.partitionBy("user_id").orderBy("event_id")
+    val steps = ev
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .crossJoin(broadcast(mid)) // one-row frame: correct broadcast
+      .select(col("event_type").as("from_type"),
+        col("next_type").as("to_type"), col("us"), col("mid_us"))
+    val model = steps.filter(col("us") < col("mid_us"))
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .groupBy("from_type")
+      .agg(min(struct((-col("n")).as("neg_n"), col("to_type"))).as("m"),
+        sum("n").as("n_train"))
+      .select(col("from_type"), col("m.to_type").as("predicted"),
+        col("n_train"))
+    steps.filter(col("us") >= col("mid_us"))
+      .join(model, Seq("from_type"))
+      .groupBy(col("from_type"), col("predicted"), col("n_train"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("to_type") === col("predicted"), 1L).otherwise(0L))
+          .as("n_hit"))
+      .select(col("from_type"), col("predicted"), col("n_train"),
+        col("n_eval"), col("n_hit"),
+        expr("n_hit * 1000000 DIV n_eval").as("accuracy_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "k19_markov_eval" -> (markovEval _),
+    "k18_hazard_curve" -> (hazardCurve _),
     "k17_cep_funnel" -> (cepFunnel _),
     "k15_user_growth" -> (userGrowth _),
     "k16_l28_histogram" -> (engagementHistogram _),
@@ -609,6 +733,82 @@ object Sessions {
   )
 
   val oracle: Map[String, String] = Map(
+    "k19_markov_eval" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM ev),
+        |steps AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS to_type,
+        |    us, mid_us
+        |  FROM ev CROSS JOIN mid),
+        |s2 AS (SELECT * FROM steps WHERE to_type IS NOT NULL),
+        |tr AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM s2 WHERE us < mid_us GROUP BY 1, 2),
+        |model AS (
+        |  SELECT from_type, to_type AS predicted, n_train FROM (
+        |    SELECT from_type, to_type,
+        |      row_number() OVER (PARTITION BY from_type
+        |        ORDER BY n DESC, to_type) AS rk,
+        |      CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |        AS n_train
+        |    FROM tr)
+        |  WHERE rk = 1)
+        |SELECT from_type, predicted, n_train,
+        |  CAST(count(*) AS BIGINT) AS n_eval,
+        |  CAST(sum(CASE WHEN to_type = predicted THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  CAST(sum(CASE WHEN to_type = predicted THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS accuracy_ppm
+        |FROM s2 JOIN model USING (from_type)
+        |WHERE us >= mid_us
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "k18_hazard_curve" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |hi AS (SELECT max(us) AS max_us FROM ev),
+        |s AS (SELECT user_id, min(us) AS s_us FROM ev
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |conv AS (
+        |  SELECT s.user_id, min(p.us) AS p_us
+        |  FROM s JOIN ev p ON p.user_id = s.user_id
+        |    AND p.event_type = 'purchase' AND p.us >= s.s_us
+        |  GROUP BY 1),
+        |u AS (
+        |  SELECT (p_us - s_us) // 86400000000 AS d,
+        |    coalesce((p_us - s_us) // 86400000000,
+        |             (max_us - s_us) // 86400000000) AS horizon
+        |  FROM s LEFT JOIN conv USING (user_id) CROSS JOIN hi),
+        |hh AS (SELECT horizon AS day, CAST(count(*) AS BIGINT) AS n_h
+        |       FROM u GROUP BY 1),
+        |ch AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS n_conv
+        |       FROM u WHERE d IS NOT NULL GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(range(0, max(horizon) + 1)) AS day,
+        |    CAST(count(*) AS BIGINT) AS total
+        |  FROM u),
+        |j AS (
+        |  SELECT spine.day, total,
+        |    coalesce(n_h, 0) AS n_h, coalesce(n_conv, 0) AS n_conv
+        |  FROM spine LEFT JOIN hh ON spine.day = hh.day
+        |             LEFT JOIN ch ON spine.day = ch.day),
+        |w AS (
+        |  SELECT day, n_conv,
+        |    CAST(total - (sum(n_h) OVER (ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) - n_h) AS BIGINT) AS at_risk,
+        |    CAST(sum(n_conv) OVER (ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_conv
+        |  FROM j)
+        |SELECT day, at_risk, CAST(n_conv AS BIGINT) AS n_conv,
+        |  CAST(n_conv * 1000000 // at_risk AS BIGINT) AS hazard_ppm,
+        |  cum_conv
+        |FROM w""".stripMargin,
     "k17_cep_funnel" ->
       """WITH j AS (
         |  SELECT user_id,

@@ -406,4 +406,97 @@ class SessionsSpec extends SparkSpec {
     assert(got.values.map(_._2).toSet.size > 1,
       "every user converts identically — pattern proves nothing")
   }
+
+  test("k18 hazard curve equals a driver survival fold; censoring real") {
+    val dayUs = 86400000000L
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val maxUs = evs.map(_._3).max
+    val horizons = evs.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val sUs = xs.filter(_._2 == "signup").map(_._3)
+      if (sUs.isEmpty) None
+      else {
+        val s0 = sUs.min
+        val p = xs.filter(x => x._2 == "purchase" && x._3 >= s0).map(_._3)
+        val d = if (p.isEmpty) None else Some((p.min - s0) / dayUs)
+        Some((d, d.getOrElse((maxUs - s0) / dayUs)))
+      }
+    }
+    val maxH = horizons.map(_._2).max
+    val expected = (0L to maxH).map { k =>
+      val atRisk = horizons.count(_._2 >= k).toLong
+      val nConv = horizons.count(_._1.contains(k)).toLong
+      val cum = horizons.count(h => h._1.exists(_ <= k)).toLong
+      k -> ((atRisk, nConv, nConv * 1000000L / atRisk, cum))
+    }.toMap
+    val got = Sessions.hazardCurve(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == expected, s"hazard diverged: got=$got exp=$expected")
+    assert(got(0L)._1 == horizons.size.toLong)
+    assert(got.values.map(_._2).sum == horizons.count(_._1.isDefined).toLong)
+    // the corpus converts every signup, so CENSORING — the reason
+    // survival analysis exists — is driven on a spec-built cohort:
+    // u1 converts day 1; u2 never converts, censored at day 3 (the
+    // corpus horizon set by u3's late event); u3 converts day 0
+    import spark.implicits._
+    val dayU = 86400000000L
+    val synth = Seq(
+      (1L, "signup", 0L), (1L, "purchase", dayU + 1L),
+      (2L, "signup", 0L), (2L, "click", dayU),
+      (3L, "signup", 2 * dayU), (3L, "purchase", 2 * dayU + 5L),
+      (3L, "view", 5 * dayU)
+    ).toDF("user_id", "event_type", "us")
+    val sg = Sessions.hazardCurveOf(synth).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // day 0: 3 at risk, u3 converts; day 1: u1 converts (u3 left as
+    // converted); days 2..5: only u2 remains, never converting — it
+    // stays AT RISK through its censoring horizon (corpus max = u3's
+    // day-5 event ⇒ horizon (5·day − 0)/day = 5) and is never counted
+    // as a non-conversion
+    assert(sg == Map(
+      0L -> ((3L, 1L, 333333L, 1L)),
+      1L -> ((2L, 1L, 500000L, 2L)),
+      2L -> ((1L, 0L, 0L, 2L)),
+      3L -> ((1L, 0L, 0L, 2L)),
+      4L -> ((1L, 0L, 0L, 2L)),
+      5L -> ((1L, 0L, 0L, 2L))),
+      s"censored cohort diverged: $sg")
+  }
+
+  test("k19 markov backtest equals a driver fold; rule is the train argmax") {
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val mid = (evs.map(_._4).min + evs.map(_._4).max) / 2
+    val steps = evs.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val o = xs.sortBy(_._2)
+      o.zip(o.tail).map { case (a, b) => (a._3, b._3, a._4) }
+    }
+    val train = steps.filter(_._3 < mid).groupBy(s => (s._1, s._2))
+      .map { case (k, v) => k -> v.size.toLong }
+    val model = train.keys.map(_._1).toSeq.distinct.map { ft =>
+      val rows = train.filter(_._1._1 == ft).toSeq
+        .map { case ((_, tt), n) => (tt, n) }
+      val pred = rows.minBy { case (tt, n) => (-n, tt) }._1
+      ft -> ((pred, rows.map(_._2).sum))
+    }.toMap
+    val expected = steps.filter(_._3 >= mid).groupBy(_._1)
+      .filter(x => model.contains(x._1))
+      .map { case (ft, xs) =>
+        val (pred, nTrain) = model(ft)
+        val hits = xs.count(_._2 == pred).toLong
+        ft -> ((pred, nTrain, xs.size.toLong, hits,
+          hits * 1000000L / xs.size))
+      }
+    val got = Sessions.markovEval(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, s"backtest diverged: got=$got exp=$expected")
+    assert(got.nonEmpty && got.values.exists(_._4 > 0L))
+  }
 }
