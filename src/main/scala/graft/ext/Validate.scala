@@ -278,22 +278,35 @@ object Validate {
     val mid = ev.agg(min("us").as("lo"), max("us").as("hi"))
       .selectExpr("(lo + hi) DIV 2 AS mid_us")
     val counts = ev.crossJoin(broadcast(mid)) // one-row frame
-      .groupBy(col("event_type"), col("v"))
-      .agg(sum(when(col("us") < col("mid_us"), 1L).otherwise(0L)).as("n_old"),
-        sum(when(col("us") >= col("mid_us"), 1L).otherwise(0L)).as("n_new"))
-    val wcum = Window.partitionBy("event_type").orderBy("v")
+      .groupBy(col("event_type").as("key"), col("v"))
+      .agg(sum(when(col("us") < col("mid_us"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("us") >= col("mid_us"), 1L).otherwise(0L)).as("n_b"))
+    ksStatOn(counts)
+      .select(col("key").as("event_type"), col("n_a").as("n_old"),
+        col("n_b").as("n_new"), col("ks_ppm"), col("drifted"))
+  }
+
+  /** THE KS engine, factored over a combined `(key, v, n_a, n_b)` count
+    * relation — the batch v9 splits one corpus into halves to build it;
+    * the streaming monitor ([[graft.streaming.KsStream]]) full-outer-
+    * joins a LIVE count store against a frozen reference, then runs the
+    * identical statistic — one definition, so live alarms and the batch
+    * audit can never disagree on arithmetic.
+    */
+  private[graft] def ksStatOn(counts: DataFrame): DataFrame = {
+    val wcum = Window.partitionBy("key").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wall = Window.partitionBy("event_type")
+    val wall = Window.partitionBy("key")
     counts
-      .withColumn("cum_old", sum("n_old").over(wcum))
-      .withColumn("cum_new", sum("n_new").over(wcum))
-      .withColumn("t_old", sum("n_old").over(wall))
-      .withColumn("t_new", sum("n_new").over(wall))
-      .filter(col("t_old") > 0 && col("t_new") > 0)
-      .groupBy(col("event_type"))
-      .agg(max("t_old").as("n_old"), max("t_new").as("n_new"),
-        max(abs(expr("cum_old * 1000000 DIV t_old") -
-          expr("cum_new * 1000000 DIV t_new"))).as("ks_ppm"))
+      .withColumn("cum_a", sum("n_a").over(wcum))
+      .withColumn("cum_b", sum("n_b").over(wcum))
+      .withColumn("t_a", sum("n_a").over(wall))
+      .withColumn("t_b", sum("n_b").over(wall))
+      .filter(col("t_a") > 0 && col("t_b") > 0)
+      .groupBy(col("key"))
+      .agg(max("t_a").as("n_a"), max("t_b").as("n_b"),
+        max(abs(expr("cum_a * 1000000 DIV t_a") -
+          expr("cum_b * 1000000 DIV t_b"))).as("ks_ppm"))
       .withColumn("drifted", col("ks_ppm") > 50000L)
   }
 
