@@ -417,6 +417,50 @@ object Sampling {
     sk.join(truth, Seq("scope"))
   }
 
+  /** r19 replicate count: one subsample per usable bit of the 31-bit
+    * portable hash (24 leaves headroom below the sign-adjacent bits).
+    */
+  private val CiB = 24
+
+  /** r19 — SUBSAMPLE confidence interval for the per-type mean value:
+    * [[CiB]] deterministic half-sample replicates — replicate `b` keeps
+    * the rows whose `b`-th hash bit is set — each yielding an exact
+    * integer replicate mean; the reported interval is the [3rd, 22nd]
+    * order statistic of the sorted replicate means (the ~12.5%/91.7%
+    * subsample percentile band). The number every "avg value" dashboard
+    * tile should carry and almost never does: how much would this mean
+    * move under resampling? Hash-gated (r1's discipline), so the
+    * interval is a pure function of the data — reproducible across
+    * runs, engines, and partitionings, unlike any rand()-bootstrap.
+    *
+    * Shape: ONE corpus scan — all [[CiB]]×2 conditional sums ride a
+    * single map-side-combined aggregate row per type (one md5 per row,
+    * bits reused across replicates), and the order statistics are an
+    * `array_sort` of a [[CiB]]-element array per type. No explode, no
+    * per-replicate pass. Exact 64-bit: cents·10⁶ sums stay under 2^60
+    * past 10^12 rows per type.
+    */
+  def subsampleCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v"),
+        tokenHash(col("event_id").cast("string")).as("h"))
+    val sums = (0 until CiB).flatMap { b =>
+      val bit = expr(s"(h DIV ${1L << b}) % 2 = 1")
+      Seq(sum(when(bit, col("v")).otherwise(0L)).as(s"s$b"),
+        sum(when(bit, 1L).otherwise(0L)).as(s"c$b"))
+    }
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum("v").as("sv") +: sums): _*)
+      .withColumn("means", array_sort(array(
+        (0 until CiB).map(b => expr(s"s$b * 1000000 DIV c$b")): _*)))
+      .select(col("event_type"), col("n"),
+        expr("sv * 1000000 DIV n").as("mean_micro"),
+        element_at(col("means"), 3).as("lo_micro"),
+        element_at(col("means"), CiB - 2).as("hi_micro"))
+  }
+
   private val CmRows = 4
   private val CmWidth = 32
 
@@ -586,6 +630,7 @@ object Sampling {
     "r7_hll_registers" -> (hllRegisters _),
     "r17_hll_union" -> (hllUnion _),
     "r18_kmv_distinct" -> (kmvDistinct _),
+    "r19_subsample_ci" -> (subsampleCi _),
     "r8_cm_heavy_hitters" -> (cmHeavyHitters _),
     "r9_column_profile" -> (columnProfile _),
     "r10_exact_quantiles" -> (exactQuantiles _),
@@ -739,6 +784,71 @@ object Sampling {
          |    AS est_distinct,
          |  true_distinct
          |FROM est JOIN truth USING (scope)""".stripMargin,
+    "r19_subsample_ci" ->
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    CAST(floor(value * 100) AS BIGINT) AS v,
+         |    ${tokenHashSql("CAST(event_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |a AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v) AS BIGINT) AS sv,
+         |    CAST(sum(CASE WHEN (h // 1) % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS s0,
+         |    CAST(sum(CASE WHEN (h // 1) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         |    CAST(sum(CASE WHEN (h // 2) % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS s1,
+         |    CAST(sum(CASE WHEN (h // 2) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN (h // 4) % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS s2,
+         |    CAST(sum(CASE WHEN (h // 4) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         |    CAST(sum(CASE WHEN (h // 8) % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS s3,
+         |    CAST(sum(CASE WHEN (h // 8) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         |    CAST(sum(CASE WHEN (h // 16) % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS s4,
+         |    CAST(sum(CASE WHEN (h // 16) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         |    CAST(sum(CASE WHEN (h // 32) % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS s5,
+         |    CAST(sum(CASE WHEN (h // 32) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+         |    CAST(sum(CASE WHEN (h // 64) % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS s6,
+         |    CAST(sum(CASE WHEN (h // 64) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c6,
+         |    CAST(sum(CASE WHEN (h // 128) % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS s7,
+         |    CAST(sum(CASE WHEN (h // 128) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c7,
+         |    CAST(sum(CASE WHEN (h // 256) % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS s8,
+         |    CAST(sum(CASE WHEN (h // 256) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c8,
+         |    CAST(sum(CASE WHEN (h // 512) % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS s9,
+         |    CAST(sum(CASE WHEN (h // 512) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c9,
+         |    CAST(sum(CASE WHEN (h // 1024) % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS s10,
+         |    CAST(sum(CASE WHEN (h // 1024) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c10,
+         |    CAST(sum(CASE WHEN (h // 2048) % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS s11,
+         |    CAST(sum(CASE WHEN (h // 2048) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c11,
+         |    CAST(sum(CASE WHEN (h // 4096) % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS s12,
+         |    CAST(sum(CASE WHEN (h // 4096) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c12,
+         |    CAST(sum(CASE WHEN (h // 8192) % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS s13,
+         |    CAST(sum(CASE WHEN (h // 8192) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c13,
+         |    CAST(sum(CASE WHEN (h // 16384) % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS s14,
+         |    CAST(sum(CASE WHEN (h // 16384) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c14,
+         |    CAST(sum(CASE WHEN (h // 32768) % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS s15,
+         |    CAST(sum(CASE WHEN (h // 32768) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c15,
+         |    CAST(sum(CASE WHEN (h // 65536) % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS s16,
+         |    CAST(sum(CASE WHEN (h // 65536) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c16,
+         |    CAST(sum(CASE WHEN (h // 131072) % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS s17,
+         |    CAST(sum(CASE WHEN (h // 131072) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c17,
+         |    CAST(sum(CASE WHEN (h // 262144) % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS s18,
+         |    CAST(sum(CASE WHEN (h // 262144) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c18,
+         |    CAST(sum(CASE WHEN (h // 524288) % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS s19,
+         |    CAST(sum(CASE WHEN (h // 524288) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c19,
+         |    CAST(sum(CASE WHEN (h // 1048576) % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS s20,
+         |    CAST(sum(CASE WHEN (h // 1048576) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c20,
+         |    CAST(sum(CASE WHEN (h // 2097152) % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS s21,
+         |    CAST(sum(CASE WHEN (h // 2097152) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c21,
+         |    CAST(sum(CASE WHEN (h // 4194304) % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS s22,
+         |    CAST(sum(CASE WHEN (h // 4194304) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c22,
+         |    CAST(sum(CASE WHEN (h // 8388608) % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS s23,
+         |    CAST(sum(CASE WHEN (h // 8388608) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c23,
+         |  FROM ev GROUP BY 1),
+         |m AS (
+         |  SELECT event_type, n, sv * 1000000 // n AS mean_micro,
+         |    list_sort([s0 * 1000000 // c0, s1 * 1000000 // c1, s2 * 1000000 // c2, s3 * 1000000 // c3, s4 * 1000000 // c4, s5 * 1000000 // c5, s6 * 1000000 // c6, s7 * 1000000 // c7, s8 * 1000000 // c8, s9 * 1000000 // c9, s10 * 1000000 // c10, s11 * 1000000 // c11, s12 * 1000000 // c12, s13 * 1000000 // c13, s14 * 1000000 // c14, s15 * 1000000 // c15, s16 * 1000000 // c16, s17 * 1000000 // c17, s18 * 1000000 // c18, s19 * 1000000 // c19, s20 * 1000000 // c20, s21 * 1000000 // c21, s22 * 1000000 // c22, s23 * 1000000 // c23]) AS means
+         |  FROM a)
+         |SELECT event_type, n, mean_micro,
+         |  means[3] AS lo_micro, means[22] AS hi_micro
+         |FROM m""".stripMargin,
     "r18_kmv_distinct" ->
       s"""WITH keyed AS (
          |  SELECT event_type,

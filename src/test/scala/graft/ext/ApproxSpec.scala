@@ -169,6 +169,33 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("r19 subsample CI equals a driver fold; replicates genuinely differ") {
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v"),
+        col("event_id").cast("string"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        graft.ext.Portable.tokenHashOf(r.getString(2))))
+    val expected = evs.groupBy(_._1).map { case (t, xs) =>
+      val means = (0 until 24).map { b =>
+        val in = xs.filter(x => (x._3 >> b) % 2 == 1)
+        in.map(_._2).sum * 1000000L / in.length
+      }.sorted
+      val n = xs.length.toLong
+      t -> ((n, xs.map(_._2).sum * 1000000L / n, means(2), means(21)))
+    }
+    val got = Sampling.subsampleCi(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected, s"CI diverged: got=$got exp=$expected")
+    // non-vacuity: the interval has real width (replicates disagree)
+    // and brackets the full-sample mean on this corpus
+    got.values.foreach { case (_, mean, lo, hi) =>
+      assert(lo < hi, "degenerate interval")
+      assert(lo <= mean && mean <= hi, "interval misses the mean")
+    }
+  }
+
   test("r8 count-min estimates dominate true counts and sketches merge by sum") {
     val rows = Sampling.cmHeavyHitters(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
