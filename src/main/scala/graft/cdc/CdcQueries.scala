@@ -266,6 +266,43 @@ object CdcQueries {
     date_trunc("day", col("ts")).as("day"),
     floor(col("value")).cast("long").as("value_floor"))
 
+  /** o26 — SHARE MANIFEST: the verification artifact that completes the
+    * sharing story (reference: topic `cdc-sharing` provisioned for the
+    * skipped "secure data sharing" bonus, `terraform/main.tf:75-92`).
+    * o18 decides WHAT leaves (gate + pseudonymize); the manifest is how
+    * the RECIPIENT proves what arrived is exactly what was published:
+    * per user-token shard, the row count and an additive checksum — the
+    * sum of a portable per-row hash over the shared columns. Additive
+    * means ORDER-INDEPENDENT and MERGEABLE: partial sums per file/
+    * partition combine by addition (map-side combine IS the
+    * verification at scale), and a consumer recomputes the same numbers
+    * from the received parquet with no coordination. Any dropped,
+    * duplicated, or altered row moves some shard's (count, checksum).
+    *
+    * Arithmetic: row hash < 2^31, so a plain long sum is exact to ~4·10⁹
+    * rows per shard (switch the sum to DECIMAL(38,0) past that). Day
+    * enters the hash as epoch-µs, not a rendered timestamp — engine
+    * string formats diverge; integers don't.
+    */
+  def shareManifest(spark: SparkSession, sfDir: String): DataFrame =
+    shareManifestOf(shareGate(spark, sfDir))
+
+  /** The manifest over an arbitrary SHARED frame (o18's output shape) —
+    * shared by the batch query and any publish path that wants to stamp
+    * its outgoing batch.
+    */
+  private[graft] def shareManifestOf(shared: DataFrame): DataFrame =
+    shared
+      .select(
+        graft.ext.Portable.tokenHash(concat_ws("|",
+          col("user_token").cast("string"),
+          col("event_type"),
+          unix_micros(col("day")).cast("string"),
+          col("value_floor").cast("string"))).as("rh"),
+        (col("user_token") % 16).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"), sum("rh").as("checksum"))
+
   /** O19 — additive schema evolution on the wire: Debezium emits the
     * NEW shape the moment the source table gains a column, while the
     * log's history keeps the old shape forever — so a consumer must
@@ -530,6 +567,7 @@ object CdcQueries {
     "o16_log_compact" -> ((s, d) => logCompact(s, d)),
     "o17_incremental_agg" -> ((s, d) => incrementalAgg(s, d)),
     "o18_share_gate" -> (shareGate _),
+    "o26_share_manifest" -> (shareManifest _),
     "o19_schema_evolution" -> (schemaEvolution _),
     "o20_changed_columns" -> (changedColumns _),
     "o21_snapshot_diff" -> (snapshotDiff _)
@@ -686,6 +724,26 @@ object CdcQueries {
         |  FROM events)
         |WHERE rn = 1 AND event_type <> 'error'
         |GROUP BY event_type""".stripMargin,
+    "o26_share_manifest" ->
+      s"""WITH shared AS (
+         |  SELECT ${graft.ext.Portable.tokenHashSql("CAST(user_id AS VARCHAR)")}
+         |      AS user_token,
+         |    event_type,
+         |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         |    CAST(floor(value) AS BIGINT) AS value_floor
+         |  FROM (
+         |    SELECT user_id, event_type, ts, value,
+         |      row_number() OVER (PARTITION BY user_id
+         |                         ORDER BY event_id DESC) AS rn
+         |    FROM events)
+         |  WHERE rn = 1 AND event_type IN ('click', 'view'))
+         |SELECT user_token % 16 AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(${graft.ext.Portable.tokenHashSql(
+              "CAST(user_token AS VARCHAR) || '|' || event_type || '|' || " +
+              "CAST(epoch_us(day) AS VARCHAR) || '|' || CAST(value_floor AS VARCHAR)")})
+         |    AS BIGINT) AS checksum
+         |FROM shared GROUP BY 1""".stripMargin,
     "o18_share_gate" ->
       s"""SELECT ${graft.ext.Portable.tokenHashSql("CAST(user_id AS VARCHAR)")}
          |    AS user_token,

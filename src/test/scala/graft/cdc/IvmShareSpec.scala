@@ -46,6 +46,32 @@ class IvmShareSpec extends SparkSpec {
     assert(tokens.size == rows.length, "duplicate keys in share view")
   }
 
+  test("o26 manifest equals a driver fold; any row change moves a checksum") {
+    val shared = CdcQueries.shareGate(spark, sf)
+    val rows = shared.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getTimestamp(2), r.getLong(3)))
+    val expected = rows.groupBy(_._1 % 16).map { case (sh, xs) =>
+      sh -> ((xs.length.toLong, xs.map { case (tok, t, day, vf) =>
+        val dayUs = day.getTime * 1000L
+        graft.ext.Portable.tokenHashOf(s"$tok|$t|$dayUs|$vf")
+      }.sum))
+    }
+    val got = CdcQueries.shareManifest(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, s"manifest diverged: got=$got exp=$expected")
+    // tamper detection: altering ONE row's value moves exactly that
+    // shard's checksum and nothing else
+    val tampered = shared.withColumn("value_floor",
+      when(col("user_token") === rows.head._1, col("value_floor") + 1L)
+        .otherwise(col("value_floor")))
+    val got2 = CdcQueries.shareManifestOf(tampered).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val shard0 = rows.head._1 % 16
+    assert(got2(shard0)._2 != got(shard0)._2, "tampered shard unchanged")
+    assert(got2(shard0)._1 == got(shard0)._1, "tamper changed the count")
+    assert((got2 - shard0) == (got - shard0), "untouched shards moved")
+  }
+
   test("o19 wide-schema parse reads both wire generations in one pass") {
     val rows = CdcQueries.schemaEvolution(spark, sf).collect()
     assert(rows.nonEmpty)
