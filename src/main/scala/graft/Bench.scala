@@ -134,9 +134,9 @@ object Bench {
     val total = results.values.collect { case (true, v) => v }.sum
     val errField = if (errs.isEmpty) "" else s""","errors":${errs.mkString("[", ",", "]")}"""
     val (upsertRate, dedupRate, twsRate, ivmRate, topkRate, slidingRate,
-      percolateRate, chunkDedupRate) = streamingMetrics(spark)
+      percolateRate, chunkDedupRate, kmvRate, ksRate) = streamingMetrics(spark)
     val streamField =
-      s""","streaming":{"upsert_rows_per_sec":$upsertRate,"dedup_rows_per_sec":$dedupRate,"tws_view_rows_per_sec":$twsRate,"ivm_rows_per_sec":$ivmRate,"topk_rows_per_sec":$topkRate,"sliding_rows_per_sec":$slidingRate,"percolate_rows_per_sec":$percolateRate,"chunk_dedup_docs_per_sec":$chunkDedupRate}"""
+      s""","streaming":{"upsert_rows_per_sec":$upsertRate,"dedup_rows_per_sec":$dedupRate,"tws_view_rows_per_sec":$twsRate,"ivm_rows_per_sec":$ivmRate,"topk_rows_per_sec":$topkRate,"sliding_rows_per_sec":$slidingRate,"percolate_rows_per_sec":$percolateRate,"chunk_dedup_docs_per_sec":$chunkDedupRate,"kmv_rows_per_sec":$kmvRate,"ks_counts_rows_per_sec":$ksRate}"""
 
     // The harness that invokes this main keeps only the LAST ~2000 chars of
     // stdout, and the full per-query map (~100 queries) is ~3 KB — a single
@@ -182,7 +182,8 @@ object Bench {
     * reports -1.
     */
   private def streamingMetrics(spark: SparkSession)
-      : (Double, Double, Double, Double, Double, Double, Double, Double) = {
+      : (Double, Double, Double, Double, Double, Double, Double, Double,
+         Double, Double) = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -397,10 +398,53 @@ object Bench {
       n / ((System.nanoTime() - t0) / 1e9)
     }
 
+    // the two sketch maintainers: bottom-k merge per batch (KMV) and
+    // the exact (type, cent) CDF counts the live KS monitor scores
+    def timeKmv(n: Int, nKeys: Int, nBatches: Int): Double = {
+      // transformWithState requires the RocksDB provider (timeTopK's
+      // discipline)
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(provKey)
+      spark.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = MemoryStream[streaming.KmvStream.Hashed](SourceParts)
+        val q = streaming.KmvStream.sketchView(in.toDS())
+          .writeStream.outputMode("update").format("noop").start()
+        val batches = (0 until n)
+          .map(i => streaming.KmvStream.Hashed(s"g${i % nKeys}",
+            ((i % 40009).toLong * 2654435761L) % 2147483647L))
+          .grouped(n / nBatches).toSeq
+        val t0 = System.nanoTime()
+        try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        finally q.stop()
+        n / ((System.nanoTime() - t0) / 1e9)
+      } finally prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+
+    def timeKsCounts(n: Int, nBatches: Int): Double = {
+      val in = MemoryStream[BenchEv](SourceParts)
+      val q = streaming.KsStream.centCountView(
+          in.toDF().selectExpr("CASE WHEN key % 3 = 0 THEN 'click' " +
+            "WHEN key % 3 = 1 THEN 'view' ELSE 'error' END AS event_type",
+            "CAST(key % 977 AS DOUBLE) / 2.0 AS value"))
+        .writeStream.outputMode("update").format("noop").start()
+      val batches = (0 until n).map(ev(_, 10000)).grouped(n / nBatches).toSeq
+      val t0 = System.nanoTime()
+      try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      n / ((System.nanoTime() - t0) / 1e9)
+    }
+
     safe { timeTopK(1000, 100, 2) }    // warmup
     safe { timeSliding(1000, 100, 2) } // warmup
     safe { timePercolate(1000, 2) }    // warmup
     safe { timeChunkDedup(1000, 2) }   // warmup
+    safe { timeKmv(1000, 100, 2) }     // warmup
+    safe { timeKsCounts(1000, 2) }     // warmup
     (best { timeUpsert(100000, 10000, 5) },
       best { timeDedup(100000, 10000, 5) },
       best { timeTws(100000, 10000, 5) },
@@ -408,6 +452,8 @@ object Bench {
       best { timeTopK(100000, 1000, 5) },
       best { timeSliding(100000, 10000, 5) },
       best { timePercolate(100000, 5) },
-      best { timeChunkDedup(20000, 5) })
+      best { timeChunkDedup(20000, 5) },
+      best { timeKmv(100000, 1000, 5) },
+      best { timeKsCounts(100000, 5) })
   }
 }
