@@ -251,6 +251,51 @@ object Validate {
         abs(col("share_old_ppm") - col("share_new_ppm")))
   }
 
+  /** v10 — CUSUM CHANGEPOINT detection on the daily volume series: for
+    * every candidate split day k, the exact cumulative deviation
+    * `C_k = D·L_k − k·N` (L_k = events through day k, N total, D days —
+    * the mean-centered CUSUM cross-multiplied into integers), with the
+    * argmax flagged as the structural break. v8 answers "which days are
+    * OUTLIERS against the whole series"; this answers "WHEN did the
+    * regime change" — a level shift moves every C_k on one side and
+    * peaks at the shift, which pointwise MAD scoring structurally
+    * cannot see. The full curve is emitted (it is the drill-down
+    * panel), strength in ppm of the D·N normalizer; the flag ties to
+    * the earliest day at max |C_k| — total order, engine-identical.
+    * One corpus scan to day grain; everything after is |days|-sized.
+    */
+  def changepoint(spark: SparkSession, sfDir: String): DataFrame =
+    changepointOf(Tables.events(spark, sfDir))
+
+  /** v10 over an arbitrary `(ts TIMESTAMP, ...)` frame — injectable so
+    * the property spec can drive random corpora AND a constructed level
+    * shift whose known location the flag must recover.
+    */
+  private[ext] def changepointOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val wday = Window.partitionBy(lit(1)).orderBy("day")
+    val wall = Window.partitionBy(lit(1))
+    daily
+      .withColumn("k", row_number().over(wday).cast("long"))
+      .withColumn("cum", sum("n_events").over(
+        wday.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("d_days", count(lit(1)).over(wall))
+      .withColumn("n_total", sum("n_events").over(wall))
+      // the split "after day k" is meaningless at k = D (empty right
+      // side), and C_D = 0 identically — keep it; it anchors the curve
+      .withColumn("cusum", expr("d_days * cum - k * n_total"))
+      .withColumn("strength_ppm",
+        expr("abs(cusum) * 1000000 DIV (d_days * n_total)"))
+      .withColumn("is_changepoint",
+        col("strength_ppm") === max("strength_ppm").over(wall) &&
+          col("day") === min(when(col("strength_ppm") ===
+            max("strength_ppm").over(wall), col("day"))).over(wall))
+      .select(col("day"), col("n_events"), col("cusum"),
+        col("strength_ppm"), col("is_changepoint"))
+  }
+
   def ksDrift(spark: SparkSession, sfDir: String): DataFrame =
     ksDriftOf(Tables.events(spark, sfDir))
 
@@ -505,6 +550,7 @@ object Validate {
     "v3_uniqueness_profile" -> (uniquenessProfile _),
     "v4_value_drift" -> (valueDrift _),
     "v9_ks_drift" -> (ksDrift _),
+    "v10_changepoint" -> (changepoint _),
     "v5_share_drift" -> (shareDrift _)
   )
 
@@ -688,6 +734,30 @@ object Validate {
         |  CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
         |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
         |FROM lineitem""".stripMargin,
+    "v10_changepoint" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT day, n_events,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+        |    CAST(sum(n_events) OVER (ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(count(*) OVER () AS BIGINT) AS d_days,
+        |    CAST(sum(n_events) OVER () AS BIGINT) AS n_total
+        |  FROM daily),
+        |c AS (
+        |  SELECT day, n_events,
+        |    d_days * cum - k * n_total AS cusum,
+        |    abs(d_days * cum - k * n_total) * 1000000
+        |      // (d_days * n_total) AS strength_ppm
+        |  FROM w),
+        |m AS (SELECT max(strength_ppm) AS mx FROM c),
+        |cp AS (SELECT min(day) AS cp_day FROM c, m WHERE strength_ppm = mx)
+        |SELECT day, n_events, cusum, strength_ppm,
+        |  day = cp_day AS is_changepoint
+        |FROM c, cp""".stripMargin,
     "v9_ks_drift" ->
       """WITH ev AS (
         |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,

@@ -141,4 +141,42 @@ class ValidatePropertySpec extends SparkSpec {
       assert(got == expected, s"seed=$seed: $got != $expected")
     }
   }
+
+  test("v10 CUSUM equals a driver fold; an injected level shift is located") {
+    val dayUs = 86400000000L
+    def fold(rows: List[(Long, Double, String)]) = {
+      val counts = rows.groupBy(_._1 / dayUs)
+        .map { case (d, xs) => d -> xs.length.toLong }.toSeq.sortBy(_._1)
+      val (dd, nt) = (counts.length.toLong, counts.map(_._2).sum)
+      var cum = 0L
+      val curve = counts.zipWithIndex.map { case ((d, n), i) =>
+        cum += n
+        val c = dd * cum - (i + 1L) * nt
+        (d, n, c, math.abs(c) * 1000000L / (dd * nt))
+      }
+      val mx = curve.map(_._4).max
+      val cpDay = curve.filter(_._4 == mx).map(_._1).min
+      curve.map { case (d, n, c, st) => d -> ((n, c, st, d == cpDay)) }.toMap
+    }
+    for (seed <- 80L to 90L) {
+      val rows = sample(seed)
+      val got = Validate.changepointOf(toDf(rows)).collect().map { r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4)))
+      }.toMap
+      assert(got == fold(rows), s"seed=$seed diverged")
+    }
+    // LOCATION property: 10 quiet days then 10 days at triple volume —
+    // the flagged day must be the last pre-shift day (where |CUSUM|
+    // peaks for a level shift)
+    val shifted = (0 until 200).map { i =>
+      val day = if (i < 50) i / 5 else 10 + (i - 50) / 15 // 5/day → 15/day
+      (baseUs + day * dayUs + (i % 50) * 1000000L, 1.0, "click")
+    }.toList
+    val cp = Validate.changepointOf(toDf(shifted)).collect()
+      .filter(_.getBoolean(4)).map(_.getLong(0))
+    val day0 = baseUs / dayUs
+    assert(cp.length == 1 && cp.head == day0 + 9,
+      s"shift at day 10 located at ${cp.map(_ - day0).mkString(",")}")
+  }
 }
