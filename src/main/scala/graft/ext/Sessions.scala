@@ -710,7 +710,54 @@ object Sessions {
         expr("n_hit * 1000000 DIV n_eval").as("accuracy_ppm"))
   }
 
+  /** k20 — ACTIVATION-COHORT LTV CURVE: users cohort by the week of
+    * their first HIGH-VALUE purchase (value > 200, the p98.4 tail — the activation
+    * event; first-ACTIVITY cohorts are degenerate on a corpus where
+    * every user is active from week 0, which is precisely why real
+    * growth teams cohort on activation, not signup), and for each
+    * week-of-life offset the curve reports cumulative post-activation
+    * purchase revenue per cohort member in exact integer micro-cents —
+    * k5's retention matrix with VALUE in the cells, the "LTV by cohort
+    * age" panel that decides payback periods. The spine is complete
+    * (every cohort × every offset through the corpus horizon,
+    * zero-revenue weeks included), so the curve is monotone step data;
+    * the cumulative sum rides the |cohorts|×|weeks| statistics frame.
+    * Week arithmetic is k5's exact integer-day form; revenue floors to
+    * cents before any sum. One corpus scan to the (cohort, offset)
+    * grain; the per-user work is one keyed min-aggregate.
+    */
+  def cohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE'2024-01-01') AS BIGINT) DIV 7")
+          .as("week"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+    val cohort = ev
+      .filter(col("event_type") === "purchase" && col("cents") > 20000L)
+      .groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("n_users"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .join(cohort, Seq("user_id"))
+      .filter(col("week") >= col("cohort_week")) // post-activation only
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(sum("cents").as("revenue_cents"))
+    val maxw = ev.agg(max("week").as("max_week"))
+    val spine = sizes.crossJoin(broadcast(maxw)) // one-row frame
+      .select(col("cohort_week"), col("n_users"),
+        explode(expr("sequence(CAST(0 AS BIGINT), max_week - cohort_week)"))
+          .as("week_offset"))
+    val wcum = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(rev, Seq("cohort_week", "week_offset"), "left")
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        coalesce(col("revenue_cents"), lit(0L)).as("revenue_cents"))
+      .withColumn("cum_cents", sum("revenue_cents").over(wcum))
+      .withColumn("ltv_micro", expr("cum_cents * 1000000 DIV n_users"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "k20_cohort_ltv" -> (cohortLtv _),
     "k19_markov_eval" -> (markovEval _),
     "k18_hazard_curve" -> (hazardCurve _),
     "k17_cep_funnel" -> (cepFunnel _),
@@ -733,6 +780,45 @@ object Sessions {
   )
 
   val oracle: Map[String, String] = Map(
+    "k20_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) // 7 AS week,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(week) AS cohort_week
+        |           FROM ev
+        |           WHERE event_type = 'purchase' AND cents > 20000
+        |           GROUP BY 1),
+        |sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+        |          FROM cohort GROUP BY 1),
+        |rev AS (
+        |  SELECT cohort_week, week - cohort_week AS week_offset,
+        |    CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |  FROM ev JOIN cohort USING (user_id)
+        |  WHERE event_type = 'purchase' AND week >= cohort_week
+        |  GROUP BY 1, 2),
+        |mw AS (SELECT max(week) AS max_week FROM ev),
+        |spine AS (
+        |  SELECT cohort_week, n_users,
+        |    unnest(range(0, max_week - cohort_week + 1)) AS week_offset
+        |  FROM sizes CROSS JOIN mw),
+        |j AS (
+        |  SELECT s.cohort_week, s.week_offset, s.n_users,
+        |    coalesce(revenue_cents, 0) AS revenue_cents
+        |  FROM spine s LEFT JOIN rev
+        |    ON s.cohort_week = rev.cohort_week
+        |    AND s.week_offset = rev.week_offset)
+        |SELECT cohort_week, week_offset, n_users,
+        |  CAST(revenue_cents AS BIGINT) AS revenue_cents,
+        |  CAST(sum(revenue_cents) OVER (PARTITION BY cohort_week
+        |    ORDER BY week_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_cents,
+        |  CAST(CAST(sum(revenue_cents) OVER (PARTITION BY cohort_week
+        |    ORDER BY week_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    * 1000000 // n_users AS BIGINT) AS ltv_micro
+        |FROM j""".stripMargin,
     "k19_markov_eval" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type,

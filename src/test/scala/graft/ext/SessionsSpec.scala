@@ -466,6 +466,42 @@ class SessionsSpec extends SparkSpec {
       s"censored cohort diverged: $sg")
   }
 
+  test("k20 activation-cohort LTV equals a driver fold; matrix triangular") {
+    val evs = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type",
+        "CAST(datediff(CAST(ts AS DATE), DATE'2024-01-01') AS BIGINT) DIV 7 AS week",
+        "CAST(floor(value * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val cohort = evs.filter(e => e._2 == "purchase" && e._4 > 20000L)
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._3).min }
+    val maxw = evs.map(_._3).max
+    val expected = cohort.values.toSeq.distinct.flatMap { cw =>
+      val users = cohort.filter(_._2 == cw).keySet
+      val n = users.size.toLong
+      var cum = 0L
+      (0L to (maxw - cw)).map { off =>
+        val rev = evs.filter(e => users(e._1) && e._2 == "purchase" &&
+          e._3 == cw + off && e._3 >= cw).map(_._4).sum
+        cum += rev
+        (cw, off) -> ((n, rev, cum, cum * 1000000L / n))
+      }
+    }.toMap
+    val got = Sessions.cohortLtv(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, s"LTV diverged: got=${got.toSeq.sortBy(_._1).take(3)}")
+    // triangular spine, monotone curves, >1 cohort (else the panel is 1-D)
+    val cohorts = got.keySet.map(_._1)
+    assert(cohorts.size > 1, "single cohort — the matrix proves nothing")
+    cohorts.foreach { cw =>
+      val offs = got.keySet.filter(_._1 == cw).map(_._2)
+      assert(offs == (0L to (maxw - cw)).toSet, s"cohort $cw spine holes")
+      val curve = offs.toSeq.sorted.map(o => got((cw, o))._3)
+      assert(curve == curve.sorted, s"cohort $cw cum not monotone")
+    }
+  }
+
   test("k19 markov backtest equals a driver fold; rule is the train argmax") {
     val evs = graft.Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"), col("event_type"),
