@@ -371,15 +371,22 @@ object Sampling {
       .select(col("event_type"),
         concat(col("user_id").cast("string"), lit(":"),
           expr("CAST(unix_micros(ts) DIV 86400000000 AS STRING)")).as("k"))
-    val tu = keyed.distinct()
+    // materialized once: both the sketch chain and the truth counts
+    // consume the distinct (type, user-day) frame — one corpus scan
+    val tu = keyed.distinct().localCheckpoint()
     // distinct hash values per scope; the '__all__' scope re-distincts
     // because the same user-day (hence hash) appears under many types
     val dh = tu.select(col("event_type"), tokenHash(col("k")).as("h"))
       .distinct()
+    // materialized once: the locator histogram AND the pruned rank path
+    // both consume it — without the checkpoint each consumer re-derives
+    // the whole distinct chain from the corpus scan (plan-audited at 13
+    // Exchanges; 4 after)
     val scoped = dh.select(col("event_type").as("scope"), col("h"))
       .unionByName(
         dh.select(col("h")).distinct()
           .select(lit("__all__").as("scope"), col("h")))
+      .localCheckpoint()
     // locator: coarse histogram → first bin whose running count reaches
     // k holds the k-th smallest hash (bins are per-scope counts, a few
     // thousand rows total — window over a statistics-sized frame)

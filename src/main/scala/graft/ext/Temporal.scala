@@ -319,8 +319,11 @@ object Temporal {
     * extremes' TIMES too, which is what pixel-exact rendering needs.
     *
     * One groupBy with four struct-ordered argmin/argmax aggregates
-    * (r13's associative struct-min idiom — map-side combinable, no
-    * windows, no sort): first/last order by (ts, id), min/max by
+    * (r13's associative struct-min idiom — map-side combined partials;
+    * struct-ordered buffers aren't hash-aggregable, so the partials are
+    * SORT-based aggregation on the (type, bucket) key — a local
+    * per-partition sort, not a global one, and still one pass):
+    * first/last order by (ts, id), min/max by
     * (value, ts, id) — value ties resolve to the earliest point for min
     * and the latest for max, both total orders, so the result and the
     * oracle hash are partitioning-independent. Values are exact cents.
