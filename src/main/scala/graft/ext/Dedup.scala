@@ -635,6 +635,42 @@ object Dedup {
       .groupBy(col("canonical")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
 
+  /** d24 — CLUSTER SOURCE-MIXING audit: per multi-member near-dup
+    * cluster, how many distinct sources its members span and the GINI
+    * impurity of the source mix in exact ppm
+    * (`10⁶ − Σ n_s²·10⁶ DIV n²` — impurity 0 = the whole cluster is one
+    * source re-scraping itself, higher = genuine cross-source
+    * duplication), rolled up per cluster-size class with the
+    * member-weighted mean impurity. d20 answers the PAIRWISE question
+    * (which source pair shares clusters); this answers the policy one:
+    * is duplication mostly WITHIN sources (fix the crawler) or ACROSS
+    * them (fix the mix)? Gini, not entropy: entropy needs log, Gini is
+    * a ratio of integer squares — engine-exact with no libm (the c20
+    * cross-scaling discipline; member counts square, so DECIMAL guards
+    * the 100 TB range). Rides the persisted d7 labels + one documents
+    * projection: label-sized shuffles only.
+    */
+  def clusterGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = dedupClusters(spark, sfDir)
+      .join(docs(spark, sfDir).select("doc_id", "source"), Seq("doc_id"))
+    val perSrc = m.groupBy("canonical", "source")
+      .agg(count(lit(1)).as("n_s"))
+    val per = perSrc.groupBy("canonical")
+      .agg(sum("n_s").as("n"), count(lit(1)).as("n_sources"),
+        sum(expr("n_s * n_s")).as("sq"))
+      .filter(col("n") >= 2)
+      .select(col("canonical"), col("n"), col("n_sources"),
+        expr("""CAST(1000000 - CAST(sq AS DECIMAL(38,0)) * 1000000
+                DIV CAST(n * n AS DECIMAL(38,0)) AS BIGINT)""")
+          .as("gini_ppm"))
+    per.groupBy(col("n").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(expr("n_sources")).as("sum_sources"),
+        expr("""CAST(CAST(sum(gini_ppm * n) AS DECIMAL(38,0))
+                DIV CAST(sum(n) AS DECIMAL(38,0)) AS BIGINT)""")
+          .as("mean_gini_ppm_weighted"))
+  }
+
   /** c11 — LEAKAGE-SAFE train/valid/test split: the split gate hashes the
     * d7 CLUSTER label, not the document id — near-duplicate documents
     * land on the same side by construction, so the eval set can never
@@ -1478,6 +1514,7 @@ object Dedup {
     "d17_source_dup_rate" -> (sourceDupRate _),
     "d20_cross_source_overlap" -> (crossSourceOverlap _),
     "d18_cluster_histogram" -> (clusterHistogram _),
+    "d24_cluster_gini" -> (clusterGini _),
     "d19_cluster_medoids" -> (clusterMedoids _),
     "d8_minhash_estimate" -> (minhashEstimate _),
     "d9_embed_clusters" -> (embedClusters _),
@@ -1785,6 +1822,29 @@ object Dedup {
          |FROM cs a JOIN cs b
          |  ON a.canonical = b.canonical AND a.source < b.source
          |GROUP BY a.source, b.source""".stripMargin,
+    "d24_cluster_gini" ->
+      s"""WITH labels AS ($d7Sql),
+         |m AS (
+         |  SELECT l.canonical, d.source
+         |  FROM labels l JOIN documents d USING (doc_id)),
+         |per_src AS (
+         |  SELECT canonical, source, CAST(count(*) AS BIGINT) AS n_s
+         |  FROM m GROUP BY 1, 2),
+         |per AS (
+         |  SELECT canonical, CAST(sum(n_s) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS n_sources,
+         |    CAST(sum(n_s * n_s) AS BIGINT) AS sq
+         |  FROM per_src GROUP BY 1),
+         |g AS (
+         |  SELECT canonical, n, n_sources,
+         |    CAST(1000000 - CAST(sq AS HUGEINT) * 1000000
+         |      // CAST(n * n AS HUGEINT) AS BIGINT) AS gini_ppm
+         |  FROM per WHERE n >= 2)
+         |SELECT n AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(n_sources) AS BIGINT) AS sum_sources,
+         |  CAST(CAST(sum(gini_ppm * n) AS HUGEINT)
+         |    // CAST(sum(n) AS HUGEINT) AS BIGINT) AS mean_gini_ppm_weighted
+         |FROM g GROUP BY 1""".stripMargin,
     "d18_cluster_histogram" ->
       s"""WITH clusters AS ($d7Sql),
          |sizes AS (

@@ -586,6 +586,38 @@ class DedupSpec extends SparkSpec {
     assert(got.map(_._3).sum == ids.count(_ % 10 == 0).toLong)
   }
 
+  test("d24 cluster gini equals a BigInt driver fold; mix is non-trivial") {
+    val labels = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val srcOf = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val per = labels.groupBy(_._2).toSeq
+      .map { case (_, ms) =>
+        val bySrc = ms.map(m => srcOf(m._1)).groupBy(identity)
+          .map(_._2.size.toLong)
+        val n = bySrc.sum
+        (n, bySrc.size.toLong,
+          1000000L - (bySrc.map(s => BigInt(s) * s).sum * 1000000 /
+            (BigInt(n) * n)).toLong)
+      }
+      .filter(_._1 >= 2)
+    val expected = per.groupBy(_._1).map { case (sz, xs) =>
+      sz -> ((xs.size.toLong, xs.map(_._2).sum,
+        (xs.map(x => BigInt(x._3) * x._1).sum /
+          BigInt(xs.map(_._1).sum)).toLong))
+    }
+    val got = Dedup.clusterGini(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected, s"gini diverged: got=$got exp=$expected")
+    // the audit separates regimes: some cluster is single-source-pure
+    // (gini 0) OR genuinely mixed (gini > 0) — require both signals
+    // exist across the corpus so the statistic isn't constant
+    assert(per.map(_._3).distinct.size > 1,
+      "every cluster has identical impurity — the audit proves nothing")
+  }
+
   test("d23 k-core equals a driver peeling fold; both regions non-empty") {
     import scala.collection.mutable
     val k = 4
