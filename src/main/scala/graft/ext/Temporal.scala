@@ -329,8 +329,15 @@ object Temporal {
     * oracle hash are partitioning-independent. Values are exact cents.
     * At 100 TB: the scan is the cost; output is 4 points × pixels.
     */
-  def m4Downsample(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.events(spark, sfDir)
+  def m4Downsample(spark: SparkSession, sfDir: String): DataFrame =
+    m4On(Tables.events(spark, sfDir))
+
+  /** a10 over an arbitrary `(event_type, ts, event_id, value)` frame —
+    * injectable so the streaming twin ([[graft.streaming.M4Stream]])
+    * can be proven cell-identical against the same rows.
+    */
+  private[graft] def m4On(events: DataFrame): DataFrame = {
+    events
       .select(col("event_type"), unix_micros(col("ts")).as("us"),
         col("event_id"),
         expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
