@@ -70,6 +70,34 @@ private[graft] object StreamFeeds {
   * measurement with ~0.3-1 s of classloading per query.
   */
 object Bench {
+
+  /** Host-load marker: (1-min loadavg, single-core probe in M iters/s).
+    * The probe is a 1 s xorshift busy-loop on the driver thread — a
+    * co-tenant-load dial the loadavg can miss (loadavg lags ~1 min and
+    * counts runnable tasks, not the cycle share this JVM actually got).
+    * Every artifact carries pre/post markers so a "regression" taken on
+    * a loaded host is self-describing (this host's afternoon co-tenant
+    * load historically inflated totals uniformly and the r8/r9 artifacts
+    * had to be annotated by hand in commit messages).
+    */
+  private[graft] def hostLoad(): (Double, Double) = {
+    val la =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines()
+        .next().split(" ")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    var x = 0x9E3779B97F4A7C15L
+    var n = 0L
+    val t0 = System.nanoTime()
+    while (System.nanoTime() - t0 < 1000000000L) {
+      var i = 0
+      while (i < 100000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      n += 100000
+    }
+    if (x == 0) n -= 1 // keep the loop live under JIT
+    val mips = n * 1000.0 / (System.nanoTime() - t0) // M iters / s
+    (math.rint(la * 100) / 100, math.rint(mips * 10) / 10)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -120,6 +148,7 @@ object Bench {
         name -> (ok, (System.nanoTime() - t0) / 1e9)
       }
     }
+    val (laPre, mipsPre) = hostLoad()
     val p1 = timedPass()
     val p2 = timedPass()
     val results = SparkEntry.queries.keys.map { k =>
@@ -135,8 +164,15 @@ object Bench {
     val errField = if (errs.isEmpty) "" else s""","errors":${errs.mkString("[", ",", "]")}"""
     val (upsertRate, dedupRate, twsRate, ivmRate, topkRate, slidingRate,
       percolateRate, chunkDedupRate, kmvRate, ksRate) = streamingMetrics(spark)
+    val (laPost, mipsPost) = hostLoad()
+    // `sliding_wm` (not the r1-r8 `sliding` key): round 9 redefined the
+    // workload (event time +100 ms/row with 10-min lateness vs the prior
+    // 1 ms feed), so the renamed key stops old and new numbers from ever
+    // being diffed as the same series.
     val streamField =
-      s""","streaming":{"upsert_rows_per_sec":$upsertRate,"dedup_rows_per_sec":$dedupRate,"tws_view_rows_per_sec":$twsRate,"ivm_rows_per_sec":$ivmRate,"topk_rows_per_sec":$topkRate,"sliding_rows_per_sec":$slidingRate,"percolate_rows_per_sec":$percolateRate,"chunk_dedup_docs_per_sec":$chunkDedupRate,"kmv_rows_per_sec":$kmvRate,"ks_counts_rows_per_sec":$ksRate}"""
+      s""","streaming":{"upsert_rows_per_sec":$upsertRate,"dedup_rows_per_sec":$dedupRate,"tws_view_rows_per_sec":$twsRate,"ivm_rows_per_sec":$ivmRate,"topk_rows_per_sec":$topkRate,"sliding_wm_rows_per_sec":$slidingRate,"percolate_rows_per_sec":$percolateRate,"chunk_dedup_docs_per_sec":$chunkDedupRate,"kmv_rows_per_sec":$kmvRate,"ks_counts_rows_per_sec":$ksRate}"""
+    val hostField =
+      s""","host":{"loadavg1_pre":$laPre,"probe_miters_pre":$mipsPre,"loadavg1_post":$laPost,"probe_miters_post":$mipsPost}"""
 
     // The harness that invokes this main keeps only the LAST ~2000 chars of
     // stdout, and the full per-query map (~100 queries) is ~3 KB — a single
@@ -146,7 +182,7 @@ object Bench {
     // (total, per-family second sums, the slowest queries, streaming rates,
     // and a pointer to the full file) sized to survive the tail window.
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errField$streamField}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errField$streamField$hostField}"""
     val fullPath = java.nio.file.Paths.get(
       sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json")
     java.nio.file.Files.write(fullPath,
@@ -164,7 +200,7 @@ object Bench {
       .map { case (k, v) => s"\"$k\":${r3(v)}" }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$slowest,"queries_note":"slowest 15 of ${results.size}; all in BENCH_FULL.json","families":$families$errField$streamField,"detail":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$slowest,"queries_note":"slowest 15 of ${results.size}; all in BENCH_FULL.json","families":$families$errField$streamField$hostField,"detail":"BENCH_FULL.json"}"""
 
     spark.stop() // stop BEFORE printing: no shutdown log line may follow
     println(compact)
@@ -177,9 +213,9 @@ object Bench {
     * ([[streaming.StreamApply.statefulViewTws]]) — over a MemoryStream
     * feed, so streaming regressions show up in the round-over-round
     * bench exactly like batch ones. Rates are micro-batch wall-clock
-    * (source add → processAllAvailable), after a small warmup stream to
-    * take classloading/codegen out of the number. A failed stream
-    * reports -1.
+    * (source add → processAllAvailable), measured as the MEDIAN of three
+    * full reps after one discarded full-shape warm rep per dial (see
+    * `median3` below for why). A failed stream reports -1.
     */
   private def streamingMetrics(spark: SparkSession)
       : (Double, Double, Double, Double, Double, Double, Double, Double,
@@ -333,22 +369,22 @@ object Bench {
         System.err.println(s"BENCH STREAM FAIL: ${e.getClass.getName}: ${e.getMessage}")
         -1.0
       }
-    // MAX of two measured passes — the batch section's min-of-passes
-    // discipline applied to rates: these micro-benches swing ±40% run
-    // to run with box state (page cache, GC phase, checkpoint fsync
-    // contention), and the steady-state CAPABILITY is the signal, not
-    // the unlucky draw. A systematic regression still shows: it moves
-    // both passes. A FAILED pass is not noise: either pass erroring
-    // reports -1 (max() would silently launder an intermittent failure
-    // into a clean number).
-    def best(f: => Double): Double = {
-      val a = safe(f); val b = safe(f)
-      if (a < 0 || b < 0) -1.0 else math.max(a, b)
+    // Per-dial protocol (round-10 hardening): ONE full-shape warm rep
+    // (discarded — it pays classloading, codegen, state-store open, AND
+    // the dial's own steady-state ramp; the r9 postmortem showed dials
+    // warming 20k→27k→35k across identical reps, so a small-shape warmup
+    // does NOT reach steady state), then MEDIAN of three measured reps.
+    // Median over max: max rewards one lucky draw; median is a number a
+    // rerun actually reproduces, while still shrugging off the one
+    // unlucky GC/fsync rep that made single-shot artifacts (r9) read as
+    // 2-5x regressions. A FAILED rep is not noise: any rep erroring
+    // reports -1 (a median over survivors would launder intermittent
+    // failures into clean numbers).
+    def median3(f: => Double): Double = {
+      if (safe(f) < 0) return -1.0 // full-shape warm rep, discarded
+      val xs = Seq(safe(f), safe(f), safe(f))
+      if (xs.exists(_ < 0)) -1.0 else xs.sorted.apply(1)
     }
-    safe { timeUpsert(1000, 100, 2) }  // warmup
-    safe { timeDedup(1000, 100, 2) }   // warmup
-    safe { timeTws(1000, 100, 2) }     // warmup
-    safe { timeIvm(1000, 100, 2) }     // warmup
     // documents through the saved-search percolator: every row tokenizes
     // and joins the query registry; text mixes registry terms (some rows
     // alert, most don't — the production ratio) with filler vocabulary
@@ -439,21 +475,15 @@ object Bench {
       n / ((System.nanoTime() - t0) / 1e9)
     }
 
-    safe { timeTopK(1000, 100, 2) }    // warmup
-    safe { timeSliding(1000, 100, 2) } // warmup
-    safe { timePercolate(1000, 2) }    // warmup
-    safe { timeChunkDedup(1000, 2) }   // warmup
-    safe { timeKmv(1000, 100, 2) }     // warmup
-    safe { timeKsCounts(1000, 2) }     // warmup
-    (best { timeUpsert(100000, 10000, 5) },
-      best { timeDedup(100000, 10000, 5) },
-      best { timeTws(100000, 10000, 5) },
-      best { timeIvm(100000, 10000, 5) },
-      best { timeTopK(100000, 1000, 5) },
-      best { timeSliding(100000, 10000, 5) },
-      best { timePercolate(100000, 5) },
-      best { timeChunkDedup(20000, 5) },
-      best { timeKmv(100000, 1000, 5) },
-      best { timeKsCounts(100000, 5) })
+    (median3 { timeUpsert(100000, 10000, 5) },
+      median3 { timeDedup(100000, 10000, 5) },
+      median3 { timeTws(100000, 10000, 5) },
+      median3 { timeIvm(100000, 10000, 5) },
+      median3 { timeTopK(100000, 1000, 5) },
+      median3 { timeSliding(100000, 10000, 5) },
+      median3 { timePercolate(100000, 5) },
+      median3 { timeChunkDedup(20000, 5) },
+      median3 { timeKmv(100000, 1000, 5) },
+      median3 { timeKsCounts(100000, 5) })
   }
 }

@@ -472,7 +472,7 @@ object Multimodal {
               if (img == null) "corrupt"
               else if (img.getWidth == w && img.getHeight == h) "ok"
               else "dim_mismatch"
-            } catch { case _: Throwable => "corrupt" }
+            } catch { case scala.util.control.NonFatal(_) => "corrupt" }
           (id, status)
         }
       }
@@ -787,8 +787,10 @@ object Multimodal {
          |v AS (
          |  SELECT doc_id, i // $WavFrame AS frame,
          |    CASE WHEN (i // $WavFrame) % 3 = 0 THEN 0
-         |         ELSE ((ascii(substring(text,
-         |                  CAST(i % length(text) AS INTEGER) + 1, 1))
+         |         ELSE (((CASE WHEN length(text) = 0 THEN 0
+         |                  ELSE ascii(substring(text,
+         |                    CAST(i % length(text) AS INTEGER) + 1, 1)) % 256
+         |                  END)
          |                * 257 + i * 31) % 65536) - 32768 END AS samp
          |  FROM s),
          |f AS (

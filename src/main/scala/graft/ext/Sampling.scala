@@ -460,8 +460,13 @@ object Sampling {
     ev.groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         (sum("v").as("sv") +: sums): _*)
+      // greatest(c,1) guard (v8/c20's discipline): an empty replicate
+      // stratum yields 0 on both engines instead of Spark-NULL vs a
+      // DuckDB division-by-zero error — same VALUE too, since s=0
+      // whenever c=0.
       .withColumn("means", array_sort(array(
-        (0 until CiB).map(b => expr(s"s$b * 1000000 DIV c$b")): _*)))
+        (0 until CiB).map(b =>
+          expr(s"s$b * 1000000 DIV greatest(c$b, 1L)")): _*)))
       .select(col("event_type"), col("n"),
         expr("sv * 1000000 DIV n").as("mean_micro"),
         element_at(col("means"), 3).as("lo_micro"),
@@ -851,7 +856,7 @@ object Sampling {
          |  FROM ev GROUP BY 1),
          |m AS (
          |  SELECT event_type, n, sv * 1000000 // n AS mean_micro,
-         |    list_sort([s0 * 1000000 // c0, s1 * 1000000 // c1, s2 * 1000000 // c2, s3 * 1000000 // c3, s4 * 1000000 // c4, s5 * 1000000 // c5, s6 * 1000000 // c6, s7 * 1000000 // c7, s8 * 1000000 // c8, s9 * 1000000 // c9, s10 * 1000000 // c10, s11 * 1000000 // c11, s12 * 1000000 // c12, s13 * 1000000 // c13, s14 * 1000000 // c14, s15 * 1000000 // c15, s16 * 1000000 // c16, s17 * 1000000 // c17, s18 * 1000000 // c18, s19 * 1000000 // c19, s20 * 1000000 // c20, s21 * 1000000 // c21, s22 * 1000000 // c22, s23 * 1000000 // c23]) AS means
+         |    list_sort([s0 * 1000000 // greatest(c0, 1), s1 * 1000000 // greatest(c1, 1), s2 * 1000000 // greatest(c2, 1), s3 * 1000000 // greatest(c3, 1), s4 * 1000000 // greatest(c4, 1), s5 * 1000000 // greatest(c5, 1), s6 * 1000000 // greatest(c6, 1), s7 * 1000000 // greatest(c7, 1), s8 * 1000000 // greatest(c8, 1), s9 * 1000000 // greatest(c9, 1), s10 * 1000000 // greatest(c10, 1), s11 * 1000000 // greatest(c11, 1), s12 * 1000000 // greatest(c12, 1), s13 * 1000000 // greatest(c13, 1), s14 * 1000000 // greatest(c14, 1), s15 * 1000000 // greatest(c15, 1), s16 * 1000000 // greatest(c16, 1), s17 * 1000000 // greatest(c17, 1), s18 * 1000000 // greatest(c18, 1), s19 * 1000000 // greatest(c19, 1), s20 * 1000000 // greatest(c20, 1), s21 * 1000000 // greatest(c21, 1), s22 * 1000000 // greatest(c22, 1), s23 * 1000000 // greatest(c23, 1)]) AS means
          |  FROM a)
          |SELECT event_type, n, mean_micro,
          |  means[3] AS lo_micro, means[22] AS hi_micro

@@ -286,8 +286,14 @@ object Validate {
       // the split "after day k" is meaningless at k = D (empty right
       // side), and C_D = 0 identically — keep it; it anchors the curve
       .withColumn("cusum", expr("d_days * cum - k * n_total"))
+      // DECIMAL(38,0) intermediates (the house ppm pattern): cusum is
+      // bounded by d_days·n_total, so abs(cusum)·10⁶ exceeds 64 bits
+      // long before the scaladoc's 100 TB scale — Spark would wrap
+      // silently where DuckDB raises. DIV returns BIGINT.
       .withColumn("strength_ppm",
-        expr("abs(cusum) * 1000000 DIV (d_days * n_total)"))
+        expr("""CAST(CAST(abs(cusum) AS DECIMAL(38,0)) * 1000000
+               |  DIV (CAST(d_days AS DECIMAL(38,0)) * n_total)
+               |  AS BIGINT)""".stripMargin))
       .withColumn("is_changepoint",
         col("strength_ppm") === max("strength_ppm").over(wall) &&
           col("day") === min(when(col("strength_ppm") ===
@@ -349,9 +355,13 @@ object Validate {
       .withColumn("t_b", sum("n_b").over(wall))
       .filter(col("t_a") > 0 && col("t_b") > 0)
       .groupBy(col("key"))
+      // cum·10⁶ brushes the long range at ~10¹² rows per key — the ppm
+      // multiply rides DECIMAL(38,0) (house pattern); DIV returns BIGINT
+      // so the difference/abs/max stay 64-bit.
       .agg(max("t_a").as("n_a"), max("t_b").as("n_b"),
-        max(abs(expr("cum_a * 1000000 DIV t_a") -
-          expr("cum_b * 1000000 DIV t_b"))).as("ks_ppm"))
+        max(abs(expr("CAST(cum_a AS DECIMAL(38,0)) * 1000000 DIV t_a") -
+          expr("CAST(cum_b AS DECIMAL(38,0)) * 1000000 DIV t_b")))
+          .as("ks_ppm"))
       .withColumn("drifted", col("ks_ppm") > 50000L)
   }
 
@@ -750,8 +760,9 @@ object Validate {
         |c AS (
         |  SELECT day, n_events,
         |    d_days * cum - k * n_total AS cusum,
-        |    abs(d_days * cum - k * n_total) * 1000000
-        |      // (d_days * n_total) AS strength_ppm
+        |    CAST(CAST(abs(d_days * cum - k * n_total) AS HUGEINT) * 1000000
+        |      // (CAST(d_days AS HUGEINT) * n_total) AS BIGINT)
+        |      AS strength_ppm
         |  FROM w),
         |m AS (SELECT max(strength_ppm) AS mx FROM c),
         |cp AS (SELECT min(day) AS cp_day FROM c, m WHERE strength_ppm = mx)
@@ -784,7 +795,8 @@ object Validate {
         |  FROM c),
         |agg AS (
         |  SELECT event_type, max(t_old) AS n_old, max(t_new) AS n_new,
-        |    max(abs(cum_old * 1000000 // t_old - cum_new * 1000000 // t_new))
+        |    CAST(max(abs(CAST(cum_old AS HUGEINT) * 1000000 // t_old
+        |      - CAST(cum_new AS HUGEINT) * 1000000 // t_new)) AS BIGINT)
         |      AS ks_ppm
         |  FROM w WHERE t_old > 0 AND t_new > 0 GROUP BY 1)
         |SELECT event_type, n_old, n_new, ks_ppm, ks_ppm > 50000 AS drifted
