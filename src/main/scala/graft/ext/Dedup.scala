@@ -1004,8 +1004,14 @@ object Dedup {
     * but is itself recorded in round r+1 (it was alive all of round r) —
     * `deg − lost = 0` keeps such nodes visible.
     */
-  def kcore(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = minhashLsh(spark, sfDir)
+  def kcore(spark: SparkSession, sfDir: String): DataFrame =
+    kcoreOf(minhashLsh(spark, sfDir), CoreK)
+
+  /** The d23 peel loop over an arbitrary `(doc_a, doc_b)` pair frame —
+    * injectable (with its threshold) so the guard spec below can drive a
+    * deep-peel graph that the corpus never produces.
+    */
+  private[ext] def kcoreOf(pairs: DataFrame, coreK: Long): DataFrame = {
     // NOT checkpointed: `pairs` is the persisted lsh_pairs index, so
     // each per-round use re-scans parquet + mirrors in the projection —
     // cheaper than serializing the 2|E|-row frame into block storage
@@ -1021,9 +1027,16 @@ object Dedup {
       .localCheckpoint()
     val shells = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 1L
-    var doomed = deg.filter(col("deg") < CoreK).localCheckpoint()
+    var doomed = deg.filter(col("deg") < coreK).localCheckpoint()
     var nDoomed = doomed.count()
     while (nDoomed > 0) {
+      // the oracle states exactly CoreUnroll peel rounds: a corpus whose
+      // true peel depth exceeds that would CONVERGE here but no longer
+      // match the unrolled SQL — fail loudly instead of silently
+      // desynchronizing the correctness gate (raise CoreUnroll and the
+      // oracle's unroll together if this ever fires)
+      require(round <= CoreUnroll,
+        s"d23 peel depth exceeds the oracle unroll CoreUnroll=$CoreUnroll")
       shells += doomed.select(col("doc_id"), lit(false).as("in_core"),
         lit(round).as("peel_round"), col("deg"))
       // degree loss: edges whose far endpoint just died, per survivor
@@ -1031,13 +1044,13 @@ object Dedup {
         .join(doomed.select(col("doc_id").as("v")), Seq("v"))
         .groupBy(col("u").as("doc_id"))
         .agg(count(lit(1)).as("lost"))
-      deg = deg.filter(col("deg") >= CoreK)
+      deg = deg.filter(col("deg") >= coreK)
         .join(loss, Seq("doc_id"), "left")
         .select(col("doc_id"),
           (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"))
         .localCheckpoint()
       round += 1
-      doomed = deg.filter(col("deg") < CoreK).localCheckpoint()
+      doomed = deg.filter(col("deg") < coreK).localCheckpoint()
       nDoomed = doomed.count()
     }
     val core = deg.select(col("doc_id"), lit(true).as("in_core"),

@@ -654,4 +654,23 @@ class DedupSpec extends SparkSpec {
     assert(round - 1 <= Dedup.CoreUnroll,
       s"peel depth ${round - 1} exceeds the oracle unroll ${Dedup.CoreUnroll}")
   }
+
+  test("d23 guard: a peel deeper than CoreUnroll fails loudly") {
+    import spark.implicits._
+    // a 20-node path peels at k=2 from both ends — depth 10 > CoreUnroll.
+    // Silently converging past the oracle's unroll would desynchronize
+    // the correctness gate; the loop must throw instead.
+    val path = (0L until 19L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.kcoreOf(path, coreK = 2L).collect()
+    }
+    assert(e.getMessage.contains("CoreUnroll"), e.getMessage)
+    // and a shallow graph through the same injectable path still works:
+    // a 5-clique plus one pendant node at k=2 peels in one round
+    val clique = (for { a <- 0L until 5L; b <- a + 1 until 5L } yield (a, b))
+    val g = (clique :+ ((0L, 99L))).toDF("doc_a", "doc_b")
+    val got = Dedup.kcoreOf(g, coreK = 2L).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(got(99L) == false && (0L until 5L).forall(got(_)))
+  }
 }
