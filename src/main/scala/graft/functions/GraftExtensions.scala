@@ -15,10 +15,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * the Column API uses.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    // the `graft(name[, sfDir])` table function — the pure-SQL entry
+    // point to the whole registry (see GraftSql)
+    ext.injectTableFunction(GraftSql.descriptor)
+  }
 }
 
 object GraftFunctions {
