@@ -706,7 +706,77 @@ object Prep {
         (coalesce(col("llr_ppm"), lit(0L)) >= 0L).as("selected"))
   }
 
+  // ---- c22: hashing-trick quality classifier ----------------------------
+
+  /** c22 feature space: bucket count for the hashing trick, the weight
+    * quantization (2001 levels → integer micro-weights in [-1000, 1000]
+    * after the shift), and the shift that keeps every summed numerator
+    * non-negative so floor-division agrees between Spark (truncating DIV)
+    * and DuckDB (flooring //) without the Temporal-style sign branch.
+    */
+  private[graft] val QcBuckets = 1024L
+  private[graft] val QcLevels = 2001L
+  private[graft] val QcShift = (QcLevels - 1) / 2 // 1000
+
+  /** The c22 model: weight of feature `x` under `salt` ("qw:" unigrams,
+    * "qb:" word-bigrams), SHIFTED into [0, 2000]. The hashing trick in
+    * its exact form: feature index = H(x) mod B, weight = a pure hash of
+    * the index — a stand-in for trained parameters that both engines (and
+    * the driver-fold spec) recompute bit-identically. Swapping in real
+    * trained weights = replacing this function with a B-row broadcast
+    * lookup; every other part of the plan is unchanged.
+    */
+  private def qcW(salt: String, x: Column): Column =
+    tokenHash(concat(lit(salt),
+      (tokenHash(x) % QcBuckets).cast("string"))) % QcLevels
+  private def qcWSql(salt: String, x: String): String =
+    s"(${tokenHashSql(s"'$salt' || CAST((${tokenHashSql(x)} % $QcBuckets) AS VARCHAR)")} % $QcLevels)"
+
+  /** c22 — QUALITY-CLASSIFIER INFERENCE, fastText-shaped: each document
+    * is scored by a linear model over hashing-trick features — unigrams
+    * plus word-bigrams, each hashed into [[QcBuckets]] buckets whose
+    * scalar weights the model defines ([[qcW]]) — and the score is the
+    * feature-count-weighted mean weight in exact micro-units. This is the
+    * model-scored quality gate the curation brief calls for (c7/x2 are
+    * heuristic, c19 is distribution-matching): the inference shape of
+    * fastText/CCNet-style quality filters, integerized so the oracle can
+    * hash-check it. `keep` = score at or above parity — the mask a
+    * curation pass feeds to the mixer.
+    *
+    * Scale shape: ZERO shuffles — scoring is a per-row fold over the
+    * token array (`transform` + `aggregate` higher-order expressions, all
+    * codegen-friendly, no UDF), so the operator is an embarrassingly
+    * parallel scan: at 100 TB it rides whatever partitioning the corpus
+    * already has, emits one narrow row per document, and nothing
+    * broadcasts (the "model" is arithmetic; trained weights would be a
+    * B-row broadcast, still nothing corpus-sized).
+    *
+    * Division exactness: summed shifted weights are non-negative, so
+    * Spark's truncating DIV and DuckDB's flooring // agree; the shift is
+    * subtracted AFTER the division (mean(w) = mean(w+1000) − 1000 exactly
+    * for integer means under floor).
+    */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val uni = transform(toks, t => qcW("qw:", t))
+    val bi = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => qcW("qb:", concat(a, lit("_"), b)))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        (size(toks) + greatest(size(toks) - 1, lit(0))).cast("long")
+          .as("n_feat"),
+        (aggregate(uni, lit(0L), _ + _) + aggregate(bi, lit(0L), _ + _))
+          .as("s"))
+      .select(col("doc_id"), col("source"), col("n_feat"),
+        (expr(s"s * 1000000 DIV greatest(n_feat, 1)") -
+          lit(QcShift * 1000000L)).as("score_micro"))
+      .withColumn("keep", col("score_micro") >= 0L)
+  }
+
   val queries: Map[String, Q] = Map(
+    "c22_quality_classifier" -> (qualityClassifier _),
     "c20_t_closeness" -> (tCloseness _),
     "c19_importance" -> (importanceWeights _),
     "c16_curriculum" -> (curriculumPhases _),
@@ -816,6 +886,25 @@ object Prep {
   }
 
   val oracle: Map[String, String] = Map(
+    "c22_quality_classifier" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, ${tokensSql("text")} AS toks
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, source,
+         |    len(toks) + greatest(len(toks) - 1, 0) AS n_feat,
+         |    list_sum(list_transform(toks, x -> ${qcWSql("qw:", "x")}))
+         |      + CASE WHEN len(toks) <= 1 THEN 0
+         |        ELSE list_sum(list_transform(range(1, len(toks)),
+         |          i -> ${qcWSql("qb:", "(toks[CAST(i AS INTEGER)] || '_' || toks[CAST(i + 1 AS INTEGER)])")}))
+         |        END AS s
+         |  FROM t)
+         |SELECT doc_id, source, CAST(n_feat AS BIGINT) AS n_feat,
+         |  CAST(s * 1000000 // greatest(n_feat, 1)
+         |    - ${QcShift * 1000000L} AS BIGINT) AS score_micro,
+         |  s * 1000000 // greatest(n_feat, 1)
+         |    - ${QcShift * 1000000L} >= 0 AS keep
+         |FROM f""".stripMargin,
     "c20_t_closeness" ->
       s"""WITH base AS (
          |  SELECT lang, source, n_chars // 100 AS cls FROM documents),

@@ -316,4 +316,34 @@ class PrepSpec extends SparkSpec {
     assert(got.exists(_._6) && got.exists(!_._6),
       s"vacuous verdict: ${got.count(_._6)}/${got.length} close")
   }
+
+  test("c22 classifier equals a driver fold; both classes present; zero shuffles") {
+    import graft.ext.Portable.tokenHashOf
+    def w(salt: String, x: String): Long =
+      tokenHashOf(salt + (tokenHashOf(x) % Prep.QcBuckets).toString) %
+        Prep.QcLevels
+    val expected = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(2).split(" ", -1) // split keeps empty tokens
+        val nF = toks.length + math.max(toks.length - 1, 0)
+        val s = toks.map(w("qw:", _)).sum +
+          toks.sliding(2).filter(_.length == 2)
+            .map(p => w("qb:", p(0) + "_" + p(1))).sum
+        val score = s * 1000000L / math.max(nF, 1) - Prep.QcShift * 1000000L
+        (r.getLong(0), (r.getString(1), nF.toLong, score, score >= 0L))
+      }.toMap
+    val q = Prep.qualityClassifier(spark, sf)
+    val got = q.collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(got == expected,
+      s"diverges on ${got.keys.filter(k => got(k) != expected(k)).take(3)}")
+    // a classifier that keeps (or drops) everything separates nothing
+    assert(got.values.exists(_._4) && got.values.exists(!_._4),
+      s"vacuous: ${got.values.count(_._4)}/${got.size} kept")
+    // the 100 TB contract: scoring is a pure scan — no Exchange anywhere
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"c22 shuffles:\n$plan")
+  }
 }
