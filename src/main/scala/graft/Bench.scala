@@ -163,14 +163,15 @@ object Bench {
     val total = results.values.collect { case (true, v) => v }.sum
     val errField = if (errs.isEmpty) "" else s""","errors":${errs.mkString("[", ",", "]")}"""
     val (upsertRate, dedupRate, twsRate, ivmRate, topkRate, slidingRate,
-      percolateRate, chunkDedupRate, kmvRate, ksRate) = streamingMetrics(spark)
+      percolateRate, chunkDedupRate, kmvRate, ksRate, annRate) =
+      streamingMetrics(spark)
     val (laPost, mipsPost) = hostLoad()
     // `sliding_wm` (not the r1-r8 `sliding` key): round 9 redefined the
     // workload (event time +100 ms/row with 10-min lateness vs the prior
     // 1 ms feed), so the renamed key stops old and new numbers from ever
     // being diffed as the same series.
     val streamField =
-      s""","streaming":{"upsert_rows_per_sec":$upsertRate,"dedup_rows_per_sec":$dedupRate,"tws_view_rows_per_sec":$twsRate,"ivm_rows_per_sec":$ivmRate,"topk_rows_per_sec":$topkRate,"sliding_wm_rows_per_sec":$slidingRate,"percolate_rows_per_sec":$percolateRate,"chunk_dedup_docs_per_sec":$chunkDedupRate,"kmv_rows_per_sec":$kmvRate,"ks_counts_rows_per_sec":$ksRate}"""
+      s""","streaming":{"upsert_rows_per_sec":$upsertRate,"dedup_rows_per_sec":$dedupRate,"tws_view_rows_per_sec":$twsRate,"ivm_rows_per_sec":$ivmRate,"topk_rows_per_sec":$topkRate,"sliding_wm_rows_per_sec":$slidingRate,"percolate_rows_per_sec":$percolateRate,"chunk_dedup_docs_per_sec":$chunkDedupRate,"kmv_rows_per_sec":$kmvRate,"ks_counts_rows_per_sec":$ksRate,"ann_rows_per_sec":$annRate}"""
     val hostField =
       s""","host":{"loadavg1_pre":$laPre,"probe_miters_pre":$mipsPre,"loadavg1_post":$laPost,"probe_miters_post":$mipsPost}"""
 
@@ -219,7 +220,7 @@ object Bench {
     */
   private def streamingMetrics(spark: SparkSession)
       : (Double, Double, Double, Double, Double, Double, Double, Double,
-         Double, Double) = {
+         Double, Double, Double) = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -475,6 +476,30 @@ object Bench {
       n / ((System.nanoTime() - t0) / 1e9)
     }
 
+    // the live ANN-index maintainer: CDC embedding events (synthesized
+    // 64-dim vectors built INSIDE the streamed plan, so signature compute
+    // — 8 dot products/row — is in the measured path, and the MemoryStream
+    // task binaries stay narrow), updates + deletes, keyed merge. Rate is
+    // input rows/s through signature + merge.
+    def timeAnn(n: Int, nBatches: Int): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("bench-ann").toString
+      val store = new streaming.AnnStream.Store(spark, dir)
+      val in = MemoryStream[(Long, Long, String, String)](SourceParts)
+      val cdc = in.toDF().toDF("seq", "vec_id", "label", "op")
+        .withColumn("embedding", org.apache.spark.sql.functions.expr(
+          "transform(sequence(0, 63), " +
+            "j -> CAST((vec_id * 31 + j * 7) % 13 - 6 AS FLOAT))"))
+      val q = streaming.AnnStream.annWriter(cdc, store, s"$dir/ckpt").start()
+      val batches = (0 until n).map { i =>
+        (i.toLong, (i % (n / 2)).toLong, s"l${i % 3}",
+          if (i % 23 == 0) "d" else "u")
+      }.grouped(n / nBatches).toSeq
+      val t0 = System.nanoTime()
+      try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      n / ((System.nanoTime() - t0) / 1e9)
+    }
+
     (median3 { timeUpsert(100000, 10000, 5) },
       median3 { timeDedup(100000, 10000, 5) },
       median3 { timeTws(100000, 10000, 5) },
@@ -484,6 +509,7 @@ object Bench {
       median3 { timePercolate(100000, 5) },
       median3 { timeChunkDedup(20000, 5) },
       median3 { timeKmv(100000, 1000, 5) },
-      median3 { timeKsCounts(100000, 5) })
+      median3 { timeKsCounts(100000, 5) },
+      median3 { timeAnn(20000, 5) })
   }
 }

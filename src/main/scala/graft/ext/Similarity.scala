@@ -333,7 +333,7 @@ object Similarity {
     * sweep measured at exp 1.71 under a FIXED nlist — constant. nlist ∝ N
     * with |cell| ≈ const is the standard IVF production sizing.
     */
-  private[ext] val CellN0 = 2000L
+  private[graft] val CellN0 = 2000L
 
   /** Sub-cell bit mask for a corpus of `n` vectors, as a portable integer
     * expression (no libm log): 0 bits at test scale — so every historical
@@ -341,7 +341,7 @@ object Similarity {
     * capped at 8. The oracle evaluates the identical comparison chain
     * from its own count.
     */
-  private def splitMask(n: Column): Column =
+  private[graft] def splitMask(n: Column): Column =
     element_at(
       array(Seq(0L, 1L, 3L, 7L, 15L, 31L, 63L, 127L, 255L).map(lit(_)): _*),
       lit(1) + (1 to 8).map(k =>
@@ -354,7 +354,7 @@ object Similarity {
     * LSH recall argument; the masked width keeps the split recall-free
     * at test scale.
     */
-  private def subSig(v: Column): Column =
+  private[graft] def subSig(v: Column): Column =
     (0 until 8).map { p =>
       when(graft.functions.DotProduct.dotProduct(v,
         array(Dedup.planes(p).map(x => lit(x.toDouble)): _*)) > 0, lit(1L << p))
@@ -364,6 +364,25 @@ object Similarity {
   def knnJoin(spark: SparkSession, sfDir: String): DataFrame =
     knnJoinOn(Tables.embeddings(spark, sfDir))
 
+  /** s8's ADAPTIVE CELL ASSIGNMENT, factored out of [[knnJoinOn]]:
+    * `(vec_id, v, label, subcell)` for an arbitrary
+    * `(vec_id, embedding, label)` frame — the coarse-quantizer state of
+    * the IVF index. Split out so the STREAMING index maintainer
+    * ([[graft.streaming.AnnStream]]) can prove its live cell table equals
+    * this batch definition at every ingest prefix — one definition, so
+    * the live ANN index and the batch s8 join can never disagree on
+    * which cell a vector lives in. The one-row count frame driving the
+    * adaptive cell width is the only broadcast.
+    */
+  private[graft] def cellAssignOn(emb: DataFrame): DataFrame = {
+    val e0 = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"), col("label"))
+    val nv = e0.agg(count(lit(1)).as("n_vecs"))
+    e0.crossJoin(broadcast(nv))
+      .select(col("vec_id"), col("v"), col("label"),
+        subSig(col("v")).bitwiseAND(splitMask(col("n_vecs"))).as("subcell"))
+  }
+
   /** The s8 pipeline over an arbitrary `(vec_id, embedding, label)`
     * frame — split out (d6's `buildEmbedNearDupOn` discipline) so
     * `AdaptiveCellSpec` can drive the adaptive cell split past its
@@ -371,15 +390,8 @@ object Similarity {
     * can't reach.
     */
   private[ext] def knnJoinOn(emb: DataFrame): DataFrame = {
-    val e0 = emb.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"), col("label"))
     val cents = centroidVectorsOn(emb)
-    // the one-row count frame driving the adaptive cell width — the only
-    // broadcast besides the |cells|-row centroid frame
-    val nv = e0.agg(count(lit(1)).as("n_vecs"))
-    val e = e0.crossJoin(broadcast(nv))
-      .select(col("vec_id"), col("v"), col("label"),
-        subSig(col("v")).bitwiseAND(splitMask(col("n_vecs"))).as("subcell"))
+    val e = cellAssignOn(emb)
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("label"))
     val own = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
