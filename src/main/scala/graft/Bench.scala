@@ -59,6 +59,34 @@ private[graft] object StreamFeeds {
     finally q.stop()
     n / ((System.nanoTime() - t0) / 1e9)
   }
+
+  /** The chunk-dedup ingest workload — 64-token docs (2 chunks each)
+    * with heavy cross-doc repetition, so the owner index stays small
+    * while every batch exercises both the dedup join and genuine
+    * first-occurrence inserts.
+    */
+  def timeChunkDedup(spark: SparkSession, n: Int, nBatches: Int): Double = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val words = Seq("key", "value", "scan", "table", "slow", "fast",
+      "merge", "batch", "vector", "window", "customer", "order", "dup")
+    val dir = java.nio.file.Files
+      .createTempDirectory("bench-chunkdedup").toString
+    val stores = new streaming.ChunkDedupStream.Stores(spark, dir)
+    val in = MemoryStream[(Long, String)](SourceParts)
+    val q = streaming.ChunkDedupStream.chunkDedupWriter(
+      in.toDF().toDF("doc_id", "text"), stores, s"$dir/ckpt").start()
+    val batches = (0 until n).map { i =>
+      val text = (0 until 64)
+        .map(j => words((i * 7 + j * 5 + j * j % 11) % words.length))
+        .mkString(" ")
+      (i.toLong, text)
+    }.grouped(n / nBatches).toSeq
+    val t0 = System.nanoTime()
+    try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    n / ((System.nanoTime() - t0) / 1e9)
+  }
 }
 
 /** Per-round benchmark: one JSON line with per-query and total seconds.
@@ -411,29 +439,20 @@ object Bench {
       n / ((System.nanoTime() - t0) / 1e9)
     }
 
-    def timeChunkDedup(n: Int, nBatches: Int): Double = {
-      val words = Seq("key", "value", "scan", "table", "slow", "fast",
-        "merge", "batch", "vector", "window", "customer", "order", "dup")
-      val dir = java.nio.file.Files
-        .createTempDirectory("bench-chunkdedup").toString
-      val stores = new streaming.ChunkDedupStream.Stores(spark, dir)
-      val in = MemoryStream[(Long, String)](SourceParts)
-      val q = streaming.ChunkDedupStream.chunkDedupWriter(
-        in.toDF().toDF("doc_id", "text"), stores, s"$dir/ckpt").start()
-      // 64-token docs (2 chunks each) with heavy cross-doc repetition —
-      // the owner index stays small while every batch exercises both the
-      // dedup join and genuine first-occurrence inserts
-      val batches = (0 until n).map { i =>
-        val text = (0 until 64)
-          .map(j => words((i * 7 + j * 5 + j * j % 11) % words.length))
-          .mkString(" ")
-        (i.toLong, text)
-      }.grouped(n / nBatches).toSeq
-      val t0 = System.nanoTime()
-      try batches.foreach { b => in.addData(b); q.processAllAvailable() }
-      finally q.stop()
-      n / ((System.nanoTime() - t0) / 1e9)
-    }
+    // FLOOR (r10 nb-sweep, `StreamBench reps {1,5,20}` at 20k docs): time
+    // fits fixed·nb + marginal·n with fixed ≈ 1.2 s/batch and marginal
+    // ≈ 40 µs/doc. The fixed cost is the DURABLE-COMMIT protocol — two
+    // ParquetUpsertStore merges (each: state read + keyed-dedup shuffle +
+    // 32-part write + atomic pointer swing) plus the streaming checkpoint
+    // — not the tokenize/fingerprint pass (that is inside the marginal
+    // 40 µs, i.e. ~25k docs/s amortized; measured 9.9k docs/s at nb=1
+    // where one fixed cost remains). The dial keeps nb=5, so its
+    // ~2-3k docs/s is BY CONSTRUCTION ~5 commit cycles over 20k docs —
+    // the number measures commit latency amortization, which is the
+    // production dial that matters for small micro-batches; large-batch
+    // ingest runs at the marginal rate.
+    def timeChunkDedup(n: Int, nBatches: Int): Double =
+      StreamFeeds.timeChunkDedup(spark, n, nBatches)
 
     // the two sketch maintainers: bottom-k merge per batch (KMV) and
     // the exact (type, cent) CDF counts the live KS monitor scores

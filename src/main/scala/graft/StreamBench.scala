@@ -25,11 +25,13 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    StreamFeeds.timeUpsert(spark, 1000, 100, 2) // warmup
-    StreamFeeds.timeIvm(spark, 1000, 100, 2)    // warmup
+    StreamFeeds.timeUpsert(spark, 1000, 100, 2)    // warmup
+    StreamFeeds.timeIvm(spark, 1000, 100, 2)       // warmup
+    StreamFeeds.timeChunkDedup(spark, 1000, 2)     // warmup
     for (r <- 1 to reps) {
       println(f"STREAMBENCH rep=$r nb=$nb upsert=${StreamFeeds.timeUpsert(spark, 100000, 10000, nb)}%.0f rows/s")
       println(f"STREAMBENCH rep=$r nb=$nb ivm=${StreamFeeds.timeIvm(spark, 100000, 10000, nb)}%.0f rows/s")
+      println(f"STREAMBENCH rep=$r nb=$nb chunk=${StreamFeeds.timeChunkDedup(spark, 20000, nb)}%.0f docs/s")
     }
     spark.stop()
   }

@@ -67,8 +67,14 @@ object ChunkDedupStream {
     */
   private[streaming] def screenBatch(batch: DataFrame,
       stores: Stores): DataFrame = {
+    // NOT checkpointed: `ch` has exactly one consumer (the owner join
+    // below), and `marked`'s checkpoint materializes the whole chain in
+    // one pass — an eager checkpoint here added a synchronous job plus a
+    // block-store write/read of every chunk row per batch (removing it
+    // cut the single-batch 20k-doc ingest from ~3.0 s to ~2.0 s and the
+    // per-batch fixed cost from ~1.4 s to ~1.2 s in the nb-sweep; see
+    // the floor analysis at the chunk dial in `Bench`)
     val ch = Prep.chunksOf(batch.select("doc_id", "text"))
-      .localCheckpoint() // one chunk pass per batch
     val idx = stores.indexView()
     val owned =
       if (idx.schema.isEmpty)
