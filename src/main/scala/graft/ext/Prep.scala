@@ -775,7 +775,52 @@ object Prep {
       .withColumn("keep", col("score_micro") >= 0L)
   }
 
+  /** c23 head count: topics in the multiclass classifier. */
+  private[graft] val Topics = 8
+
+  /** c23 — MULTICLASS TOPIC CLASSIFICATION + DOMAIN-MIX rollup: c22's
+    * hashing-trick inference extended to the K-head fastText shape — per
+    * document, K linear scores over the same 1024-bucket unigram
+    * features, `topic` = argmax (smallest head on ties) — then rolled up
+    * to the `(source, topic)` mix table with exact per-source shares in
+    * ppm. This is the domain-labeling step a mixture-balancing pass
+    * (DoReMi-style domain weights, or just "cap web-crawl topic X at
+    * 20%") runs before sampling; the rollup IS the audit the mixer
+    * reads.
+    *
+    * One md5 per token (the shared c22 bucket-weight base); the K head
+    * weights derive from that base through the portable affine family
+    * ([[Portable.affine]]) — K cheap integer transforms, not K hashes.
+    * Scores accumulate in ONE fold over the token array with an
+    * array-of-K accumulator (`aggregate` + `zip_with` — codegen
+    * expressions, no UDF), so per-doc classification is again a pure
+    * scan; the only shuffle is the map-side-combined (source, topic)
+    * rollup, and the share window rides that dashboard-sized frame.
+    */
+  def topicMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    def wvec(t: Column): Column = {
+      val base = tokenHash(concat(lit("qw:"),
+        (tokenHash(t) % QcBuckets).cast("string")))
+      array((0 until Topics).map(k => affine(k, base) % QcLevels): _*)
+    }
+    val scores = aggregate(toks, array_repeat(lit(0L), Topics),
+      (acc, t) => zip_with(acc, wvec(t), _ + _))
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        (array_position(scores, array_max(scores)) - 1L).as("topic"))
+    perDoc.groupBy("source", "topic")
+      .agg(count(lit(1)).as("n_docs"))
+      // DECIMAL(38,0) ppm multiply (house pattern): n_docs·10⁶ brushes
+      // the long range at trillion-doc sources
+      .withColumn("share_ppm", expr(
+        """CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000
+          |  DIV sum(n_docs) OVER (PARTITION BY source) AS BIGINT)"""
+          .stripMargin))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c23_topic_mix" -> (topicMix _),
     "c22_quality_classifier" -> (qualityClassifier _),
     "c20_t_closeness" -> (tCloseness _),
     "c19_importance" -> (importanceWeights _),
@@ -886,6 +931,36 @@ object Prep {
   }
 
   val oracle: Map[String, String] = Map(
+    "c23_topic_mix" -> {
+      val aLit = Portable.A.take(Topics).mkString("[", ", ", "]")
+      val bLit = Portable.B.take(Topics).mkString("[", ", ", "]")
+      val base = tokenHashSql(
+        s"'qw:' || CAST((${tokenHashSql("x")} % $QcBuckets) AS VARCHAR)")
+      s"""WITH t AS (
+         |  SELECT doc_id, source, ${tokensSql("text")} AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, source,
+         |    list_transform(range(0, $Topics), k ->
+         |      list_sum(list_transform(toks, x ->
+         |        ((($aLit[CAST(k + 1 AS INTEGER)] * $base
+         |           + $bLit[CAST(k + 1 AS INTEGER)]) % ${Portable.P})
+         |          % $QcLevels)))) AS scores
+         |  FROM t),
+         |d AS (
+         |  SELECT source,
+         |    CAST(list_position(scores, list_max(scores)) - 1 AS BIGINT)
+         |      AS topic
+         |  FROM s),
+         |g AS (
+         |  SELECT source, topic, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM d GROUP BY 1, 2)
+         |SELECT source, topic, n_docs,
+         |  CAST(CAST(n_docs AS HUGEINT) * 1000000
+         |    // sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
+         |    AS share_ppm
+         |FROM g""".stripMargin
+    },
     "c22_quality_classifier" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, ${tokensSql("text")} AS toks

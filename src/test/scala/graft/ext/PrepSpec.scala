@@ -346,4 +346,41 @@ class PrepSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"c22 shuffles:\n$plan")
   }
+
+  test("c23 topic mix equals a driver fold; topics separate; shares partition") {
+    import graft.ext.Portable
+    import Portable.tokenHashOf
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val perDoc = docs.map { case (src, text) =>
+      val toks = text.split(" ", -1)
+      val scores = Array.fill(Prep.Topics)(0L)
+      for (t <- toks) {
+        val base = tokenHashOf(
+          "qw:" + (tokenHashOf(t) % Prep.QcBuckets).toString)
+        for (k <- 0 until Prep.Topics)
+          scores(k) += (Portable.A(k) * base + Portable.B(k)) %
+            Portable.P % Prep.QcLevels
+      }
+      (src, scores.indexOf(scores.max).toLong) // first max = smallest head
+    }
+    val counts = perDoc.groupBy(identity).view.mapValues(_.length.toLong)
+    val srcTotals = perDoc.groupBy(_._1).view.mapValues(_.length.toLong)
+    val expected = counts.map { case ((src, topic), n) =>
+      (src, topic) -> ((n, n * 1000000L / srcTotals(src)))
+    }.toMap
+    val got = Prep.topicMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected,
+      s"diverges on ${got.keys.filter(k => got.get(k) != expected.get(k)).take(3)}")
+    // the classifier must separate topics, and shares must partition each
+    // source (floor rounding loses < Topics ppm)
+    assert(got.keys.map(_._2).toSet.size > 1, "every doc got one topic")
+    got.keys.map(_._1).toSet.foreach { (src: String) =>
+      val tot = got.collect { case ((s, _), (_, sh)) if s == src => sh }.sum
+      assert(tot <= 1000000L && tot > 1000000L - Prep.Topics, s"$src: $tot")
+    }
+  }
 }
