@@ -126,6 +126,19 @@ object Bench {
     (math.rint(la * 100) / 100, math.rint(mips * 10) / 10)
   }
 
+  /** Force FULL evaluation of every output column. `df.count()` is the
+    * wrong forcing function for a benchmark: Catalyst prunes columns a
+    * count never reads, so a pure projection-shaped query (c22's
+    * classifier: per-doc scores, no aggregate on top) collapses to
+    * counting parquet rows — its pre-r10 bench numbers measured NO
+    * scoring work at all (0.16 s vs the honest 12 s at sf1-synth).
+    * `toRdd` executes the optimized plan WITHOUT a count on top, so the
+    * final projection materializes every column into its UnsafeRows;
+    * for aggregate-ending queries the work is identical to count().
+    */
+  private[graft] def force(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -142,7 +155,7 @@ object Bench {
       if (new java.io.File(d).isDirectory) d else sfDir
     }
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try force(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
 
     // Two timed passes, min per query: a one-off spike (GC pause, CPU
@@ -168,7 +181,7 @@ object Bench {
         // into each other and individual numbers swing 2-4x run to run.
         System.gc()
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        val ok = try { force(fn(spark, sfDir)); true }
           catch { case e: Throwable =>
             System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
             false

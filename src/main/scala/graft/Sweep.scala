@@ -31,13 +31,15 @@ object Sweep {
       if (new java.io.File(d).isDirectory) d else dirs.head
     }
     qs.foreach { q =>
-      try SparkEntry.queries(q)(spark, warmDir).count()
+      try Bench.force(SparkEntry.queries(q)(spark, warmDir))
       catch { case _: Throwable => () }
     }
     for (dir <- dirs; q <- qs) {
       ext.Dedup.clearMemos(spark)
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, dir).count()
+      // Bench.force, not count(): count lets Catalyst prune a pure
+      // projection query down to row counting (see Bench.force)
+      val n = Bench.force(SparkEntry.queries(q)(spark, dir))
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"SWEEP dir=$dir q=$q t=$dt%.2f rows=$n")
     }
