@@ -425,11 +425,18 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(transform(tokenSet(col("text")),
           t => tokenHash(t)))).as("h"))
+    // signature components stay SCALAR columns end to end (s0..s15, not
+    // an array): the same 128 B move through the joins, but the
+    // per-candidate match count compiles to 16 codegen'd long
+    // comparisons in a plain projection. The first formulation arrayed
+    // the signature and counted matches with zip_with+aggregate — an
+    // interpreted lambda per candidate pair (no codegen, no CSE in the
+    // HOF path) that cost 66 of d8's 74 s at sf1-synth's ~19M pairs.
     val per = exploded.groupBy("doc_id")
       .agg(min(affine(0, col("h"))).as("s0"),
         (1 until 16).map(i => min(affine(i, col("h"))).as(s"s$i")): _*)
-      .select(col("doc_id"), bandKey(0).as("bk0"), bandKey(8).as("bk1"),
-        array((0 until 16).map(i => col(s"s$i")): _*).as("sig"))
+      .select(col("doc_id") +: bandKey(0).as("bk0") +: bandKey(8).as("bk1") +:
+        (0 until 16).map(i => col(s"s$i")): _*)
       .localCheckpoint()
     val l = per.select(col("doc_id").as("doc_a"),
       col("bk0").as("abk0"), col("bk1").as("abk1"))
@@ -440,12 +447,14 @@ object Dedup {
     val cand1 = l.join(r, col("abk1") === col("bbk1") &&
         col("abk0") =!= col("bbk0") && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-    val est = aggregate(
-      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
-      lit(0L), _ + _).cast("double") / 16.0
+    val est = (0 until 16)
+      .map(i => when(col(s"sa$i") === col(s"sb$i"), 1L).otherwise(0L))
+      .reduce(_ + _).cast("double") / 16.0
     cand0.unionByName(cand1)
-      .join(per.select(col("doc_id").as("doc_a"), col("sig").as("sa")), Seq("doc_a"))
-      .join(per.select(col("doc_id").as("doc_b"), col("sig").as("sb")), Seq("doc_b"))
+      .join(per.select(col("doc_id").as("doc_a") +:
+        (0 until 16).map(i => col(s"s$i").as(s"sa$i")): _*), Seq("doc_a"))
+      .join(per.select(col("doc_id").as("doc_b") +:
+        (0 until 16).map(i => col(s"s$i").as(s"sb$i")): _*), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), est.as("est_jac"))
   }
 
@@ -840,18 +849,6 @@ object Dedup {
 
   // ---- d4: SimHash ------------------------------------------------------
 
-  /** 32-bit SimHash from an already-hashed token array: bit j is the sign
-    * of Σ_tokens (±1 by bit j of H(token)). 32 `aggregate` folds over the
-    * bound hash column — linear in tokens, codegen'd, shuffle-free, and
-    * (as with [[sigCols]]) one md5 per token, not 32.
-    */
-  private def simhash(hs: Column): Column =
-    (0 until 32).map { j =>
-      val bitSum = aggregate(hs, lit(0L),
-        (acc, h) => acc + (shiftright(h, j) % 2L) * 2L - 1L)
-      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
   private def simhashSql(hs: String): String =
     (0 until 32).map { j =>
       s"(CASE WHEN list_sum(list_transform($hs, h -> ((h >> $j) % 2) * 2 - 1)) > 0 " +
@@ -863,10 +860,28 @@ object Dedup {
     simhashOf(docs(spark, sfDir)
       .select(col("doc_id"), tokenSet(col("text")).as("toks")))
 
-  /** SimHash over an arbitrary (doc_id, toks) frame — test/reuse surface. */
+  /** 32-bit SimHash over an arbitrary (doc_id, toks) frame — bit j is
+    * the sign of Σ_tokens (±1 by bit j of H(token)) — as EXPLODE +
+    * hash-aggregate: one md5 per (doc, token) row in a codegen'd
+    * projection, then 32 bit-sum accumulators (+ a count) map-side
+    * combined, bits assembled from the scalar sums
+    * (`2·Σ bit_j − n > 0`). The previous formulation folded 32
+    * `aggregate` lambdas over a per-row hash array — higher-order
+    * lambdas evaluate interpreted (no codegen), which cost d4 ~7.7 s at
+    * sf1-synth; this shape is ~1 s and shuffles only (id, hash) longs —
+    * the module-header envelope.
+    */
   def simhashOf(df: DataFrame): DataFrame =
-    df.withColumn("hs", transform(col("toks"), t => tokenHash(t)))
-      .select(col("doc_id"), simhash(col("hs")).as("simhash"))
+    df.select(col("doc_id"), explode_outer(col("toks")).as("t"))
+      .select(col("doc_id"), tokenHash(col("t")).as("h"))
+      .groupBy("doc_id")
+      .agg(count(col("h")).as("n"),
+        (0 until 32).map(j =>
+          sum(shiftright(col("h"), j) % 2L).as(s"b$j")): _*)
+      .select(col("doc_id"),
+        (0 until 32).map(j =>
+          when(coalesce(col(s"b$j"), lit(0L)) * 2L - col("n") > 0,
+            lit(1L << j)).otherwise(0L)).reduce(_ + _).as("simhash"))
 
   /** SimHash near-dup: candidates where any of the 4 bytes of the sketch
     * collide, confirmed by bit_count(xor) ≤ 4. Recall is EXACT only up to
