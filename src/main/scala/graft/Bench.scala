@@ -154,15 +154,23 @@ object Bench {
       val d = "/root/testdata/sf0.001"
       if (new java.io.File(d).isDirectory) d else sfDir
     }
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try force(fn(spark, warmDir)) catch { case _: Throwable => () }
-    }
+    if (!sys.env.get("SPARK_GRAFT_BATCH").contains("0"))
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try force(fn(spark, warmDir)) catch { case _: Throwable => () }
+      }
 
     // Two timed passes, min per query: a one-off spike (GC pause, CPU
     // contention from co-located processes, lazy codegen for a plan shape
     // AQE only picks at this SF) is measurement noise, not engine
     // throughput — the min is the steady-state number.
+    // SPARK_GRAFT_BATCH=0 skips the two batch passes (queries report 0):
+    // lets a streaming-only artifact be taken inside a short quiet-host
+    // window, since the dials run AFTER ~15 min of batch work otherwise
+    // and this box's co-tenant surges recur on that timescale.
+    val skipBatch = sys.env.get("SPARK_GRAFT_BATCH").contains("0")
     def timedPass(): Map[String, (Boolean, Double)] = {
+      if (skipBatch)
+        return SparkEntry.queries.map { case (k, _) => k -> (true, 0.0) }
       // each pass pays SESSION-scoped memoized frames (posting frames,
       // text stats) exactly once, attributed to their first consumer —
       // without this, pass 2 reads pass 1's cache and min-of-passes
