@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.chaining._
 
 /** Synthetic CDC event for the streaming micro-bench. */
 case class BenchEv(seq: Long, key: Int, op: String, value: Double,
@@ -25,6 +26,17 @@ private[graft] object StreamFeeds {
   def ev(i: Int, nKeys: Int): BenchEv = BenchEv(i.toLong, i % nKeys,
     if (i % 17 == 0) "d" else "u", i * 0.5, new java.sql.Timestamp(base + i))
 
+  /** Split `xs` into (at most) `nBatches` contiguous micro-batches.
+    * Ceil sizing, because `grouped(n / nBatches)` is a trap twice over:
+    * it throws on nBatches > n (`grouped(0)`) and silently yields
+    * nBatches+1 groups on any non-divisor — mislabeling the per-batch
+    * fixed-cost sweeps that fit `fixed·nb + marginal·n`.
+    */
+  private[graft] def batched[T](xs: Seq[T], nBatches: Int): Seq[Seq[T]] = {
+    require(nBatches > 0, s"nBatches must be positive: $nBatches")
+    xs.grouped(math.max(1, (xs.size + nBatches - 1) / nBatches)).toSeq
+  }
+
   def catEv(i: Int, nKeys: Int): BenchCatEv = BenchCatEv(i.toLong, i % nKeys,
     if (i % 17 == 0) "d" else "u", s"c${i % 5}", i * 0.5)
 
@@ -37,7 +49,7 @@ private[graft] object StreamFeeds {
       payloadCols = Seq("value"))
     val in = MemoryStream[BenchEv](SourceParts)
     val q = streaming.StreamApply.upsertWriter(in.toDF(), store, s"$dir/ckpt").start()
-    val batches = (0 until n).map(ev(_, nKeys)).grouped(n / nBatches).toSeq
+    val batches = (0 until n).map(ev(_, nKeys)).pipe(StreamFeeds.batched(_, nBatches))
     val t0 = System.nanoTime()
     try batches.foreach { b => in.addData(b); q.processAllAvailable() }
     finally q.stop()
@@ -53,7 +65,7 @@ private[graft] object StreamFeeds {
       payloadCols = Seq("cat", "value"), aggCol = "cat")
     val in = MemoryStream[BenchCatEv](SourceParts)
     val q = streaming.StreamApply.ivmWriter(in.toDF(), store, s"$dir/ckpt").start()
-    val batches = (0 until n).map(catEv(_, nKeys)).grouped(n / nBatches).toSeq
+    val batches = (0 until n).map(catEv(_, nKeys)).pipe(StreamFeeds.batched(_, nBatches))
     val t0 = System.nanoTime()
     try batches.foreach { b => in.addData(b); q.processAllAvailable() }
     finally q.stop()
@@ -81,7 +93,7 @@ private[graft] object StreamFeeds {
         .map(j => words((i * 7 + j * 5 + j * j % 11) % words.length))
         .mkString(" ")
       (i.toLong, text)
-    }.grouped(n / nBatches).toSeq
+    }.pipe(StreamFeeds.batched(_, nBatches))
     val t0 = System.nanoTime()
     try batches.foreach { b => in.addData(b); q.processAllAvailable() }
     finally q.stop()
@@ -169,8 +181,7 @@ object Bench {
     // and this box's co-tenant surges recur on that timescale.
     val skipBatch = sys.env.get("SPARK_GRAFT_BATCH").contains("0")
     def timedPass(): Map[String, (Boolean, Double)] = {
-      if (skipBatch)
-        return SparkEntry.queries.map { case (k, _) => k -> (true, 0.0) }
+      if (skipBatch) return Map.empty
       // each pass pays SESSION-scoped memoized frames (posting frames,
       // text stats) exactly once, attributed to their first consumer —
       // without this, pass 2 reads pass 1's cache and min-of-passes
@@ -200,24 +211,30 @@ object Bench {
     val (laPre, mipsPre) = hostLoad()
     val p1 = timedPass()
     val p2 = timedPass()
-    val results = SparkEntry.queries.keys.map { k =>
-      val (ok1, t1) = p1(k); val (ok2, t2) = p2(k)
-      k -> (ok1 && ok2, math.min(t1, t2))
-    }.toMap
-    // a failed query reports -1, never a misleading fast timing
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, (ok, v)) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
-      .mkString("{", ",", "}")
+    val results =
+      if (skipBatch) Map.empty[String, (Boolean, Double)]
+      else SparkEntry.queries.keys.map { k =>
+        val (ok1, t1) = p1(k); val (ok2, t2) = p2(k)
+        k -> (ok1 && ok2, math.min(t1, t2))
+      }.toMap
+    // a failed query reports -1, never a misleading fast timing.
+    // When the batch passes are SKIPPED (SPARK_GRAFT_BATCH=0) the map is
+    // marked "skipped", NOT zero-filled: the r10 streaming-only artifact
+    // recorded 237 'successful' 0.0 s entries and any per-query diff
+    // against a prior BENCH_FULL read them as a 100% regression-to-zero.
+    val qs =
+      if (skipBatch) "\"skipped\""
+      else results.toSeq.sortBy(_._1)
+        .map { case (k, (ok, v)) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
+        .mkString("{", ",", "}")
     val errs = results.collect { case (k, (false, _)) => "\"" + k + "\"" }
     val total = results.values.collect { case (true, v) => v }.sum
     val errField = if (errs.isEmpty) "" else s""","errors":${errs.mkString("[", ",", "]")}"""
     // SPARK_GRAFT_STREAMING=0 skips the dials: they are SF-independent
     // (synthetic MemoryStream feeds), so scale-sweep artifacts (BENCH_sf1)
     // exclude them rather than re-measure the same numbers at 4 reps each
-    val (upsertRate, dedupRate, twsRate, ivmRate, topkRate, slidingRate,
-      percolateRate, chunkDedupRate, kmvRate, ksRate, annRate) =
-      if (sys.env.get("SPARK_GRAFT_STREAMING").contains("0"))
-        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
+    val dials: Seq[(String, Double, String)] =
+      if (sys.env.get("SPARK_GRAFT_STREAMING").contains("0")) Seq.empty
       else streamingMetrics(spark)
     val (laPost, mipsPost) = hostLoad()
     // `sliding_wm` (not the r1-r8 `sliding` key): round 9 redefined the
@@ -225,8 +242,15 @@ object Bench {
     // 1 ms feed), so the renamed key stops old and new numbers from ever
     // being diffed as the same series.
     val streamField =
-      if (sys.env.get("SPARK_GRAFT_STREAMING").contains("0")) ""
-      else s""","streaming":{"upsert_rows_per_sec":$upsertRate,"dedup_rows_per_sec":$dedupRate,"tws_view_rows_per_sec":$twsRate,"ivm_rows_per_sec":$ivmRate,"topk_rows_per_sec":$topkRate,"sliding_wm_rows_per_sec":$slidingRate,"percolate_rows_per_sec":$percolateRate,"chunk_dedup_docs_per_sec":$chunkDedupRate,"kmv_rows_per_sec":$kmvRate,"ks_counts_rows_per_sec":$ksRate,"ann_rows_per_sec":$annRate}"""
+      if (dials.isEmpty) ""
+      else dials.map { case (k, v, _) => s""""$k":$v""" }
+        .mkString(""","streaming":{""", ",", "}")
+    // Per-dial host markers go to the FULL artifact only — 11 markers are
+    // ~1.3 KB and the compact stdout line must fit the harness tail window
+    val streamMarkersField =
+      if (dials.isEmpty) ""
+      else dials.map { case (k, _, m) => s""""$k":$m""" }
+        .mkString(""","streaming_markers":{""", ",", "}")
     val hostField =
       s""","host":{"loadavg1_pre":$laPre,"probe_miters_pre":$mipsPre,"loadavg1_post":$laPost,"probe_miters_post":$mipsPost}"""
 
@@ -237,8 +261,9 @@ object Bench {
     // to BENCH_FULL.json in the repo root, and stdout gets ONE compact line
     // (total, per-family second sums, the slowest queries, streaming rates,
     // and a pointer to the full file) sized to survive the tail window.
+    val batchField = if (skipBatch) s""","batch":"skipped"""" else ""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errField$streamField$hostField}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$batchField$errField$streamField$streamMarkersField$hostField}"""
     val fullPath = java.nio.file.Paths.get(
       sys.props.getOrElse("user.dir", "."),
       sys.env.getOrElse("SPARK_GRAFT_OUT", "BENCH_FULL.json"))
@@ -257,7 +282,7 @@ object Bench {
       .map { case (k, v) => s"\"$k\":${r3(v)}" }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$slowest,"queries_note":"slowest 15 of ${results.size}; all in BENCH_FULL.json","families":$families$errField$streamField$hostField,"detail":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$slowest,"queries_note":"slowest 15 of ${results.size}; all in BENCH_FULL.json","families":$families$batchField$errField$streamField$hostField,"detail":"BENCH_FULL.json"}"""
 
     spark.stop() // stop BEFORE printing: no shutdown log line may follow
     println(compact)
@@ -275,8 +300,7 @@ object Bench {
     * `median3` below for why). A failed stream reports -1.
     */
   private def streamingMetrics(spark: SparkSession)
-      : (Double, Double, Double, Double, Double, Double, Double, Double,
-         Double, Double, Double) = {
+      : Seq[(String, Double, String)] = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -311,7 +335,7 @@ object Bench {
         .writeStream.outputMode("append").format("noop").start()
       // every batch fed twice: half the input is redelivery the state
       // store must absorb
-      val batches = (0 until n).map(ev(_, nKeys)).grouped(n / nBatches).toSeq
+      val batches = (0 until n).map(ev(_, nKeys)).pipe(StreamFeeds.batched(_, nBatches))
       val t0 = System.nanoTime()
       try batches.foreach { b =>
         in.addData(b); in.addData(b); q.processAllAvailable()
@@ -348,7 +372,7 @@ object Bench {
         val batches = (0 until n)
           .map(i => streaming.StreamApply.KeyedEvent(i.toLong, i % nKeys,
             if (i % 17 == 0) "d" else "u", i * 0.5))
-          .grouped(n / nBatches).toSeq
+          .pipe(StreamFeeds.batched(_, nBatches))
         val t0 = System.nanoTime()
         try {
           batches.foreach(in.addData(_))
@@ -391,7 +415,7 @@ object Bench {
       val batches = (0 until n)
         .map(i => ev(i, nKeys).copy(
           ts = new java.sql.Timestamp(StreamFeeds.baseMs + i * 100L)))
-        .grouped(n / nBatches).toSeq
+        .pipe(StreamFeeds.batched(_, nBatches))
       val t0 = System.nanoTime()
       try batches.foreach { b => in.addData(b); q.processAllAvailable() }
       finally q.stop()
@@ -410,7 +434,7 @@ object Bench {
         val batches = (0 until n)
           .map(i => streaming.TopKStream.Scored(i % nGroups,
             (i * 7 % 4096).toLong, (i * 131 % 9973).toDouble))
-          .grouped(n / nBatches).toSeq
+          .pipe(StreamFeeds.batched(_, nBatches))
         val t0 = System.nanoTime()
         try batches.foreach { b => in.addData(b); q.processAllAvailable() }
         finally q.stop()
@@ -460,7 +484,7 @@ object Bench {
         val text = (0 until (3 + i % 6))
           .map(j => words((i * 7 + j * 5) % words.length)).mkString(" ")
         (i.toLong, (i % (n / 2)).toLong, text, "i")
-      }.grouped(n / nBatches).toSeq
+      }.pipe(StreamFeeds.batched(_, nBatches))
       val t0 = System.nanoTime()
       try batches.foreach { b => in.addData(b); q.processAllAvailable() }
       finally q.stop()
@@ -498,7 +522,7 @@ object Bench {
         val batches = (0 until n)
           .map(i => streaming.KmvStream.Hashed(s"g${i % nKeys}",
             ((i % 40009).toLong * 2654435761L) % 2147483647L))
-          .grouped(n / nBatches).toSeq
+          .pipe(StreamFeeds.batched(_, nBatches))
         val t0 = System.nanoTime()
         try batches.foreach { b => in.addData(b); q.processAllAvailable() }
         finally q.stop()
@@ -516,7 +540,7 @@ object Bench {
             "WHEN key % 3 = 1 THEN 'view' ELSE 'error' END AS event_type",
             "CAST(key % 977 AS DOUBLE) / 2.0 AS value"))
         .writeStream.outputMode("update").format("noop").start()
-      val batches = (0 until n).map(ev(_, 10000)).grouped(n / nBatches).toSeq
+      val batches = (0 until n).map(ev(_, 10000)).pipe(StreamFeeds.batched(_, nBatches))
       val t0 = System.nanoTime()
       try batches.foreach { b => in.addData(b); q.processAllAvailable() }
       finally q.stop()
@@ -540,23 +564,57 @@ object Bench {
       val batches = (0 until n).map { i =>
         (i.toLong, (i % (n / 2)).toLong, s"l${i % 3}",
           if (i % 23 == 0) "d" else "u")
-      }.grouped(n / nBatches).toSeq
+      }.pipe(StreamFeeds.batched(_, nBatches))
       val t0 = System.nanoTime()
       try batches.foreach { b => in.addData(b); q.processAllAvailable() }
       finally q.stop()
       n / ((System.nanoTime() - t0) / 1e9)
     }
 
-    (median3 { timeUpsert(100000, 10000, 5) },
-      median3 { timeDedup(100000, 10000, 5) },
-      median3 { timeTws(100000, 10000, 5) },
-      median3 { timeIvm(100000, 10000, 5) },
-      median3 { timeTopK(100000, 1000, 5) },
-      median3 { timeSliding(100000, 10000, 5) },
-      median3 { timePercolate(100000, 5) },
-      median3 { timeChunkDedup(20000, 5) },
-      median3 { timeKmv(100000, 1000, 5) },
-      median3 { timeKsCounts(100000, 5) },
-      median3 { timeAnn(20000, 5) })
+    // Per-dial quiet gate + per-dial markers (round-11): the monolithic
+    // 11-dial section kept colliding with this host's recurring co-tenant
+    // surges — three round-10 attempts each caught a surge mid-artifact,
+    // leaving the tail dials (chunk/kmv/ann) with no engine-truth
+    // numbers. Gating per dial makes each number individually
+    // attributable: before each dial, loadavg is polled and (when
+    // SPARK_GRAFT_QUIET_WAIT > 0 seconds) the dial WAITS, bounded, for
+    // loadavg to drop under SPARK_GRAFT_QUIET_LA (default 3.0); every
+    // dial then carries its OWN pre/post (loadavg, 1 s probe) marker, so
+    // a surge landing mid-run poisons the one dial it overlapped — with
+    // the marker saying so — instead of the whole artifact. With
+    // QUIET_WAIT unset the gate never sleeps and only the markers are
+    // added (the per-round driver path stays non-blocking).
+    val quietLa = sys.env.get("SPARK_GRAFT_QUIET_LA")
+      .map(_.toDouble).getOrElse(3.0)
+    val quietWaitSec = sys.env.get("SPARK_GRAFT_QUIET_WAIT")
+      .map(_.toInt).getOrElse(0)
+    def loadavg1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines()
+        .next().split(" ")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    def gated(key: String)(f: => Double): (String, Double, String) = {
+      var waited = 0
+      while (quietWaitSec > 0 && waited < quietWaitSec && loadavg1() >= quietLa) {
+        Thread.sleep(15000); waited += 15
+      }
+      val (laPre, mipsPre) = hostLoad()
+      val rate = median3(f)
+      val (laPost, mipsPost) = hostLoad()
+      val marker = s"""{"loadavg1_pre":$laPre,"probe_miters_pre":$mipsPre,"loadavg1_post":$laPost,"probe_miters_post":$mipsPost,"waited_sec":$waited}"""
+      (key, rate, marker)
+    }
+
+    Seq(
+      gated("upsert_rows_per_sec") { timeUpsert(100000, 10000, 5) },
+      gated("dedup_rows_per_sec") { timeDedup(100000, 10000, 5) },
+      gated("tws_view_rows_per_sec") { timeTws(100000, 10000, 5) },
+      gated("ivm_rows_per_sec") { timeIvm(100000, 10000, 5) },
+      gated("topk_rows_per_sec") { timeTopK(100000, 1000, 5) },
+      gated("sliding_wm_rows_per_sec") { timeSliding(100000, 10000, 5) },
+      gated("percolate_rows_per_sec") { timePercolate(100000, 5) },
+      gated("chunk_dedup_docs_per_sec") { timeChunkDedup(20000, 5) },
+      gated("kmv_rows_per_sec") { timeKmv(100000, 1000, 5) },
+      gated("ks_counts_rows_per_sec") { timeKsCounts(100000, 5) },
+      gated("ann_rows_per_sec") { timeAnn(20000, 5) })
   }
 }

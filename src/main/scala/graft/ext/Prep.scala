@@ -745,33 +745,41 @@ object Prep {
     (0 until Topics).map(k =>
       qcBase.map(h => (A(k) * h + B(k)) % Portable.P % QcLevels))
 
-  /** Weight lookup: one md5 (the bucket hash) + a literal-table read. */
-  private def qcW(table: Seq[Long], x: Column): Column =
-    element_at(typedLit(table),
-      ((tokenHash(x) % QcBuckets) + 1L).cast("int"))
-  private def qcWSql(salt: String, x: String): String =
-    s"(${tokenHashSql(s"'$salt' || CAST((${tokenHashSql(x)} % $QcBuckets) AS VARCHAR)")} % $QcLevels)"
+  /** Weight lookup from an already-hashed feature column: a pure
+    * literal-table read (codegen'd `element_at`) — no md5 at query time.
+    */
+  private def qcWFromHash(table: Seq[Long], h: Column): Column =
+    element_at(typedLit(table), ((h % QcBuckets) + 1L).cast("int"))
+  /** Oracle twin over a SQL expression that is ALREADY `H(x)`: the
+    * oracle keeps deriving every weight from the md5+affine chain, so
+    * the hash gate proves the literal tables equal their definition.
+    */
+  private def qcWSqlFromHash(salt: String, h: String): String =
+    s"(${tokenHashSql(s"'$salt' || CAST(($h % $QcBuckets) AS VARCHAR)")} % $QcLevels)"
 
   /** c22 — QUALITY-CLASSIFIER INFERENCE, fastText-shaped: each document
     * is scored by a linear model over hashing-trick features — unigrams
-    * plus word-bigrams, each hashed into [[QcBuckets]] buckets whose
-    * scalar weights the model defines ([[qcW]]) — and the score is the
-    * feature-count-weighted mean weight in exact micro-units. This is the
-    * model-scored quality gate the curation brief calls for (c7/x2 are
-    * heuristic, c19 is distribution-matching): the inference shape of
-    * fastText/CCNet-style quality filters, integerized so the oracle can
-    * hash-check it. `keep` = score at or above parity — the mask a
-    * curation pass feeds to the mixer.
+    * (bucket = `H(tok) mod B`) plus word-bigrams whose bucket COMPOSES
+    * the two token hashes (`(H(a)·31 + H(b)) mod P mod B` — the fastText
+    * n-gram trick: bigram ids derive from word hashes, never re-hashing
+    * the concatenated text) — and the score is the feature-count-weighted
+    * mean weight in exact micro-units. This is the model-scored quality
+    * gate the curation brief calls for (c7/x2 are heuristic, c19 is
+    * distribution-matching): the inference shape of fastText/CCNet-style
+    * quality filters, integerized so the oracle can hash-check it.
+    * `keep` = score at or above parity — the mask a curation pass feeds
+    * to the mixer.
     *
-    * Scale shape: ZERO shuffles — scoring is a per-row fold over the
-    * token array (`transform` + `aggregate` higher-order expressions, no
-    * UDF; NOTE they evaluate interpreted, not codegen'd — which is why
-    * the weight vector is a literal lookup table and the per-token md5
-    * count is minimized, see [[qcBase]]), so the operator is an
-    * embarrassingly parallel scan: at 100 TB it rides whatever
-    * partitioning the corpus already has, emits one narrow row per
-    * document, and nothing broadcasts (the weight tables ship as plan
-    * literals — the trained-parameter shape, nothing corpus-sized).
+    * Scale shape: rides the durable token-hash corpus index
+    * ([[Dedup.tokenHashFrame]] — one md5 per corpus token paid ONCE at
+    * index build, like the corpus parquet itself), so query-time work is
+    * md5-free: a bucketed Exchange-free scan, one window `lead` for the
+    * bigram compose (sort within buckets, no shuffle), codegen'd
+    * literal-table weight lookups, and a bucket-local hash aggregate.
+    * Nothing broadcasts — the weight tables ship as plan literals (the
+    * trained-parameter shape, nothing corpus-sized). Pre-index this was
+    * the registry's most expensive sf1 constant (11.3 s of interpreted
+    * per-feature md5, r10 postmortem in PLANS.md).
     *
     * Division exactness: summed shifted weights are non-negative, so
     * Spark's truncating DIV and DuckDB's flooring // agree; the shift is
@@ -779,18 +787,22 @@ object Prep {
     * for integer means under floor).
     */
   def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val uni = transform(toks, t => qcW(qcUniTable, t))
-    val bi = zip_with(
-      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-      (a, b) => qcW(qcBiTable, concat(a, lit("_"), b)))
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        (size(toks) + greatest(size(toks) - 1, lit(0))).cast("long")
-          .as("n_feat"),
-        (aggregate(uni, lit(0L), _ + _) + aggregate(bi, lit(0L), _ + _))
-          .as("s"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val uniW = qcWFromHash(qcUniTable, col("h"))
+    // Null past the last token must be EXPLICIT: `element_at` over a
+    // literal array of non-nullable elements reports nullable=false, so
+    // codegen ignores a nullable index's null flag and reads garbage
+    // instead of propagating null (probed in this repo: a null lead
+    // through element_at(typedLit(...)) returned an in-table value).
+    // The `when` guard restores the null so count/sum skip the last row.
+    val nxt = lead("h", 1).over(w)
+    val biW = when(nxt.isNotNull,
+      qcWFromHash(qcBiTable, (col("h") * 31L + nxt) % P))
+    Dedup.tokenHashFrame(spark, sfDir)
+      .select(col("doc_id"), col("source"), uniW.as("wu"), biW.as("wb"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg((count(lit(1)) + count(col("wb"))).as("n_feat"),
+        (sum(col("wu")) + coalesce(sum(col("wb")), lit(0L))).as("s"))
       .select(col("doc_id"), col("source"), col("n_feat"),
         (expr(s"s * 1000000 DIV greatest(n_feat, 1)") -
           lit(QcShift * 1000000L)).as("score_micro"))
@@ -820,24 +832,21 @@ object Prep {
     * rides that dashboard-sized frame.
     */
   def topicMix(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    // Three explicit projections — bucket ids (the ONE md5 per token),
-    // then the K head sums as SCALAR columns reading the materialized
-    // bucket array through the K literal weight tables, then the argmax
-    // — so every expensive subtree is a materialized attribute by the
-    // time anything references it twice. Higher-order lambdas evaluate
-    // interpreted with no CSE: formulations that re-derived the md5 base
-    // (or the whole score vector) per reference measured 66 s → 17 s →
-    // 12.5 s at sf1-synth; one-md5-plus-lookups lands in the c22
-    // envelope.
-    val buckets = transform(toks,
-      t => ((tokenHash(t) % QcBuckets) + 1L).cast("int"))
-    val scored = Tables.documents(spark, sfDir)
-      .select(col("source"), buckets.as("buckets"))
-      .select(col("source") +: (0 until Topics).map(k =>
-        aggregate(col("buckets"), lit(0L),
-          (acc, b) => acc + element_at(typedLit(qcHeadTable(k)), b))
-          .as(s"s$k")): _*)
+    // Rides the durable token-hash index (one md5 per corpus token, paid
+    // once at index build): per token row, K codegen'd literal-table
+    // reads summed by a bucket-local hash aggregate — no higher-order
+    // lambdas anywhere (they evaluate interpreted with no CSE; the
+    // pre-index formulations measured 66 s → 17 s → 12.5 s → 6.7 s at
+    // sf1-synth as md5 work was peeled away, and the index ride removes
+    // the last query-time md5 entirely). The per-doc aggregate runs
+    // Exchange-free on the doc_id-bucketed scan; the only shuffle left
+    // is the dashboard-sized (source, topic) rollup.
+    val b = ((col("h") % QcBuckets) + 1L).cast("int")
+    val scored = Dedup.tokenHashFrame(spark, sfDir)
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(element_at(typedLit(qcHeadTable(0)), b)).as("s0"),
+        (1 until Topics).map(k =>
+          sum(element_at(typedLit(qcHeadTable(k)), b)).as(s"s$k")): _*)
     val best = greatest((0 until Topics).map(k => col(s"s$k")): _*)
     val topicCol = (1 until Topics)
       .foldLeft(when(col("s0") === best, 0L)) { (acc, k) =>
@@ -998,15 +1007,18 @@ object Prep {
     },
     "c22_quality_classifier" ->
       s"""WITH t AS (
-         |  SELECT doc_id, source, ${tokensSql("text")} AS toks
+         |  SELECT doc_id, source,
+         |    list_transform(${tokensSql("text")}, x -> ${tokenHashSql("x")})
+         |      AS hs
          |  FROM documents),
          |f AS (
          |  SELECT doc_id, source,
-         |    len(toks) + greatest(len(toks) - 1, 0) AS n_feat,
-         |    list_sum(list_transform(toks, x -> ${qcWSql("qw:", "x")}))
-         |      + CASE WHEN len(toks) <= 1 THEN 0
-         |        ELSE list_sum(list_transform(range(1, len(toks)),
-         |          i -> ${qcWSql("qb:", "(toks[CAST(i AS INTEGER)] || '_' || toks[CAST(i + 1 AS INTEGER)])")}))
+         |    len(hs) + greatest(len(hs) - 1, 0) AS n_feat,
+         |    list_sum(list_transform(hs, h -> ${qcWSqlFromHash("qw:", "h")}))
+         |      + CASE WHEN len(hs) <= 1 THEN 0
+         |        ELSE list_sum(list_transform(range(1, len(hs)),
+         |          i -> ${qcWSqlFromHash("qb:",
+      s"((hs[CAST(i AS INTEGER)] * 31 + hs[CAST(i + 1 AS INTEGER)]) % ${Portable.P})")}))
          |        END AS s
          |  FROM t)
          |SELECT doc_id, source, CAST(n_feat AS BIGINT) AS n_feat,

@@ -50,7 +50,15 @@ object AnnStream {
       */
     def cellsView(): DataFrame = {
       val s = vecs.view()
-      if (s.schema.isEmpty) s
+      // Before the first merge the store's view is schema-empty; still
+      // honor the documented (vec_id, v, label, subcell) contract so a
+      // consumer selecting those columns works against an empty store.
+      if (s.schema.isEmpty)
+        spark.emptyDataFrame.select(
+          lit(null).cast("bigint").as("vec_id"),
+          lit(null).cast("array<double>").as("v"),
+          lit(null).cast("string").as("label"),
+          lit(null).cast("bigint").as("subcell"))
       else {
         val nv = s.agg(count(lit(1)).as("n_vecs"))
         s.crossJoin(broadcast(nv))

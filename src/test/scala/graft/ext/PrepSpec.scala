@@ -318,18 +318,20 @@ class PrepSpec extends SparkSpec {
   }
 
   test("c22 classifier equals a driver fold; both classes present; zero shuffles") {
-    import graft.ext.Portable.tokenHashOf
-    def w(salt: String, x: String): Long =
-      tokenHashOf(salt + (tokenHashOf(x) % Prep.QcBuckets).toString) %
+    import graft.ext.Portable.{tokenHashOf, P}
+    def wOf(salt: String, bucketBase: Long): Long =
+      tokenHashOf(salt + (bucketBase % Prep.QcBuckets).toString) %
         Prep.QcLevels
     val expected = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"), col("text")).collect()
       .map { r =>
-        val toks = r.getString(2).split(" ", -1) // split keeps empty tokens
-        val nF = toks.length + math.max(toks.length - 1, 0)
-        val s = toks.map(w("qw:", _)).sum +
-          toks.sliding(2).filter(_.length == 2)
-            .map(p => w("qb:", p(0) + "_" + p(1))).sum
+        val hs = r.getString(2).split(" ", -1) // split keeps empty tokens
+          .map(tokenHashOf)
+        val nF = hs.length + math.max(hs.length - 1, 0)
+        // bigram bucket COMPOSES the token hashes (fastText n-gram trick)
+        val s = hs.map(wOf("qw:", _)).sum +
+          hs.sliding(2).filter(_.length == 2)
+            .map(p => wOf("qb:", (p(0) * 31L + p(1)) % P)).sum
         val score = s * 1000000L / math.max(nF, 1) - Prep.QcShift * 1000000L
         (r.getLong(0), (r.getString(1), nF.toLong, score, score >= 0L))
       }.toMap
