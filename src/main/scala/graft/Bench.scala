@@ -166,8 +166,22 @@ object Bench {
       val d = "/root/testdata/sf0.001"
       if (new java.io.File(d).isDirectory) d else sfDir
     }
+    // SPARK_GRAFT_ONLY=k1,k2,... restricts the batch passes to a subset
+    // of registry keys — spot sweeps (e.g. the sf10 decade check on the
+    // ten most expensive queries) shouldn't pay the whole registry at a
+    // scale where it runs for hours. Unknown keys fail loudly: a typo'd
+    // sweep that silently measured nothing would read as a 100x speedup.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map { s =>
+        val ks = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = ks -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"SPARK_GRAFT_ONLY unknown keys: $unknown")
+        ks
+      }
+    val benched: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      only.fold(SparkEntry.queries)(ks => SparkEntry.queries.view.filterKeys(ks).toMap)
     if (!sys.env.get("SPARK_GRAFT_BATCH").contains("0"))
-      SparkEntry.queries.foreach { case (_, fn) =>
+      benched.foreach { case (_, fn) =>
         try force(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
 
@@ -194,7 +208,7 @@ object Bench {
       // and the one-time build cost lands visibly in pass 1 of the
       // first bench run against a fresh corpus.
       ext.Dedup.clearMemos(spark)
-      SparkEntry.queries.map { case (name, fn) =>
+      benched.map { case (name, fn) =>
         // GC between queries lets the ContextCleaner reap the previous
         // query's shuffle files and broadcasts — without it, timings bleed
         // into each other and individual numbers swing 2-4x run to run.
@@ -213,7 +227,7 @@ object Bench {
     val p2 = timedPass()
     val results =
       if (skipBatch) Map.empty[String, (Boolean, Double)]
-      else SparkEntry.queries.keys.map { k =>
+      else benched.keys.map { k =>
         val (ok1, t1) = p1(k); val (ok2, t2) = p2(k)
         k -> (ok1 && ok2, math.min(t1, t2))
       }.toMap
@@ -264,9 +278,12 @@ object Bench {
     val batchField = if (skipBatch) s""","batch":"skipped"""" else ""
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$batchField$errField$streamField$streamMarkersField$hostField}"""
-    val fullPath = java.nio.file.Paths.get(
-      sys.props.getOrElse("user.dir", "."),
-      sys.env.getOrElse("SPARK_GRAFT_OUT", "BENCH_FULL.json"))
+    // resolve(), not Paths.get(dir, out): Paths.get CONCATENATES, so an
+    // absolute SPARK_GRAFT_OUT=/tmp/x became /root/repo/tmp/x and the
+    // write crashed AFTER the 10-minute measurement run, losing it all
+    val fullPath = java.nio.file.Paths
+      .get(sys.props.getOrElse("user.dir", "."))
+      .resolve(sys.env.getOrElse("SPARK_GRAFT_OUT", "BENCH_FULL.json"))
     java.nio.file.Files.write(fullPath,
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
@@ -592,29 +609,60 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").getLines()
         .next().split(" ")(0).toDouble
       catch { case scala.util.control.NonFatal(_) => -1.0 }
-    def gated(key: String)(f: => Double): (String, Double, String) = {
+    case class Attempt(rate: Double, laPre: Double, mipsPre: Double,
+        laPost: Double, mipsPost: Double, waited: Int, attempt: Int) {
+      // a surge that lands MID-dial shows in the post loadavg while the
+      // pre marker still reads quiet — the poisoned-median signature the
+      // first gated run produced on 5 of 11 dials
+      def surged: Boolean = laPost >= quietLa * 2
+      def marker: String =
+        s"""{"loadavg1_pre":$laPre,"probe_miters_pre":$mipsPre,"loadavg1_post":$laPost,"probe_miters_post":$mipsPost,"waited_sec":$waited,"attempt":$attempt}"""
+    }
+    def measure(f: () => Double, attempt: Int): Attempt = {
       var waited = 0
       while (quietWaitSec > 0 && waited < quietWaitSec && loadavg1() >= quietLa) {
         Thread.sleep(15000); waited += 15
       }
       val (laPre, mipsPre) = hostLoad()
-      val rate = median3(f)
+      val rate = median3(f())
       val (laPost, mipsPost) = hostLoad()
-      val marker = s"""{"loadavg1_pre":$laPre,"probe_miters_pre":$mipsPre,"loadavg1_post":$laPost,"probe_miters_post":$mipsPost,"waited_sec":$waited}"""
-      (key, rate, marker)
+      Attempt(rate, laPre, mipsPre, laPost, mipsPost, waited, attempt)
     }
 
-    Seq(
-      gated("upsert_rows_per_sec") { timeUpsert(100000, 10000, 5) },
-      gated("dedup_rows_per_sec") { timeDedup(100000, 10000, 5) },
-      gated("tws_view_rows_per_sec") { timeTws(100000, 10000, 5) },
-      gated("ivm_rows_per_sec") { timeIvm(100000, 10000, 5) },
-      gated("topk_rows_per_sec") { timeTopK(100000, 1000, 5) },
-      gated("sliding_wm_rows_per_sec") { timeSliding(100000, 10000, 5) },
-      gated("percolate_rows_per_sec") { timePercolate(100000, 5) },
-      gated("chunk_dedup_docs_per_sec") { timeChunkDedup(20000, 5) },
-      gated("kmv_rows_per_sec") { timeKmv(100000, 1000, 5) },
-      gated("ks_counts_rows_per_sec") { timeKsCounts(100000, 5) },
-      gated("ann_rows_per_sec") { timeAnn(20000, 5) })
+    val dials: Seq[(String, () => Double)] = Seq(
+      ("upsert_rows_per_sec", () => timeUpsert(100000, 10000, 5)),
+      ("dedup_rows_per_sec", () => timeDedup(100000, 10000, 5)),
+      ("tws_view_rows_per_sec", () => timeTws(100000, 10000, 5)),
+      ("ivm_rows_per_sec", () => timeIvm(100000, 10000, 5)),
+      ("topk_rows_per_sec", () => timeTopK(100000, 1000, 5)),
+      ("sliding_wm_rows_per_sec", () => timeSliding(100000, 10000, 5)),
+      ("percolate_rows_per_sec", () => timePercolate(100000, 5)),
+      ("chunk_dedup_docs_per_sec", () => timeChunkDedup(20000, 5)),
+      ("kmv_rows_per_sec", () => timeKmv(100000, 1000, 5)),
+      ("ks_counts_rows_per_sec", () => timeKsCounts(100000, 5)),
+      ("ann_rows_per_sec", () => timeAnn(20000, 5)))
+
+    // Surge retry (gated mode only): a dial whose post marker shows a
+    // mid-dial surge goes BACK of the queue for one more attempt — the
+    // surges on this box are episodic (minutes), so by the time the rest
+    // of the queue drains, the retry usually lands quiet. The artifact
+    // keeps the best-conditioned attempt (lowest post loadavg; rates are
+    // only ever depressed by load, never inflated) and records which
+    // attempt it was, so a still-surged final number stays self-
+    // describing rather than silently averaged.
+    val best = scala.collection.mutable.Map.empty[String, Attempt]
+    var queue = dials.map { case (k, f) => (k, f, 1) }
+    while (queue.nonEmpty) {
+      val (key, f, attempt) = queue.head
+      queue = queue.tail
+      val a = measure(f, attempt)
+      if (!best.get(key).exists(_.laPost <= a.laPost)) best(key) = a
+      if (a.surged && attempt < 2 && quietWaitSec > 0)
+        queue = queue :+ ((key, f, attempt + 1))
+    }
+    dials.map { case (key, _) =>
+      val a = best(key)
+      (key, a.rate, a.marker)
+    }
   }
 }

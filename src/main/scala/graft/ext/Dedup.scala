@@ -1037,12 +1037,20 @@ object Dedup {
         struct(col("doc_a").as("u"), col("doc_b").as("v")),
         struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
+    // LAZY checkpoints (k13's measured trade, same discipline as
+    // [[pageRankOn]]): each frame still materializes exactly once — on
+    // first reference — but the round's only BLOCKING driver round-trip
+    // is the doomed count, whose job materializes the new deg and doomed
+    // checkpoints as side effects. The eager form ran three blocking
+    // jobs per round (deg checkpoint, doomed checkpoint, count), and at
+    // peel depth 2–3 those 6–9 driver syncs were each exposed to ambient
+    // load — the source of the 7–34 s sf1 swings in the round-10 runs.
     var deg = edges.groupBy(col("u").as("doc_id"))
       .agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val shells = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 1L
-    var doomed = deg.filter(col("deg") < coreK).localCheckpoint()
+    var doomed = deg.filter(col("deg") < coreK).localCheckpoint(false)
     var nDoomed = doomed.count()
     while (nDoomed > 0) {
       // the oracle states exactly CoreUnroll peel rounds: a corpus whose
@@ -1063,9 +1071,9 @@ object Dedup {
         .join(loss, Seq("doc_id"), "left")
         .select(col("doc_id"),
           (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       round += 1
-      doomed = deg.filter(col("deg") < coreK).localCheckpoint()
+      doomed = deg.filter(col("deg") < coreK).localCheckpoint(false)
       nDoomed = doomed.count()
     }
     val core = deg.select(col("doc_id"), lit(true).as("in_core"),

@@ -134,37 +134,58 @@ object Validate {
     * the metric row still carries the data-derived `n_child`, so the
     * oracle comparison is never empty-vs-empty.
     *
-    * Shape per edge: project both sides to the key column only,
-    * LEFT OUTER join child→parent(distinct), count parent-null rows in
-    * ONE aggregate. The join shuffles key columns only (8 bytes/row);
-    * `nation` (25 rows) broadcasts — Spark picks that up from size
-    * estimates without a hint. At 100 TB each edge is one key-column
-    * shuffle — the same cost profile as the b1 runtime-filter path,
-    * which composes with this check when the parent side is selective.
+    * Shape: every (edge, child-key) pair lands in ONE tagged union —
+    * lineitem's three edges explode out of a single scan — the parent
+    * keys land in another (distinct taken once, after the union), and
+    * the whole audit is one LEFT join on (edge, key) plus one edge-grain
+    * rollup. The first formulation joined-and-aggregated each edge to
+    * its one-row verdict and unioned the five verdicts: same values,
+    * but 5 independent join+global-agg chains = ~20 AQE stage
+    * materializations whose sequential driver syncs dominated the
+    * query (2.2 s isolated at sf0.1 — the v7 lesson, same round). The
+    * join shuffles key columns only (8 bytes/row + the edge tag); the
+    * unioned parent frame is dim-sized so AQE broadcasts it. At 100 TB
+    * each edge is still one key-column shuffle — the same cost profile
+    * as the b1 runtime-filter path, which composes with this check when
+    * the parent side is selective.
     */
   def referentialIntegrity(spark: SparkSession, sfDir: String): DataFrame = {
-    def edge(name: String, child: DataFrame, ck: String,
-        parent: DataFrame, pk: String): DataFrame = {
-      val p = parent.select(col(pk).as("__pk")).distinct()
-      child.select(col(ck).as("__ck"))
-        .join(p, col("__ck") === col("__pk"), "left")
-        .agg(count(lit(1)).as("n_child"),
-          sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
-        .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"))
-    }
-    val li = Tables.lineitem(spark, sfDir)
-    edge("lineitem.l_orderkey->orders", li, "l_orderkey",
-        Tables.orders(spark, sfDir), "o_orderkey")
-      .unionByName(edge("lineitem.l_partkey->part", li, "l_partkey",
-        Tables.part(spark, sfDir), "p_partkey"))
-      .unionByName(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
-        Tables.supplier(spark, sfDir), "s_suppkey"))
-      .unionByName(edge("orders.o_custkey->customer",
-        Tables.orders(spark, sfDir), "o_custkey",
-        Tables.customer(spark, sfDir), "c_custkey"))
-      .unionByName(edge("customer.c_nationkey->nation",
-        Tables.customer(spark, sfDir), "c_nationkey",
-        Tables.nation(spark, sfDir), "n_nationkey"))
+    def tag(name: String, k: Column): Column =
+      struct(lit(name).as("fk_edge"), k.cast("long").as("__k"))
+    val childs = Tables.lineitem(spark, sfDir)
+      .select(explode(array(
+        tag("lineitem.l_orderkey->orders", col("l_orderkey")),
+        tag("lineitem.l_partkey->part", col("l_partkey")),
+        tag("lineitem.l_suppkey->supplier", col("l_suppkey")))).as("e"))
+      .select(col("e.fk_edge").as("fk_edge"), col("e.__k").as("__k"))
+      .unionByName(Tables.orders(spark, sfDir)
+        .select(lit("orders.o_custkey->customer").as("fk_edge"),
+          col("o_custkey").cast("long").as("__k")))
+      .unionByName(Tables.customer(spark, sfDir)
+        .select(lit("customer.c_nationkey->nation").as("fk_edge"),
+          col("c_nationkey").cast("long").as("__k")))
+    val parents = Tables.orders(spark, sfDir)
+      .select(lit("lineitem.l_orderkey->orders").as("fk_edge"),
+        col("o_orderkey").cast("long").as("__pk"))
+      .unionByName(Tables.part(spark, sfDir)
+        .select(lit("lineitem.l_partkey->part").as("fk_edge"),
+          col("p_partkey").cast("long").as("__pk")))
+      .unionByName(Tables.supplier(spark, sfDir)
+        .select(lit("lineitem.l_suppkey->supplier").as("fk_edge"),
+          col("s_suppkey").cast("long").as("__pk")))
+      .unionByName(Tables.customer(spark, sfDir)
+        .select(lit("orders.o_custkey->customer").as("fk_edge"),
+          col("c_custkey").cast("long").as("__pk")))
+      .unionByName(Tables.nation(spark, sfDir)
+        .select(lit("customer.c_nationkey->nation").as("fk_edge"),
+          col("n_nationkey").cast("long").as("__pk")))
+      .distinct()
+    childs
+      .join(parents, childs("fk_edge") === parents("fk_edge") &&
+        col("__k") === col("__pk"), "left")
+      .groupBy(childs("fk_edge"))
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
   }
 
   /** v3 — UNIQUENESS PROFILE: for each declared candidate key, the row
@@ -450,25 +471,33 @@ object Validate {
     * candidates are chosen to produce a measured verdict mix: none of
     * them is a DDL fact.
     *
-    * Shape per FD: groupBy(LHS) with a distinct-count of RHS, then a
-    * groups-sized rollup — two-phase expand over (LHS, RHS) partials,
-    * violation rate in exact ppm of groups.
+    * Shape: the four tables project to tagged (fd, LHS, RHS) string
+    * pairs and UNION BEFORE any aggregation, so the whole audit is one
+    * groupBy(fd, LHS) distinct-count plus one fd-grain rollup — 3
+    * shuffle stages total. The first formulation aggregated each FD to
+    * its one-row verdict and unioned the verdicts: same values, but 4
+    * independent global aggregates = ~12 AQE stage materializations
+    * whose sequential driver syncs cost 2.2 s against this shape's
+    * 0.9 s at sf0.1 (measured; the four sub-queries alone sum to 0.9 s).
+    * Violation rate in exact ppm of groups.
     */
   def fdAudit(spark: SparkSession, sfDir: String): DataFrame = {
-    def fd(name: String, df: DataFrame, lhs: String, rhs: String): DataFrame =
-      df.select(col(lhs).cast("string").as("__l"), col(rhs).cast("string").as("__r"))
-        .groupBy("__l").agg(count_distinct(col("__r")).as("nd"))
-        .agg(count(lit(1)).as("n_groups"),
-          sum(when(col("nd") > 1L, 1L).otherwise(0L)).as("n_violating"))
-        .select(lit(name).as("fd"), col("n_groups"), col("n_violating"),
-          ppm("n_violating", "n_groups").as("violation_ppm"))
-    fd("documents: source->lang", Tables.documents(spark, sfDir), "source", "lang")
-      .unionByName(fd("orders: o_custkey->o_orderpriority",
+    def pairs(name: String, df: DataFrame, lhs: String, rhs: String): DataFrame =
+      df.select(lit(name).as("fd"), col(lhs).cast("string").as("__l"),
+        col(rhs).cast("string").as("__r"))
+    pairs("documents: source->lang",
+        Tables.documents(spark, sfDir), "source", "lang")
+      .unionByName(pairs("orders: o_custkey->o_orderpriority",
         Tables.orders(spark, sfDir), "o_custkey", "o_orderpriority"))
-      .unionByName(fd("lineitem: l_orderkey->l_linestatus",
+      .unionByName(pairs("lineitem: l_orderkey->l_linestatus",
         Tables.lineitem(spark, sfDir), "l_orderkey", "l_linestatus"))
-      .unionByName(fd("customer: c_nationkey->c_mktsegment",
+      .unionByName(pairs("customer: c_nationkey->c_mktsegment",
         Tables.customer(spark, sfDir), "c_nationkey", "c_mktsegment"))
+      .groupBy("fd", "__l").agg(count_distinct(col("__r")).as("nd"))
+      .groupBy("fd").agg(count(lit(1)).as("n_groups"),
+        sum(when(col("nd") > 1L, 1L).otherwise(0L)).as("n_violating"))
+      .select(col("fd"), col("n_groups"), col("n_violating"),
+        ppm("n_violating", "n_groups").as("violation_ppm"))
   }
 
   /** v8 anomaly policy: a day is anomalous when its absolute deviation

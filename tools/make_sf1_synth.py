@@ -15,7 +15,20 @@ Shard rules (shard 0 = the original sf0.1 rows):
   decorrelated; labels are kept, which is exactly the regime s8's
   adaptive cell split must absorb (10x occupancy per label).
 
-Usage: python3 tools/make_sf1_synth.py [outdir=/tmp/sf1s] [src=/root/testdata/sf0.1]
+Usage: python3 tools/make_sf1_synth.py [outdir=/tmp/sf1s] [src=/root/testdata/sf0.1] [shards=10]
+
+With shards=100 this builds the sf10-synth corpus (the second decade of
+the sweep). The shard-uniqueness devices generalize:
+- customer tags become 3 chars with a mod-10 checksum digit, so any two
+  tags differ in >= 2 positions (a [3,2,2]_10 MDS code) — still
+  invisible to x23's distance-1 join;
+- embeddings rotate by (shard mod 64) and NEGATE every component for
+  shard >= 64: a plain rotation collides at shard 64 (rotation by the
+  full 64-dim width is the identity, making shard-64 vectors exact
+  copies of shard 0 and poisoning the near-dup queries with
+  cross-shard cos=1 pairs); the global sign flip preserves all
+  within-shard pairwise cosines while pushing the (s, s+64) self-pairs
+  to cos=-1.
 """
 import sys
 from pathlib import Path
@@ -25,29 +38,40 @@ import duckdb
 OUT = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1s")
 SRC = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1")
 K = 10_000_000
-SHARDS = 10
+SHARDS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+assert SHARDS <= 100, "tag code and key shifts sized for <= 100 shards"
 
 OUT.mkdir(parents=True, exist_ok=True)
 con = duckdb.connect()
 
 
 def build(table, select_body):
-    """select_body is a SELECT list over `t` with `{s}` = shard id."""
+    """select_body is a SELECT list over `t`; placeholders: `{s}` = shard
+    id, `{tag}` = distance-2 customer tag, `{rot}`/`{sign}` = embedding
+    rotation and sign for this shard."""
     parts = " UNION ALL ".join(
-        f"SELECT {select_body.format(s=s)} FROM '{SRC}/{table}.parquet' t"
+        f"SELECT {select_body.format(s=s, tag=ctag(s), rot=s % 64, sign=1 if s < 64 else -1)} "
+        f"FROM '{SRC}/{table}.parquet' t"
         for s in range(SHARDS))
     con.execute(f"COPY ({parts}) TO '{OUT}/{table}.parquet' (FORMAT PARQUET)")
     n = con.sql(f"SELECT count(*) FROM '{OUT}/{table}.parquet'").fetchone()[0]
     print(f"{table}: {n} rows")
 
 
-TAG = "abcdefghij"  # shard s -> ' q' + TAG[s]*2 (distance 2 between shards)
+TAG = "abcdefghij"
+
+
+def ctag(s):
+    """Shard tag with pairwise Hamming distance >= 2 (checksum digit)."""
+    a, b = s // 10, s % 10
+    return TAG[a] + TAG[b] + TAG[(a + b) % 10]
+
 DOCTOK = " ".join(f"zq{{s}}w{i}" for i in range(24))
 
 build("customer",
       "t.c_custkey + {s}*" + str(K) + " AS c_custkey, "
-      "CASE WHEN {s} = 0 THEN t.c_name ELSE t.c_name || ' q' || "
-      f"repeat('{TAG}'[{{s}}+1], 2) END AS c_name, "
+      "CASE WHEN {s} = 0 THEN t.c_name ELSE t.c_name || ' q{tag}' END"
+      " AS c_name, "
       "t.c_nationkey, t.c_acctbal, t.c_mktsegment")
 build("orders",
       f"t.o_orderkey + {{s}}*{K} AS o_orderkey, t.o_custkey + {{s}}*{K} AS o_custkey, "
@@ -76,7 +100,8 @@ build("documents",
       "ELSE t.n_chars + len(' " + DOCTOK + "') END AS n_chars")
 build("embeddings",
       f"t.vec_id + {{s}}*{K} AS vec_id, "
-      "(t.embedding[{s}+1:] || t.embedding[:{s}])::FLOAT[] AS embedding, t.label")
+      "list_transform(t.embedding[{rot}+1:] || t.embedding[:{rot}], "
+      "x -> x * {sign})::FLOAT[] AS embedding, t.label")
 
 for t in ("nation", "region"):
     con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
