@@ -609,27 +609,49 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").getLines()
         .next().split(" ")(0).toDouble
       catch { case scala.util.control.NonFatal(_) => -1.0 }
+    // PROBE-calibrated surge detection (round-11 finding, quiet-boot
+    // artifact): `loadavg1_post` CONFLATES co-tenant load with the
+    // dial's OWN 32-thread Spark bursts — kmv and sliding read post-la
+    // 11–30 in EVERY artifact ever taken, including one where the 1 s
+    // single-core probe held the box's quiet steady through all eleven
+    // dials. Self-load does not contend a single core, co-tenants do —
+    // so the probe, referenced against the best probe seen this run, is
+    // the surge signal; loadavg stays in the marker as context and as
+    // the cheap PRE-dial gate (before a dial starts, own-load is zero,
+    // though it may still read a prior dial's decay — the probe check
+    // below unblocks that case without waiting out the decay).
+    var probeSteady = 0.0
     case class Attempt(rate: Double, laPre: Double, mipsPre: Double,
         laPost: Double, mipsPost: Double, waited: Int, attempt: Int) {
-      // a surge that lands MID-dial shows in the post loadavg while the
-      // pre marker still reads quiet — the poisoned-median signature the
-      // first gated run produced on 5 of 11 dials
-      def surged: Boolean = laPost >= quietLa * 2
+      // co-tenant headroom: the dial's worst probe vs the run's best
+      def headroom: Double =
+        if (probeSteady <= 0) 1.0
+        else math.min(mipsPre, mipsPost) / probeSteady
+      def surged: Boolean = headroom < 0.85
       def marker: String =
         s"""{"loadavg1_pre":$laPre,"probe_miters_pre":$mipsPre,"loadavg1_post":$laPost,"probe_miters_post":$mipsPost,"waited_sec":$waited,"attempt":$attempt}"""
     }
     def measure(f: () => Double, attempt: Int): Attempt = {
       var waited = 0
-      while (quietWaitSec > 0 && waited < quietWaitSec && loadavg1() >= quietLa) {
-        Thread.sleep(15000); waited += 15
+      var quiet = false
+      while (!quiet && quietWaitSec > 0 && waited < quietWaitSec &&
+          loadavg1() >= quietLa) {
+        // loadavg may be a prior dial's self-load decay: a near-steady
+        // probe proves the box itself is uncontended — proceed
+        val (_, p) = hostLoad()
+        probeSteady = math.max(probeSteady, p)
+        if (p >= probeSteady * 0.92) quiet = true
+        else { Thread.sleep(15000); waited += 15 }
       }
       val (laPre, mipsPre) = hostLoad()
+      probeSteady = math.max(probeSteady, mipsPre)
       val rate = median3(f())
       val (laPost, mipsPost) = hostLoad()
+      probeSteady = math.max(probeSteady, mipsPost)
       Attempt(rate, laPre, mipsPre, laPost, mipsPost, waited, attempt)
     }
 
-    val dials: Seq[(String, () => Double)] = Seq(
+    val allDials: Seq[(String, () => Double)] = Seq(
       ("upsert_rows_per_sec", () => timeUpsert(100000, 10000, 5)),
       ("dedup_rows_per_sec", () => timeDedup(100000, 10000, 5)),
       ("tws_view_rows_per_sec", () => timeTws(100000, 10000, 5)),
@@ -642,12 +664,24 @@ object Bench {
       ("ks_counts_rows_per_sec", () => timeKsCounts(100000, 5)),
       ("ann_rows_per_sec", () => timeAnn(20000, 5)))
 
-    // Surge retry (gated mode only): a dial whose post marker shows a
-    // mid-dial surge goes BACK of the queue for one more attempt — the
+    // SPARK_GRAFT_DIALS=k1,k2,... restricts (and ORDERS) the streaming
+    // dials — the quiet-window analogue of SPARK_GRAFT_ONLY: a dial that
+    // still lacks a clean marker can be re-measured first, before the
+    // next co-tenant surge lands, without paying for the other ten.
+    val dials: Seq[(String, () => Double)] =
+      sys.env.get("SPARK_GRAFT_DIALS").map { s =>
+        val keys = s.split(",").map(_.trim).filter(_.nonEmpty)
+        val unknown = keys.filterNot(k => allDials.exists(_._1 == k))
+        require(unknown.isEmpty, s"SPARK_GRAFT_DIALS unknown keys: ${unknown.mkString(",")}")
+        keys.toSeq.map(k => allDials.find(_._1 == k).get)
+      }.getOrElse(allDials)
+
+    // Surge retry (gated mode only): a dial whose probes show co-tenant
+    // contention goes BACK of the queue for one more attempt — the
     // surges on this box are episodic (minutes), so by the time the rest
     // of the queue drains, the retry usually lands quiet. The artifact
-    // keeps the best-conditioned attempt (lowest post loadavg; rates are
-    // only ever depressed by load, never inflated) and records which
+    // keeps the best-conditioned attempt (highest probe headroom; rates
+    // are only ever depressed by load, never inflated) and records which
     // attempt it was, so a still-surged final number stays self-
     // describing rather than silently averaged.
     val best = scala.collection.mutable.Map.empty[String, Attempt]
@@ -656,7 +690,7 @@ object Bench {
       val (key, f, attempt) = queue.head
       queue = queue.tail
       val a = measure(f, attempt)
-      if (!best.get(key).exists(_.laPost <= a.laPost)) best(key) = a
+      if (!best.get(key).exists(_.headroom >= a.headroom)) best(key) = a
       if (a.surged && attempt < 2 && quietWaitSec > 0)
         queue = queue :+ ((key, f, attempt + 1))
     }

@@ -132,10 +132,77 @@ object Pipeline {
           .as("eff_share_ppm"))
   }
 
+  /** p6 shard budget: tokens per training shard. Power of two by
+    * convention (a 4k-token shard ≈ two 2k-context packed sequences);
+    * the VALUE only moves shard boundaries — the assignment logic is
+    * budget-agnostic.
+    */
+  private[graft] val ShardBudget = 4096L
+  /** p6 prefix-sum bucket count. At 100 TB this is the job parallelism
+    * dial: each bucket's rows sort locally, so NB just has to keep a
+    * bucket's token mass inside one executor's memory (raise to 64k for
+    * a trillion-token corpus; the offsets frame stays tiny either way).
+    */
+  private[graft] val ShardBuckets = 1024L
+
+  /** p6 — EPOCH-SHUFFLE SHARD PLAN: the step that turns a curated corpus
+    * into the fixed-size training shards a data loader streams — a
+    * deterministic global shuffle (order by a seeded per-doc hash, so
+    * every epoch is a different but REPRODUCIBLE permutation) followed
+    * by token-budgeted contiguous packing (shard k = the docs whose
+    * running token sum starts in `[k·B, (k+1)·B)`).
+    *
+    * The scale problem is the running sum: a naive `sum() OVER (ORDER BY
+    * h)` is one global sort into ONE window partition — the exact shape
+    * the p4 scaladoc warns about, except here it spans the CORPUS, not
+    * the language list. So the cumulative sum is TWO-PHASE, the w3/r10
+    * discipline at corpus grain: (1) hash-range buckets (order-preserving
+    * `(h·NB) div P`), per-bucket token sums roll up map-side combined;
+    * (2) bucket offsets = a window over the NB-row frame (explicitly
+    * bounded by [[ShardBuckets]], never the corpus); (3) each doc's
+    * global position = its bucket offset (broadcast join) + a
+    * bucket-local cumsum (window partitioned BY bucket — parallel,
+    * partition-local sort, no global Exchange). The oracle computes the
+    * same plan with the naive single window — the hash gate proves the
+    * two-phase decomposition exact.
+    *
+    * Output is the shard MANIFEST (o26's device at training grain): per
+    * shard, doc/token counts plus an ADDITIVE doc-hash checksum (order-
+    * independent, mergeable) and the shard's hash range — a loader can
+    * verify any shard it fetched without coordination.
+    */
+  def shardPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        tokenHash(concat(col("doc_id").cast("string"), lit(":1"))).as("h"))
+      .withColumn("bucket", expr(s"(h * $ShardBuckets) DIV ${Portable.P}"))
+    val bucketSums = perDoc.groupBy("bucket")
+      .agg(sum("n_tok").as("btok"))
+    val offsetW = Window.partitionBy(lit(1)).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bucketSums
+      .withColumn("offset", sum("btok").over(offsetW) - col("btok"))
+      .select("bucket", "offset")
+    val localW = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum", col("offset") + sum("n_tok").over(localW))
+      .withColumn("shard_id", expr(s"(cum - n_tok) DIV $ShardBudget"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("shard_tokens"),
+        (sum("h") % Portable.P).as("docs_ck"),
+        min("h").as("h_lo"), max("h").as("h_hi"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p1_training_mix" -> (trainingMix _),
     "p4_token_budget" -> (tokenBudget _),
     "p5_effective_mix" -> (effectiveMix _),
+    "p6_shard_plan" -> (shardPlan _),
     "p3_temperature_mix" -> (temperatureMix _))
 
   val oracle: Map[String, String] = Map(
@@ -204,6 +271,22 @@ object Pipeline {
          |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM canonical JOIN documents USING (doc_id)
          |GROUP BY lang""".stripMargin,
+    "p6_shard_plan" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tok,
+         |    ${tokenHashSql("CAST(doc_id AS VARCHAR) || ':1'")} AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT *, sum(n_tok) OVER (ORDER BY h, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM d)
+         |SELECT CAST((cum - n_tok) // $ShardBudget AS BIGINT) AS shard_id,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+         |  CAST(sum(h) % ${Portable.P} AS BIGINT) AS docs_ck,
+         |  min(h) AS h_lo, max(h) AS h_hi
+         |FROM c GROUP BY 1""".stripMargin,
     "p3_temperature_mix" ->
       """WITH c AS (
         |  SELECT lang, count(*) AS n_docs,

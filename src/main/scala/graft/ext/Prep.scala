@@ -809,6 +809,78 @@ object Prep {
       .withColumn("keep", col("score_micro") >= 0L)
   }
 
+  /** c24 bin width in micro-score units (score_micro spans ±1000·10⁶;
+    * 250k-wide bins bound the histogram at ≤ 8000 rows regardless of
+    * corpus size — the window below runs over THAT frame, never docs).
+    */
+  private[graft] val QcBinMicros = 250000L
+
+  /** c24 — CLASSIFIER CALIBRATION AUDIT: the eval step a curation team
+    * runs before trusting a learned quality filter — c22's score binned
+    * into a fixed-width histogram against a reference label (the c21
+    * Gopher rule conjunction, the rule-based gate the classifier is
+    * meant to replace), emitting per bin the ROC prefix (cumulative
+    * TPR/FPR in exact ppm, predict-positive-at-threshold semantics:
+    * descending-score cumulatives) and the bin's Mann-Whitney U
+    * contribution `u2` (2×-scaled so ties stay integral): AUC =
+    * Σ u2 / (2·P·N). Everything integral → bit-identical across engines.
+    *
+    * Scale shape: scores ride c22 (the md5-free token-hash index scan);
+    * labels are one documents scan of per-row predicates; the two
+    * doc-keyed frames co-partition join on doc_id; the histogram rollup
+    * is map-side combined down to ≤ 8000 rows; the ROC windows run over
+    * that bounded frame only (p4's explicit-bound discipline). u2 and
+    * the ppm numerators go through DECIMAL(38,0) (t19/p5 discipline —
+    * bin_pos·cum_neg overflows a long at corpus scale).
+    */
+  def qualityCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val tk = tokens(col("text"))
+    val n = size(tk).cast("long")
+    val totlen = aggregate(transform(tk, t => length(t).cast("long")),
+      lit(0L), _ + _)
+    val nshort = size(filter(tk, t => length(t) <= 2)).cast("long")
+    val ndist = size(array_distinct(tk)).cast("long")
+    val nstop = size(filter(tk, t => t.isin("a", "the"))).cast("long")
+    val labels = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        (n >= 32L && n <= 100000L &&
+          totlen * 10L >= n * 40L && totlen <= n * 10L &&
+          nshort * 10L <= n && ndist * 5L >= n * 2L &&
+          nstop >= 2L).as("pass"))
+    val binned = qualityClassifier(spark, sfDir)
+      .select(col("doc_id"), col("score_micro"))
+      .join(labels, Seq("doc_id"))
+      // + QcShift·10⁶ makes the dividend non-negative, so Spark's
+      // truncating DIV and DuckDB's flooring // agree on the bin.
+      .withColumn("bin",
+        expr(s"(score_micro + ${QcShift * 1000000L}) DIV $QcBinMicros"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pos"))
+    val all = Window.partitionBy(lit(1))
+    val desc = all.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val asc = all.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("cum_n", sum("n").over(desc))
+      .withColumn("cum_pos", sum("n_pos").over(desc))
+      .withColumn("tot_pos", sum("n_pos").over(all))
+      .withColumn("tot_neg", sum(col("n") - col("n_pos")).over(all))
+      .withColumn("neg_below",
+        sum(col("n") - col("n_pos")).over(asc) - (col("n") - col("n_pos")))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("""CAST((CAST(cum_pos AS DECIMAL(38,0)) * 1000000)
+                DIV greatest(tot_pos, 1) AS BIGINT)""").as("cum_tpr_ppm"),
+        expr("""CAST((CAST(cum_n - cum_pos AS DECIMAL(38,0)) * 1000000)
+                DIV greatest(tot_neg, 1) AS BIGINT)""").as("cum_fpr_ppm"),
+        // through DECIMAL, surfaced as BIGINT: exact up to ~2·10⁹ docs
+        // per corpus (u2 < n_pos·2N); past that, drop this outer cast
+        // and read the DECIMAL — the internal arithmetic already is.
+        expr("""CAST(CAST(n_pos AS DECIMAL(38,0)) *
+                (2 * neg_below + (n - n_pos)) AS BIGINT)""").as("u2"))
+  }
+
   /** c23 head count: topics in the multiclass classifier. */
   private[graft] val Topics = 8
 
@@ -866,6 +938,7 @@ object Prep {
   val queries: Map[String, Q] = Map(
     "c23_topic_mix" -> (topicMix _),
     "c22_quality_classifier" -> (qualityClassifier _),
+    "c24_quality_calibration" -> (qualityCalibration _),
     "c20_t_closeness" -> (tCloseness _),
     "c19_importance" -> (importanceWeights _),
     "c16_curriculum" -> (curriculumPhases _),
@@ -886,6 +959,33 @@ object Prep {
     "c18_fertility" -> (tokenizerFertility _),
     "x9_repetition" -> (repetition _)
   )
+
+  /** c22 oracle — shared: the registry entry verbatim, and c24 embeds it
+    * as a subquery so the calibration audit re-derives every score from
+    * the md5+affine chain (the literal weight tables stay proven).
+    */
+  private val c22Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    list_transform(${tokensSql("text")}, x -> ${tokenHashSql("x")})
+       |      AS hs
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, source,
+       |    len(hs) + greatest(len(hs) - 1, 0) AS n_feat,
+       |    list_sum(list_transform(hs, h -> ${qcWSqlFromHash("qw:", "h")}))
+       |      + CASE WHEN len(hs) <= 1 THEN 0
+       |        ELSE list_sum(list_transform(range(1, len(hs)),
+       |          i -> ${qcWSqlFromHash("qb:",
+    s"((hs[CAST(i AS INTEGER)] * 31 + hs[CAST(i + 1 AS INTEGER)]) % ${Portable.P})")}))
+       |        END AS s
+       |  FROM t)
+       |SELECT doc_id, source, CAST(n_feat AS BIGINT) AS n_feat,
+       |  CAST(s * 1000000 // greatest(n_feat, 1)
+       |    - ${QcShift * 1000000L} AS BIGINT) AS score_micro,
+       |  s * 1000000 // greatest(n_feat, 1)
+       |    - ${QcShift * 1000000L} >= 0 AS keep
+       |FROM f""".stripMargin
 
   /** c10 oracle: the trainer unrolled — per round, a pair count, a 1-row
     * argmax, and the same greedy fold (DuckDB `list_reduce` over a
@@ -1005,28 +1105,47 @@ object Prep {
          |    AS share_ppm
          |FROM g""".stripMargin
     },
-    "c22_quality_classifier" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, source,
-         |    list_transform(${tokensSql("text")}, x -> ${tokenHashSql("x")})
-         |      AS hs
-         |  FROM documents),
-         |f AS (
-         |  SELECT doc_id, source,
-         |    len(hs) + greatest(len(hs) - 1, 0) AS n_feat,
-         |    list_sum(list_transform(hs, h -> ${qcWSqlFromHash("qw:", "h")}))
-         |      + CASE WHEN len(hs) <= 1 THEN 0
-         |        ELSE list_sum(list_transform(range(1, len(hs)),
-         |          i -> ${qcWSqlFromHash("qb:",
-      s"((hs[CAST(i AS INTEGER)] * 31 + hs[CAST(i + 1 AS INTEGER)]) % ${Portable.P})")}))
-         |        END AS s
-         |  FROM t)
-         |SELECT doc_id, source, CAST(n_feat AS BIGINT) AS n_feat,
-         |  CAST(s * 1000000 // greatest(n_feat, 1)
-         |    - ${QcShift * 1000000L} AS BIGINT) AS score_micro,
-         |  s * 1000000 // greatest(n_feat, 1)
-         |    - ${QcShift * 1000000L} >= 0 AS keep
-         |FROM f""".stripMargin,
+    "c22_quality_classifier" -> c22Sql,
+    "c24_quality_calibration" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, score_micro FROM ($c22Sql)),
+         |lab AS (
+         |  SELECT doc_id,
+         |    (len(tk) >= 32 AND len(tk) <= 100000
+         |     AND list_sum(list_transform(tk, t -> len(t))) * 10
+         |         >= len(tk) * 40
+         |     AND list_sum(list_transform(tk, t -> len(t))) <= len(tk) * 10
+         |     AND len(list_filter(tk, t -> len(t) <= 2)) * 10 <= len(tk)
+         |     AND len(list_distinct(tk)) * 5 >= len(tk) * 2
+         |     AND len(list_filter(tk, t -> t = 'a' OR t = 'the')) >= 2)
+         |      AS pass
+         |  FROM (SELECT doc_id, ${tokensSql("text")} AS tk
+         |        FROM documents)),
+         |binned AS (
+         |  SELECT (score_micro + ${QcShift * 1000000L}) // $QcBinMicros
+         |      AS bin,
+         |    count(*) AS n,
+         |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |  FROM s JOIN lab USING (doc_id) GROUP BY 1),
+         |w AS (
+         |  SELECT *,
+         |    sum(n) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+         |      AS cum_n,
+         |    sum(n_pos) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+         |      AS cum_pos,
+         |    sum(n_pos) OVER () AS tot_pos,
+         |    sum(n - n_pos) OVER () AS tot_neg,
+         |    sum(n - n_pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+         |      - (n - n_pos) AS neg_below
+         |  FROM binned)
+         |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+         |  CAST((CAST(cum_pos AS HUGEINT) * 1000000)
+         |    // greatest(tot_pos, 1) AS BIGINT) AS cum_tpr_ppm,
+         |  CAST((CAST(cum_n - cum_pos AS HUGEINT) * 1000000)
+         |    // greatest(tot_neg, 1) AS BIGINT) AS cum_fpr_ppm,
+         |  CAST(CAST(n_pos AS HUGEINT) * (2 * neg_below + (n - n_pos))
+         |    AS BIGINT) AS u2
+         |FROM w""".stripMargin,
     "c20_t_closeness" ->
       s"""WITH base AS (
          |  SELECT lang, source, n_chars // 100 AS cls FROM documents),

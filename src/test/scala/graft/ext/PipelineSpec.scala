@@ -39,4 +39,43 @@ class PipelineSpec extends SparkSpec {
     for (s <- rows.filter(_._4); u <- rows.filter(!_._4))
       assert(s._2 <= u._5 + 1, s"saturation order violated: $s vs $u")
   }
+
+  test("p6 shard plan equals the naive single-window fold; conserves; parallel cumsum") {
+    import graft.ext.Portable.{tokenHashOf, P}
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // the naive definition: ONE global cumsum over (h, doc_id) order —
+    // exactly what the two-phase bucket decomposition must reproduce
+    val ordered = docs.map { case (id, text) =>
+      (tokenHashOf(id.toString + ":1"), id, text.split(" ", -1).length.toLong)
+    }.sortBy(t => (t._1, t._2))
+    var cum = 0L
+    val assigned = ordered.map { case (h, id, n) =>
+      cum += n
+      ((cum - n) / Pipeline.ShardBudget, h, n)
+    }
+    val expected = assigned.groupBy(_._1).map { case (s, xs) =>
+      s -> ((xs.length.toLong, xs.map(_._3).sum,
+        xs.map(_._2).sum % P, xs.map(_._2).min, xs.map(_._2).max))
+    }
+    val q = Pipeline.shardPlan(spark, sf)
+    val got = q.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))).toMap
+    assert(got == expected,
+      s"diverges on ${got.keys.filter(k => got.get(k) != expected.get(k)).take(3)}")
+    // conservation: every doc and every token lands in exactly one shard
+    assert(got.values.map(_._1).sum == docs.length.toLong)
+    assert(got.values.map(_._2).sum == ordered.map(_._3).sum)
+    // epoch shuffle must actually shuffle: hash order != doc_id order
+    assert(ordered.map(_._2).toSeq != ordered.map(_._2).sorted.toSeq ||
+      docs.length < 3, "hash order degenerate")
+    // the corpus-grain cumsum runs PARTITIONED by bucket (the two-phase
+    // shape) — the plan must hash-partition on bucket, and the only
+    // single-partition window input is the bounded bucket-sums frame
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(bucket"),
+      s"p6 lost the bucket-parallel cumsum:\n$plan")
+  }
 }

@@ -349,6 +349,67 @@ class PrepSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"c22 shuffles:\n$plan")
   }
 
+  test("c24 calibration equals a driver fold; ROC monotone; AUC in range") {
+    import graft.ext.Portable.{tokenHashOf, P}
+    def wOf(salt: String, bucketBase: Long): Long =
+      tokenHashOf(salt + (bucketBase % Prep.QcBuckets).toString) %
+        Prep.QcLevels
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perDoc = docs.map { case (_, text) =>
+      val toks = text.split(" ", -1)
+      val hs = toks.map(tokenHashOf)
+      val nF = hs.length + math.max(hs.length - 1, 0)
+      val s = hs.map(wOf("qw:", _)).sum +
+        hs.sliding(2).filter(_.length == 2)
+          .map(p => wOf("qb:", (p(0) * 31L + p(1)) % P)).sum
+      val score = s * 1000000L / math.max(nF, 1) - Prep.QcShift * 1000000L
+      val n = toks.length.toLong
+      val totlen = toks.map(_.length.toLong).sum
+      val pass = n >= 32L && n <= 100000L &&
+        totlen * 10L >= n * 40L && totlen <= n * 10L &&
+        toks.count(_.length <= 2) * 10L <= n &&
+        toks.distinct.length * 5L >= n * 2L &&
+        toks.count(t => t == "a" || t == "the") >= 2L
+      val bin = (score + Prep.QcShift * 1000000L) / Prep.QcBinMicros
+      (bin, pass)
+    }
+    val bins = perDoc.groupBy(_._1).map { case (b, xs) =>
+      (b, xs.length.toLong, xs.count(_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    val totPos = bins.map(_._3).sum
+    val totNeg = bins.map(x => x._2 - x._3).sum
+    var negBelow = 0L
+    val ascNeg = bins.map { case (b, n, p) =>
+      val r = (b, negBelow); negBelow += n - p; r
+    }.toMap
+    var cumN = 0L; var cumP = 0L
+    val expected = bins.reverse.map { case (b, n, p) =>
+      cumN += n; cumP += p
+      b -> ((n, p, cumP * 1000000L / math.max(totPos, 1L),
+        (cumN - cumP) * 1000000L / math.max(totNeg, 1L),
+        p * (2L * ascNeg(b) + (n - p))))
+    }.toMap
+    val got = Prep.qualityCalibration(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected,
+      s"diverges on ${got.keys.filter(k => got.get(k) != expected.get(k)).take(3)}")
+    // the reference label must split the corpus, else the audit is vacuous
+    assert(totPos > 0L && totNeg > 0L, s"degenerate labels: $totPos/$totNeg")
+    // ROC prefixes are monotone in threshold (descending bin order)
+    val byBinDesc = got.toSeq.sortBy(-_._1).map(_._2)
+    assert(byBinDesc.map(_._3) == byBinDesc.map(_._3).sorted,
+      "TPR not monotone")
+    assert(byBinDesc.map(_._4) == byBinDesc.map(_._4).sorted,
+      "FPR not monotone")
+    // AUC from the u2 contributions lands in [0, 1]
+    val auc2 = got.values.map(_._5).sum
+    assert(auc2 >= 0L && auc2 <= 2L * totPos * totNeg,
+      s"AUC out of range: $auc2 / ${2L * totPos * totNeg}")
+  }
+
   test("c23 topic mix equals a driver fold; topics separate; shares partition") {
     import graft.ext.Portable
     import Portable.tokenHashOf
