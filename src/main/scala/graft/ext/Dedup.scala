@@ -537,8 +537,14 @@ object Dedup {
       // consumed THREE times (both sides of the pair self-join + the
       // final membership join) — without this the tokenize/sort_array
       // pass over the corpus runs three times (the file's
-      // multiply-consumed-frame discipline)
-      .localCheckpoint()
+      // multiply-consumed-frame discipline). DISK_ONLY, not
+      // localCheckpoint: checkpoint blocks pin unified STORAGE memory
+      // (they are the lineage), and at the 100× sweep corpus that
+      // pinning starved the pair aggregate's execution memory into
+      // AGGREGATE_OUT_OF_MEMORY alongside 32 concurrent tasks — the
+      // token frame is corpus-sized, so it belongs on disk, where the
+      // three re-reads cost sequential scans and zero memory.
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val pairs = m.alias("a").join(m.alias("b"),
         col("a.canonical") === col("b.canonical") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -551,13 +557,20 @@ object Dedup {
       .withColumn("dist", lit(1000000L) -
         when(col("sz") - col("inter") === 0L, lit(1000000L))
           .otherwise(expr("(inter * 1000000) DIV (sz - inter)")))
-      // referenced by BOTH union branches: without this the quadratic
-      // pair join + per-pair intersection — d19's dominant cost — would
-      // evaluate twice (the file's multiply-consumed-frame discipline)
-      .localCheckpoint()
-    val per = pairs.select(col("canonical"), col("doc_a").as("doc_id"), col("dist"))
-      .unionByName(pairs.select(col("canonical"), col("doc_b").as("doc_id"), col("dist")))
-      .groupBy("canonical", "doc_id").agg(sum("dist").as("sum_dist"))
+    // each pair contributes its distance to BOTH endpoints — as ONE
+    // explode in the same pass, not a two-branch union: the union form
+    // consumed `pairs` twice and needed an EAGER checkpoint of the full
+    // pair frame to avoid re-running the quadratic intersection — block
+    // storage that, at the 100× sweep corpus, starved the downstream
+    // hash aggregate into AGGREGATE_OUT_OF_MEMORY (sf10-synth, round
+    // 11). The explode streams each pair once, straight into the
+    // map-side partial sum; nothing pair-sized is ever stored.
+    val per = pairs
+      .select(col("canonical"), explode(array(
+        struct(col("doc_a").as("doc_id"), col("dist")),
+        struct(col("doc_b").as("doc_id"), col("dist")))).as("e"))
+      .groupBy(col("canonical"), col("e.doc_id").as("doc_id"))
+      .agg(sum(col("e.dist")).as("sum_dist"))
     val exact = m.select("canonical", "doc_id")
       .join(per, Seq("canonical", "doc_id"), "left")
       .withColumn("sum_dist", coalesce(col("sum_dist"), lit(0L)))
