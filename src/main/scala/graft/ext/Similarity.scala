@@ -165,6 +165,57 @@ object Similarity {
     topkOut(scored, 3)
   }
 
+  /** s15 tenant count: distinct values of the metadata filter column. */
+  private[ext] val Tenants = 4L
+
+  /** s15 — FILTERED ANN: top-3 SAME-TENANT neighbors through the s5
+    * nprobe=2 probe — the metadata-constrained vector search every RAG
+    * serving layer runs (restrict by license class / collection /
+    * language, then rank by similarity). `tenant = H(vec_id) mod 4`
+    * stands in for that metadata column exactly the way `label` stands
+    * in for the k-means cell assignment.
+    *
+    * The strategy is SINGLE-STAGE filtered search: the tenant predicate
+    * evaluates INSIDE candidate generation (on the cell-joined scan,
+    * before any cosine is computed or any candidate materializes) — not
+    * post-filtering an unfiltered top-k, which at selectivity 1/T
+    * returns ~k/T survivors and silently starves recall; and not
+    * pre-filtering into a separate index, which would fragment the cell
+    * table per tenant. At 100 TB the cost is the same cell-probe scan
+    * s5 pays, with 3/4 of candidates dropped before the scoring
+    * projection; a query whose probed cells hold no same-tenant vector
+    * disappears from the result on both engines — the honest contract
+    * (serving layers widen nprobe on shortfall; s5's probe set is the
+    * one being filtered, so the oracle states exactly that).
+    */
+  def filteredTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import Portable.tokenHash
+    val e = vecs(spark, sfDir)
+      .withColumn("tenant", tokenHash(col("vec_id").cast("string")) % Tenants)
+    val cents = centroidVectors(spark, sfDir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("label").as("qlabel"), col("tenant").as("qtenant"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("label"))
+    val nearestOther = q.crossJoin(broadcast(cents))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("qv"), col("qtenant"), col("label"),
+        cosineSim(col("qv"), col("cv")).as("cs"))
+      .withColumn("rk", row_number().over(wc))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("qv"), col("qtenant"), col("label"))
+    val cells = q.select(col("query_id"), col("qv"), col("qtenant"),
+        col("qlabel").as("label"))
+      .unionByName(nearestOther)
+    val scored = e.join(broadcast(cells), Seq("label"))
+      .filter(col("tenant") === col("qtenant") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineSim(col("v"), col("qv")).as("cos_raw"))
+    topkOut(scored, 3)
+  }
+
   /** s6 — scalar-quantized retrieve + exact rerank: the two-stage shape
     * every production ANN serves. Stage 1 scores ALL vectors against the
     * query with an INTEGER dot product over per-dim quantized codes
@@ -757,6 +808,7 @@ object Similarity {
     "s3_lsh_topk" -> (lshTopk _),
     "s4_ivf_centroids" -> (ivfCentroids _),
     "s5_ivf_nprobe" -> (ivfNprobeTopk _),
+    "s15_filtered_topk" -> (filteredTopk _),
     "s6_sq_rerank" -> (sqRerankTopk _),
     "s7_pq_rerank" -> (pqRerankTopk _),
     "s8_knn_join" -> (knnJoin _),
@@ -1026,6 +1078,43 @@ object Similarity {
          |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cells.qv, cells.qv)))) AS cos_raw
          |FROM cells JOIN ev e
          |  ON e.label = cells.label AND e.vec_id <> cells.query_id""".stripMargin, 3),
+    "s15_filtered_topk" -> topkSql(
+      s"""WITH ev AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |    ${Portable.tokenHashSql("CAST(vec_id AS VARCHAR)")} % $Tenants
+         |      AS tenant
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT label, list(centroid ORDER BY dim) AS cv FROM (
+         |    SELECT label, CAST(t.i AS INTEGER) AS dim,
+         |      CAST(sum(CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)
+         |        / 10000000.0 / count(*) AS centroid
+         |    FROM embeddings, range(64) t(i)
+         |    GROUP BY label, t.i)
+         |  GROUP BY label),
+         |q AS (
+         |  SELECT vec_id AS query_id, v AS qv, label AS qlabel, tenant AS qtenant
+         |  FROM ev WHERE vec_id < $nQueries),
+         |nearest_other AS (
+         |  SELECT query_id, qv, qtenant, label FROM (
+         |    SELECT q.query_id, q.qv, q.qtenant, c.label,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        (list_dot_product(q.qv, c.cv) /
+         |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+         |        c.label) AS rk
+         |    FROM q JOIN cents c ON c.label <> q.qlabel)
+         |  WHERE rk = 1),
+         |cells AS (
+         |  SELECT query_id, qv, qtenant, qlabel AS label FROM q
+         |  UNION ALL
+         |  SELECT query_id, qv, qtenant, label FROM nearest_other)
+         |SELECT cells.query_id, e.vec_id AS neighbor_id,
+         |  (list_dot_product(e.v, cells.qv) /
+         |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cells.qv, cells.qv)))) AS cos_raw
+         |FROM cells JOIN ev e
+         |  ON e.label = cells.label AND e.tenant = cells.qtenant
+         |    AND e.vec_id <> cells.query_id""".stripMargin, 3),
     "s6_sq_rerank" -> topkSql(
       s"""WITH ev AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
