@@ -786,7 +786,17 @@ object Prep {
     * subtracted AFTER the division (mean(w) = mean(w+1000) − 1000 exactly
     * for integer means under floor).
     */
-  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame =
+    classifierScoresOn(Dedup.tokenHashFrame(spark, sfDir))
+
+  /** The c22 scoring engine over ANY positional token-hash frame
+    * `(doc_id, source, pos, h)` — the batch query feeds it the durable
+    * corpus index; [[graft.streaming.CalibrationStream]] feeds it the
+    * micro-batch DELTA's hashes (a delta doc isn't in the index yet, so
+    * tokenizing just the delta is the honest incremental cost). Shared
+    * code, not re-stated arithmetic — stream ≡ batch is structural.
+    */
+  private[graft] def classifierScoresOn(hashes: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val uniW = qcWFromHash(qcUniTable, col("h"))
     // Null past the last token must be EXPLICIT: `element_at` over a
@@ -798,7 +808,7 @@ object Prep {
     val nxt = lead("h", 1).over(w)
     val biW = when(nxt.isNotNull,
       qcWFromHash(qcBiTable, (col("h") * 31L + nxt) % P))
-    Dedup.tokenHashFrame(spark, sfDir)
+    hashes
       .select(col("doc_id"), col("source"), uniW.as("wu"), biW.as("wb"))
       .groupBy(col("doc_id"), col("source"))
       .agg((count(lit(1)) + count(col("wb"))).as("n_feat"),
@@ -834,22 +844,46 @@ object Prep {
     * bin_pos·cum_neg overflows a long at corpus scale).
     */
   def qualityCalibration(spark: SparkSession, sfDir: String): DataFrame = {
-    val tk = tokens(col("text"))
+    val labels = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), gopherPass(col("text")).as("pass"))
+    calibrationOn(qualityClassifier(spark, sfDir)
+      .select(col("doc_id"), col("score_micro"))
+      .join(labels, Seq("doc_id")))
+  }
+
+  /** The c21 rule conjunction as ONE per-document predicate — the c24
+    * reference label, shared by the batch audit and the streaming twin
+    * (one definition, like [[graft.streaming.QualityStream.violates]]).
+    */
+  private[graft] def gopherPass(text: Column): Column = {
+    val tk = tokens(text)
     val n = size(tk).cast("long")
     val totlen = aggregate(transform(tk, t => length(t).cast("long")),
       lit(0L), _ + _)
-    val nshort = size(filter(tk, t => length(t) <= 2)).cast("long")
-    val ndist = size(array_distinct(tk)).cast("long")
-    val nstop = size(filter(tk, t => t.isin("a", "the"))).cast("long")
-    val labels = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        (n >= 32L && n <= 100000L &&
-          totlen * 10L >= n * 40L && totlen <= n * 10L &&
-          nshort * 10L <= n && ndist * 5L >= n * 2L &&
-          nstop >= 2L).as("pass"))
-    val binned = qualityClassifier(spark, sfDir)
-      .select(col("doc_id"), col("score_micro"))
-      .join(labels, Seq("doc_id"))
+    n >= 32L && n <= 100000L &&
+      totlen * 10L >= n * 40L && totlen <= n * 10L &&
+      size(filter(tk, t => length(t) <= 2)).cast("long") * 10L <= n &&
+      size(array_distinct(tk)).cast("long") * 5L >= n * 2L &&
+      size(filter(tk, t => t.isin("a", "the"))).cast("long") >= 2L
+  }
+
+  /** Positional token hashes for a frame that carries raw `text` — the
+    * streaming delta's equivalent of [[Dedup.tokenHashFrame]]'s build
+    * projection (same tokenize, same hash — the index and the delta can
+    * never disagree).
+    */
+  private[graft] def textTokenHashes(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("source"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("source"), col("pos"),
+        tokenHash(col("tok")).as("h"))
+
+  /** The c24 histogram/ROC fold over ANY `(score_micro, pass)` relation
+    * — batch feeds the index-ridden scores, the streaming twin feeds
+    * its maintained per-document store view.
+    */
+  private[graft] def calibrationOn(scored: DataFrame): DataFrame = {
+    val binned = scored
       // + QcShift·10⁶ makes the dividend non-negative, so Spark's
       // truncating DIV and DuckDB's flooring // agree on the bin.
       .withColumn("bin",
