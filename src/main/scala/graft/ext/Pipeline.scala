@@ -171,9 +171,19 @@ object Pipeline {
     * independent, mergeable) and the shard's hash range — a loader can
     * verify any shard it fetched without coordination.
     */
-  def shardPlan(spark: SparkSession, sfDir: String): DataFrame = {
+  def shardPlan(spark: SparkSession, sfDir: String): DataFrame =
+    shardPlanOf(Tables.documents(spark, sfDir))
+
+  /** p6 over an arbitrary `(doc_id, text)` frame — injectable so the
+    * spec can drive the oversized-document case (one doc larger than
+    * [[ShardBudget]] legitimately GAPS the shard-id sequence: the next
+    * doc's running sum starts past the swallowed shards; ids stay the
+    * budget-quotient of exact token offsets, so a loader addressing
+    * shard k·B still finds its bytes).
+    */
+  private[ext] def shardPlanOf(docsFrame: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perDoc = Tables.documents(spark, sfDir)
+    val perDoc = docsFrame
       .select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tok"),
         tokenHash(concat(col("doc_id").cast("string"), lit(":1"))).as("h"))

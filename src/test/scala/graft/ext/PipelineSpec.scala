@@ -78,4 +78,42 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(bucket"),
       s"p6 lost the bucket-parallel cumsum:\n$plan")
   }
+
+  test("p6 oversized document: shard ids gap but offsets stay exact") {
+    import graft.ext.Portable.tokenHashOf
+    import spark.implicits._
+    // one doc of 3.2 budgets of tokens among small docs — wherever the
+    // hash permutation lands it, it must swallow >= 3 whole shard ids
+    val giantTokens = (Pipeline.ShardBudget * 16 / 5).toInt
+    // doc 3 sorts FIRST under H(id‖":1") among {1,2,3,4} (deterministic
+    // md5 order: 3 < 1 < 2 < 4), so the giant provably swallows shards
+    // 1-2 before any small doc's start offset
+    val docsRows = Seq(
+      (3L, (1 to giantTokens).map(i => s"g$i").mkString(" ")),
+      (2L, "alpha beta gamma"),
+      (1L, "delta epsilon"),
+      (4L, "zeta eta theta iota"))
+    val got = Pipeline.shardPlanOf(docsRows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // driver-side naive fold, identical to the main test's
+    val ordered = docsRows.map { case (id, text) =>
+      (tokenHashOf(id.toString + ":1"), id, text.split(" ", -1).length.toLong)
+    }.sortBy(t => (t._1, t._2))
+    var cum = 0L
+    val expected = ordered.map { case (h, _, n) =>
+      cum += n; ((cum - n) / Pipeline.ShardBudget, h, n)
+    }.groupBy(_._1).map { case (s, xs) =>
+      s -> ((xs.length.toLong, xs.map(_._3).sum,
+        xs.map(_._2).sum % graft.ext.Portable.P))
+    }
+    assert(got == expected, s"got $got expected $expected")
+    // the giant doc must actually gap the id sequence — otherwise this
+    // corpus exercises nothing the main test doesn't
+    val ids = got.keySet
+    assert(ids.max >= 3L && ids.size < ids.max + 1,
+      s"no gap produced: $ids")
+    // conservation still exact through the gap
+    assert(got.values.map(_._2).sum == ordered.map(_._3).sum)
+  }
 }
