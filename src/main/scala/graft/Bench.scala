@@ -23,6 +23,18 @@ private[graft] object StreamFeeds {
   private[graft] val baseMs = 1735689600000L // 2025-01-01T00:00:00Z
   private def base = baseMs // feed-local alias
 
+  /** One run-scoped root for every dial's store directories, so the
+    * post-dials maintenance pass ([[Bench]]'s `maintenance` marker) can
+    * compact the whole freshly-accreted fleet with ONE
+    * [[graft.streaming.StreamApply.compactStores]] walk — the unified
+    * job exercised per round, instead of five scattered /tmp dirs no
+    * maintenance path ever visits.
+    */
+  private[graft] lazy val storesRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-bench-stores")
+  private[graft] def storeDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(storesRoot, prefix).toString
+
   def ev(i: Int, nKeys: Int): BenchEv = BenchEv(i.toLong, i % nKeys,
     if (i % 17 == 0) "d" else "u", i * 0.5, new java.sql.Timestamp(base + i))
 
@@ -43,7 +55,7 @@ private[graft] object StreamFeeds {
   def timeUpsert(spark: SparkSession, n: Int, nKeys: Int, nBatches: Int): Double = {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("graft-bench-upsert").toString
+    val dir = StreamFeeds.storeDir("graft-bench-upsert")
     val store = new streaming.StreamApply.ParquetUpsertStore(spark, dir,
       key = "key", seq = "seq", opCol = "op", deleteOp = "d",
       payloadCols = Seq("value"))
@@ -59,7 +71,7 @@ private[graft] object StreamFeeds {
   def timeIvm(spark: SparkSession, n: Int, nKeys: Int, nBatches: Int): Double = {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("graft-bench-ivm").toString
+    val dir = StreamFeeds.storeDir("graft-bench-ivm")
     val store = new streaming.StreamApply.IvmUpsertStore(spark, dir,
       key = "key", seq = "seq", opCol = "op", deleteOp = "d",
       payloadCols = Seq("cat", "value"), aggCol = "cat")
@@ -82,8 +94,7 @@ private[graft] object StreamFeeds {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val words = Seq("key", "value", "scan", "table", "slow", "fast",
       "merge", "batch", "vector", "window", "customer", "order", "dup")
-    val dir = java.nio.file.Files
-      .createTempDirectory("bench-chunkdedup").toString
+    val dir = StreamFeeds.storeDir("bench-chunkdedup")
     val stores = new streaming.ChunkDedupStream.Stores(spark, dir)
     val in = MemoryStream[(Long, String)](SourceParts)
     val q = streaming.ChunkDedupStream.chunkDedupWriter(
@@ -256,6 +267,21 @@ object Bench {
     val dials: Seq[(String, Double, String)] =
       if (sys.env.get("SPARK_GRAFT_STREAMING").contains("0")) Seq.empty
       else streamingMetrics(spark)
+    // Post-dials fleet maintenance (untimed): the dials just accreted
+    // ~5 manifest-pointer stores under one run-scoped root — compact
+    // them through the unified MaintenanceJob path, so the job is
+    // exercised against a real freshly-written fleet every round, and
+    // record what it did. View identity across the rewrite is the
+    // MaintenanceJobSpec's contract; here we only report.
+    val maintField =
+      if (dials.isEmpty) ""
+      else {
+        val compacted = try streaming.StreamApply
+          .compactStores(spark, StreamFeeds.storesRoot.toString)
+        catch { case scala.util.control.NonFatal(_) => Seq.empty }
+        val total = (compacted.map(_._2).sum, compacted.map(_._3).sum)
+        s""","maintenance":{"stores_compacted":${compacted.size},"files_before":${total._1},"files_after":${total._2}}"""
+      }
     val (laPost, mipsPost) = hostLoad()
     // `sliding_wm` (not the r1-r8 `sliding` key): round 9 redefined the
     // workload (event time +100 ms/row with 10-min lateness vs the prior
@@ -283,7 +309,7 @@ object Bench {
     // and a pointer to the full file) sized to survive the tail window.
     val batchField = if (skipBatch) s""","batch":"skipped"""" else ""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$batchField$errField$streamField$streamMarkersField$hostField}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$batchField$errField$streamField$streamMarkersField$maintField$hostField}"""
     // resolve(), not Paths.get(dir, out): Paths.get CONCATENATES, so an
     // absolute SPARK_GRAFT_OUT=/tmp/x became /root/repo/tmp/x and the
     // write crashed AFTER the 10-minute measurement run, losing it all
@@ -495,8 +521,7 @@ object Bench {
     def timePercolate(n: Int, nBatches: Int): Double = {
       val words = Seq("key", "value", "scan", "table", "slow", "fast",
         "merge", "batch", "vector", "window", "customer", "order", "dup")
-      val dir = java.nio.file.Files
-        .createTempDirectory("bench-percolate").toString
+      val dir = StreamFeeds.storeDir("bench-percolate")
       val a = new streaming.PercolateStream.Alerts(spark, dir)
       val queries = graft.ext.Search.savedSearches.toDF("query_id", "term")
       val in = MemoryStream[(Long, Long, String, String)](SourceParts)
@@ -576,7 +601,7 @@ object Bench {
     // task binaries stay narrow), updates + deletes, keyed merge. Rate is
     // input rows/s through signature + merge.
     def timeAnn(n: Int, nBatches: Int): Double = {
-      val dir = java.nio.file.Files.createTempDirectory("bench-ann").toString
+      val dir = StreamFeeds.storeDir("bench-ann")
       val store = new streaming.AnnStream.Store(spark, dir)
       val in = MemoryStream[(Long, Long, String, String)](SourceParts)
       val cdc = in.toDF().toDF("seq", "vec_id", "label", "op")
@@ -643,10 +668,15 @@ object Bench {
       while (!quiet && quietWaitSec > 0 && waited < quietWaitSec &&
           loadavg1() >= quietLa) {
         // loadavg may be a prior dial's self-load decay: a near-steady
-        // probe proves the box itself is uncontended — proceed
+        // probe vs the run's PRIOR best proves the box itself is
+        // uncontended — proceed. The probe is compared BEFORE folding
+        // it into the baseline (folding first made the check a
+        // tautology for any new-max probe), and with no prior sample
+        // at all (first dial of a run) there is nothing to reference,
+        // so the pure loadavg wait governs and a possibly-contended
+        // run-start probe never anchors later headroom decisions.
         val (_, p) = hostLoad()
-        probeSteady = math.max(probeSteady, p)
-        if (p >= probeSteady * 0.92) quiet = true
+        if (probeSteady > 0 && p >= probeSteady * 0.92) quiet = true
         else { Thread.sleep(15000); waited += 15 }
       }
       val (laPre, mipsPre) = hostLoad()

@@ -10,8 +10,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * referenced columns, not the table width.
   */
 object Tables {
+  /** The analyzed scan frame is memoized per (session, sfDir, table) —
+    * METADATA caching only, never data: a `spark.read.parquet` call
+    * lists the directory and reads footers for the schema on the
+    * driver, ~100 ms per call, and a registry query that touches
+    * three tables paid that three times per invocation (v2's eight
+    * reads cost ~1 s of pure driver metadata work, measured round 12).
+    * A real warehouse holds the schema in its catalog and resolves a
+    * table reference for free; the memo is that catalog. The frame is
+    * lazy — every action still scans the parquet in full — and the
+    * driver testdata is immutable for a session, so a cached listing
+    * cannot go stale. Store/index directories (which DO change) have
+    * their own readers and never come through here.
+    */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    graft.ext.FrameMemo(s"scan:$name", spark, sfDir)(
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** `events.ts` is stored as parquet `timestamp[us]` without UTC
     * adjustment, which Spark 4 reads as TIMESTAMP_NTZ. Most datetime

@@ -18,7 +18,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * can never be served again, and dropping them releases the checkpoint
   * blocks instead of pinning them for the JVM lifetime.
   */
-private[ext] object FrameMemo {
+private[graft] object FrameMemo {
 
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
@@ -100,5 +100,37 @@ private[ext] object FrameMemo {
       }
     }
     doomed.foreach(memo.remove)
+    val deadTracked = new scala.collection.mutable.ArrayBuffer[DataFrame]()
+    tracked.forEach { df =>
+      if (owner eq df.sparkSession) {
+        deadTracked += df
+        try { if (!ownerStopped(df)) df.unpersist(blocking = false) }
+        catch { case _: Throwable => () }
+      }
+    }
+    deadTracked.foreach(tracked.remove)
+  }
+
+  private val tracked = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[DataFrame]()
+
+  /** Register a query-local `persist`ed frame for release at the next
+    * `clear(owner)`. A builder that persists a CORPUS-SIZED frame for
+    * the duration of one query (d19's DISK_ONLY token frame) cannot
+    * unpersist it itself — the function returns a lazy result, so the
+    * blocks must outlive the call — but leaving release to dereference
+    * + ContextCleaner GC lets repeated invocations in one session (the
+    * bench's median-of-N passes) accumulate disk blocks unboundedly.
+    * Tracking ties the release to the same pass boundary that already
+    * destroys the memoized checkpoints, which every Bench/Sweep pass
+    * crosses. Same lifetime contract as the memo: holding a tracked
+    * frame (or a plan over it) across a clear() recomputes from lineage
+    * (persist, unlike localCheckpoint, keeps lineage — so this is a
+    * slow path, never an error).
+    */
+  private[graft] def trackPersisted(df: DataFrame): DataFrame = {
+    tracked.removeIf(d => ownerStopped(d))
+    tracked.add(df)
+    df
   }
 }

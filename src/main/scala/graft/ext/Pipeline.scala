@@ -174,19 +174,28 @@ object Pipeline {
   def shardPlan(spark: SparkSession, sfDir: String): DataFrame =
     shardPlanOf(Tables.documents(spark, sfDir))
 
-  /** p6 over an arbitrary `(doc_id, text)` frame — injectable so the
-    * spec can drive the oversized-document case (one doc larger than
-    * [[ShardBudget]] legitimately GAPS the shard-id sequence: the next
-    * doc's running sum starts past the swallowed shards; ids stay the
-    * budget-quotient of exact token offsets, so a loader addressing
-    * shard k·B still finds its bytes).
+  /** p6 at epoch 2 — the SAME corpus sharded for the next training
+    * epoch. The per-doc shuffle hash is seeded `doc_id:epoch`, so each
+    * epoch is a different but reproducible global permutation while the
+    * corpus-level invariants (total docs, total tokens) are identical —
+    * `PipelineSpec` proves both halves of that claim; the oracle key
+    * pins the epoch-2 permutation itself.
     */
-  private[ext] def shardPlanOf(docsFrame: DataFrame): DataFrame = {
+  def shardPlanEpoch2(spark: SparkSession, sfDir: String): DataFrame =
+    shardPlanOf(Tables.documents(spark, sfDir), epoch = 2L)
+
+  /** Doc-grain shard assignment: each document's token count, seeded
+    * shuffle hash, and the shard it lands in — the frame a data loader
+    * fetching shard k actually materializes. [[shardPlanOf]] is its
+    * shard-grain rollup; [[shardVerifyOf]] re-aggregates a fetched copy
+    * of it against the manifest.
+    */
+  private[ext] def shardDocsOf(docsFrame: DataFrame, epoch: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perDoc = docsFrame
       .select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tok"),
-        tokenHash(concat(col("doc_id").cast("string"), lit(":1"))).as("h"))
+        tokenHash(concat(col("doc_id").cast("string"), lit(s":$epoch"))).as("h"))
       .withColumn("bucket", expr(s"(h * $ShardBuckets) DIV ${Portable.P}"))
     val bucketSums = perDoc.groupBy("bucket")
       .agg(sum("n_tok").as("btok"))
@@ -201,11 +210,65 @@ object Pipeline {
       .join(broadcast(offsets), Seq("bucket"))
       .withColumn("cum", col("offset") + sum("n_tok").over(localW))
       .withColumn("shard_id", expr(s"(cum - n_tok) DIV $ShardBudget"))
+      .select("doc_id", "n_tok", "h", "shard_id")
+  }
+
+  /** p6 over an arbitrary `(doc_id, text)` frame — injectable so the
+    * spec can drive the oversized-document case (one doc larger than
+    * [[ShardBudget]] legitimately GAPS the shard-id sequence: the next
+    * doc's running sum starts past the swallowed shards; ids stay the
+    * budget-quotient of exact token offsets, so a loader addressing
+    * shard k·B still finds its bytes) and the cross-epoch permutation
+    * case (different epoch → different assignment, identical totals).
+    */
+  private[ext] def shardPlanOf(docsFrame: DataFrame, epoch: Long = 1L): DataFrame =
+    shardDocsOf(docsFrame, epoch)
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tok").as("shard_tokens"),
         (sum("h") % Portable.P).as("docs_ck"),
         min("h").as("h_lo"), max("h").as("h_hi"))
+
+  /** p7 — SHARD VERIFY: the consumer side of p6's manifest promise.
+    * A loader that fetched shard k recomputes the doc count, token sum,
+    * and additive doc-hash checksum from the bytes it actually holds
+    * and diffs them against the manifest row — o26's tamper detection
+    * at training grain, with no coordination beyond the manifest
+    * (the checksum is additive/order-independent, so the loader needn't
+    * replay the shard's internal order to verify it). The join is FULL
+    * OUTER: a shard the manifest promises but the fetch lacks — or a
+    * fetched shard the manifest never issued — is itself a failure,
+    * not a silently-dropped row. Over an untampered corpus every row
+    * verifies; `PipelineSpec` drives the tamper cases (dropped doc,
+    * altered text, cross-shard swap, phantom shard) through
+    * [[shardVerifyOf]] and asserts each lights exactly the right rows.
+    *
+    * Scale shape: both sides aggregate to SHARD grain before the join
+    * (corpus-wide work is one map-side-combined rollup each), so the
+    * full-outer join and the comparison touch manifest-sized frames
+    * only.
+    */
+  def shardVerify(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    shardVerifyOf(shardPlanOf(docs), shardDocsOf(docs, epoch = 1L))
+  }
+
+  /** p7 over an arbitrary manifest and fetched doc-grain frame —
+    * injectable for the spec's tamper cases.
+    */
+  private[ext] def shardVerifyOf(manifest: DataFrame, fetched: DataFrame): DataFrame = {
+    val re = fetched.groupBy("shard_id")
+      .agg(count(lit(1)).as("f_docs"),
+        sum("n_tok").as("f_tokens"),
+        (sum("h") % Portable.P).as("f_ck"))
+    manifest.select("shard_id", "n_docs", "shard_tokens", "docs_ck")
+      .join(re, Seq("shard_id"), "full_outer")
+      .select(col("shard_id"), col("n_docs"), col("f_docs"),
+        col("shard_tokens"), col("f_tokens"), col("docs_ck"), col("f_ck"),
+        (col("n_docs").isNotNull && col("f_docs").isNotNull &&
+          col("n_docs") === col("f_docs") &&
+          col("shard_tokens") === col("f_tokens") &&
+          col("docs_ck") === col("f_ck")).as("ok"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -213,7 +276,33 @@ object Pipeline {
     "p4_token_budget" -> (tokenBudget _),
     "p5_effective_mix" -> (effectiveMix _),
     "p6_shard_plan" -> (shardPlan _),
+    "p7_shard_verify" -> (shardVerify _),
+    "p8_epoch2_shards" -> (shardPlanEpoch2 _),
     "p3_temperature_mix" -> (temperatureMix _))
+
+  /** The naive single-window doc-grain shard assignment, DuckDB side —
+    * shared by the p6/p8 manifests and p7's two arms. One CTE `c` with
+    * (doc_id, n_tok, h, cum) at the given epoch seed.
+    */
+  private def shardDocsSqlCte(epoch: Int): String =
+    s"""d AS (
+       |  SELECT doc_id,
+       |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tok,
+       |    ${tokenHashSql(s"CAST(doc_id AS VARCHAR) || ':$epoch'")} AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT *, sum(n_tok) OVER (ORDER BY h, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d)""".stripMargin
+
+  private def shardPlanSql(epoch: Int): String =
+    s"""WITH ${shardDocsSqlCte(epoch)}
+       |SELECT CAST((cum - n_tok) // $ShardBudget AS BIGINT) AS shard_id,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+       |  CAST(sum(h) % ${Portable.P} AS BIGINT) AS docs_ck,
+       |  min(h) AS h_lo, max(h) AS h_hi
+       |FROM c GROUP BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "p5_effective_mix" ->
@@ -281,22 +370,34 @@ object Pipeline {
          |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM canonical JOIN documents USING (doc_id)
          |GROUP BY lang""".stripMargin,
-    "p6_shard_plan" ->
-      s"""WITH d AS (
-         |  SELECT doc_id,
-         |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tok,
-         |    ${tokenHashSql("CAST(doc_id AS VARCHAR) || ':1'")} AS h
-         |  FROM documents),
-         |c AS (
-         |  SELECT *, sum(n_tok) OVER (ORDER BY h, doc_id
-         |    ROWS UNBOUNDED PRECEDING) AS cum
-         |  FROM d)
-         |SELECT CAST((cum - n_tok) // $ShardBudget AS BIGINT) AS shard_id,
-         |  count(*) AS n_docs,
-         |  CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
-         |  CAST(sum(h) % ${Portable.P} AS BIGINT) AS docs_ck,
-         |  min(h) AS h_lo, max(h) AS h_hi
-         |FROM c GROUP BY 1""".stripMargin,
+    "p6_shard_plan" -> shardPlanSql(1),
+    "p8_epoch2_shards" -> shardPlanSql(2),
+    // p7: the naive doc-grain assignment CTE feeds BOTH the manifest
+    // rollup and the "fetched" re-aggregation — over an untampered
+    // corpus the two sides agree row-for-row, and the hash gate pins
+    // the duplicated per-shard numbers plus the all-true verdicts
+    "p7_shard_verify" ->
+      s"""WITH ${shardDocsSqlCte(1)},
+         |man AS (
+         |  SELECT CAST((cum - n_tok) // $ShardBudget AS BIGINT) AS shard_id,
+         |    count(*) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+         |    CAST(sum(h) % ${Portable.P} AS BIGINT) AS docs_ck
+         |  FROM c GROUP BY 1),
+         |re AS (
+         |  SELECT CAST((cum - n_tok) // $ShardBudget AS BIGINT) AS shard_id,
+         |    count(*) AS f_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS f_tokens,
+         |    CAST(sum(h) % ${Portable.P} AS BIGINT) AS f_ck
+         |  FROM c GROUP BY 1)
+         |SELECT COALESCE(man.shard_id, re.shard_id) AS shard_id,
+         |  man.n_docs, re.f_docs, man.shard_tokens, re.f_tokens,
+         |  man.docs_ck, re.f_ck,
+         |  (man.n_docs IS NOT NULL AND re.f_docs IS NOT NULL
+         |    AND man.n_docs = re.f_docs
+         |    AND man.shard_tokens = re.f_tokens
+         |    AND man.docs_ck = re.f_ck) AS ok
+         |FROM man FULL OUTER JOIN re ON man.shard_id = re.shard_id""".stripMargin,
     "p3_temperature_mix" ->
       """WITH c AS (
         |  SELECT lang, count(*) AS n_docs,

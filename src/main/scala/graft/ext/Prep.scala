@@ -843,13 +843,48 @@ object Prep {
     * the ppm numerators go through DECIMAL(38,0) (t19/p5 discipline —
     * bin_pos·cum_neg overflows a long at corpus scale).
     */
-  def qualityCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+  def qualityCalibration(spark: SparkSession, sfDir: String): DataFrame =
+    calibrationOn(calibrationInput(spark, sfDir))
+
+  /** c25 — the HEADLINE AUC row c24 never surfaced: Σ u2 / (2·P·N) as
+    * one exact-ppm scalar, with the P/N/Σu2 operands kept visible (an
+    * audit row you can re-derive by hand). This is the number a go/no-go
+    * on the classifier actually reads; the per-bin c24 table is its
+    * diagnostic breakdown. Same inputs, same fold — the aggregate runs
+    * over c24's ≤ 8000-bin output, so its own cost is nil, and the
+    * streaming twin serves the identical row via
+    * [[graft.streaming.CalibrationStream]]'s store view at any prefix.
+    */
+  def calibrationAuc(spark: SparkSession, sfDir: String): DataFrame =
+    calibrationAucOn(calibrationInput(spark, sfDir))
+
+  /** c24/c25's shared scored-and-labeled input: c22 scores (riding the
+    * durable token-hash index) doc-joined to the c21 reference labels.
+    */
+  private[graft] def calibrationInput(spark: SparkSession, sfDir: String): DataFrame = {
     val labels = Tables.documents(spark, sfDir)
       .select(col("doc_id"), gopherPass(col("text")).as("pass"))
-    calibrationOn(qualityClassifier(spark, sfDir)
+    qualityClassifier(spark, sfDir)
       .select(col("doc_id"), col("score_micro"))
-      .join(labels, Seq("doc_id")))
+      .join(labels, Seq("doc_id"))
   }
+
+  /** The c25 scalar over ANY `(score_micro, pass)` relation — the
+    * one-row rollup of [[calibrationOn]]'s bounded bin frame. DECIMAL
+    * internals (2·P·N overflows a long past ~2·10⁹ docs either side);
+    * `greatest(…, 1)` keeps the all-pass / all-fail degenerate corpus
+    * deterministic on both engines instead of dividing by zero.
+    */
+  private[graft] def calibrationAucOn(scored: DataFrame): DataFrame =
+    calibrationOn(scored)
+      .agg(sum(col("n_pos")).as("n_pos"),
+        sum(col("n") - col("n_pos")).as("n_neg"),
+        sum(col("u2")).as("sum_u2"))
+      .select(col("n_pos"), col("n_neg"), col("sum_u2"),
+        expr("""CAST((CAST(sum_u2 AS DECIMAL(38,0)) * 1000000)
+                DIV greatest(2 * CAST(n_pos AS DECIMAL(38,0)) *
+                             CAST(n_neg AS DECIMAL(38,0)), 1)
+                AS BIGINT)""").as("auc_ppm"))
 
   /** The c21 rule conjunction as ONE per-document predicate — the c24
     * reference label, shared by the batch audit and the streaming twin
@@ -973,6 +1008,7 @@ object Prep {
     "c23_topic_mix" -> (topicMix _),
     "c22_quality_classifier" -> (qualityClassifier _),
     "c24_quality_calibration" -> (qualityCalibration _),
+    "c25_calibration_auc" -> (calibrationAuc _),
     "c20_t_closeness" -> (tCloseness _),
     "c19_importance" -> (importanceWeights _),
     "c16_curriculum" -> (curriculumPhases _),
@@ -1140,7 +1176,23 @@ object Prep {
          |FROM g""".stripMargin
     },
     "c22_quality_classifier" -> c22Sql,
-    "c24_quality_calibration" ->
+    "c24_quality_calibration" -> c24Sql,
+    // c25: c24's full derivation re-run as a subquery, rolled to the
+    // one-row scalar — the oracle re-derives P, N, Σu2 AND the ppm
+    // division, so the headline number is pinned end-to-end
+    "c25_calibration_auc" ->
+      s"""SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+         |  CAST(sum(n - n_pos) AS BIGINT) AS n_neg,
+         |  CAST(sum(u2) AS BIGINT) AS sum_u2,
+         |  CAST((CAST(sum(u2) AS HUGEINT) * 1000000)
+         |    // greatest(2 * CAST(sum(n_pos) AS HUGEINT)
+         |               * CAST(sum(n - n_pos) AS HUGEINT), 1)
+         |    AS BIGINT) AS auc_ppm
+         |FROM ($c24Sql)""".stripMargin,
+  ) ++ oracleRest
+
+  /** c24's full derivation, shared with c25's one-row rollup. */
+  private lazy val c24Sql: String =
       s"""WITH s AS (
          |  SELECT doc_id, score_micro FROM ($c22Sql)),
          |lab AS (
@@ -1179,7 +1231,9 @@ object Prep {
          |    // greatest(tot_neg, 1) AS BIGINT) AS cum_fpr_ppm,
          |  CAST(CAST(n_pos AS HUGEINT) * (2 * neg_below + (n - n_pos))
          |    AS BIGINT) AS u2
-         |FROM w""".stripMargin,
+         |FROM w""".stripMargin
+
+  private lazy val oracleRest: Map[String, String] = Map(
     "c20_t_closeness" ->
       s"""WITH base AS (
          |  SELECT lang, source, n_chars // 100 AS cls FROM documents),

@@ -216,6 +216,111 @@ object Similarity {
     topkOut(scored, 3)
   }
 
+  /** s16 widened probe width: own cell + 3 nearest others (nprobe=4). */
+  private[ext] val WidenedOtherCells = 3
+
+  /** s16 — FILTERED-ANN RECALL EVAL with WIDEN-ON-SHORTFALL: s11's
+    * twin for the s15 path. s15's honest contract is that a query whose
+    * nprobe=2 probe set holds no same-tenant vector silently drops —
+    * this operator is the serving layer's answer to that: per query,
+    * recall@3 of the s15 probe against the exact brute-force FILTERED
+    * truth (top-3 among same-tenant vectors corpus-wide), plus a
+    * widened arm that re-probes at nprobe=4 (own + 3 nearest other
+    * cells) exactly when the nprobe=2 candidate set came up short
+    * (`n_cand2 < k`). Non-short queries keep their nprobe=2 probe in
+    * the widened arm, so the widened candidate set is a per-query
+    * SUPERSET of the narrow one and `recallw_ppm ≥ recall2_ppm` holds
+    * row-by-row — the monotonicity `SimilaritySpec` asserts.
+    *
+    * Recall is integer ppm (hits · 10⁶ DIV k) over the FILTERED truth
+    * set — measuring against unfiltered truth would punish the index
+    * for tenants the predicate excludes. Scale shape: the truth arm is
+    * the one |queries|·|corpus| scan (the price of ground truth; the
+    * query set is a sample, as in s11); both probe arms are
+    * cell-join-bounded like s15, the shortfall detector is a
+    * |queries|-row aggregate, and the widen decision re-probes ONLY
+    * the short queries — at production selectivity that is the tail,
+    * not the corpus. Everything downstream of the scans joins
+    * |queries|·k-row frames, driver-dashboard sized.
+    */
+  def filteredRecallEval(spark: SparkSession, sfDir: String): DataFrame =
+    filteredRecallEvalOn(Tables.embeddings(spark, sfDir))
+
+  /** s16 over an arbitrary embeddings-shaped frame `(vec_id, embedding,
+    * label)` — injectable so the spec can craft a corpus where the
+    * nprobe=2 probe provably starves a tenant (forcing the widen branch,
+    * which the real sf0.001 corpus may never exercise) and assert the
+    * widened arm actually recovers the starved neighbors.
+    */
+  private[ext] def filteredRecallEvalOn(embRaw: DataFrame): DataFrame = {
+    import Portable.tokenHash
+    val e = embRaw
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"),
+        col("label"))
+      .withColumn("tenant", tokenHash(col("vec_id").cast("string")) % Tenants)
+    val cents = centroidVectorsOn(embRaw)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("label").as("qlabel"), col("tenant").as("qtenant"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("label"))
+    // rk=0 is the query's own cell; rk=1..3 the nearest other cells in
+    // centroid-cosine order — arm A (the s15 probe) reads rk<=1, the
+    // widened arm rk<=3 for short queries only
+    val ranked = q.crossJoin(broadcast(cents))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("qv"), col("qtenant"), col("label"),
+        cosineSim(col("qv"), col("cv")).as("cs"))
+      .withColumn("rk", row_number().over(wc))
+      .filter(col("rk") <= WidenedOtherCells)
+      .select(col("query_id"), col("qv"), col("qtenant"), col("label"), col("rk"))
+    val cellsAll = q.select(col("query_id"), col("qv"), col("qtenant"),
+        col("qlabel").as("label"), lit(0).as("rk"))
+      .unionByName(ranked)
+    def candidates(cells: DataFrame): DataFrame =
+      e.join(broadcast(cells), Seq("label"))
+        .filter(col("tenant") === col("qtenant") &&
+          col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosineSim(col("v"), col("qv")).as("cos_raw"))
+    def top3(c: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_raw").desc, col("neighbor_id"))
+      c.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+    }
+    val candA = candidates(cellsAll.filter(col("rk") <= 1))
+    val shortfall = q.select("query_id")
+      .join(candA.groupBy("query_id").agg(count(lit(1)).as("n")),
+        Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n"), lit(0L)).as("n_cand2"))
+      .withColumn("widened", col("n_cand2") < 3)
+    val cellsW = cellsAll
+      .join(broadcast(shortfall.select("query_id", "widened")), Seq("query_id"))
+      .filter(col("rk") <= when(col("widened"), WidenedOtherCells).otherwise(1))
+      .select("query_id", "qv", "qtenant", "label")
+    val truth = e.crossJoin(broadcast(q))
+      .filter(col("tenant") === col("qtenant") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineSim(col("v"), col("qv")).as("cos_raw"))
+    top3(truth)
+      .join(top3(candA).withColumn("in2", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .join(top3(candidates(cellsW)).withColumn("inw", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("in2"), lit(0L))).as("hits_nprobe2"),
+        sum(coalesce(col("inw"), lit(0L))).as("hits_widened"))
+      .join(shortfall, Seq("query_id"))
+      .select(col("query_id"), col("k"), col("n_cand2"), col("widened"),
+        col("hits_nprobe2"), col("hits_widened"),
+        expr("hits_nprobe2 * 1000000 DIV k").as("recall2_ppm"),
+        expr("hits_widened * 1000000 DIV k").as("recallw_ppm"))
+  }
+
   /** s6 — scalar-quantized retrieve + exact rerank: the two-stage shape
     * every production ANN serves. Stage 1 scores ALL vectors against the
     * query with an INTEGER dot product over per-dim quantized codes
@@ -809,6 +914,7 @@ object Similarity {
     "s4_ivf_centroids" -> (ivfCentroids _),
     "s5_ivf_nprobe" -> (ivfNprobeTopk _),
     "s15_filtered_topk" -> (filteredTopk _),
+    "s16_filtered_recall" -> (filteredRecallEval _),
     "s6_sq_rerank" -> (sqRerankTopk _),
     "s7_pq_rerank" -> (pqRerankTopk _),
     "s8_knn_join" -> (knnJoin _),
@@ -1078,6 +1184,102 @@ object Similarity {
          |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cells.qv, cells.qv)))) AS cos_raw
          |FROM cells JOIN ev e
          |  ON e.label = cells.label AND e.vec_id <> cells.query_id""".stripMargin, 3),
+    // s16: the s15 CTEs (ev-with-tenant / cents / q / ranked probe
+    // cells) re-derived end-to-end — both arms, the shortfall
+    // detector, the widened probe set, and the filtered brute truth
+    // are all restated in SQL, so the oracle pins the widen DECISION
+    // as well as the recall arithmetic
+    "s16_filtered_recall" ->
+      s"""WITH ev AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |    ${Portable.tokenHashSql("CAST(vec_id AS VARCHAR)")} % $Tenants
+         |      AS tenant
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT label, list(centroid ORDER BY dim) AS cv FROM (
+         |    SELECT label, CAST(t.i AS INTEGER) AS dim,
+         |      CAST(sum(CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)
+         |        / 10000000.0 / count(*) AS centroid
+         |    FROM embeddings, range(64) t(i)
+         |    GROUP BY label, t.i)
+         |  GROUP BY label),
+         |q AS (
+         |  SELECT vec_id AS query_id, v AS qv, label AS qlabel, tenant AS qtenant
+         |  FROM ev WHERE vec_id < $nQueries),
+         |ranked AS (
+         |  SELECT query_id, qv, qtenant, label, rk FROM (
+         |    SELECT q.query_id, q.qv, q.qtenant, c.label,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        (list_dot_product(q.qv, c.cv) /
+         |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+         |        c.label) AS rk
+         |    FROM q JOIN cents c ON c.label <> q.qlabel)
+         |  WHERE rk <= $WidenedOtherCells),
+         |cells_all AS (
+         |  SELECT query_id, qv, qtenant, qlabel AS label, 0 AS rk FROM q
+         |  UNION ALL
+         |  SELECT query_id, qv, qtenant, label, rk FROM ranked),
+         |cand_a AS (
+         |  SELECT ca.query_id, e.vec_id AS neighbor_id,
+         |    (list_dot_product(e.v, ca.qv) /
+         |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(ca.qv, ca.qv)))) AS cos_raw
+         |  FROM cells_all ca JOIN ev e
+         |    ON e.label = ca.label AND e.tenant = ca.qtenant
+         |      AND e.vec_id <> ca.query_id
+         |  WHERE ca.rk <= 1),
+         |shortfall AS (
+         |  SELECT q.query_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cand2,
+         |    COALESCE(c.n, 0) < 3 AS widened
+         |  FROM q LEFT JOIN (
+         |    SELECT query_id, count(*) AS n FROM cand_a GROUP BY query_id) c
+         |    ON c.query_id = q.query_id),
+         |cells_w AS (
+         |  SELECT ca.query_id, ca.qv, ca.qtenant, ca.label
+         |  FROM cells_all ca JOIN shortfall s ON s.query_id = ca.query_id
+         |  WHERE ca.rk <= CASE WHEN s.widened THEN $WidenedOtherCells ELSE 1 END),
+         |cand_w AS (
+         |  SELECT cw.query_id, e.vec_id AS neighbor_id,
+         |    (list_dot_product(e.v, cw.qv) /
+         |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cw.qv, cw.qv)))) AS cos_raw
+         |  FROM cells_w cw JOIN ev e
+         |    ON e.label = cw.label AND e.tenant = cw.qtenant
+         |      AND e.vec_id <> cw.query_id),
+         |top_a AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_raw DESC, neighbor_id) AS rank
+         |    FROM cand_a) WHERE rank <= 3),
+         |top_w AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_raw DESC, neighbor_id) AS rank
+         |    FROM cand_w) WHERE rank <= 3),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        (list_dot_product(e.v, q.qv) /
+         |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))) DESC,
+         |        e.vec_id) AS rank
+         |    FROM ev e JOIN q
+         |      ON e.tenant = q.qtenant AND e.vec_id <> q.query_id)
+         |  WHERE rank <= 3),
+         |perq AS (
+         |  SELECT t.query_id, CAST(count(*) AS BIGINT) AS k,
+         |    CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_nprobe2,
+         |    CAST(sum(CASE WHEN w.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_widened
+         |  FROM truth t
+         |  LEFT JOIN top_a a ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |  LEFT JOIN top_w w ON w.query_id = t.query_id AND w.neighbor_id = t.neighbor_id
+         |  GROUP BY t.query_id)
+         |SELECT p.query_id, p.k, s.n_cand2, s.widened,
+         |  p.hits_nprobe2, p.hits_widened,
+         |  CAST((p.hits_nprobe2 * 1000000) // p.k AS BIGINT) AS recall2_ppm,
+         |  CAST((p.hits_widened * 1000000) // p.k AS BIGINT) AS recallw_ppm
+         |FROM perq p JOIN shortfall s ON s.query_id = p.query_id""".stripMargin,
     "s15_filtered_topk" -> topkSql(
       s"""WITH ev AS (
          |  SELECT vec_id, label,

@@ -149,43 +149,55 @@ object Validate {
     * as the b1 runtime-filter path, which composes with this check when
     * the parent side is selective.
     */
+  /** The declared FK edges, numbered. The per-row tag that rides the
+    * 3×|lineitem| exchange is the small int `__e`, never the ~30-byte
+    * edge-name string (the r11 form shipped the string through the
+    * shuffle and the in-run time tripled); the name is re-attached
+    * AFTER the edge-grain rollup, a 5-row projection.
+    */
+  private val FkEdges: Seq[(Int, String)] = Seq(
+    1 -> "lineitem.l_orderkey->orders",
+    2 -> "lineitem.l_partkey->part",
+    3 -> "lineitem.l_suppkey->supplier",
+    4 -> "orders.o_custkey->customer",
+    5 -> "customer.c_nationkey->nation")
+
   def referentialIntegrity(spark: SparkSession, sfDir: String): DataFrame = {
-    def tag(name: String, k: Column): Column =
-      struct(lit(name).as("fk_edge"), k.cast("long").as("__k"))
+    def tag(e: Int, k: Column): Column =
+      struct(lit(e).as("__e"), k.cast("long").as("__k"))
     val childs = Tables.lineitem(spark, sfDir)
       .select(explode(array(
-        tag("lineitem.l_orderkey->orders", col("l_orderkey")),
-        tag("lineitem.l_partkey->part", col("l_partkey")),
-        tag("lineitem.l_suppkey->supplier", col("l_suppkey")))).as("e"))
-      .select(col("e.fk_edge").as("fk_edge"), col("e.__k").as("__k"))
+        tag(1, col("l_orderkey")),
+        tag(2, col("l_partkey")),
+        tag(3, col("l_suppkey")))).as("e"))
+      .select(col("e.__e").as("__e"), col("e.__k").as("__k"))
       .unionByName(Tables.orders(spark, sfDir)
-        .select(lit("orders.o_custkey->customer").as("fk_edge"),
-          col("o_custkey").cast("long").as("__k")))
+        .select(lit(4).as("__e"), col("o_custkey").cast("long").as("__k")))
       .unionByName(Tables.customer(spark, sfDir)
-        .select(lit("customer.c_nationkey->nation").as("fk_edge"),
-          col("c_nationkey").cast("long").as("__k")))
+        .select(lit(5).as("__e"), col("c_nationkey").cast("long").as("__k")))
     val parents = Tables.orders(spark, sfDir)
-      .select(lit("lineitem.l_orderkey->orders").as("fk_edge"),
-        col("o_orderkey").cast("long").as("__pk"))
+      .select(lit(1).as("__e"), col("o_orderkey").cast("long").as("__pk"))
       .unionByName(Tables.part(spark, sfDir)
-        .select(lit("lineitem.l_partkey->part").as("fk_edge"),
-          col("p_partkey").cast("long").as("__pk")))
+        .select(lit(2).as("__e"), col("p_partkey").cast("long").as("__pk")))
       .unionByName(Tables.supplier(spark, sfDir)
-        .select(lit("lineitem.l_suppkey->supplier").as("fk_edge"),
-          col("s_suppkey").cast("long").as("__pk")))
+        .select(lit(3).as("__e"), col("s_suppkey").cast("long").as("__pk")))
       .unionByName(Tables.customer(spark, sfDir)
-        .select(lit("orders.o_custkey->customer").as("fk_edge"),
-          col("c_custkey").cast("long").as("__pk")))
+        .select(lit(4).as("__e"), col("c_custkey").cast("long").as("__pk")))
       .unionByName(Tables.nation(spark, sfDir)
-        .select(lit("customer.c_nationkey->nation").as("fk_edge"),
-          col("n_nationkey").cast("long").as("__pk")))
+        .select(lit(5).as("__e"), col("n_nationkey").cast("long").as("__pk")))
       .distinct()
-    childs
-      .join(parents, childs("fk_edge") === parents("fk_edge") &&
+    val byEdge = childs
+      .join(parents, childs("__e") === parents("__e") &&
         col("__k") === col("__pk"), "left")
-      .groupBy(childs("fk_edge"))
+      .groupBy(childs("__e"))
       .agg(count(lit(1)).as("n_child"),
         sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+    // name re-attachment is a pure 5-way CASE projection over the
+    // 5-row rollup — no join, nothing new on the wire
+    val name = FkEdges.foldLeft(lit(null).cast("string")) {
+      case (acc, (e, n)) => when(col("__e") === e, n).otherwise(acc)
+    }
+    byEdge.select(name.as("fk_edge"), col("n_child"), col("n_orphans"))
   }
 
   /** v3 — UNIQUENESS PROFILE: for each declared candidate key, the row

@@ -62,6 +62,12 @@ object CalibrationStream {
       */
     def calibrationView(): DataFrame =
       graft.ext.Prep.calibrationOn(scoredView())
+
+    /** c25's headline AUC over the live corpus — the same one-row
+      * Σu2/(2·P·N) scalar the batch key serves, at every prefix.
+      */
+    def aucView(): DataFrame =
+      graft.ext.Prep.calibrationAucOn(scoredView())
   }
 
   /** Schema for the not-yet-committed store's empty serving path (the
@@ -77,9 +83,21 @@ object CalibrationStream {
     * through the merge. Public so tests can drive replay directly.
     */
   def applyBatch(batch: DataFrame, batchId: Long, s: Stores): Unit = {
+    // In-batch last-write-wins. Ties on seq are broken by an EXPLICIT
+    // op priority (delete > update > insert — a tombstone racing an
+    // upsert at the same offset must not silently lose), never by the
+    // lexicographic order of the op/source/text strings, which would
+    // make the winner an accident of spelling. A null-text upsert is
+    // coalesced to "" before scoring so the stored row carries a real
+    // (score_micro, pass) instead of nulls that calibrationOn would
+    // bin under a null bin the batch c24 can never produce.
+    val opPrio = when(col("op") === "d", 2)
+      .when(col("op") === "u", 1).otherwise(0)
     val latest = batch
+      .withColumn("text", coalesce(col("text"), lit("")))
       .groupBy("doc_id")
-      .agg(max(struct(col("seq"), col("op"), col("source"), col("text"))).as("l"))
+      .agg(max(struct(col("seq"), opPrio.as("prio"), col("op"),
+        col("source"), col("text"))).as("l"))
       .select(col("doc_id"), col("l.seq").as("seq"), col("l.op").as("op"),
         col("l.source").as("source"), col("l.text").as("text"))
     val upserts = latest.filter(col("op") =!= "d")

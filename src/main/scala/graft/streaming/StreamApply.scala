@@ -222,6 +222,85 @@ object StreamApply {
     }
   }
 
+  /** FLEET maintenance: find every manifest-pointer store under `root`
+    * (any directory holding a `CURRENT` file — the one invariant every
+    * versioned store in this repo shares) and OPTIMIZE it through the
+    * store's own commit protocol, with no knowledge of which stream
+    * owns it or what schema it holds. Multi-table stores (IVM's
+    * `state/` + `agg/` living inside one version directory) are
+    * detected from the version layout and each leaf is rewritten into
+    * the SAME new version, so the tables can never diverge across the
+    * one pointer swing. A store whose live version is already at the
+    * target file count is SKIPPED — the job is idempotent and a second
+    * run reports nothing, which the spec asserts.
+    *
+    * This is the unified entry the fleet previously lacked: every
+    * `Stores` wrapper (postings, labels, ann, calib, chunk owners, …)
+    * bottoms out in manifest-pointer directories, so "compact the
+    * fleet" is a directory walk, not a per-stream enumeration that
+    * goes stale the next time a stream is added. Returns
+    * (storeDir, filesBefore, filesAfter) for each store actually
+    * rewritten. WRITER operation — same single-writer contract as
+    * merge/compact; run from the maintenance path only.
+    */
+  def compactStores(spark: SparkSession, root: String,
+      numFiles: Int = 1): Seq[(String, Long, Long)] = {
+    val r = Paths.get(root)
+    if (!Files.isDirectory(r)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val storeDirs = {
+      val s = Files.walk(r)
+      try s.iterator().asScala.toList
+        .filter(p => Files.isDirectory(p) &&
+          Files.isRegularFile(p.resolve("CURRENT")))
+      finally s.close()
+    }
+    def parquetParts(p: java.nio.file.Path): Long = {
+      val s = Files.list(p)
+      try s.iterator().asScala.count(f =>
+        f.getFileName.toString.startsWith("part-")).toLong
+      finally s.close()
+    }
+    storeDirs.sortBy(_.toString).flatMap { sd =>
+      val man = new ManifestDir(sd.toString)
+      man.currentVersion().flatMap { v =>
+        val verPath = Paths.get(man.versionPath(v))
+        if (!Files.isDirectory(verPath)) None
+        else {
+          val subs = {
+            val s = Files.list(verPath)
+            try s.iterator().asScala.toList.filter(p =>
+              Files.isDirectory(p) && !p.getFileName.toString.startsWith("_"))
+            finally s.close()
+          }
+          val leaves =
+            if (subs.nonEmpty) subs.map(_.getFileName.toString)
+            else Seq("")
+          def leafPath(base: String, leaf: String): String =
+            if (leaf.isEmpty) base else s"$base/$leaf"
+          val before = leaves
+            .map(l => parquetParts(Paths.get(leafPath(man.versionPath(v), l))))
+            .sum
+          if (before <= numFiles.toLong * leaves.size) None
+          else {
+            val ver = man.nextCompactName()
+            leaves.foreach { l =>
+              spark.read.parquet(leafPath(man.versionPath(v), l))
+                .coalesce(numFiles).write.mode("overwrite")
+                .parquet(leafPath(man.versionPath(ver), l))
+            }
+            man.commitPointer(ver)
+            man.clean()
+            val after = leaves
+              .map(l => parquetParts(Paths.get(leafPath(man.versionPath(ver), l))))
+              .sum
+            Some((sd.toString, before, after))
+          }
+        }
+      }
+    }
+  }
+
   /** foreachBatch upsert writer over a normalized CDC event stream. */
   def upsertWriter(events: DataFrame, store: ParquetUpsertStore,
       checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =

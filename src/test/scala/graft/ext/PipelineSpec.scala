@@ -116,4 +116,77 @@ class PipelineSpec extends SparkSpec {
     // conservation still exact through the gap
     assert(got.values.map(_._2).sum == ordered.map(_._3).sum)
   }
+
+  test("p6 epochs: different permutation, identical totals, reproducible") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    def assignments(epoch: Long): Map[Long, Long] =
+      Pipeline.shardDocsOf(docs, epoch).collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val e1 = assignments(1L)
+    val e2 = assignments(2L)
+    assert(e1.keySet == e2.keySet, "epochs must cover the same corpus")
+    // a different epoch is a genuinely different permutation
+    assert(e1 != e2, "epoch 2 produced the identical shard assignment")
+    // but the corpus-level invariants are identical
+    def totals(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(sum("n_docs"), sum("shard_tokens")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(totals(Pipeline.shardPlan(spark, sf)) ==
+      totals(Pipeline.shardPlanEpoch2(spark, sf)),
+      "token/doc totals must be epoch-invariant")
+    // and each epoch is REPRODUCIBLE — the loader can re-derive it
+    assert(assignments(2L) == e2, "epoch 2 not deterministic")
+  }
+
+  test("p7 shard verify: untampered passes; each tamper lights the right shards") {
+    import spark.implicits._
+    // a corpus big enough for several shards
+    val docsRows = (1L to 40L).map(id =>
+      (id, (1 to 600).map(i => s"w$id-$i").mkString(" ")))
+    val docs = docsRows.toDF("doc_id", "text")
+    val manifest = Pipeline.shardPlanOf(docs)
+    val fetched = Pipeline.shardDocsOf(docs, 1L)
+    def verdicts(f: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      Pipeline.shardVerifyOf(manifest, f).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+    val clean = verdicts(fetched)
+    assert(clean.size >= 3, s"need several shards, got ${clean.size}")
+    assert(clean.values.forall(identity), s"untampered must verify: $clean")
+    val byDoc = fetched.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // dropped doc: exactly its shard fails
+    val victim = byDoc.head
+    val dropped = verdicts(fetched.filter(col("doc_id") =!= victim._1))
+    assert(!dropped(victim._4), "dropped doc undetected")
+    assert(dropped.filter(_._1 != victim._4).values.forall(identity),
+      "drop detection must be local to the tampered shard")
+    // altered text (token count changed): its shard fails
+    val altered = verdicts(fetched.withColumn("n_tok",
+      when(col("doc_id") === victim._1, col("n_tok") + 1L)
+        .otherwise(col("n_tok"))))
+    assert(!altered(victim._4), "altered token count undetected")
+    // cross-shard swap: both shards fail, everything else passes
+    val (sA, sB) = {
+      val ss = byDoc.map(_._4).distinct.sorted; (ss(0), ss(1))
+    }
+    val docA = byDoc.find(_._4 == sA).get._1
+    val docB = byDoc.find(_._4 == sB).get._1
+    val swapped = verdicts(fetched.withColumn("shard_id",
+      when(col("doc_id") === docA, sB)
+        .when(col("doc_id") === docB, sA)
+        .otherwise(col("shard_id"))))
+    assert(!swapped(sA) && !swapped(sB), "cross-shard swap undetected")
+    assert(swapped.filter(k => k._1 != sA && k._1 != sB).values.forall(identity))
+    // phantom shard the manifest never issued: appears as a failing row
+    val phantomId = byDoc.map(_._4).max + 5L
+    val phantom = verdicts(fetched.unionByName(
+      Seq((999L, 10L, 12345L, phantomId)).toDF("doc_id", "n_tok", "h", "shard_id")))
+    assert(phantom.contains(phantomId) && !phantom(phantomId),
+      "phantom shard must surface as a failing row")
+    // missing shard (fetch lost it entirely): its manifest row fails
+    val missing = verdicts(fetched.filter(col("shard_id") =!= sA))
+    assert(!missing(sA), "missing shard undetected")
+  }
 }

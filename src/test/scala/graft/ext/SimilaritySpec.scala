@@ -133,6 +133,79 @@ class SimilaritySpec extends SparkSpec {
     assert(changed, "filtered result identical to unfiltered for every query")
   }
 
+  test("s16 filtered recall: arms recomputed, monotone, widen flag honest") {
+    import graft.ext.Portable.tokenHashOf
+    def tenantOf(id: Long): Long = tokenHashOf(id.toString) % Similarity.Tenants
+    // filtered brute truth, recomputed driver-side
+    val all = vecs.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = all.filter(_._1 < 8)
+    val truth = queries.map { case (qid, qv) =>
+      qid -> all.filter(e => e._1 != qid && tenantOf(e._1) == tenantOf(qid))
+        .map(e => (e._1, cos(e._2, qv)))
+        .sortBy(x => (-x._2, x._1)).take(3).map(_._1).toSet
+    }.toMap
+    // arm A's top-3 IS s15's output — recompute hits from it
+    val s15 = Similarity.filteredTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val eval = Similarity.filteredRecallEval(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(eval.nonEmpty, "s16 returned nothing — vacuous")
+    assert(eval.keySet == truth.filter(_._2.nonEmpty).keySet,
+      "queries with filtered truth must all be evaluated")
+    for ((q, r) <- eval) {
+      val k = r.getLong(1)
+      assert(k == truth(q).size, s"query $q: k=$k != |truth|")
+      val h2 = truth(q).count(s15.getOrElse(q, Set.empty))
+      assert(r.getLong(4) == h2, s"query $q: hits_nprobe2 ${r.getLong(4)} != $h2")
+      assert(r.getLong(6) == h2 * 1000000L / k, s"query $q: recall2 ppm")
+      assert(r.getLong(7) == r.getLong(5) * 1000000L / k, s"query $q: recallw ppm")
+      // widening never loses: the widened candidate set is a superset
+      assert(r.getLong(7) >= r.getLong(6), s"query $q: recall not monotone")
+      // flag honesty: widened exactly when the narrow probe came short
+      assert(r.getBoolean(3) == (r.getLong(2) < 3), s"query $q: widen flag")
+    }
+  }
+
+  test("s16 widen-on-shortfall recovers a tenant the narrow probe starves") {
+    import graft.ext.Portable.tokenHashOf
+    import spark.implicits._
+    def tenantOf(id: Long): Long = tokenHashOf(id.toString) % Similarity.Tenants
+    // craft a corpus: the query sits in cell 0, the nprobe=2 probe set
+    // is {cell 0, cell 1} (centroid-cosine ties break to the lowest
+    // label), and the query's tenant exists ONLY in cell 2 — so the
+    // narrow arm returns nothing and the widened arm must recover it.
+    val qid = 0L
+    val t = tenantOf(qid)
+    // id pools by tenant, computed from the real hash. Query ids that
+    // SHARE qid's tenant are left out of the corpus entirely — they'd
+    // sit in cell 0 and quietly feed the narrow arm, unstarving it.
+    val others = (100L until 400L)
+    val sameTenant = others.filter(tenantOf(_) == t).take(4)
+    val otherTenant = others.filter(tenantOf(_) != t)
+    def v(axis: Int): Seq[Double] = Seq.tabulate(4)(i => if (i == axis) 1.0 else 0.0)
+    val rows =
+      (0L until 8L).filter(id => id == qid || tenantOf(id) != t)
+        .map(id => (id, v(0), 0)) ++ // queries, all in cell 0
+        otherTenant.take(6).map(id => (id, v(1), 1)) ++ // cell 1 filler
+        sameTenant.map(id => (id, v(2), 2)) ++ // the starved tenant, cell 2
+        otherTenant.slice(6, 12).map(id => (id, v(3), 3)) // cell 3 filler
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val eval = Similarity.filteredRecallEvalOn(emb).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r = eval(qid)
+    assert(r.getBoolean(3), s"query $qid must widen: $r")
+    assert(r.getLong(4) == 0L, s"narrow arm must starve: $r")
+    assert(r.getLong(5) > 0L, s"widened arm must recover: $r")
+    assert(r.getLong(7) > r.getLong(6), s"recall must improve: $r")
+  }
+
   test("s11 recall eval matches independently recomputed hit sets; monotone") {
     def byQuery(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().map(r => r.getLong(0) -> r.getLong(1))

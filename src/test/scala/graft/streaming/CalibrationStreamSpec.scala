@@ -120,6 +120,50 @@ class CalibrationStreamSpec extends SparkSpec {
       "updates never changed the histogram — retraction untested")
   }
 
+  /** Driver-side c25 fold over [[expected]]'s bins. */
+  private def expectedAuc(evs: Seq[(Long, Long, String, String, String)])
+      : (Long, Long, Long, Long) = {
+    val bins = expected(evs)
+    val p = bins.values.map(_._2).sum
+    val n = bins.values.map(x => x._1 - x._2).sum
+    val u2 = bins.values.map(_._5).sum
+    (p, n, u2, u2 * 1000000L / math.max(2L * p * n, 1L))
+  }
+
+  test("c25 AUC serves at every prefix of the stream") {
+    for (cut <- Seq(Seq(b1), Seq(b1, b2), Seq(b1, b2, b3))) {
+      val s = run(cut)
+      val r = s.aucView().collect()
+      assert(r.length == 1)
+      val gotAuc = (r.head.getLong(0), r.head.getLong(1),
+        r.head.getLong(2), r.head.getLong(3))
+      assert(gotAuc == expectedAuc(cut.flatten),
+        s"AUC diverged at prefix ${cut.size}: $gotAuc")
+    }
+  }
+
+  test("seq ties resolve by op priority (delete wins); null text coalesces") {
+    val tied = Seq(
+      (1L, 30L, "s0", prose(1), "i"),
+      (5L, 30L, "s0", prose(2), "u"),
+      (5L, 30L, "s0", "", "d"), // same seq as the update: tombstone wins
+      (2L, 31L, "s1", null, "i"), // null-text upsert
+      (3L, 32L, "s1", prose(3), "i"))
+    val s = run(Seq(tied))
+    val live = s.scoredView().select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(live == Set(31L, 32L), s"seq-tie delete lost: live=$live")
+    // the null-text doc stores a real (score, pass) — never nulls that
+    // calibrationOn would bin under a null bin the batch can't produce
+    assert(s.scoredView()
+      .filter(col("score_micro").isNull || col("pass").isNull)
+      .count() == 0L)
+    // and the whole state is structurally identical to the empty-text twin
+    val twin = run(Seq(tied.map { case (q, d, src, t, o) =>
+      (q, d, src, if (t == null) "" else t, o) }))
+    assert(got(s) == got(twin))
+  }
+
   test("in-batch races and replays are absorbed") {
     val racy = Seq(
       (1L, 20L, "s0", "stale text", "i"),
@@ -142,5 +186,11 @@ class CalibrationStreamSpec extends SparkSpec {
         r.getLong(4), r.getLong(5)))).toMap
     assert(got(s) == batch, "stream-built calibration != batch c24")
     assert(batch.nonEmpty)
+    // and the served headline scalar equals the batch c25 key exactly
+    val batchAuc = Prep.calibrationAuc(spark, sf).collect().head
+    val streamAuc = s.aucView().collect().head
+    assert(Seq(0, 1, 2, 3).forall(i =>
+      batchAuc.getLong(i) == streamAuc.getLong(i)),
+      s"stream AUC $streamAuc != batch $batchAuc")
   }
 }
