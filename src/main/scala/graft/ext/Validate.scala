@@ -186,12 +186,23 @@ object Validate {
       .unionByName(Tables.nation(spark, sfDir)
         .select(lit(5).as("__e"), col("n_nationkey").cast("long").as("__pk")))
       .distinct()
-    val byEdge = childs
-      .join(parents, childs("__e") === parents("__e") &&
+    // (edge, key)-grain pre-aggregation BEFORE the join — the r12 sweep
+    // caught the raw form regressing to exp 1.09 / 72 s at sf10-synth:
+    // past the broadcast threshold the ~18.6M-row parent union stops
+    // broadcasting and the join shuffled all 3×|lineitem| exploded rows.
+    // FK columns are heavily duplicated (l_orderkey ~4×/key and
+    // clustered), so the groupBy's map-side combine shrinks the shuffle
+    // to distinct-key volume, and the join then reads two frames hash-
+    // partitioned on the SAME (edge, key) — the distinct's exchange is
+    // reused, no further shuffle on either side at any scale.
+    val childAgg = childs.groupBy("__e", "__k")
+      .agg(count(lit(1)).as("cnt"))
+    val byEdge = childAgg
+      .join(parents, childAgg("__e") === parents("__e") &&
         col("__k") === col("__pk"), "left")
-      .groupBy(childs("__e"))
-      .agg(count(lit(1)).as("n_child"),
-        sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .groupBy(childAgg("__e"))
+      .agg(sum("cnt").as("n_child"),
+        sum(when(col("__pk").isNull, col("cnt")).otherwise(0L)).as("n_orphans"))
     // name re-attachment is a pure 5-way CASE projection over the
     // 5-row rollup — no join, nothing new on the wire
     val name = FkEdges.foldLeft(lit(null).cast("string")) {
