@@ -39,6 +39,14 @@ class ValidateSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in v2:\n$p")
     // the 25-row nation parent must come in as a broadcast, not a shuffle
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in v2:\n$p")
+    // the r12 scale shape: child keys PRE-AGGREGATE to (edge, key) grain
+    // before the join — at 100x the parent union stops broadcasting, and
+    // without the pre-agg the join shuffles 3x|lineitem| exploded rows
+    // (exp 1.09 / 72 s at sf10-synth, caught by the round-12 sweep).
+    // The pre-agg is visible as a hash partitioning on the (__e, __k)
+    // pair BELOW the join, at any SF.
+    assert(p.contains("hashpartitioning(__e") && p.contains("__k"),
+      s"v2 lost the (edge, key) pre-aggregation:\n$p")
   }
 
   test("v3 uniqueness profile separates keys from non-keys") {
