@@ -408,6 +408,84 @@ object Dedup {
       col("ta"), col("tb"), 0.9, (9, 10))
   }
 
+  /** d25 probe sample: the [[LshProbeCount]] documents with the
+    * SMALLEST portable doc-id hash are the recall probes — a
+    * deterministic, uniform, FIXED-COUNT sample, which is the property
+    * that keeps the ground-truth arm linear in the corpus. The first
+    * cut sampled a fixed FRACTION (1-in-20), which makes the
+    * probes×corpus truth arm quadratic — caught by this round's own
+    * decade sweep (exp 1.55, 6.2→216 s sf1→sf10) before it shipped.
+    * Same discipline as s11/s16's fixed `nQueries`.
+    */
+  private[ext] val LshProbeCount = 64
+
+  /** d25 — LSH INDEX RECALL EVAL: s11's eval loop for the DEDUP index.
+    * d3's banding (2 bands × 8 rows) is an approximation — a pair at
+    * exactly the 0.9 threshold collides in a band with probability
+    * ~0.9⁸ per band, so the index structurally misses a tail of true
+    * near-dups — and no dedup pipeline should ship a banded index
+    * without measuring what it misses. Per probe document (the
+    * [[LshProbeCount]] lowest-hash docs — a fixed-COUNT deterministic
+    * sample): the EXACT near-dup partner set (brute token-Jaccard
+    * ≥ 0.9 against the whole corpus — the price of ground truth,
+    * bounded by the sample exactly as s11's brute arm is bounded by
+    * the fixed query set; widen the count off the hot path if tighter
+    * confidence is needed) vs the partners the d3 index actually
+    * produced. Recall in integer ppm. Precision is structurally 10⁶ —
+    * d3 exact-confirms every banded candidate — so recall is the only
+    * number banding can lose.
+    *
+    * Scale shape: the truth arm reads the persisted sketch index (no
+    * re-tokenization), prefilters pairs with the same integer
+    * necessary condition as [[jaccardPairs]], and intersects sorted
+    * hash arrays via the codegen'd merge walk; the probe side is a
+    * fixed-fraction sample, so the arm is (corpus × sample) — linear
+    * in the corpus at fixed sample rate. The index arm is a read of
+    * the persisted d3 pair table.
+    */
+  def lshRecallEval(spark: SparkSession, sfDir: String): DataFrame =
+    lshRecallEvalOn(sketchFrame(spark, sfDir), minhashLsh(spark, sfDir))
+
+  /** d25 over arbitrary sketch `(doc_id, …, toks)` and pair
+    * `(doc_a, doc_b, …)` frames — injectable so the spec can craft a
+    * corpus with a KNOWN banding miss and assert the eval reports it.
+    */
+  private[ext] def lshRecallEvalOn(sk: DataFrame, lshPairs: DataFrame): DataFrame = {
+    import graft.functions.SortedIntersectCount.sortedIntersectCount
+    // orderBy+limit plans as TakeOrderedAndProject — a fixed 64-row
+    // top-k over the hash projection, never a global sort materialized
+    val probes = sk
+      .select(col("doc_id"), col("toks"),
+        tokenHash(col("doc_id").cast("string")).as("__ph"))
+      .orderBy(col("__ph"), col("doc_id"))
+      .limit(LshProbeCount)
+      .select(col("doc_id").as("probe_id"), col("toks").as("ptoks"))
+    // integer necessary condition for jac >= 9/10 (see jaccardPairs),
+    // folded into the scan so most of the corpus never intersects
+    val pre = sk.crossJoin(broadcast(probes))
+      .filter(col("doc_id") =!= col("probe_id") &&
+        least(size(col("toks")), size(col("ptoks"))) * 19 >=
+          (size(col("toks")) + size(col("ptoks"))) * 9)
+      .select(col("probe_id"), col("doc_id").as("partner"),
+        sortedIntersectCount(col("toks"), col("ptoks")).as("inter"),
+        (size(col("toks")) + size(col("ptoks"))).cast("long").as("stot"))
+    val truth = Portable.barrierFilter(pre,
+        col("inter").cast("double") /
+          (col("stot") - col("inter")).cast("double") >= 0.9)
+      .select("probe_id", "partner")
+    val found = lshPairs.select(col("doc_a").as("probe_id"),
+        col("doc_b").as("partner"))
+      .unionByName(lshPairs.select(col("doc_b").as("probe_id"),
+        col("doc_a").as("partner")))
+      .withColumn("hit", lit(1L))
+    truth.join(found, Seq("probe_id", "partner"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .select(col("probe_id"), col("n_truth"), col("n_found"),
+        expr("n_found * 1000000 DIV n_truth").as("recall_ppm"))
+  }
+
   /** d8 — sketch-ONLY near-dup estimate: same banding candidates as d3,
     * but similarity comes from the MinHash signatures themselves —
     * est = |{i : sigA_i = sigB_i}| / 16, the unbiased MinHash estimator
@@ -1560,6 +1638,7 @@ object Dedup {
     "d1_exact_dedup" -> (exactDedup _),
     "d2_ngram_jaccard" -> (ngramJaccard _),
     "d3_minhash_lsh" -> (minhashLsh _),
+    "d25_lsh_recall" -> (lshRecallEval _),
     "d4_simhash" -> (simhashSketch _),
     "d5_simhash_neardup" -> (simhashNearDup _),
     "d6_embed_neardup" -> (embedNearDup _),
@@ -1761,6 +1840,36 @@ object Dedup {
          |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE ${jaccardSql("a.sh", "b.sh")} >= 0.5""".stripMargin,
     "d3_minhash_lsh" -> d3Sql,
+    // d25: the exact-Jaccard truth arm re-derived from the same token
+    // sets, the index arm from the full d3 SQL — the oracle pins both
+    // the miss set and the ppm arithmetic
+    "d25_lsh_recall" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(${tokenSetSql("text")}, t -> ${tokenHashSql("t")})) AS toks
+         |  FROM documents),
+         |probes AS (
+         |  SELECT doc_id AS probe_id, toks AS ptoks FROM d
+         |  ORDER BY ${tokenHashSql("CAST(doc_id AS VARCHAR)")}, doc_id
+         |  LIMIT $LshProbeCount),
+         |truth AS (
+         |  SELECT p.probe_id, x.doc_id AS partner
+         |  FROM d x JOIN probes p ON x.doc_id <> p.probe_id
+         |  WHERE ${jaccardSql("x.toks", "p.ptoks")} >= 0.9),
+         |lsh AS (SELECT doc_a, doc_b FROM ($d3Sql)),
+         |found AS (
+         |  SELECT doc_a AS probe_id, doc_b AS partner FROM lsh
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM lsh)
+         |SELECT t.probe_id,
+         |  CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(sum(CASE WHEN f.partner IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_found,
+         |  CAST((sum(CASE WHEN f.partner IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*) AS BIGINT) AS recall_ppm
+         |FROM truth t
+         |LEFT JOIN found f ON f.probe_id = t.probe_id AND f.partner = t.partner
+         |GROUP BY t.probe_id""".stripMargin,
     "d8_minhash_estimate" ->
       s"""WITH d AS (
          |  SELECT doc_id,

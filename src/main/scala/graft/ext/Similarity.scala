@@ -844,10 +844,34 @@ object Similarity {
     * nprobe dial and the adaptive cell split (s8) govern 100 TB recall
     * and cost; the join shape is unchanged.
     */
-  def ivfPqTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    val enc = vecs(spark, sfDir)
+  def ivfPqTopk(spark: SparkSession, sfDir: String): DataFrame =
+    ivfPqTopkImpl(spark, sfDir, filtered = false)
+
+  /** s17 — FILTERED IVF-PQ: the s13 fused read path with s15's tenant
+    * predicate — the production serving shape in full (quantized coarse
+    * scoring AND a metadata constraint, composed). The tenant filter
+    * evaluates on the cell-joined scan BEFORE the codes explode and
+    * before any ADC partial is summed — single-stage filtered search at
+    * the cheapest possible point: a candidate the predicate excludes
+    * never costs even its integer lookups, and the 16-deep shortlist is
+    * all same-tenant so the filter can't starve the rerank the way
+    * post-filtering would. Same honest contract as s15 for queries
+    * whose probed cells hold no same-tenant vector (s16 is the eval +
+    * widen loop for exactly that).
+    */
+  def filteredIvfPq(spark: SparkSession, sfDir: String): DataFrame =
+    ivfPqTopkImpl(spark, sfDir, filtered = true)
+
+  private def ivfPqTopkImpl(spark: SparkSession, sfDir: String,
+      filtered: Boolean): DataFrame = {
+    import Portable.tokenHash
+    val encBase = vecs(spark, sfDir)
       .select(col("vec_id"), col("label"), col("v"),
         array((0 until M).map(m => codeOf(col("v"), m)): _*).as("codes"))
+    val enc = (if (filtered)
+        encBase.withColumn("tenant",
+          tokenHash(col("vec_id").cast("string")) % Tenants)
+      else encBase)
       // referenced by the codebook build, the query side, the candidate
       // scan, and the rerank join — materialize the encode pass once
       .localCheckpoint()
@@ -858,20 +882,24 @@ object Similarity {
         floor(col("value") * 1e7).cast("long").as("q"))
       .groupBy("m", "sd", "code")
       .agg((sum(col("q")).cast("double") / 1e7 / count(lit(1))).as("centroid"))
-    val q = enc.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("label").as("qlabel"))
+    val qCols = Seq(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("label").as("qlabel")) ++
+      (if (filtered) Seq(col("tenant").as("qtenant")) else Seq.empty)
+    val q = enc.filter(col("vec_id") < nQueries).select(qCols: _*)
     val cents = centroidVectors(spark, sfDir)
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("label"))
+    val tenantCols =
+      if (filtered) Seq(col("qtenant")) else Seq.empty[Column]
     val nearestOther = q.crossJoin(broadcast(cents)) // |cells|-row frame
       .filter(col("label") =!= col("qlabel"))
-      .select(col("query_id"), col("label"),
-        cosineSim(col("qv"), col("cv")).as("cs"))
+      .select(Seq(col("query_id"), col("label"),
+        cosineSim(col("qv"), col("cv")).as("cs")) ++ tenantCols: _*)
       .withColumn("rk", row_number().over(wc))
       .filter(col("rk") === 1)
-      .select(col("query_id"), col("label"))
-    val cells = q.select(col("query_id"), col("qlabel").as("label"))
+      .select(Seq(col("query_id"), col("label")) ++ tenantCols: _*)
+    val cells = q.select(Seq(col("query_id"),
+        col("qlabel").as("label")) ++ tenantCols: _*)
       .unionByName(nearestOther)
     val qDims = q.select(col("query_id"), posexplode(col("qv")).as(Seq("dim", "qval")))
       .select(col("query_id"), expr(s"dim DIV $SubDim").as("m"),
@@ -881,9 +909,11 @@ object Similarity {
         floor(col("qval") * col("centroid") * 1e7).cast("long").as("t"))
       .groupBy("query_id", "m", "code")
       .agg(sum("t").as("partial"))
-    // the fused scan: codes of the probed cells only
+    // the fused scan: codes of the probed cells only; with the tenant
+    // predicate (s17) evaluated HERE, before the codes even explode
     val cand = enc.join(broadcast(cells), Seq("label"))
-      .filter(col("vec_id") =!= col("query_id"))
+      .filter(col("vec_id") =!= col("query_id") &&
+        (if (filtered) col("tenant") === col("qtenant") else lit(true)))
       .select(col("query_id"), col("vec_id"),
         posexplode(col("codes")).as(Seq("m", "code")))
     val scored = cand.join(broadcast(adc), Seq("query_id", "m", "code"))
@@ -905,6 +935,7 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "s13_ivf_pq" -> (ivfPqTopk _),
+    "s17_filtered_ivf_pq" -> (filteredIvfPq _),
     "s12_mmr_diversify" -> (mmrDiversify _),
     "s10_kmeans_step" -> (kmeansStep _),
     "s11_recall_eval" -> (recallEval _),
@@ -967,12 +998,29 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     // s5's probe selection + s7's ADC scoring + s1's exact rerank,
     // composed over the probed cells only
-    "s13_ivf_pq" -> topkSql(
+    "s13_ivf_pq" -> ivfPqSql(filtered = false),
+    "s17_filtered_ivf_pq" -> ivfPqSql(filtered = true),
+    "s14_bitext_margin" -> s14Sql) ++ oracleRest
+
+  /** s13/s17's shared fused-path SQL — the tenant column, the qtenant
+    * projection, and the candidate-scan predicate appear iff filtered.
+    */
+  private def ivfPqSql(filtered: Boolean): String = {
+    val tenantCol = if (filtered)
+      s""",
+         |    ${Portable.tokenHashSql("CAST(vec_id AS VARCHAR)")} % $Tenants
+         |      AS tenant""".stripMargin
+    else ""
+    val qTenant = if (filtered) ", tenant AS qtenant" else ""
+    val cellTenant = if (filtered) ", qtenant" else ""
+    val noTenant = if (filtered) ", q.qtenant" else ""
+    val candCond = if (filtered) "\n    AND e.tenant = cells.qtenant" else ""
+    topkSql(
       s"""WITH ev AS (
-         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v$tenantCol
          |  FROM embeddings),
          |enc AS (
-         |  SELECT vec_id, label, v,
+         |  SELECT vec_id, label, v${if (filtered) ", tenant" else ""},
          |    [${(0 until M).map(codeSql).mkString(",\n     ")}] AS codes
          |  FROM ev),
          |cents AS (
@@ -984,11 +1032,11 @@ object Similarity {
          |    GROUP BY label, t.i)
          |  GROUP BY label),
          |q AS (
-         |  SELECT vec_id AS query_id, v AS qv, label AS qlabel
+         |  SELECT vec_id AS query_id, v AS qv, label AS qlabel$qTenant
          |  FROM ev WHERE vec_id < $nQueries),
          |nearest_other AS (
-         |  SELECT query_id, label FROM (
-         |    SELECT q.query_id, c.label,
+         |  SELECT query_id, label$cellTenant FROM (
+         |    SELECT q.query_id, c.label$noTenant,
          |      row_number() OVER (PARTITION BY q.query_id ORDER BY
          |        (list_dot_product(q.qv, c.cv) /
          |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
@@ -996,9 +1044,9 @@ object Similarity {
          |    FROM q JOIN cents c ON c.label <> q.qlabel)
          |  WHERE rk = 1),
          |cells AS (
-         |  SELECT query_id, qlabel AS label FROM q
+         |  SELECT query_id, qlabel AS label$cellTenant FROM q
          |  UNION ALL
-         |  SELECT query_id, label FROM nearest_other),
+         |  SELECT query_id, label$cellTenant FROM nearest_other),
          |dims AS (
          |  SELECT t.i // $SubDim AS m, t.i % $SubDim AS sd,
          |    codes[t.i // $SubDim + 1] AS code,
@@ -1021,7 +1069,7 @@ object Similarity {
          |cand AS (
          |  SELECT cells.query_id, e.vec_id, t.m AS m, e.codes[t.m + 1] AS code
          |  FROM cells JOIN enc e ON e.label = cells.label
-         |    AND e.vec_id <> cells.query_id
+         |    AND e.vec_id <> cells.query_id$candCond
          |  CROSS JOIN range($M) t(m)),
          |sc AS (
          |  SELECT cand.query_id, cand.vec_id,
@@ -1036,8 +1084,10 @@ object Similarity {
          |    FROM sc) WHERE crk <= $IvfPqShortlist)
          |SELECT short.query_id, short.neighbor_id, $cosSql AS cos_raw
          |FROM short JOIN ev e ON e.vec_id = short.neighbor_id
-         |           JOIN q ON q.query_id = short.query_id""".stripMargin, 3),
-    "s14_bitext_margin" ->
+         |           JOIN q ON q.query_id = short.query_id""".stripMargin, 3)
+  }
+
+  private lazy val s14Sql: String =
       s"""WITH ev0 AS (
          |  SELECT vec_id, label,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1079,7 +1129,9 @@ object Similarity {
          |SELECT query_id, neighbor_id, cmic AS cos_micro, margin_micro
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY margin_micro DESC, neighbor_id) AS rank FROM m)
-         |WHERE rank = 1 AND margin_micro >= 1000000""".stripMargin,
+         |WHERE rank = 1 AND margin_micro >= 1000000""".stripMargin
+
+  private lazy val oracleRest: Map[String, String] = Map(
     "s9_range_search" ->
       s"""WITH ev AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

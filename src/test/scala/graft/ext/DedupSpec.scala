@@ -69,6 +69,48 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall on jac>=0.95 pairs too low: $recall")
   }
 
+  test("d25 LSH recall eval recomputes from brute truth; reports a crafted miss") {
+    import graft.ext.Portable.tokenHashOf
+    // brute truth over the REAL corpus, driver-side: probes are the
+    // LshProbeCount lowest-hash doc ids, partners at token-Jaccard >= 0.9
+    val probeIds = graft.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+      .sortBy(id => (tokenHashOf(id.toString), id))
+      .take(Dedup.LshProbeCount).toSet
+    val truth = bruteJaccardPairs(0.9)
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (p, _) => probeIds.contains(p) }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+    val found = Dedup.minhashLsh(spark, sf).select("doc_a", "doc_b")
+      .collect().flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0)))).groupBy(_._1)
+      .map { case (p, xs) => p -> xs.map(_._2).toSet }
+    val eval = Dedup.lshRecallEval(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(eval.keySet == truth.keySet, "probe set diverged from brute truth")
+    for ((p, (nT, nF, ppm)) <- eval) {
+      assert(nT == truth(p).size, s"probe $p: n_truth")
+      val hits = truth(p).count(found.getOrElse(p, Set.empty))
+      assert(nF == hits, s"probe $p: n_found $nF != $hits")
+      assert(ppm == hits * 1000000L / nT, s"probe $p: ppm arithmetic")
+    }
+    // crafted corpus through the injectable form: the index "lost" one
+    // true pair — the eval must report exactly that miss, counting hits
+    // from either pair orientation (3 docs <= LshProbeCount, so every
+    // doc is a probe)
+    import spark.implicits._
+    val probeId = 1L
+    val t = (1L to 20L).map(i => tokenHashOf(s"w$i")).sorted
+    val sk = Seq((probeId, t), (probeId + 1000, t), (probeId + 2000, t))
+      .toDF("doc_id", "toks")
+    val pairs = Seq((probeId + 1000, probeId)) // one found (reversed), one lost
+      .toDF("doc_a", "doc_b")
+    val r = Dedup.lshRecallEvalOn(sk, pairs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(probeId) == ((2L, 1L, 500000L)),
+      s"crafted miss not reported: ${r.get(probeId)}")
+  }
+
   test("simhash: near-identical token sets get close sketches") {
     import spark.implicits._
     val df = Seq(

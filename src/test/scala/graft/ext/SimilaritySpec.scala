@@ -206,6 +206,36 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getLong(7) > r.getLong(6), s"recall must improve: $r")
   }
 
+  test("s17 filtered IVF-PQ: tenant respected, probe structure kept, filter binds") {
+    import graft.ext.Portable.tokenHashOf
+    def tenantOf(id: Long): Long = tokenHashOf(id.toString) % Similarity.Tenants
+    val labels = vecs.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.filteredIvfPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "filtered IVF-PQ returned nothing — vacuous")
+    for ((q, n, _, _) <- rows)
+      assert(tenantOf(n) == tenantOf(q), s"tenant violated: $q -> $n")
+    val byQ = rows.groupBy(_._1)
+    for ((q, rs) <- byQ) {
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to rs.length).toSeq,
+        s"ranks not dense for $q")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-(_: Double)).toSeq,
+        s"cos not descending for $q")
+      // s13's probe structure survives the filter: <= 2 cells
+      val cells = rs.map(x => labels(x._2)).toSet
+      assert(cells.size <= 2, s"query $q probed ${cells.size} cells")
+    }
+    // the filter must BIND vs the unfiltered s13 on this corpus
+    val s13 = Similarity.ivfPqTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    assert(byQ.exists { case (q, rs) =>
+      s13.get(q).exists(_ != rs.map(_._2).toSet) },
+      "filtered result identical to unfiltered for every query")
+  }
+
   test("s11 recall eval matches independently recomputed hit sets; monotone") {
     def byQuery(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().map(r => r.getLong(0) -> r.getLong(1))
