@@ -276,11 +276,13 @@ object Bench {
     val maintField =
       if (dials.isEmpty) ""
       else {
-        val compacted = try streaming.StreamApply
-          .compactStores(spark, StreamFeeds.storesRoot.toString)
-        catch { case scala.util.control.NonFatal(_) => Seq.empty }
+        val (seen, compacted) = try {
+          val root = StreamFeeds.storesRoot.toString
+          (streaming.StreamApply.discoverStores(root).size,
+            streaming.StreamApply.compactStores(spark, root))
+        } catch { case scala.util.control.NonFatal(_) => (0, Seq.empty) }
         val total = (compacted.map(_._2).sum, compacted.map(_._3).sum)
-        s""","maintenance":{"stores_compacted":${compacted.size},"files_before":${total._1},"files_after":${total._2}}"""
+        s""","maintenance":{"stores_seen":$seen,"stores_compacted":${compacted.size},"files_before":${total._1},"files_after":${total._2}}"""
       }
     val (laPost, mipsPost) = hostLoad()
     // `sliding_wm` (not the r1-r8 `sliding` key): round 9 redefined the

@@ -243,18 +243,27 @@ object StreamApply {
     * rewritten. WRITER operation — same single-writer contract as
     * merge/compact; run from the maintenance path only.
     */
-  def compactStores(spark: SparkSession, root: String,
-      numFiles: Int = 1): Seq[(String, Long, Long)] = {
+  /** Every manifest-pointer store under `root` — any directory holding
+    * a `CURRENT` file. Separated from [[compactStores]] so a caller can
+    * report discovery independently of rewrites (a maintenance marker
+    * reading "0 compacted over 5 discovered" means the fleet was
+    * already compact; "0 over 0" means the walk found nothing).
+    */
+  def discoverStores(root: String): Seq[java.nio.file.Path] = {
     val r = Paths.get(root)
     if (!Files.isDirectory(r)) return Seq.empty
     import scala.jdk.CollectionConverters._
-    val storeDirs = {
-      val s = Files.walk(r)
-      try s.iterator().asScala.toList
-        .filter(p => Files.isDirectory(p) &&
-          Files.isRegularFile(p.resolve("CURRENT")))
-      finally s.close()
-    }
+    val s = Files.walk(r)
+    try s.iterator().asScala.toList
+      .filter(p => Files.isDirectory(p) &&
+        Files.isRegularFile(p.resolve("CURRENT")))
+    finally s.close()
+  }
+
+  def compactStores(spark: SparkSession, root: String,
+      numFiles: Int = 1): Seq[(String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val storeDirs = discoverStores(root)
     def parquetParts(p: java.nio.file.Path): Long = {
       val s = Files.list(p)
       try s.iterator().asScala.count(f =>
