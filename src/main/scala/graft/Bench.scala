@@ -23,15 +23,30 @@ private[graft] object StreamFeeds {
   private[graft] val baseMs = 1735689600000L // 2025-01-01T00:00:00Z
   private def base = baseMs // feed-local alias
 
-  /** One run-scoped root for every dial's store directories, so the
+  /** One RUN-scoped root for every dial's store directories, so the
     * post-dials maintenance pass ([[Bench]]'s `maintenance` marker) can
     * compact the whole freshly-accreted fleet with ONE
     * [[graft.streaming.StreamApply.compactStores]] walk — the unified
     * job exercised per round, instead of five scattered /tmp dirs no
     * maintenance path ever visits.
+    *
+    * Run-scoped, not JVM-scoped (r12 ADVICE): a sweep harness invoking
+    * Bench repeatedly in one JVM would otherwise accumulate prior runs'
+    * already-compacted stores under the same root, inflating
+    * `stores_seen` and re-walking stale state. [[Bench.main]] calls
+    * [[resetStoresRoot]] at run start; the first `storeDir` after a
+    * reset mints a fresh root.
     */
-  private[graft] lazy val storesRoot: java.nio.file.Path =
-    java.nio.file.Files.createTempDirectory("graft-bench-stores")
+  private var storesRootHolder: Option[java.nio.file.Path] = None
+  private[graft] def storesRoot: java.nio.file.Path = synchronized {
+    storesRootHolder.getOrElse {
+      val p = java.nio.file.Files.createTempDirectory("graft-bench-stores")
+      storesRootHolder = Some(p)
+      p
+    }
+  }
+  private[graft] def resetStoresRoot(): Unit =
+    synchronized { storesRootHolder = None }
   private[graft] def storeDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(storesRoot, prefix).toString
 
@@ -112,6 +127,19 @@ private[graft] object StreamFeeds {
   }
 }
 
+/** One host-probe marker on stdout — the standalone boot-state check.
+  * `runMain graft.ProbeMain` prints a single JSON line with the same
+  * (loadavg, single-core, all-core) triple every bench marker carries,
+  * so a "is this boot shifted?" question is a 5-second command instead
+  * of a bench run. No SparkSession: the probe measures the HOST.
+  */
+object ProbeMain {
+  def main(args: Array[String]): Unit = {
+    val p = Bench.hostLoad()
+    println(s"""{"loadavg1":${p.la},"probe_miters":${p.mips1},"allcore_miters":${p.mipsAll}}""")
+  }
+}
+
 /** Per-round benchmark: one JSON line with per-query and total seconds.
   *
   * A warmup pass at the smallest scale factor runs every query once
@@ -122,31 +150,70 @@ private[graft] object StreamFeeds {
   */
 object Bench {
 
-  /** Host-load marker: (1-min loadavg, single-core probe in M iters/s).
-    * The probe is a 1 s xorshift busy-loop on the driver thread — a
+  /** Host-load marker: (1-min loadavg, single-core probe, ALL-CORE
+    * probe), each probe in M xorshift iters/s.
+    *
+    * The single-core probe is a 1 s busy-loop on the driver thread — a
     * co-tenant-load dial the loadavg can miss (loadavg lags ~1 min and
     * counts runnable tasks, not the cycle share this JVM actually got).
-    * Every artifact carries pre/post markers so a "regression" taken on
-    * a loaded host is self-describing (this host's afternoon co-tenant
-    * load historically inflated totals uniformly and the r8/r9 artifacts
-    * had to be annotated by hand in commit messages).
+    *
+    * The ALL-CORE probe (r12 VERDICT item 2) runs the same kernel on
+    * one thread per hardware core for ~2 s and reports the AGGREGATE
+    * rate. Three rounds of per-family "regressions" (x-family r11,
+    * dedup/tws/ks dials r12 — 7.3–19.1 k rows/s for the same dial
+    * within one round) were boot-state/all-core throughput shifts that
+    * the single-core probe provably cannot see (it held ~510–525
+    * throughout every one of them): whatever moves — SMT scheduling,
+    * thermal/power caps, co-tenant share of the OTHER cores — moves
+    * the 32-thread Spark workload and the 32-thread probe together
+    * while a single pinned thread stays fast. The streaming quiet gate
+    * therefore keys on THIS number; the single-core probe stays in the
+    * marker as the cheap co-tenant dial it has always been.
     */
-  private[graft] def hostLoad(): (Double, Double) = {
-    val la =
-      try scala.io.Source.fromFile("/proc/loadavg").getLines()
-        .next().split(" ")(0).toDouble
-      catch { case scala.util.control.NonFatal(_) => -1.0 }
-    var x = 0x9E3779B97F4A7C15L
+  private[graft] case class HostProbe(la: Double, mips1: Double,
+      mipsAll: Double)
+
+  private def xorshiftMips(seed: Long, nanos: Long): Double = {
+    var x = seed
     var n = 0L
     val t0 = System.nanoTime()
-    while (System.nanoTime() - t0 < 1000000000L) {
+    while (System.nanoTime() - t0 < nanos) {
       var i = 0
       while (i < 100000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
       n += 100000
     }
     if (x == 0) n -= 1 // keep the loop live under JIT
-    val mips = n * 1000.0 / (System.nanoTime() - t0) // M iters / s
-    (math.rint(la * 100) / 100, math.rint(mips * 10) / 10)
+    n * 1000.0 / (System.nanoTime() - t0) // M iters / s
+  }
+
+  /** Aggregate M iters/s across one xorshift thread per hardware core.
+    * ~2 s: long enough to ride out scheduler ramp-up, short enough that
+    * 2 markers x 11 dials adds <2 min to a full streaming artifact.
+    */
+  private[graft] def allCoreMips(): Double = {
+    val nThreads = Runtime.getRuntime.availableProcessors()
+    val rates = new java.util.concurrent.atomic.AtomicLongArray(nThreads)
+    val threads = (0 until nThreads).map { ti =>
+      val t = new Thread { override def run(): Unit =
+        rates.set(ti, math.rint(
+          xorshiftMips(0x9E3779B97F4A7C15L + ti * 0x2545F4914F6CDD1DL,
+            2000000000L) * 10).toLong)
+      }
+      t.setDaemon(true); t.start(); t
+    }
+    threads.foreach(_.join())
+    (0 until nThreads).map(rates.get).sum / 10.0
+  }
+
+  private[graft] def hostLoad(): HostProbe = {
+    val la =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines()
+        .next().split(" ")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    val mips1 = xorshiftMips(0x9E3779B97F4A7C15L, 1000000000L)
+    val mipsAll = allCoreMips()
+    HostProbe(math.rint(la * 100) / 100, math.rint(mips1 * 10) / 10,
+      math.rint(mipsAll * 10) / 10)
   }
 
   /** Force FULL evaluation of every output column. `df.count()` is the
@@ -239,7 +306,8 @@ object Bench {
         name -> (ok, (System.nanoTime() - t0) / 1e9)
       }
     }
-    val (laPre, mipsPre) = hostLoad()
+    StreamFeeds.resetStoresRoot() // run-scoped, not JVM-scoped (r12 ADVICE)
+    val probePre = hostLoad()
     val p1 = timedPass()
     val p2 = timedPass()
     val results =
@@ -275,16 +343,21 @@ object Bench {
     // MaintenanceJobSpec's contract; here we only report.
     val maintField =
       if (dials.isEmpty) ""
-      else {
-        val (seen, compacted) = try {
-          val root = StreamFeeds.storesRoot.toString
-          (streaming.StreamApply.discoverStores(root).size,
-            streaming.StreamApply.compactStores(spark, root))
-        } catch { case scala.util.control.NonFatal(_) => (0, Seq.empty) }
+      else try {
+        val root = StreamFeeds.storesRoot.toString
+        val seen = streaming.StreamApply.discoverStores(root).size
+        val compacted = streaming.StreamApply.compactStores(spark, root)
         val total = (compacted.map(_._2).sum, compacted.map(_._3).sum)
         s""","maintenance":{"stores_seen":$seen,"stores_compacted":${compacted.size},"files_before":${total._1},"files_after":${total._2}}"""
+      } catch { case scala.util.control.NonFatal(e) =>
+        // an explicit error field, never the 0/0 shape (r12 ADVICE): a
+        // crashed or half-done compaction must not read as "the walk
+        // found nothing / nothing needed doing"
+        val msg = (s"${e.getClass.getName}: ${e.getMessage}")
+          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+        s""","maintenance":{"error":"$msg"}"""
       }
-    val (laPost, mipsPost) = hostLoad()
+    val probePost = hostLoad()
     // `sliding_wm` (not the r1-r8 `sliding` key): round 9 redefined the
     // workload (event time +100 ms/row with 10-min lateness vs the prior
     // 1 ms feed), so the renamed key stops old and new numbers from ever
@@ -300,7 +373,7 @@ object Bench {
       else dials.map { case (k, _, m) => s""""$k":$m""" }
         .mkString(""","streaming_markers":{""", ",", "}")
     val hostField =
-      s""","host":{"loadavg1_pre":$laPre,"probe_miters_pre":$mipsPre,"loadavg1_post":$laPost,"probe_miters_post":$mipsPost}"""
+      s""","host":{"loadavg1_pre":${probePre.la},"probe_miters_pre":${probePre.mips1},"allcore_miters_pre":${probePre.mipsAll},"loadavg1_post":${probePost.la},"probe_miters_post":${probePost.mips1},"allcore_miters_post":${probePost.mipsAll}}"""
 
     // The harness that invokes this main keeps only the LAST ~2000 chars of
     // stdout, and the full per-query map (~100 queries) is ~3 KB — a single
@@ -653,16 +726,24 @@ object Bench {
     // the cheap PRE-dial gate (before a dial starts, own-load is zero,
     // though it may still read a prior dial's decay — the probe check
     // below unblocks that case without waiting out the decay).
+    //
+    // The headroom signal is the ALL-CORE probe (r12 VERDICT item 2):
+    // the boot-state shifts that kept reading as per-family regressions
+    // move all-core throughput while the single-core probe stays flat,
+    // so a gate keyed on the single-core number was provably blind to
+    // the failure mode it existed to catch. Both probes stay in every
+    // marker; only the gate's arithmetic changed key.
     var probeSteady = 0.0
-    case class Attempt(rate: Double, laPre: Double, mipsPre: Double,
-        laPost: Double, mipsPost: Double, waited: Int, attempt: Int) {
-      // co-tenant headroom: the dial's worst probe vs the run's best
+    case class Attempt(rate: Double, pre: HostProbe, post: HostProbe,
+        waited: Int, attempt: Int) {
+      // co-tenant/boot-state headroom: the dial's worst ALL-CORE probe
+      // vs the run's best
       def headroom: Double =
         if (probeSteady <= 0) 1.0
-        else math.min(mipsPre, mipsPost) / probeSteady
+        else math.min(pre.mipsAll, post.mipsAll) / probeSteady
       def surged: Boolean = headroom < 0.85
       def marker: String =
-        s"""{"loadavg1_pre":$laPre,"probe_miters_pre":$mipsPre,"loadavg1_post":$laPost,"probe_miters_post":$mipsPost,"waited_sec":$waited,"attempt":$attempt}"""
+        s"""{"loadavg1_pre":${pre.la},"probe_miters_pre":${pre.mips1},"allcore_miters_pre":${pre.mipsAll},"loadavg1_post":${post.la},"probe_miters_post":${post.mips1},"allcore_miters_post":${post.mipsAll},"waited_sec":$waited,"attempt":$attempt}"""
     }
     def measure(f: () => Double, attempt: Int): Attempt = {
       var waited = 0
@@ -677,16 +758,16 @@ object Bench {
         // at all (first dial of a run) there is nothing to reference,
         // so the pure loadavg wait governs and a possibly-contended
         // run-start probe never anchors later headroom decisions.
-        val (_, p) = hostLoad()
-        if (probeSteady > 0 && p >= probeSteady * 0.92) quiet = true
+        val p = hostLoad()
+        if (probeSteady > 0 && p.mipsAll >= probeSteady * 0.92) quiet = true
         else { Thread.sleep(15000); waited += 15 }
       }
-      val (laPre, mipsPre) = hostLoad()
-      probeSteady = math.max(probeSteady, mipsPre)
+      val pre = hostLoad()
+      probeSteady = math.max(probeSteady, pre.mipsAll)
       val rate = median3(f())
-      val (laPost, mipsPost) = hostLoad()
-      probeSteady = math.max(probeSteady, mipsPost)
-      Attempt(rate, laPre, mipsPre, laPost, mipsPost, waited, attempt)
+      val post = hostLoad()
+      probeSteady = math.max(probeSteady, post.mipsAll)
+      Attempt(rate, pre, post, waited, attempt)
     }
 
     val allDials: Seq[(String, () => Double)] = Seq(

@@ -42,9 +42,13 @@ object MaintenanceJob {
   }
 
   def main(args: Array[String]): Unit = {
-    val storesRoot = args.headOption.getOrElse(
+    // positional args are the non-flag ones: `MaintenanceJob --no-vacuum`
+    // must fall back to SPARK_GRAFT_STORES_ROOT, not treat the flag as
+    // the root (discoverStores on "--no-vacuum" silently finds nothing)
+    val positional = args.filterNot(_.startsWith("--"))
+    val storesRoot = positional.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_STORES_ROOT", "target/graft-stores"))
-    val sfDirs = args.drop(1).headOption.filterNot(_.startsWith("--"))
+    val sfDirs = positional.drop(1).headOption
       .map(_.split(",").toSeq).getOrElse(Seq.empty)
     val doVacuum = !args.contains("--no-vacuum")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

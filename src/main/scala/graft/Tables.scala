@@ -22,6 +22,14 @@ object Tables {
     * driver testdata is immutable for a session, so a cached listing
     * cannot go stale. Store/index directories (which DO change) have
     * their own readers and never come through here.
+    *
+    * SELF-JOIN caveat: every caller now receives the identical memoized
+    * Dataset instance, so a query that self-joins a base table via two
+    * `table()` calls and disambiguates with `df("col")` references hits
+    * Spark's ambiguous-self-join detection (both sides share exprIds;
+    * the pre-memo fresh readers got distinct ones). No current registry
+    * query does — but a new self-join MUST `.alias("l")`/`.alias("r")`
+    * its two sides and reference columns through the aliases.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     graft.ext.FrameMemo(s"scan:$name", spark, sfDir)(
