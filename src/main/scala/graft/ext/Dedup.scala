@@ -303,12 +303,39 @@ object Dedup {
 
   // ---- d3: MinHash + LSH banding ---------------------------------------
 
-  /** Band key over signature columns [from, from+8): ordered 31-fold of
-    * scalar longs — cheap arithmetic, safe to inline anywhere.
+  /** LSH banding GEOMETRY over the 16 signature permutations: [[LshBands]]
+    * bands of 16/[[LshBands]] rows each. The geometry sets the
+    * probability a pair at Jaccard j collides in ≥1 band —
+    * 1−(1−j^rows)^bands — i.e. the index's structural recall at the 0.9
+    * confirm threshold (~0.68 for 2×8, ~0.99 for 4×4) against its
+    * candidate volume (spurious collisions scale with j^rows per band ×
+    * bands). d25 measures the realized recall on the corpus; the r13
+    * geometry sweep (PLANS) measured both geometries' recall AND
+    * exact-confirm candidate cost before fixing the default.
     */
-  private def bandKey(from: Int): Column =
-    (from until from + 8).map(i => col(s"s$i"))
+  private[graft] val LshBands = 2
+  private[graft] val LshRows = 16 / LshBands
+  /** The sketch frame's band-key column names, in band order. */
+  private[graft] val bandCols: Seq[String] =
+    (0 until LshBands).map(i => s"bk$i")
+  /** Geometry tag for the persisted dedup-chain index names: the index
+    * store is keyed by CORPUS fingerprint only, so a geometry change
+    * must change the NAME or stale band keys / pair sets get read.
+    * Empty for the original 2×8 (existing published indexes stay valid).
+    */
+  private[graft] val geomTag: String =
+    if (LshBands == 2) "" else s"_${LshBands}x$LshRows"
+
+  /** Band key over signature columns of band `b` under an `nBands`
+    * geometry: ordered 31-fold of scalar longs — cheap arithmetic, safe
+    * to inline anywhere.
+    */
+  private def bandKeyG(b: Int, nBands: Int): Column = {
+    val rows = 16 / nBands
+    (b * rows until (b + 1) * rows).map(i => col(s"s$i"))
       .foldLeft(lit(0L): Column)((acc, s) => (acc * 31L + s) % P)
+  }
+  private def bandKey(b: Int): Column = bandKeyG(b, LshBands)
 
   /** Global near-dup via MinHash-LSH: 16 permutations, 2 bands × 8 rows,
     * exact Jaccard ≥ 0.9 on band-collision candidates only. At 100 TB the
@@ -320,7 +347,7 @@ object Dedup {
     // confirmed pair frame is tiny (near-dup hits), so ONE build per
     // corpus snapshot serves every consumer in every later driver
     memoFrame("lshPairs", spark, sfDir)(
-      graft.sources.CorpusIndex.ensureBucketed(spark, "lsh_pairs",
+      graft.sources.CorpusIndex.ensureBucketed(spark, s"lsh_pairs$geomTag",
         sfDir, Seq("documents"), "doc_a")(buildMinhashLsh(spark, sfDir)))
 
   /** Per-document MinHash sketch `(doc_id, bk0, bk1, toks)`, memoized:
@@ -350,7 +377,7 @@ object Dedup {
     */
   private[graft] def sketchFrame(spark: SparkSession, sfDir: String): DataFrame =
     memoFrame("minhashSketch", spark, sfDir)(
-      graft.sources.CorpusIndex.ensureBucketed(spark, "minhash_sketch",
+      graft.sources.CorpusIndex.ensureBucketed(spark, s"minhash_sketch$geomTag",
         sfDir, Seq("documents"), "doc_id")(sketchOf(docs(spark, sfDir))))
 
   /** The sketch pass over an arbitrary `(doc_id, text)` frame — the
@@ -360,7 +387,14 @@ object Dedup {
     * ([[graft.streaming.NearDupStream]]), so both paths maintain
     * byte-identical index rows.
     */
-  private[graft] def sketchOf(docsFrame: DataFrame): DataFrame = {
+  private[graft] def sketchOf(docsFrame: DataFrame): DataFrame =
+    sketchOfG(docsFrame, LshBands)
+
+  /** [[sketchOf]] under an explicit geometry — the r13 geometry sweep
+    * ([[lshGeometrySweep]]) builds both 2×8 and 4×4 sketches from it;
+    * the default path always passes [[LshBands]].
+    */
+  private[graft] def sketchOfG(docsFrame: DataFrame, nBands: Int): DataFrame = {
     val exploded = docsFrame
       .select(col("doc_id"),
         explode(array_distinct(transform(tokenSet(col("text")),
@@ -369,38 +403,48 @@ object Dedup {
       .agg(min(affine(0, col("h"))).as("s0"),
         (1 until 16).map(i => min(affine(i, col("h"))).as(s"s$i")) :+
           sort_array(collect_set(col("h"))).as("toks"): _*)
-      .select(col("doc_id"), bandKey(0).as("bk0"), bandKey(8).as("bk1"),
-        col("toks"))
+      .select(col("doc_id") +:
+        (0 until nBands).map(b => bandKeyG(b, nBands).as(s"bk$b")) :+
+        col("toks"): _*)
+  }
+
+  /** Dedup-free banded candidate pairs over a sketch frame `(doc_id,
+    * bk0..bk{nBands-1}, …)`: one join per band, where band i's condition
+    * requires NO earlier band to have matched — each colliding pair is
+    * emitted exactly once, so there is no multi-million-row DISTINCT
+    * over the band-inflated candidate set. Only (doc_id, band keys) move
+    * through the joins. Shared by d3, d8 and the geometry sweep.
+    */
+  private def bandCandidates(per: DataFrame, nBands: Int): DataFrame = {
+    val bks = (0 until nBands).map(i => s"bk$i")
+    val l = per.select(col("doc_id").as("doc_a") +:
+      bks.map(c => col(c).as(s"a$c")): _*)
+    val r = per.select(col("doc_id").as("doc_b") +:
+      bks.map(c => col(c).as(s"b$c")): _*)
+    (0 until nBands).map { b =>
+      val cond = (0 until b)
+        .map(j => col(s"abk$j") =!= col(s"bbk$j"))
+        .foldLeft(col(s"abk$b") === col(s"bbk$b") &&
+          col("doc_a") < col("doc_b"))(_ && _)
+      l.join(r, cond).select("doc_a", "doc_b")
+    }.reduce(_ unionByName _)
   }
 
   private[ext] def buildMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val per = sketchFrame(spark, sfDir)
-    // Dedup-free banding: one join per band, where band i's condition
-    // requires NO earlier band to have matched — each colliding pair is
-    // emitted exactly once, so there is no multi-million-row DISTINCT
-    // over the band-inflated candidate set. Bands carry only (doc_id,
-    // band keys); the token-hash arrays re-join onto the candidates for
-    // the exact check (the candidate shuffle stays narrow — ids and band
-    // keys, never arrays). NO broadcast hints anywhere in this shape:
-    // every frame here (band keys, sketches) is one row per DOCUMENT, so
-    // forcing a broadcast ships the whole corpus to the driver and every
-    // task — fine at sf0.1, an OOM past the 8 GB broadcast limit at
-    // 100 TB. The joins key on band key / doc_id (longs), which is
-    // exactly what a shuffle hash join partitions well on; AQE may still
-    // choose a broadcast locally from its runtime size estimate, which
-    // is the scale-gated version of the same optimization.
-    val bandKeys = per.select(col("doc_id"),
-      col("bk0"), col("bk1"))
-    val l = bandKeys.select(col("doc_id").as("doc_a"),
-      col("bk0").as("abk0"), col("bk1").as("abk1"))
-    val r = bandKeys.select(col("doc_id").as("doc_b"),
-      col("bk0").as("bbk0"), col("bk1").as("bbk1"))
-    val cand0 = l.join(r, col("abk0") === col("bbk0") && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-    val cand1 = l.join(r, col("abk1") === col("bbk1") &&
-        col("abk0") =!= col("bbk0") && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-    val cand = cand0.unionByName(cand1)
+    // Banding via [[bandCandidates]]; the token-hash arrays re-join onto
+    // the candidates for the exact check (the candidate shuffle stays
+    // narrow — ids and band keys, never arrays). NO broadcast hints
+    // anywhere in this shape: every frame here (band keys, sketches) is
+    // one row per DOCUMENT, so forcing a broadcast ships the whole
+    // corpus to the driver and every task — fine at sf0.1, an OOM past
+    // the 8 GB broadcast limit at 100 TB. The joins key on band key /
+    // doc_id (longs), which is exactly what a shuffle hash join
+    // partitions well on; AQE may still choose a broadcast locally from
+    // its runtime size estimate, which is the scale-gated version of
+    // the same optimization.
+    val cand = bandCandidates(
+      per.select(col("doc_id") +: bandCols.map(col): _*), LshBands)
     jaccardPairs(
       cand
         .join(per.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
@@ -439,12 +483,43 @@ object Dedup {
     * re-tokenization), prefilters pairs with the same integer
     * necessary condition as [[jaccardPairs]], and intersects sorted
     * hash arrays via the codegen'd merge walk; the probe side is a
-    * fixed-fraction sample, so the arm is (corpus × sample) — linear
-    * in the corpus at fixed sample rate. The index arm is a read of
-    * the persisted d3 pair table.
+    * fixed-COUNT sample ([[LshProbeCount]] = 64), so the truth arm is
+    * (corpus × 64) — linear in the corpus by definition. The index arm
+    * is a read of the persisted d3 pair table.
     */
   def lshRecallEval(spark: SparkSession, sfDir: String): DataFrame =
     lshRecallEvalOn(sketchFrame(spark, sfDir), minhashLsh(spark, sfDir))
+
+  /** The r13 GEOMETRY SWEEP unit: build the whole d3 pipeline under an
+    * explicit `nBands` geometry (sketch → banded candidates → exact
+    * confirm), then score it with the d25 recall eval — one row of
+    * (geometry, candidate volume, confirmed pairs, probe recall). The
+    * candidate count is the geometry's COST dial (every candidate pays
+    * an exact-confirm intersection); recall_ppm is its QUALITY dial.
+    * Driven by [[graft.BandGeomSweep]]; driver-side `.count()` is fine
+    * here — this is offline eval tooling, not a serving path.
+    */
+  private[graft] def lshGeometrySweep(spark: SparkSession, sfDir: String,
+      nBands: Int): DataFrame = {
+    val sk = sketchOfG(docs(spark, sfDir), nBands).localCheckpoint()
+    val cand = bandCandidates(
+      sk.select(col("doc_id") +: (0 until nBands).map(i => col(s"bk$i")): _*),
+      nBands).localCheckpoint()
+    val confirmed = jaccardPairs(
+      cand
+        .join(sk.select(col("doc_id").as("doc_a"), col("toks").as("ta")),
+          Seq("doc_a"))
+        .join(sk.select(col("doc_id").as("doc_b"), col("toks").as("tb")),
+          Seq("doc_b")),
+      col("ta"), col("tb"), 0.9, (9, 10)).localCheckpoint()
+    val recall = lshRecallEvalOn(sk, confirmed.select("doc_a", "doc_b"))
+      .agg(sum(col("n_truth")).as("n_truth"), sum(col("n_found")).as("n_found"))
+    spark.range(1)
+      .select(lit(nBands).as("n_bands"), lit(16 / nBands).as("rows_per_band"),
+        lit(cand.count()).as("candidates"), lit(confirmed.count()).as("confirmed"))
+      .crossJoin(recall) // two one-row frames
+      .withColumn("recall_ppm", expr("n_found * 1000000 DIV n_truth"))
+  }
 
   /** d25 over arbitrary sketch `(doc_id, …, toks)` and pair
     * `(doc_a, doc_b, …)` frames — injectable so the spec can craft a
@@ -513,22 +588,14 @@ object Dedup {
     val per = exploded.groupBy("doc_id")
       .agg(min(affine(0, col("h"))).as("s0"),
         (1 until 16).map(i => min(affine(i, col("h"))).as(s"s$i")): _*)
-      .select(col("doc_id") +: bandKey(0).as("bk0") +: bandKey(8).as("bk1") +:
+      .select(col("doc_id") +:
+        (0 until LshBands).map(b => bandKey(b).as(s"bk$b")) ++:
         (0 until 16).map(i => col(s"s$i")): _*)
       .localCheckpoint()
-    val l = per.select(col("doc_id").as("doc_a"),
-      col("bk0").as("abk0"), col("bk1").as("abk1"))
-    val r = per.select(col("doc_id").as("doc_b"),
-      col("bk0").as("bbk0"), col("bk1").as("bbk1"))
-    val cand0 = l.join(r, col("abk0") === col("bbk0") && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-    val cand1 = l.join(r, col("abk1") === col("bbk1") &&
-        col("abk0") =!= col("bbk0") && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
     val est = (0 until 16)
       .map(i => when(col(s"sa$i") === col(s"sb$i"), 1L).otherwise(0L))
       .reduce(_ + _).cast("double") / 16.0
-    cand0.unionByName(cand1)
+    bandCandidates(per.select(col("doc_id") +: bandCols.map(col): _*), LshBands)
       .join(per.select(col("doc_id").as("doc_a") +:
         (0 until 16).map(i => col(s"s$i").as(s"sa$i")): _*), Seq("doc_a"))
       .join(per.select(col("doc_id").as("doc_b") +:
@@ -559,7 +626,7 @@ object Dedup {
     // Bucketing by the cluster key makes the canonical consumers'
     // reductions Exchange-free on the scan (`CorpusIndexSpec`).
     memoFrame("cc:minhash", spark, sfDir)(
-      graft.sources.CorpusIndex.ensureBucketed(spark, "labels_minhash",
+      graft.sources.CorpusIndex.ensureBucketed(spark, s"labels_minhash$geomTag",
         sfDir, Seq("documents"), "canonical")(
         minLabelClusters(minhashLsh(spark, sfDir), "doc_a", "doc_b",
           docs(spark, sfDir), "doc_id")))
@@ -1509,23 +1576,20 @@ object Dedup {
     * to differ) carries over from d3 unchanged.
     */
   private[graft] def incrementalPairs(delta: DataFrame, index: DataFrame): DataFrame = {
-    val all = delta.select(col("doc_id"), lit(true).as("b_delta"),
-        col("bk0"), col("bk1"), col("toks"))
-      .unionByName(index.select(col("doc_id"), lit(false).as("b_delta"),
-        col("bk0"), col("bk1"), col("toks")))
-    val l = delta.select(col("doc_id").as("da"),
-      col("bk0").as("abk0"), col("bk1").as("abk1"))
-    val corpus = all.select(col("doc_id").as("db"), col("b_delta"),
-      col("bk0").as("bbk0"), col("bk1").as("bbk1"))
+    val keep = Seq(col("doc_id")) ++ bandCols.map(col) :+ col("toks")
+    val all = delta.select(lit(true).as("b_delta") +: keep: _*)
+      .unionByName(index.select(lit(false).as("b_delta") +: keep: _*))
+    val l = delta.select(col("doc_id").as("da") +:
+      bandCols.map(c => col(c).as(s"a$c")): _*)
+    val corpus = all.select(col("doc_id").as("db") +: col("b_delta") +:
+      bandCols.map(c => col(c).as(s"b$c")): _*)
     val once = col("da") < col("db") || !col("b_delta")
-    val cand0 = l.join(corpus,
-        col("abk0") === col("bbk0") && col("da") =!= col("db") && once)
-      .select(col("da"), col("db"))
-    val cand1 = l.join(corpus,
-        col("abk1") === col("bbk1") && col("abk0") =!= col("bbk0") &&
-          col("da") =!= col("db") && once)
-      .select(col("da"), col("db"))
-    val cand = cand0.unionByName(cand1)
+    val cand = (0 until LshBands).map { b =>
+      val cond = (0 until b).map(j => col(s"abk$j") =!= col(s"bbk$j"))
+        .foldLeft(col(s"abk$b") === col(s"bbk$b") &&
+          col("da") =!= col("db") && once)(_ && _)
+      l.join(corpus, cond).select(col("da"), col("db"))
+    }.reduce(_ unionByName _)
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"))
     val toks = all.select(col("doc_id"), col("toks"))
@@ -1563,7 +1627,7 @@ object Dedup {
     */
   private[graft] def preIngestLabels(spark: SparkSession, sfDir: String): DataFrame =
     memoFrame("cc:minhashOld", spark, sfDir)(
-      graft.sources.CorpusIndex.ensureBucketed(spark, "labels_minhash_old",
+      graft.sources.CorpusIndex.ensureBucketed(spark, s"labels_minhash_old$geomTag",
         sfDir, Seq("documents"), "canonical")(
         minLabelClusters(
           minhashLsh(spark, sfDir)
@@ -1668,8 +1732,11 @@ object Dedup {
   private val sigSqls: Seq[String] =
     (0 until 16).map(i => s"list_min(list_transform(toks, h -> ${affineSql(i, "h")}))")
 
-  private def bandKeySql(from: Int): String =
-    (from until from + 8).foldLeft("CAST(0 AS BIGINT)")((acc, i) => s"(($acc) * 31 + s$i) % $P")
+  /** DuckDB twin of [[bandKeyG]]: band `b` under the [[LshBands]]
+    * geometry. */
+  private def bandKeySql(b: Int): String =
+    (b * LshRows until (b + 1) * LshRows)
+      .foldLeft("CAST(0 AS BIGINT)")((acc, i) => s"(($acc) * 31 + s$i) % $P")
 
   private[ext] val planesSqlLits: Seq[String] =
     planes.map(p => p.map(v => s"$v.0").mkString("[", ",", "]") + "::DOUBLE[]")
@@ -1713,9 +1780,9 @@ object Dedup {
        |    ${sigSqls.zipWithIndex.map { case (s, i) => s"$s AS s$i" }.mkString(", ")}
        |  FROM d),
        |bands AS (
-       |  SELECT doc_id, toks, 0 AS band, ${bandKeySql(0)} AS bkey FROM sig
-       |  UNION ALL
-       |  SELECT doc_id, toks, 1 AS band, ${bandKeySql(8)} AS bkey FROM sig),
+       |  ${(0 until LshBands).map(b =>
+            s"SELECT doc_id, toks, $b AS band, ${bandKeySql(b)} AS bkey FROM sig")
+            .mkString("\n  UNION ALL\n  ")}),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -1882,15 +1949,14 @@ object Dedup {
          |sigv AS (
          |  SELECT doc_id,
          |    ${(0 until 16).map(i => s"s$i").mkString("[", ", ", "]")} AS sig,
-         |    ${bandKeySql(0)} AS bk0, ${bandKeySql(8)} AS bk1
+         |    ${(0 until LshBands).map(b => s"${bandKeySql(b)} AS bk$b").mkString(", ")}
          |  FROM sig),
          |cand AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
-         |  FROM sigv a JOIN sigv b ON a.bk0 = b.bk0 AND a.doc_id < b.doc_id
-         |  UNION ALL
-         |  SELECT a.doc_id, b.doc_id, a.sig, b.sig
-         |  FROM sigv a JOIN sigv b
-         |    ON a.bk1 = b.bk1 AND a.bk0 <> b.bk0 AND a.doc_id < b.doc_id)
+         |  ${(0 until LshBands).map { b =>
+              val excl = (0 until b).map(j => s" AND a.bk$j <> b.bk$j").mkString
+              s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb" +
+                s"\n  FROM sigv a JOIN sigv b ON a.bk$b = b.bk$b$excl AND a.doc_id < b.doc_id"
+            }.mkString("\n  UNION ALL\n  ")})
          |SELECT doc_a, doc_b,
          |  CAST(list_sum(list_transform(range(1, 17),
          |    i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 AS est_jac

@@ -155,10 +155,14 @@ object CorpusIndex {
     "shingle_postings" -> graft.ext.Dedup.shingleFrame(spark, sfDir).count(),
     "shingle_cooccur" -> graft.ext.Dedup.coOccurFrame(spark, sfDir).count(),
     "dup_spans" -> graft.ext.Dedup.substringSpans(spark, sfDir).count(),
-    "minhash_sketch" -> graft.ext.Dedup.sketchFrame(spark, sfDir).count(),
-    "lsh_pairs" -> graft.ext.Dedup.minhashLsh(spark, sfDir).count(),
-    "labels_minhash" -> graft.ext.Dedup.dedupClusters(spark, sfDir).count(),
-    "labels_minhash_old" -> graft.ext.Dedup.preIngestLabels(spark, sfDir).count(),
+    s"minhash_sketch${graft.ext.Dedup.geomTag}" ->
+      graft.ext.Dedup.sketchFrame(spark, sfDir).count(),
+    s"lsh_pairs${graft.ext.Dedup.geomTag}" ->
+      graft.ext.Dedup.minhashLsh(spark, sfDir).count(),
+    s"labels_minhash${graft.ext.Dedup.geomTag}" ->
+      graft.ext.Dedup.dedupClusters(spark, sfDir).count(),
+    s"labels_minhash_old${graft.ext.Dedup.geomTag}" ->
+      graft.ext.Dedup.preIngestLabels(spark, sfDir).count(),
     "embed_pairs" -> graft.ext.Dedup.embedNearDup(spark, sfDir).count(),
     "labels_embed" -> graft.ext.Dedup.embedClusters(spark, sfDir).count(),
     "term_freq" -> graft.ext.TextAnalysis.termFreq(spark, sfDir).count(),

@@ -41,7 +41,7 @@ object NearDupStream {
   /** The two stores a near-dup ingest pipeline maintains. */
   final class Stores(spark: SparkSession, dir: String) {
     val index = new StreamApply.ParquetUpsertStore(spark, s"$dir/index",
-      "doc_id", "seq", "op", "d", Seq("bk0", "bk1", "toks"))
+      "doc_id", "seq", "op", "d", Dedup.bandCols :+ "toks")
     val pairs = new StreamApply.ParquetUpsertStore(spark, s"$dir/pairs",
       "pair_key", "seq", "op", "d", Seq("doc_a", "doc_b", "jac"))
 
@@ -54,7 +54,8 @@ object NearDupStream {
     /** The sketch index as a [[Dedup.sketchOf]]-shaped frame. */
     def indexView(): DataFrame = {
       val v = index.view()
-      if (v.schema.isEmpty) v else v.select("doc_id", "bk0", "bk1", "toks")
+      if (v.schema.isEmpty) v
+      else v.select("doc_id", Dedup.bandCols :+ "toks": _*)
     }
   }
 
@@ -97,9 +98,9 @@ object NearDupStream {
     */
   private[streaming] def commitIndex(sk: DataFrame, batchId: Long,
       stores: Stores): Unit =
-    stores.index.merge(sk.select(col("doc_id"),
-      lit(batchId).as("seq"), lit("i").as("op"),
-      col("bk0"), col("bk1"), col("toks")), batchId)
+    stores.index.merge(sk.select(col("doc_id") +:
+      lit(batchId).as("seq") +: lit("i").as("op") +:
+      (Dedup.bandCols.map(col) :+ col("toks")): _*), batchId)
 
   /** One micro-batch of `(doc_id, text)` documents through the ingest
     * path. Public so tests can drive replay directly.
