@@ -312,8 +312,18 @@ object Dedup {
     * bands). d25 measures the realized recall on the corpus; the r13
     * geometry sweep (PLANS) measured both geometries' recall AND
     * exact-confirm candidate cost before fixing the default.
+    *
+    * 4×4 ADOPTED (r13): measured recall 853k→985k ppm at sf0.01 and
+    * 829k→999k ppm at sf1-synth (the 2×8 index was shipping ~17% of
+    * true ≥0.9 near-dup pairs UNFOUND — undeleted duplicates in a
+    * dedup pipeline), for 3.0×/5.4× exact-confirm candidate volume paid
+    * once per corpus snapshot in the offline index build. 4×4's
+    * S-curve midpoint (1/4)^(1/4) ≈ 0.707 sits correctly BELOW the 0.9
+    * confirm threshold (steep part of the curve under the target);
+    * 2×8's (1/2)^(1/8) ≈ 0.917 sat ON it — the structural cause of the
+    * d25-measured misses, including a 33-partner family at recall 0.
     */
-  private[graft] val LshBands = 2
+  private[graft] val LshBands = 4
   private[graft] val LshRows = 16 / LshBands
   /** The sketch frame's band-key column names, in band order. */
   private[graft] val bandCols: Seq[String] =
@@ -337,10 +347,11 @@ object Dedup {
   }
   private def bandKey(b: Int): Column = bandKeyG(b, LshBands)
 
-  /** Global near-dup via MinHash-LSH: 16 permutations, 2 bands × 8 rows,
-    * exact Jaccard ≥ 0.9 on band-collision candidates only. At 100 TB the
-    * candidate join shuffles (band, 64-bit key) pairs — the text stays in
-    * the scan until the final check.
+  /** Global near-dup via MinHash-LSH: 16 permutations, [[LshBands]]
+    * bands × [[LshRows]] rows, exact Jaccard ≥ 0.9 on band-collision
+    * candidates only. At 100 TB the candidate join shuffles (band,
+    * 64-bit key) pairs — the text stays in the scan until the final
+    * check.
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     // persisted corpus index: d3's output is also d7's edge set, and the
@@ -350,7 +361,8 @@ object Dedup {
       graft.sources.CorpusIndex.ensureBucketed(spark, s"lsh_pairs$geomTag",
         sfDir, Seq("documents"), "doc_a")(buildMinhashLsh(spark, sfDir)))
 
-  /** Per-document MinHash sketch `(doc_id, bk0, bk1, toks)`, memoized:
+  /** Per-document MinHash sketch `(doc_id, bk0..bk{LshBands-1}, toks)`,
+    * memoized:
     * the full self-dedup (d3) and the delta-vs-corpus incremental dedup
     * (d13) read the same frame. At 100 TB this is the persisted sketch
     * INDEX a production pipeline maintains next to the corpus — built

@@ -173,13 +173,14 @@ class DedupSpec extends SparkSpec {
     assert(est.values.forall(e => e >= 0.0 && e <= 1.0))
     // every exact-confirmed pair (jac >= 0.9) is a banding candidate by
     // construction, and its 16-perm estimate should not collapse: with
-    // one band of 8 mins equal, est >= 0.5 deterministically
+    // one band of LshRows mins equal, est >= LshRows/16 deterministically
     val exact = Dedup.minhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(exact.nonEmpty)
+    val floor = Dedup.LshRows / 16.0
     for (p <- exact) {
       assert(est.contains(p), s"exact pair $p missing from sketch candidates")
-      assert(est(p) >= 0.5, s"pair $p: estimate ${est(p)} too low for jac>=0.9")
+      assert(est(p) >= floor, s"pair $p: estimate ${est(p)} too low for jac>=0.9")
     }
   }
 
