@@ -183,38 +183,28 @@ object Similarity {
     * pre-filtering into a separate index, which would fragment the cell
     * table per tenant. At 100 TB the cost is the same cell-probe scan
     * s5 pays, with 3/4 of candidates dropped before the scoring
-    * projection; a query whose probed cells hold no same-tenant vector
-    * disappears from the result on both engines — the honest contract
-    * (serving layers widen nprobe on shortfall; s5's probe set is the
-    * one being filtered, so the oracle states exactly that).
+    * projection.
+    *
+    * WIDEN-ON-SHORTFALL is part of the read path (r13, promoted from
+    * the s16 eval where it was proven): a query whose nprobe=2 probe
+    * yields fewer than k same-tenant candidates re-probes at nprobe=4
+    * (own + [[WidenedOtherCells]] nearest other cells); every other
+    * query keeps the narrow probe, so the served candidate set is a
+    * per-query superset of the narrow one (`SimilaritySpec` asserts
+    * both the superset property and a starved-tenant recovery through
+    * THIS operator). The widen decision re-derives in the oracle SQL
+    * exactly as s16's does. At scale the widened re-probe touches only
+    * the shortfall tail, not the corpus.
     */
-  def filteredTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    import Portable.tokenHash
-    val e = vecs(spark, sfDir)
-      .withColumn("tenant", tokenHash(col("vec_id").cast("string")) % Tenants)
-    val cents = centroidVectors(spark, sfDir)
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("label").as("qlabel"), col("tenant").as("qtenant"))
-    val wc = Window.partitionBy(col("query_id"))
-      .orderBy(col("cs").desc, col("label"))
-    val nearestOther = q.crossJoin(broadcast(cents))
-      .filter(col("label") =!= col("qlabel"))
-      .select(col("query_id"), col("qv"), col("qtenant"), col("label"),
-        cosineSim(col("qv"), col("cv")).as("cs"))
-      .withColumn("rk", row_number().over(wc))
-      .filter(col("rk") === 1)
-      .select(col("query_id"), col("qv"), col("qtenant"), col("label"))
-    val cells = q.select(col("query_id"), col("qv"), col("qtenant"),
-        col("qlabel").as("label"))
-      .unionByName(nearestOther)
-    val scored = e.join(broadcast(cells), Seq("label"))
-      .filter(col("tenant") === col("qtenant") &&
-        col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosineSim(col("v"), col("qv")).as("cos_raw"))
-    topkOut(scored, 3)
-  }
+  def filteredTopk(spark: SparkSession, sfDir: String): DataFrame =
+    filteredTopkOn(Tables.embeddings(spark, sfDir))
+
+  /** s15 over an arbitrary embeddings-shaped frame — injectable so the
+    * starved-tenant spec can drive the widen branch through the SERVING
+    * operator itself, not just the s16 eval.
+    */
+  private[ext] def filteredTopkOn(embRaw: DataFrame): DataFrame =
+    topkOut(filteredArms(embRaw).candW, 3)
 
   /** s16 widened probe width: own cell + 3 nearest others (nprobe=4). */
   private[ext] val WidenedOtherCells = 3
@@ -252,7 +242,18 @@ object Similarity {
     * which the real sf0.001 corpus may never exercise) and assert the
     * widened arm actually recovers the starved neighbors.
     */
-  private[ext] def filteredRecallEvalOn(embRaw: DataFrame): DataFrame = {
+  /** The shared s15/s16 widen machinery over an embeddings-shaped
+    * frame: the tenanted corpus `e`, the query frame `q`, the narrow
+    * nprobe=2 candidates `candA`, the per-query `shortfall` decision
+    * (`n_cand2 < k` → widened), and the served candidate set `candW`
+    * (narrow probe for full queries, nprobe=4 for short ones — a
+    * per-query superset of `candA` by construction). s15 serves
+    * `topk(candW)`; s16 scores both arms against brute filtered truth.
+    */
+  private final case class FilteredArms(e: DataFrame, q: DataFrame,
+      candA: DataFrame, shortfall: DataFrame, candW: DataFrame)
+
+  private def filteredArms(embRaw: DataFrame): FilteredArms = {
     import Portable.tokenHash
     val e = embRaw
       .select(col("vec_id"),
@@ -266,8 +267,8 @@ object Similarity {
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("label"))
     // rk=0 is the query's own cell; rk=1..3 the nearest other cells in
-    // centroid-cosine order — arm A (the s15 probe) reads rk<=1, the
-    // widened arm rk<=3 for short queries only
+    // centroid-cosine order — the narrow (s15 nprobe=2) probe reads
+    // rk<=1, the widened arm rk<=3 for short queries only
     val ranked = q.crossJoin(broadcast(cents))
       .filter(col("label") =!= col("qlabel"))
       .select(col("query_id"), col("qv"), col("qtenant"), col("label"),
@@ -284,12 +285,6 @@ object Similarity {
           col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           cosineSim(col("v"), col("qv")).as("cos_raw"))
-    def top3(c: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_raw").desc, col("neighbor_id"))
-      c.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
-        .select("query_id", "neighbor_id")
-    }
     val candA = candidates(cellsAll.filter(col("rk") <= 1))
     val shortfall = q.select("query_id")
       .join(candA.groupBy("query_id").agg(count(lit(1)).as("n")),
@@ -300,15 +295,28 @@ object Similarity {
       .join(broadcast(shortfall.select("query_id", "widened")), Seq("query_id"))
       .filter(col("rk") <= when(col("widened"), WidenedOtherCells).otherwise(1))
       .select("query_id", "qv", "qtenant", "label")
-    val truth = e.crossJoin(broadcast(q))
+    FilteredArms(e, q, candA, shortfall, candidates(cellsW))
+  }
+
+  private def top3Of(c: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    c.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id")
+  }
+
+  private[ext] def filteredRecallEvalOn(embRaw: DataFrame): DataFrame = {
+    val arms = filteredArms(embRaw)
+    val truth = arms.e.crossJoin(broadcast(arms.q))
       .filter(col("tenant") === col("qtenant") &&
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineSim(col("v"), col("qv")).as("cos_raw"))
-    top3(truth)
-      .join(top3(candA).withColumn("in2", lit(1L)),
+    val shortfall = arms.shortfall
+    top3Of(truth)
+      .join(top3Of(arms.candA).withColumn("in2", lit(1L)),
         Seq("query_id", "neighbor_id"), "left")
-      .join(top3(candidates(cellsW)).withColumn("inw", lit(1L)),
+      .join(top3Of(arms.candW).withColumn("inw", lit(1L)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("k"),
@@ -855,9 +863,11 @@ object Similarity {
     * the cheapest possible point: a candidate the predicate excludes
     * never costs even its integer lookups, and the 16-deep shortlist is
     * all same-tenant so the filter can't starve the rerank the way
-    * post-filtering would. Same honest contract as s15 for queries
-    * whose probed cells hold no same-tenant vector (s16 is the eval +
-    * widen loop for exactly that).
+    * post-filtering would. Widen-on-shortfall is part of this read path
+    * too (r13, same rule as s15): the narrow-probe candidate count is
+    * taken BEFORE the code explosion, and only short queries re-probe
+    * at nprobe=4 — so a starved tenant gets neighbors at the cost of
+    * one extra cell join for the tail, never a corpus rescan.
     */
   def filteredIvfPq(spark: SparkSession, sfDir: String): DataFrame =
     ivfPqTopkImpl(spark, sfDir, filtered = true)
@@ -891,16 +901,44 @@ object Similarity {
       .orderBy(col("cs").desc, col("label"))
     val tenantCols =
       if (filtered) Seq(col("qtenant")) else Seq.empty[Column]
-    val nearestOther = q.crossJoin(broadcast(cents)) // |cells|-row frame
+    // s13 probes exactly nprobe=2 (rk=1); s17 ranks the widened cell
+    // set up front (rk<=WidenedOtherCells) so its widen-on-shortfall
+    // can re-probe short queries without re-ranking centroids
+    val maxRk = if (filtered) WidenedOtherCells else 1
+    val rankedOther = q.crossJoin(broadcast(cents)) // |cells|-row frame
       .filter(col("label") =!= col("qlabel"))
       .select(Seq(col("query_id"), col("label"),
         cosineSim(col("qv"), col("cv")).as("cs")) ++ tenantCols: _*)
       .withColumn("rk", row_number().over(wc))
-      .filter(col("rk") === 1)
-      .select(Seq(col("query_id"), col("label")) ++ tenantCols: _*)
-    val cells = q.select(Seq(col("query_id"),
-        col("qlabel").as("label")) ++ tenantCols: _*)
-      .unionByName(nearestOther)
+      .filter(col("rk") <= maxRk)
+      .select(Seq(col("query_id"), col("label"), col("rk")) ++ tenantCols: _*)
+    val cellsAll = q.select(Seq(col("query_id"),
+        col("qlabel").as("label"), lit(0).as("rk")) ++ tenantCols: _*)
+      .unionByName(rankedOther)
+    val cells =
+      if (!filtered) cellsAll.drop("rk")
+      else {
+        // WIDEN-ON-SHORTFALL in the fused path (r13, same decision rule
+        // as s15/s16): count same-tenant candidates in the NARROW probe
+        // BEFORE the codes explode — one pass over the cell-joined scan,
+        // no ADC work — and re-probe at nprobe=4 exactly the queries
+        // with fewer than k candidates. The served candidate set is a
+        // per-query superset of the narrow one.
+        val narrow = cellsAll.filter(col("rk") <= 1)
+        val nCand = enc.join(broadcast(narrow), Seq("label"))
+          .filter(col("tenant") === col("qtenant") &&
+            col("vec_id") =!= col("query_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n"))
+        val shortfall = q.select("query_id")
+          .join(nCand, Seq("query_id"), "left")
+          .select(col("query_id"),
+            (coalesce(col("n"), lit(0L)) < 3).as("widened"))
+        cellsAll
+          .join(broadcast(shortfall), Seq("query_id"))
+          .filter(col("rk") <=
+            when(col("widened"), WidenedOtherCells).otherwise(1))
+          .drop("rk", "widened")
+      }
     val qDims = q.select(col("query_id"), posexplode(col("qv")).as(Seq("dim", "qval")))
       .select(col("query_id"), expr(s"dim DIV $SubDim").as("m"),
         expr(s"dim % $SubDim").as("sd"), col("qval"))
@@ -995,6 +1033,71 @@ object Similarity {
        |  FROM ($scoredCte))
        |WHERE rank <= $k""".stripMargin
 
+  /** The shared s15/s16 oracle CTE chain — the SQL twin of
+    * [[filteredArms]]: tenanted corpus → centroids → queries → ranked
+    * cells (rk 0..3) → narrow candidates → shortfall decision → widened
+    * cells → served candidates. s15 serves top-3 of `cand_w`; s16
+    * scores `cand_a` and `cand_w` against brute filtered truth. One
+    * definition, so the widen rule can never drift between the serving
+    * oracle and the eval oracle.
+    */
+  private lazy val filteredArmsSqlCtes: String =
+    s"""ev AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    ${Portable.tokenHashSql("CAST(vec_id AS VARCHAR)")} % $Tenants
+       |      AS tenant
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT label, list(centroid ORDER BY dim) AS cv FROM (
+       |    SELECT label, CAST(t.i AS INTEGER) AS dim,
+       |      CAST(sum(CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)
+       |        / 10000000.0 / count(*) AS centroid
+       |    FROM embeddings, range(64) t(i)
+       |    GROUP BY label, t.i)
+       |  GROUP BY label),
+       |q AS (
+       |  SELECT vec_id AS query_id, v AS qv, label AS qlabel, tenant AS qtenant
+       |  FROM ev WHERE vec_id < $nQueries),
+       |ranked AS (
+       |  SELECT query_id, qv, qtenant, label, rk FROM (
+       |    SELECT q.query_id, q.qv, q.qtenant, c.label,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        (list_dot_product(q.qv, c.cv) /
+       |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+       |        c.label) AS rk
+       |    FROM q JOIN cents c ON c.label <> q.qlabel)
+       |  WHERE rk <= $WidenedOtherCells),
+       |cells_all AS (
+       |  SELECT query_id, qv, qtenant, qlabel AS label, 0 AS rk FROM q
+       |  UNION ALL
+       |  SELECT query_id, qv, qtenant, label, rk FROM ranked),
+       |cand_a AS (
+       |  SELECT ca.query_id, e.vec_id AS neighbor_id,
+       |    (list_dot_product(e.v, ca.qv) /
+       |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(ca.qv, ca.qv)))) AS cos_raw
+       |  FROM cells_all ca JOIN ev e
+       |    ON e.label = ca.label AND e.tenant = ca.qtenant
+       |      AND e.vec_id <> ca.query_id
+       |  WHERE ca.rk <= 1),
+       |shortfall AS (
+       |  SELECT q.query_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cand2,
+       |    COALESCE(c.n, 0) < 3 AS widened
+       |  FROM q LEFT JOIN (
+       |    SELECT query_id, count(*) AS n FROM cand_a GROUP BY query_id) c
+       |    ON c.query_id = q.query_id),
+       |cells_w AS (
+       |  SELECT ca.query_id, ca.qv, ca.qtenant, ca.label
+       |  FROM cells_all ca JOIN shortfall s ON s.query_id = ca.query_id
+       |  WHERE ca.rk <= CASE WHEN s.widened THEN $WidenedOtherCells ELSE 1 END),
+       |cand_w AS (
+       |  SELECT cw.query_id, e.vec_id AS neighbor_id,
+       |    (list_dot_product(e.v, cw.qv) /
+       |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cw.qv, cw.qv)))) AS cos_raw
+       |  FROM cells_w cw JOIN ev e
+       |    ON e.label = cw.label AND e.tenant = cw.qtenant
+       |      AND e.vec_id <> cw.query_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // s5's probe selection + s7's ADC scoring + s1's exact rerank,
     // composed over the probed cells only
@@ -1015,6 +1118,52 @@ object Similarity {
     val cellTenant = if (filtered) ", qtenant" else ""
     val noTenant = if (filtered) ", q.qtenant" else ""
     val candCond = if (filtered) "\n    AND e.tenant = cells.qtenant" else ""
+    // s13 probes exactly nprobe=2; s17 ranks rk<=WidenedOtherCells and
+    // re-derives the widen-on-shortfall decision (narrow same-tenant
+    // candidate count before the code explosion), mirroring the Scala
+    // read path CTE for CTE
+    val cellsCtes =
+      if (!filtered)
+        s"""nearest_other AS (
+           |  SELECT query_id, label$cellTenant FROM (
+           |    SELECT q.query_id, c.label$noTenant,
+           |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+           |        (list_dot_product(q.qv, c.cv) /
+           |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+           |        c.label) AS rk
+           |    FROM q JOIN cents c ON c.label <> q.qlabel)
+           |  WHERE rk = 1),
+           |cells AS (
+           |  SELECT query_id, qlabel AS label$cellTenant FROM q
+           |  UNION ALL
+           |  SELECT query_id, label$cellTenant FROM nearest_other)""".stripMargin
+      else
+        s"""ranked AS (
+           |  SELECT query_id, label, rk$cellTenant FROM (
+           |    SELECT q.query_id, c.label$noTenant,
+           |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+           |        (list_dot_product(q.qv, c.cv) /
+           |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+           |        c.label) AS rk
+           |    FROM q JOIN cents c ON c.label <> q.qlabel)
+           |  WHERE rk <= $WidenedOtherCells),
+           |cells_all AS (
+           |  SELECT query_id, qlabel AS label, 0 AS rk$cellTenant FROM q
+           |  UNION ALL
+           |  SELECT query_id, label, rk$cellTenant FROM ranked),
+           |shortfall AS (
+           |  SELECT q.query_id, COALESCE(c.n, 0) < 3 AS widened
+           |  FROM q LEFT JOIN (
+           |    SELECT ca.query_id, count(*) AS n
+           |    FROM cells_all ca JOIN enc e
+           |      ON e.label = ca.label AND e.tenant = ca.qtenant
+           |        AND e.vec_id <> ca.query_id
+           |    WHERE ca.rk <= 1
+           |    GROUP BY ca.query_id) c ON c.query_id = q.query_id),
+           |cells AS (
+           |  SELECT ca.query_id, ca.label$cellTenant
+           |  FROM cells_all ca JOIN shortfall s ON s.query_id = ca.query_id
+           |  WHERE ca.rk <= CASE WHEN s.widened THEN $WidenedOtherCells ELSE 1 END)""".stripMargin
     topkSql(
       s"""WITH ev AS (
          |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v$tenantCol
@@ -1034,19 +1183,7 @@ object Similarity {
          |q AS (
          |  SELECT vec_id AS query_id, v AS qv, label AS qlabel$qTenant
          |  FROM ev WHERE vec_id < $nQueries),
-         |nearest_other AS (
-         |  SELECT query_id, label$cellTenant FROM (
-         |    SELECT q.query_id, c.label$noTenant,
-         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
-         |        (list_dot_product(q.qv, c.cv) /
-         |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
-         |        c.label) AS rk
-         |    FROM q JOIN cents c ON c.label <> q.qlabel)
-         |  WHERE rk = 1),
-         |cells AS (
-         |  SELECT query_id, qlabel AS label$cellTenant FROM q
-         |  UNION ALL
-         |  SELECT query_id, label$cellTenant FROM nearest_other),
+         |$cellsCtes,
          |dims AS (
          |  SELECT t.i // $SubDim AS m, t.i % $SubDim AS sd,
          |    codes[t.i // $SubDim + 1] AS code,
@@ -1242,61 +1379,7 @@ object Similarity {
     // are all restated in SQL, so the oracle pins the widen DECISION
     // as well as the recall arithmetic
     "s16_filtered_recall" ->
-      s"""WITH ev AS (
-         |  SELECT vec_id, label,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         |    ${Portable.tokenHashSql("CAST(vec_id AS VARCHAR)")} % $Tenants
-         |      AS tenant
-         |  FROM embeddings),
-         |cents AS (
-         |  SELECT label, list(centroid ORDER BY dim) AS cv FROM (
-         |    SELECT label, CAST(t.i AS INTEGER) AS dim,
-         |      CAST(sum(CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)
-         |        / 10000000.0 / count(*) AS centroid
-         |    FROM embeddings, range(64) t(i)
-         |    GROUP BY label, t.i)
-         |  GROUP BY label),
-         |q AS (
-         |  SELECT vec_id AS query_id, v AS qv, label AS qlabel, tenant AS qtenant
-         |  FROM ev WHERE vec_id < $nQueries),
-         |ranked AS (
-         |  SELECT query_id, qv, qtenant, label, rk FROM (
-         |    SELECT q.query_id, q.qv, q.qtenant, c.label,
-         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
-         |        (list_dot_product(q.qv, c.cv) /
-         |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
-         |        c.label) AS rk
-         |    FROM q JOIN cents c ON c.label <> q.qlabel)
-         |  WHERE rk <= $WidenedOtherCells),
-         |cells_all AS (
-         |  SELECT query_id, qv, qtenant, qlabel AS label, 0 AS rk FROM q
-         |  UNION ALL
-         |  SELECT query_id, qv, qtenant, label, rk FROM ranked),
-         |cand_a AS (
-         |  SELECT ca.query_id, e.vec_id AS neighbor_id,
-         |    (list_dot_product(e.v, ca.qv) /
-         |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(ca.qv, ca.qv)))) AS cos_raw
-         |  FROM cells_all ca JOIN ev e
-         |    ON e.label = ca.label AND e.tenant = ca.qtenant
-         |      AND e.vec_id <> ca.query_id
-         |  WHERE ca.rk <= 1),
-         |shortfall AS (
-         |  SELECT q.query_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cand2,
-         |    COALESCE(c.n, 0) < 3 AS widened
-         |  FROM q LEFT JOIN (
-         |    SELECT query_id, count(*) AS n FROM cand_a GROUP BY query_id) c
-         |    ON c.query_id = q.query_id),
-         |cells_w AS (
-         |  SELECT ca.query_id, ca.qv, ca.qtenant, ca.label
-         |  FROM cells_all ca JOIN shortfall s ON s.query_id = ca.query_id
-         |  WHERE ca.rk <= CASE WHEN s.widened THEN $WidenedOtherCells ELSE 1 END),
-         |cand_w AS (
-         |  SELECT cw.query_id, e.vec_id AS neighbor_id,
-         |    (list_dot_product(e.v, cw.qv) /
-         |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cw.qv, cw.qv)))) AS cos_raw
-         |  FROM cells_w cw JOIN ev e
-         |    ON e.label = cw.label AND e.tenant = cw.qtenant
-         |      AND e.vec_id <> cw.query_id),
+      s"""WITH $filteredArmsSqlCtes,
          |top_a AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT query_id, neighbor_id,
@@ -1333,42 +1416,8 @@ object Similarity {
          |  CAST((p.hits_widened * 1000000) // p.k AS BIGINT) AS recallw_ppm
          |FROM perq p JOIN shortfall s ON s.query_id = p.query_id""".stripMargin,
     "s15_filtered_topk" -> topkSql(
-      s"""WITH ev AS (
-         |  SELECT vec_id, label,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         |    ${Portable.tokenHashSql("CAST(vec_id AS VARCHAR)")} % $Tenants
-         |      AS tenant
-         |  FROM embeddings),
-         |cents AS (
-         |  SELECT label, list(centroid ORDER BY dim) AS cv FROM (
-         |    SELECT label, CAST(t.i AS INTEGER) AS dim,
-         |      CAST(sum(CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)
-         |        / 10000000.0 / count(*) AS centroid
-         |    FROM embeddings, range(64) t(i)
-         |    GROUP BY label, t.i)
-         |  GROUP BY label),
-         |q AS (
-         |  SELECT vec_id AS query_id, v AS qv, label AS qlabel, tenant AS qtenant
-         |  FROM ev WHERE vec_id < $nQueries),
-         |nearest_other AS (
-         |  SELECT query_id, qv, qtenant, label FROM (
-         |    SELECT q.query_id, q.qv, q.qtenant, c.label,
-         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
-         |        (list_dot_product(q.qv, c.cv) /
-         |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
-         |        c.label) AS rk
-         |    FROM q JOIN cents c ON c.label <> q.qlabel)
-         |  WHERE rk = 1),
-         |cells AS (
-         |  SELECT query_id, qv, qtenant, qlabel AS label FROM q
-         |  UNION ALL
-         |  SELECT query_id, qv, qtenant, label FROM nearest_other)
-         |SELECT cells.query_id, e.vec_id AS neighbor_id,
-         |  (list_dot_product(e.v, cells.qv) /
-         |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cells.qv, cells.qv)))) AS cos_raw
-         |FROM cells JOIN ev e
-         |  ON e.label = cells.label AND e.tenant = cells.qtenant
-         |    AND e.vec_id <> cells.query_id""".stripMargin, 3),
+      s"""WITH $filteredArmsSqlCtes
+         |SELECT query_id, neighbor_id, cos_raw FROM cand_w""".stripMargin, 3),
     "s6_sq_rerank" -> topkSql(
       s"""WITH ev AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

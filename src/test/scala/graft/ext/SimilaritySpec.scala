@@ -117,9 +117,18 @@ class SimilaritySpec extends SparkSpec {
         s"ranks not dense for $q")
       assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-(_: Double)).toSeq,
         s"cos not descending for $q")
-      // s5's probe structure survives the filter: ≤ 2 cells, incl. own
+    }
+    // probe structure survives the filter: ≤ 2 cells for a full query,
+    // ≤ 1+WidenedOtherCells for one the narrow probe left short (the
+    // r13 widen-on-shortfall read path); the s16 eval's widen flag is
+    // the same decision rule, so it tells us which bound applies
+    val widenedByQ = Similarity.filteredRecallEval(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    for ((q, rs) <- byQ) {
       val cells = rs.map(x => labels(x._2)).toSet
-      assert(cells.size <= 2, s"query $q probed ${cells.size} cells")
+      val bound = if (widenedByQ.getOrElse(q, false))
+        1 + Similarity.WidenedOtherCells else 2
+      assert(cells.size <= bound, s"query $q probed ${cells.size} cells")
     }
     // the filter must BIND on this corpus: versus the unfiltered s5
     // top-3, some query's neighbor set changes (else the tenant
@@ -150,7 +159,8 @@ class SimilaritySpec extends SparkSpec {
         .map(e => (e._1, cos(e._2, qv)))
         .sortBy(x => (-x._2, x._1)).take(3).map(_._1).toSet
     }.toMap
-    // arm A's top-3 IS s15's output — recompute hits from it
+    // the WIDENED arm's top-3 IS s15's output since r13 (the serving
+    // path widens on shortfall) — recompute hits_widened from it
     val s15 = Similarity.filteredTopk(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
       .map { case (q, rs) => q -> rs.map(_._2).toSet }
@@ -162,10 +172,10 @@ class SimilaritySpec extends SparkSpec {
     for ((q, r) <- eval) {
       val k = r.getLong(1)
       assert(k == truth(q).size, s"query $q: k=$k != |truth|")
-      val h2 = truth(q).count(s15.getOrElse(q, Set.empty))
-      assert(r.getLong(4) == h2, s"query $q: hits_nprobe2 ${r.getLong(4)} != $h2")
-      assert(r.getLong(6) == h2 * 1000000L / k, s"query $q: recall2 ppm")
-      assert(r.getLong(7) == r.getLong(5) * 1000000L / k, s"query $q: recallw ppm")
+      val hw = truth(q).count(s15.getOrElse(q, Set.empty))
+      assert(r.getLong(5) == hw, s"query $q: hits_widened ${r.getLong(5)} != $hw")
+      assert(r.getLong(6) == r.getLong(4) * 1000000L / k, s"query $q: recall2 ppm")
+      assert(r.getLong(7) == hw * 1000000L / k, s"query $q: recallw ppm")
       // widening never loses: the widened candidate set is a superset
       assert(r.getLong(7) >= r.getLong(6), s"query $q: recall not monotone")
       // flag honesty: widened exactly when the narrow probe came short
@@ -204,6 +214,20 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getLong(4) == 0L, s"narrow arm must starve: $r")
     assert(r.getLong(5) > 0L, s"widened arm must recover: $r")
     assert(r.getLong(7) > r.getLong(6), s"recall must improve: $r")
+
+    // r13: the widen is part of the SERVING path, not just the eval —
+    // the same crafted corpus through s15 itself must return the
+    // starved query's same-tenant neighbors (pre-r13 it returned
+    // nothing for qid), with the tenant predicate intact on every row
+    val served = Similarity.filteredTopkOn(emb).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val mine = served.filter(_._1 == qid).map(_._2).toSet
+    assert(mine.nonEmpty, "serving path must recover the starved query")
+    assert(mine.subsetOf(sameTenant.toSet),
+      s"served neighbors must be the starved tenant's: $mine")
+    served.foreach { case (q, n) =>
+      assert(tenantOf(n) == tenantOf(q), s"tenant violated in serving: $q -> $n")
+    }
   }
 
   test("s17 filtered IVF-PQ: tenant respected, probe structure kept, filter binds") {
@@ -223,9 +247,18 @@ class SimilaritySpec extends SparkSpec {
         s"ranks not dense for $q")
       assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-(_: Double)).toSeq,
         s"cos not descending for $q")
-      // s13's probe structure survives the filter: <= 2 cells
+    }
+    // probe structure survives the filter: <= 2 cells for a full query,
+    // <= 1+WidenedOtherCells for a short one (s17's widen decision
+    // counts the same narrow same-tenant candidates as s15/s16's, so
+    // the s16 widen flag is the applicable bound selector)
+    val widenedByQ = Similarity.filteredRecallEval(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    for ((q, rs) <- byQ) {
       val cells = rs.map(x => labels(x._2)).toSet
-      assert(cells.size <= 2, s"query $q probed ${cells.size} cells")
+      val bound = if (widenedByQ.getOrElse(q, false))
+        1 + Similarity.WidenedOtherCells else 2
+      assert(cells.size <= bound, s"query $q probed ${cells.size} cells")
     }
     // the filter must BIND vs the unfiltered s13 on this corpus
     val s13 = Similarity.ivfPqTopk(spark, sf).collect()
