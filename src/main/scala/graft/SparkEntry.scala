@@ -16,19 +16,35 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     cdc.CdcQueries.materialize(spark, "/root/testdata/sf0.001")
 
+  /** The module registry — ONE declaration per module, from which both
+    * `queries` and `oracleSql` derive, so the two can never disagree on
+    * module membership. `REGISTRY.json` (the machine-readable coverage
+    * manifest, [[graft.RegistryManifest]]) is generated from this list;
+    * `RegistrySmokeSpec` asserts the committed manifest stays in sync.
+    */
+  val modules: Seq[(String,
+      Map[String, (SparkSession, String) => DataFrame],
+      Map[String, String])] = Seq(
+    ("cdc.CdcQueries", cdc.CdcQueries.queries, cdc.CdcQueries.oracle),
+    ("analytics.Dashboards", analytics.Dashboards.queries, analytics.Dashboards.oracle),
+    ("ext.Tpch", ext.Tpch.queries, ext.Tpch.oracle),
+    ("ext.Dedup", ext.Dedup.queries, ext.Dedup.oracle),
+    ("ext.Similarity", ext.Similarity.queries, ext.Similarity.oracle),
+    ("ext.TextAnalysis", ext.TextAnalysis.queries, ext.TextAnalysis.oracle),
+    ("ext.Multimodal", ext.Multimodal.queries, ext.Multimodal.oracle),
+    ("ext.Sessions", ext.Sessions.queries, ext.Sessions.oracle),
+    ("ext.Sampling", ext.Sampling.queries, ext.Sampling.oracle),
+    ("ext.Pipeline", ext.Pipeline.queries, ext.Pipeline.oracle),
+    ("ext.Temporal", ext.Temporal.queries, ext.Temporal.oracle),
+    ("ext.Prep", ext.Prep.queries, ext.Prep.oracle),
+    ("ext.Relational", ext.Relational.queries, ext.Relational.oracle),
+    ("ext.Search", ext.Search.queries, ext.Search.oracle),
+    ("ext.Bloom", ext.Bloom.queries, ext.Bloom.oracle),
+    ("ext.Validate", ext.Validate.queries, ext.Validate.oracle))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    cdc.CdcQueries.queries ++ analytics.Dashboards.queries ++
-      ext.Tpch.queries ++ ext.Dedup.queries ++ ext.Similarity.queries ++
-      ext.TextAnalysis.queries ++ ext.Multimodal.queries ++
-      ext.Sessions.queries ++ ext.Sampling.queries ++ ext.Pipeline.queries ++
-      ext.Temporal.queries ++ ext.Prep.queries ++ ext.Relational.queries ++
-      ext.Search.queries ++ ext.Bloom.queries ++ ext.Validate.queries
+    modules.iterator.map(_._2).reduce(_ ++ _)
 
   def oracleSql: Map[String, String] =
-    cdc.CdcQueries.oracle ++ analytics.Dashboards.oracle ++
-      ext.Tpch.oracle ++ ext.Dedup.oracle ++ ext.Similarity.oracle ++
-      ext.TextAnalysis.oracle ++ ext.Multimodal.oracle ++
-      ext.Sessions.oracle ++ ext.Sampling.oracle ++ ext.Pipeline.oracle ++
-      ext.Temporal.oracle ++ ext.Prep.oracle ++ ext.Relational.oracle ++
-      ext.Search.oracle ++ ext.Bloom.oracle ++ ext.Validate.oracle
+    modules.iterator.map(_._3).reduce(_ ++ _)
 }

@@ -68,6 +68,22 @@ object CorpusIndex {
     md.digest().take(6).map(b => f"${b & 0xff}%02x").mkString
   }
 
+  /** Generation-time dependency recorder ([[graft.RegistryManifest]]):
+    * while a recording is active on the calling thread, every
+    * [[ensureBucketed]] resolution logs its index name — the mechanical
+    * "which durable indexes does this query ride" extraction, robust to
+    * `localCheckpoint` truncating the logical plan (a plan walk would
+    * lose scans behind a checkpoint; construction-time recording
+    * cannot).
+    */
+  private val depRecorder =
+    new ThreadLocal[scala.collection.mutable.Set[String]]
+  private[graft] def recordingDeps[T](f: => T): (T, Set[String]) = {
+    val s = scala.collection.mutable.Set.empty[String]
+    depRecorder.set(s)
+    try { val r = f; (r, s.toSet) } finally depRecorder.remove()
+  }
+
   /** Return `name` for the corpus at `sfDir` as a bucketed catalog
     * table, building and publishing it first iff no published index
     * matches the corpus fingerprint. `build` is by-name: a hit never
@@ -75,6 +91,7 @@ object CorpusIndex {
     */
   def ensureBucketed(spark: SparkSession, name: String, sfDir: String,
       sourceTables: Seq[String], bucketKey: String)(build: => DataFrame): DataFrame = {
+    Option(depRecorder.get).foreach(_ += name)
     val fp = fingerprint(sfDir, sourceTables)
     val table = s"graft_idx_${name}_$fp"
     if (spark.catalog.tableExists(table)) return spark.table(table)
