@@ -707,6 +707,19 @@ object Bench {
     // the marker saying so — instead of the whole artifact. With
     // QUIET_WAIT unset the gate never sleeps and only the markers are
     // added (the per-round driver path stays non-blocking).
+    // JVM warm for streaming-ONLY runs (r13 finding): the FIRST dial of
+    // a BATCH=0 artifact read 7.9–19k rows/s for the upsert workload
+    // that measures 27.8k the moment ANY other dial precedes it — one
+    // discarded full-shape warm rep leaves the SHARED machinery
+    // (parquet commit path, state store, whole-stage codegen classes)
+    // at C1/interpreter tier, and in full runs the 15-min batch section
+    // performs this role. A small untimed upsert+ivm feed (~8 s) brings
+    // the shared paths to steady state before the first measured dial;
+    // per-dial warm reps then only pay dial-SPECIFIC ramp.
+    if (sys.env.get("SPARK_GRAFT_BATCH").contains("0")) {
+      StreamFeeds.timeUpsert(spark, 20000, 2000, 2)
+      StreamFeeds.timeIvm(spark, 20000, 2000, 2)
+    }
     val quietLa = sys.env.get("SPARK_GRAFT_QUIET_LA")
       .map(_.toDouble).getOrElse(3.0)
     val quietWaitSec = sys.env.get("SPARK_GRAFT_QUIET_WAIT")
