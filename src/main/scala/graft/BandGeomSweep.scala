@@ -7,16 +7,29 @@ import org.apache.spark.sql.SparkSession
   * geometry and score it with the d25 recall eval. Prints one JSON line
   * per geometry: candidate volume (the cost dial — every candidate pays
   * an exact-confirm intersection), confirmed pairs, probe recall, and
-  * wall seconds. The adopted default ([[graft.ext.Dedup.LshBands]]) is
-  * whatever this sweep justified on the real corpus — see PLANS.md.
+  * wall seconds. The adopted default ([[graft.ext.Dedup.LshPerms]] /
+  * [[graft.ext.Dedup.LshBands]]) is whatever this sweep justified on
+  * the real corpus — see PLANS.md.
   *
-  * Usage: runMain graft.BandGeomSweep [sfDir] [bands1,bands2,...]
+  * Usage: runMain graft.BandGeomSweep [sfDir] [geom1,geom2,...] where a
+  * geometry is `bands` (over 16 perms, legacy) or `perms/bands` (e.g.
+  * `64/8` = 8 bands × 8 rows over 64 permutations).
+  *
+  * `SPARK_GRAFT_VOLUME_ONLY=1` skips the joins and upper-bounds the
+  * candidate count from band-key occupancy alone (Σ C(cnt,2)) — one
+  * corpus aggregation, for sizing a bigger-SF run before paying it.
   */
 object BandGeomSweep {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val geoms = args.drop(1).headOption
-      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(2, 4))
+    val geoms: Seq[(Int, Int)] = args.drop(1).headOption
+      .map(_.split(",").map(_.trim).toSeq.map { g =>
+        g.split("/") match {
+          case Array(b) => (16, b.toInt)
+          case Array(p, b) => (p.toInt, b.toInt)
+          case _ => sys.error(s"bad geometry: $g")
+        }
+      }).getOrElse(Seq((16, 2), (16, 4), (64, 8)))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
@@ -26,19 +39,41 @@ object BandGeomSweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    geoms.foreach { nb =>
-      require(16 % nb == 0, s"bands must divide 16: $nb")
-      val t0 = System.nanoTime()
-      val row = ext.Dedup.lshGeometrySweep(spark, sfDir, nb).collect()(0)
-      val sec = math.rint((System.nanoTime() - t0) / 1e7) / 100
-      println(s"""{"sf":"$sfDir","n_bands":${row.getAs[Int]("n_bands")},""" +
-        s""""rows_per_band":${row.getAs[Int]("rows_per_band")},""" +
-        s""""candidates":${row.getAs[Long]("candidates")},""" +
-        s""""confirmed":${row.getAs[Long]("confirmed")},""" +
-        s""""n_truth":${row.getAs[Long]("n_truth")},""" +
-        s""""n_found":${row.getAs[Long]("n_found")},""" +
-        s""""recall_ppm":${row.getAs[Long]("recall_ppm")},""" +
-        s""""sec":$sec}""")
+    val volumeOnly = sys.env.get("SPARK_GRAFT_VOLUME_ONLY").contains("1")
+    geoms.foreach { case (perms, bands) =>
+      require(perms % bands == 0 && perms <= graft.ext.Portable.A.size,
+        s"bad geometry: $perms/$bands")
+      if (volumeOnly) {
+        import org.apache.spark.sql.functions._
+        val t0 = System.nanoTime()
+        val sk = ext.Dedup.sketchOfG(
+          spark.read.parquet(s"$sfDir/documents.parquet")
+            .select("doc_id", "text"), bands, perms)
+        val vol = sk
+          .select(explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"), col(s"bk$b").as("key"))): _*)).as("bk"))
+          .groupBy(col("bk.band"), col("bk.key")).count()
+          .agg(sum(expr("count * (count - 1) / 2")).as("bound"),
+            max("count").as("hottest"))
+          .collect()(0)
+        val sec = math.rint((System.nanoTime() - t0) / 1e7) / 100
+        println(s"""{"sf":"$sfDir","n_perms":$perms,"n_bands":$bands,""" +
+          s""""volume_bound":${vol.get(0)},"hottest_band_key":${vol.get(1)},""" +
+          s""""sketch_sec":$sec}""")
+      } else {
+        val t0 = System.nanoTime()
+        val row = ext.Dedup.lshGeometrySweep(spark, sfDir, bands, perms).collect()(0)
+        val sec = math.rint((System.nanoTime() - t0) / 1e7) / 100
+        println(s"""{"sf":"$sfDir","n_perms":$perms,""" +
+          s""""n_bands":${row.getAs[Int]("n_bands")},""" +
+          s""""rows_per_band":${row.getAs[Int]("rows_per_band")},""" +
+          s""""candidates":${row.getAs[Long]("candidates")},""" +
+          s""""confirmed":${row.getAs[Long]("confirmed")},""" +
+          s""""n_truth":${row.getAs[Long]("n_truth")},""" +
+          s""""n_found":${row.getAs[Long]("n_found")},""" +
+          s""""recall_ppm":${row.getAs[Long]("recall_ppm")},""" +
+          s""""sec":$sec}""")
+      }
     }
     spark.stop()
   }

@@ -313,18 +313,40 @@ object Dedup {
     * geometry sweep (PLANS) measured both geometries' recall AND
     * exact-confirm candidate cost before fixing the default.
     *
-    * 4×4 ADOPTED (r13): measured recall 853k→985k ppm at sf0.01 and
-    * 829k→999k ppm at sf1-synth (the 2×8 index was shipping ~17% of
-    * true ≥0.9 near-dup pairs UNFOUND — undeleted duplicates in a
-    * dedup pipeline), for 3.0×/5.4× exact-confirm candidate volume paid
-    * once per corpus snapshot in the offline index build. 4×4's
-    * S-curve midpoint (1/4)^(1/4) ≈ 0.707 sits correctly BELOW the 0.9
-    * confirm threshold (steep part of the curve under the target);
-    * 2×8's (1/2)^(1/8) ≈ 0.917 sat ON it — the structural cause of the
-    * d25-measured misses, including a 33-partner family at recall 0.
+    * 64-PERM 8×8 ADOPTED (r13, two measured steps — full tables in
+    * PLANS round-13):
+    *
+    * Step 1 fixed RECALL: 2×8's S-curve midpoint (1/2)^(1/8) ≈ 0.917
+    * sits ON the 0.9 confirm threshold (collision p≈0.68 at j=0.9), so
+    * the index shipped 15–17% of true near-dup pairs unfound (d25:
+    * 853k ppm at sf0.01, a 33-partner family at recall 0). 4×4 over
+    * the same 16 perms fixes that (midpoint 0.707, 985k ppm) but its
+    * 4-min band key is a WEAK fingerprint — at sf10-synth the hottest
+    * band key held 92 820 docs (structurally-similar-but-sub-threshold
+    * cross-shard copies, j ≤ 0.39, all colliding at j⁴ ≈ 2% per band),
+    * an 8.2 B-candidate false flood that is pure confirm waste.
+    *
+    * Step 2 fixed CANDIDATE VOLUME at equal recall: 8 bands × 8 rows
+    * over 64 permutations keeps the midpoint safely below threshold
+    * ((1/8)^(1/8) ≈ 0.771, recall ≈ 0.989 at j=0.9 — measured 995k ppm
+    * at sf0.01 AND sf1) while an 8-min band key collides for j=0.39
+    * pairs at j⁸ ≈ 0.05% per band: candidates drop 36% below 4×4 at
+    * sf0.01, 2.8× at sf1, and the sf10 hot key shrinks 92 820 → 6 020
+    * members (the quadratic hot-family term drops ~200×). The price is
+    * 64 min-aggregations in the one sketch pass (linear, measured
+    * 40 s at sf10-synth) and 64 B of band keys per doc.
     */
-  private[graft] val LshBands = 4
-  private[graft] val LshRows = 16 / LshBands
+  private[graft] val LshPerms = 64
+  private[graft] val LshBands = 8
+  private[graft] val LshRows = LshPerms / LshBands
+  /** d8's estimator geometry — FIXED at 16 perms / 4 bands independent
+    * of the d3 chain's [[LshPerms]]/[[LshBands]]: d8's contract is the
+    * 16-permutation Jaccard estimate (est = matches/16, ±1/√16), and
+    * its banding exists only to bound the estimate join, not to set
+    * the dedup chain's recall.
+    */
+  private[ext] val EstBands = 4
+  private[ext] val EstRows = 16 / EstBands
   /** The sketch frame's band-key column names, in band order. */
   private[graft] val bandCols: Seq[String] =
     (0 until LshBands).map(i => s"bk$i")
@@ -334,18 +356,16 @@ object Dedup {
     * Empty for the original 2×8 (existing published indexes stay valid).
     */
   private[graft] val geomTag: String =
-    if (LshBands == 2) "" else s"_${LshBands}x$LshRows"
+    if (LshPerms == 16 && LshBands == 2) "" else s"_${LshBands}x$LshRows"
 
   /** Band key over signature columns of band `b` under an `nBands`
     * geometry: ordered 31-fold of scalar longs — cheap arithmetic, safe
     * to inline anywhere.
     */
-  private def bandKeyG(b: Int, nBands: Int): Column = {
-    val rows = 16 / nBands
+  private def bandKeyAt(b: Int, rows: Int): Column =
     (b * rows until (b + 1) * rows).map(i => col(s"s$i"))
       .foldLeft(lit(0L): Column)((acc, s) => (acc * 31L + s) % P)
-  }
-  private def bandKey(b: Int): Column = bandKeyG(b, LshBands)
+  private def bandKey(b: Int): Column = bandKeyAt(b, LshRows)
 
   /** Global near-dup via MinHash-LSH: 16 permutations, [[LshBands]]
     * bands × [[LshRows]] rows, exact Jaccard ≥ 0.9 on band-collision
@@ -400,23 +420,26 @@ object Dedup {
     * byte-identical index rows.
     */
   private[graft] def sketchOf(docsFrame: DataFrame): DataFrame =
-    sketchOfG(docsFrame, LshBands)
+    sketchOfG(docsFrame, LshBands, LshPerms)
 
-  /** [[sketchOf]] under an explicit geometry — the r13 geometry sweep
-    * ([[lshGeometrySweep]]) builds both 2×8 and 4×4 sketches from it;
-    * the default path always passes [[LshBands]].
+  /** [[sketchOf]] under an explicit geometry (`nPerms` permutations in
+    * `nBands` bands of `nPerms/nBands` rows) — the r13 geometry sweep
+    * ([[lshGeometrySweep]]) builds candidate geometries from it; the
+    * default path always passes ([[LshBands]], [[LshPerms]]).
     */
-  private[graft] def sketchOfG(docsFrame: DataFrame, nBands: Int): DataFrame = {
+  private[graft] def sketchOfG(docsFrame: DataFrame, nBands: Int,
+      nPerms: Int): DataFrame = {
+    val rows = nPerms / nBands
     val exploded = docsFrame
       .select(col("doc_id"),
         explode(array_distinct(transform(tokenSet(col("text")),
           t => tokenHash(t)))).as("h"))
     exploded.groupBy("doc_id")
       .agg(min(affine(0, col("h"))).as("s0"),
-        (1 until 16).map(i => min(affine(i, col("h"))).as(s"s$i")) :+
+        (1 until nPerms).map(i => min(affine(i, col("h"))).as(s"s$i")) :+
           sort_array(collect_set(col("h"))).as("toks"): _*)
       .select(col("doc_id") +:
-        (0 until nBands).map(b => bandKeyG(b, nBands).as(s"bk$b")) :+
+        (0 until nBands).map(b => bandKeyAt(b, rows).as(s"bk$b")) :+
         col("toks"): _*)
   }
 
@@ -429,8 +452,19 @@ object Dedup {
     */
   private def bandCandidates(per: DataFrame, nBands: Int): DataFrame = {
     val bks = (0 until nBands).map(i => s"bk$i")
+    // EXPLICIT fan-out partitioning (r13 sf10 finding): the band-keys
+    // frame is tiny (doc_id + nBands longs — ~20 MB even at sf10), so
+    // AQE broadcasts one side and COALESCES the post-aggregate stream
+    // side toward its 64 MB target — size-based and blind to join
+    // fan-out, which left ONE task producing the multi-billion-row
+    // candidate explosion at sf10-synth (2.5 of 32 cores busy). An
+    // explicit-N repartition on the probe side is exempt from AQE
+    // coalescing and spreads the explosion; the extra exchange moves
+    // only ids + band keys.
+    val nParts = per.sparkSession.sessionState.conf.numShufflePartitions
     val l = per.select(col("doc_id").as("doc_a") +:
       bks.map(c => col(c).as(s"a$c")): _*)
+      .repartition(nParts, col("doc_a"))
     val r = per.select(col("doc_id").as("doc_b") +:
       bks.map(c => col(c).as(s"b$c")): _*)
     (0 until nBands).map { b =>
@@ -512,11 +546,15 @@ object Dedup {
     * here — this is offline eval tooling, not a serving path.
     */
   private[graft] def lshGeometrySweep(spark: SparkSession, sfDir: String,
-      nBands: Int): DataFrame = {
-    val sk = sketchOfG(docs(spark, sfDir), nBands).localCheckpoint()
+      nBands: Int, nPerms: Int): DataFrame = {
+    val sk = sketchOfG(docs(spark, sfDir), nBands, nPerms).localCheckpoint()
+    // the candidate set is NEVER materialized (the engine path streams
+    // it straight into the confirm; at sf10-synth 4×4 it is ~10⁹ rows
+    // and a localCheckpoint here OOMed the first sweep attempt) — the
+    // count and the confirm are two traversals of the same lazy frame
     val cand = bandCandidates(
       sk.select(col("doc_id") +: (0 until nBands).map(i => col(s"bk$i")): _*),
-      nBands).localCheckpoint()
+      nBands)
     val confirmed = jaccardPairs(
       cand
         .join(sk.select(col("doc_id").as("doc_a"), col("toks").as("ta")),
@@ -527,7 +565,7 @@ object Dedup {
     val recall = lshRecallEvalOn(sk, confirmed.select("doc_a", "doc_b"))
       .agg(sum(col("n_truth")).as("n_truth"), sum(col("n_found")).as("n_found"))
     spark.range(1)
-      .select(lit(nBands).as("n_bands"), lit(16 / nBands).as("rows_per_band"),
+      .select(lit(nBands).as("n_bands"), lit(nPerms / nBands).as("rows_per_band"),
         lit(cand.count()).as("candidates"), lit(confirmed.count()).as("confirmed"))
       .crossJoin(recall) // two one-row frames
       .withColumn("recall_ppm", expr("n_found * 1000000 DIV n_truth"))
@@ -573,8 +611,10 @@ object Dedup {
         expr("n_found * 1000000 DIV n_truth").as("recall_ppm"))
   }
 
-  /** d8 — sketch-ONLY near-dup estimate: same banding candidates as d3,
-    * but similarity comes from the MinHash signatures themselves —
+  /** d8 — sketch-ONLY near-dup estimate: banded candidates (its own
+    * FIXED 16-perm [[EstBands]]×[[EstRows]] geometry, independent of
+    * the d3 chain's), but similarity comes from the MinHash signatures
+    * themselves —
     * est = |{i : sigA_i = sigB_i}| / 16, the unbiased MinHash estimator
     * of Jaccard — so the token arrays are NEVER revisited after the one
     * sketch pass. This is the true 100 TB confirm path: per document the
@@ -601,13 +641,14 @@ object Dedup {
       .agg(min(affine(0, col("h"))).as("s0"),
         (1 until 16).map(i => min(affine(i, col("h"))).as(s"s$i")): _*)
       .select(col("doc_id") +:
-        (0 until LshBands).map(b => bandKey(b).as(s"bk$b")) ++:
+        (0 until EstBands).map(b => bandKeyAt(b, EstRows).as(s"bk$b")) ++:
         (0 until 16).map(i => col(s"s$i")): _*)
       .localCheckpoint()
     val est = (0 until 16)
       .map(i => when(col(s"sa$i") === col(s"sb$i"), 1L).otherwise(0L))
       .reduce(_ + _).cast("double") / 16.0
-    bandCandidates(per.select(col("doc_id") +: bandCols.map(col): _*), LshBands)
+    bandCandidates(per.select(col("doc_id") +:
+      (0 until EstBands).map(b => col(s"bk$b")): _*), EstBands)
       .join(per.select(col("doc_id").as("doc_a") +:
         (0 until 16).map(i => col(s"s$i").as(s"sa$i")): _*), Seq("doc_a"))
       .join(per.select(col("doc_id").as("doc_b") +:
@@ -1740,15 +1781,19 @@ object Dedup {
 
   // ---- oracle SQL -------------------------------------------------------
 
-  /** `toks` is already the hashed-long token array in the d3 oracle. */
-  private val sigSqls: Seq[String] =
-    (0 until 16).map(i => s"list_min(list_transform(toks, h -> ${affineSql(i, "h")}))")
+  /** `toks` is already the hashed-long token array in the d3 oracle.
+    * d3 uses the first [[LshPerms]]; d8 the first 16 (its estimator
+    * contract).
+    */
+  private def sigSqlsN(n: Int): Seq[String] =
+    (0 until n).map(i => s"list_min(list_transform(toks, h -> ${affineSql(i, "h")}))")
+  private val sigSqls: Seq[String] = sigSqlsN(LshPerms)
 
-  /** DuckDB twin of [[bandKeyG]]: band `b` under the [[LshBands]]
-    * geometry. */
-  private def bandKeySql(b: Int): String =
-    (b * LshRows until (b + 1) * LshRows)
+  /** DuckDB twin of [[bandKeyAt]]: band `b` of `rows`-row bands. */
+  private def bandKeySqlAt(b: Int, rows: Int): String =
+    (b * rows until (b + 1) * rows)
       .foldLeft("CAST(0 AS BIGINT)")((acc, i) => s"(($acc) * 31 + s$i) % $P")
+  private def bandKeySql(b: Int): String = bandKeySqlAt(b, LshRows)
 
   private[ext] val planesSqlLits: Seq[String] =
     planes.map(p => p.map(v => s"$v.0").mkString("[", ",", "]") + "::DOUBLE[]")
@@ -1956,15 +2001,15 @@ object Dedup {
          |  FROM documents),
          |sig AS (
          |  SELECT doc_id,
-         |    ${sigSqls.zipWithIndex.map { case (s, i) => s"$s AS s$i" }.mkString(", ")}
+         |    ${sigSqlsN(16).zipWithIndex.map { case (s, i) => s"$s AS s$i" }.mkString(", ")}
          |  FROM d),
          |sigv AS (
          |  SELECT doc_id,
          |    ${(0 until 16).map(i => s"s$i").mkString("[", ", ", "]")} AS sig,
-         |    ${(0 until LshBands).map(b => s"${bandKeySql(b)} AS bk$b").mkString(", ")}
+         |    ${(0 until EstBands).map(b => s"${bandKeySqlAt(b, EstRows)} AS bk$b").mkString(", ")}
          |  FROM sig),
          |cand AS (
-         |  ${(0 until LshBands).map { b =>
+         |  ${(0 until EstBands).map { b =>
               val excl = (0 until b).map(j => s" AND a.bk$j <> b.bk$j").mkString
               s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb" +
                 s"\n  FROM sigv a JOIN sigv b ON a.bk$b = b.bk$b$excl AND a.doc_id < b.doc_id"

@@ -24,14 +24,38 @@ object Portable {
 
   /** Affine MinHash family h_i(x) = (A(i)*x + B(i)) mod P. Constants from
     * the LCG x←(1103515245x+12345) mod P seeded at 42 — fixed here so the
-    * Spark plan and the oracle SQL share them verbatim.
+    * Spark plan and the oracle SQL share them verbatim. The first 16 of
+    * each are LCG draws 0–15 (A) and 16–31 (B) — unchanged since round 4
+    * so every 16-perm consumer (d8's estimator) keeps byte-identical
+    * sketches; the r13 extension to 64 permutations (the d3 chain's 8×8
+    * banding) appends draws 32–79 (A) and 80–127 (B) of the same stream.
     */
-  val A: Seq[Long] = Seq(1250496048L, 1310387594L, 1622543901L, 519131292L,
-    937264594L, 926495101L, 276623842L, 371918760L, 737924297L, 673123932L,
-    392119119L, 607027384L, 1810676232L, 908017769L, 653546276L, 221837972L)
-  val B: Seq[Long] = Seq(1725916345L, 1925268155L, 288915710L, 1470750676L,
-    881535395L, 2013439802L, 916215417L, 428859123L, 1749340445L, 738626585L,
-    141491485L, 237254901L, 1485399080L, 1534260451L, 807382294L, 838351608L)
+  val A: Seq[Long] = Seq(
+    1250496048L, 1310387594L, 1622543901L, 519131292L, 937264594L,
+    926495101L, 276623842L, 371918760L, 737924297L, 673123932L, 392119119L,
+    607027384L, 1810676232L, 908017769L, 653546276L, 221837972L, 371610716L,
+    1116728088L, 1068289595L, 1623482468L, 739071695L, 467549713L,
+    1963054037L, 137395201L, 1885903266L, 1785215716L, 928547746L,
+    378030560L, 761135805L, 677050190L, 254146421L, 634843830L, 481215142L,
+    920179623L, 556287185L, 1053621443L, 1415748908L, 1631933444L,
+    993138030L, 374995119L, 1072346595L, 734331512L, 552642595L,
+    1488039668L, 1497475623L, 836052351L, 33770133L, 1634148828L,
+    594536781L, 1082111822L, 364103833L, 254288546L, 565848104L,
+    1556365893L, 1103810478L, 1057262798L, 227334422L, 857200385L,
+    716197123L, 1305054842L, 1552933878L, 915254533L, 401659851L, 295391350L)
+  val B: Seq[Long] = Seq(
+    1725916345L, 1925268155L, 288915710L, 1470750676L, 881535395L,
+    2013439802L, 916215417L, 428859123L, 1749340445L, 738626585L,
+    141491485L, 237254901L, 1485399080L, 1534260451L, 807382294L,
+    838351608L, 200641629L, 459571778L, 1486568634L, 1711133357L,
+    1450869245L, 417517426L, 616364851L, 139694423L, 107932273L, 274512615L,
+    1988138740L, 341553738L, 1427095701L, 2018926065L, 614590687L,
+    1009861203L, 558824530L, 1242321371L, 1486798454L, 208479498L,
+    1105243836L, 86640364L, 1244684901L, 970087806L, 574147375L, 117891388L,
+    177389592L, 1728196984L, 1992328177L, 848791909L, 964676455L, 26814280L,
+    45095351L, 683441216L, 881552151L, 533200705L, 1971878236L, 363022629L,
+    2039221237L, 523852472L, 929783932L, 142635026L, 85969071L, 111806707L,
+    1199486294L, 1198831035L, 711623538L, 895398211L)
 
   /** H(t) for a string column — Spark side. */
   def tokenHash(t: Column): Column =

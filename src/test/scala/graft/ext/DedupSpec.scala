@@ -171,17 +171,22 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(est.nonEmpty)
     assert(est.values.forall(e => e >= 0.0 && e <= 1.0))
-    // every exact-confirmed pair (jac >= 0.9) is a banding candidate by
-    // construction, and its 16-perm estimate should not collapse: with
-    // one band of LshRows mins equal, est >= LshRows/16 deterministically
+    // d8's banding is its own fixed 16-perm EstBands geometry while d3
+    // confirms over the higher-recall 64-perm 8x8 index (r13), so
+    // containment of d3's exact pairs in d8's candidate set is now
+    // STATISTICAL, not structural: d8's 16-perm 4x4 banding collides a
+    // jac>=0.9 pair with p ~ 1-(1-0.9^4)^4 ~ 0.986. Assert >= 95%
+    // coverage, and the deterministic estimate floor (one band of
+    // EstRows mins equal -> EstRows/16) on every pair d8 did band.
     val exact = Dedup.minhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(exact.nonEmpty)
-    val floor = Dedup.LshRows / 16.0
-    for (p <- exact) {
-      assert(est.contains(p), s"exact pair $p missing from sketch candidates")
+    val floor = Dedup.EstRows / 16.0
+    val covered = exact.count(est.contains)
+    assert(covered.toDouble / exact.length >= 0.95,
+      s"d8 candidates cover only $covered/${exact.length} exact pairs")
+    for (p <- exact if est.contains(p))
       assert(est(p) >= floor, s"pair $p: estimate ${est(p)} too low for jac>=0.9")
-    }
   }
 
   test("d2: a stopword-like hot shingle is capped out of the posting index") {
