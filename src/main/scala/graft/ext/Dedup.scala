@@ -571,6 +571,33 @@ object Dedup {
       .withColumn("recall_ppm", expr("n_found * 1000000 DIV n_truth"))
   }
 
+  /** d26 — LSH BAND-KEY OCCUPANCY AUDIT: per band, how many distinct
+    * band keys exist, the largest key's member count, and the implied
+    * candidate upper bound Σ C(members,2) — the dial that tells an LSH
+    * operator whether a HUB FAMILY is about to make the next index
+    * build quadratic, BEFORE paying the build (this exact probe caught
+    * 4×4's 92 820-member hot key / 8.2 B-candidate flood at sf10 during
+    * the r13 geometry sweep and redirected the adoption to 8×8/64; run
+    * standalone at any SF via `SPARK_GRAFT_VOLUME_ONLY=1 BandGeomSweep`).
+    * All integer arithmetic — hash-exact in the oracle. Scale shape:
+    * one explode of [[LshBands]] (band, key) structs off the persisted
+    * sketch index, two map-side-combined aggregations; output is
+    * [[LshBands]] rows.
+    */
+  def bandOccupancy(spark: SparkSession, sfDir: String): DataFrame =
+    bandOccupancyOf(sketchFrame(spark, sfDir), LshBands)
+
+  /** d26 over an arbitrary sketch frame — injectable so the spec can
+    * assert the audit arithmetic on a corpus with KNOWN occupancy. */
+  private[ext] def bandOccupancyOf(sk: DataFrame, nBands: Int): DataFrame =
+    sk.select(explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"), col(s"bk$b").as("bkey"))): _*)).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_keys"), max(col("cnt")).as("max_key_members"),
+        sum(expr("cnt * (cnt - 1) DIV 2")).as("candidate_bound"))
+
   /** d25 over arbitrary sketch `(doc_id, …, toks)` and pair
     * `(doc_a, doc_b, …)` frames — injectable so the spec can craft a
     * corpus with a KNOWN banding miss and assert the eval reports it.
@@ -1756,6 +1783,7 @@ object Dedup {
     "d2_ngram_jaccard" -> (ngramJaccard _),
     "d3_minhash_lsh" -> (minhashLsh _),
     "d25_lsh_recall" -> (lshRecallEval _),
+    "d26_band_occupancy" -> (bandOccupancy _),
     "d4_simhash" -> (simhashSketch _),
     "d5_simhash_neardup" -> (simhashNearDup _),
     "d6_embed_neardup" -> (embedNearDup _),
@@ -1994,6 +2022,26 @@ object Dedup {
          |FROM truth t
          |LEFT JOIN found f ON f.probe_id = t.probe_id AND f.partner = t.partner
          |GROUP BY t.probe_id""".stripMargin,
+    // d26: band-key occupancy re-derived from the same signature SQL
+    "d26_band_occupancy" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(${tokenSetSql("text")}, t -> ${tokenHashSql("t")})) AS toks
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id,
+         |    ${sigSqls.zipWithIndex.map { case (s, i) => s"$s AS s$i" }.mkString(", ")}
+         |  FROM d),
+         |bands AS (
+         |  ${(0 until LshBands).map(b =>
+              s"SELECT $b AS band, ${bandKeySql(b)} AS bkey FROM sig")
+              .mkString("\n  UNION ALL\n  ")}),
+         |occ AS (
+         |  SELECT band, bkey, count(*) AS cnt FROM bands GROUP BY band, bkey)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(max(cnt) AS BIGINT) AS max_key_members,
+         |  CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS candidate_bound
+         |FROM occ GROUP BY band""".stripMargin,
     "d8_minhash_estimate" ->
       s"""WITH d AS (
          |  SELECT doc_id,

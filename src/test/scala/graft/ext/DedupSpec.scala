@@ -111,6 +111,27 @@ class DedupSpec extends SparkSpec {
       s"crafted miss not reported: ${r.get(probeId)}")
   }
 
+  test("d26 band occupancy: audit arithmetic on known occupancy + real-corpus sanity") {
+    import spark.implicits._
+    // crafted: 3 sketch rows where band 0 has keys (7,7,9) and band 1
+    // has (5,5,5) — so band 0: 2 keys, max 2, bound C(2,2)=1; band 1:
+    // 1 key, max 3, bound C(3,2)=3
+    val sk = Seq((1L, 7L, 5L), (2L, 7L, 5L), (3L, 9L, 5L))
+      .toDF("doc_id", "bk0", "bk1")
+    val got = Dedup.bandOccupancyOf(sk, 2).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(0) == ((2L, 2L, 1L)), s"band 0 audit wrong: ${got.get(0)}")
+    assert(got(1) == ((1L, 3L, 3L)), s"band 1 audit wrong: ${got.get(1)}")
+    // real corpus: one row per band; every confirmed d3 pair collided
+    // in SOME band, so the total bound dominates the confirmed count
+    val real = Dedup.bandOccupancy(spark, sf).collect()
+    assert(real.length == Dedup.LshBands)
+    val bound = real.map(_.getLong(3)).sum
+    assert(bound >= Dedup.minhashLsh(spark, sf).count(),
+      "candidate bound cannot be below the confirmed pair count")
+  }
+
   test("simhash: near-identical token sets get close sketches") {
     import spark.implicits._
     val df = Seq(
