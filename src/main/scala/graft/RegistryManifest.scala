@@ -101,15 +101,19 @@ object RegistryManifest {
         val specList = specs.getOrElse(mod, Seq.empty)
           .map("\"" + _ + "\"").mkString("[", ",", "]")
         val depList = deps.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-        s"""{"key":"$key","module":"$mod","oracle":${oracles(key)},"decade_exp":$exp,"indexes":$depList,"module_specs":$specList}"""
+        key ->
+          s"""{"key":"$key","module":"$mod","oracle":${oracles(key)},"decade_exp":$exp,"indexes":$depList,"module_specs":$specList}"""
       }
-    }
+    // sort on the key BEFORE rendering — re-parsing the rendered JSON
+    // positionally (split on '"') breaks silently if the field order
+    // changes or a key ever contains an escaped quote
+    }.sortBy(_._1).map(_._2)
     val json = new StringBuilder()
     json ++= s"""{"n_keys":${entries.size},"""
     json ++= s""""generated_by":"runMain graft.RegistryManifest","sf":"$sfDir","""
     json ++= s""""note":"decade_exp is the most recent PLANS.md sweep measurement; null = not individually swept (family-covered or sub-second)","""
     json ++= "\"entries\":[\n  "
-    json ++= entries.sortBy(e => e.split("\"")(3)).mkString(",\n  ")
+    json ++= entries.mkString(",\n  ")
     json ++= "\n]}\n"
     Files.write(cwd.resolve("REGISTRY.json"),
       json.toString.getBytes(StandardCharsets.UTF_8))

@@ -11,7 +11,7 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * corpus:
   *
   *   - the persisted MinHash sketch INDEX (one row per document:
-  *     2 band keys + the sorted token-hash set, byte-identical to the rows
+  *     [[Dedup.LshBands]] band keys + the sorted token-hash set, byte-identical to the rows
   *     [[Dedup.sketchOf]] computes in batch) lives in a
   *     [[StreamApply.ParquetUpsertStore]] — append-mostly keyed state with
   *     the single-pointer atomic commit;
@@ -38,9 +38,19 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object NearDupStream {
 
-  /** The two stores a near-dup ingest pipeline maintains. */
+  /** The two stores a near-dup ingest pipeline maintains.
+    *
+    * The index store's directory carries [[Dedup.geomTag]] (mirroring
+    * the batch dedup indexes): the persisted rows embed the banding
+    * geometry in their SCHEMA (bk0..bk{n-1}), so a geometry change must
+    * change the store PATH or reopening a store written under the old
+    * geometry would fail on `indexView()`'s select with an unexplained
+    * AnalysisException — and, worse, a schema-merging store could
+    * silently mix band keys computed under two geometries.
+    */
   final class Stores(spark: SparkSession, dir: String) {
-    val index = new StreamApply.ParquetUpsertStore(spark, s"$dir/index",
+    val index = new StreamApply.ParquetUpsertStore(spark,
+      s"$dir/index${Dedup.geomTag}",
       "doc_id", "seq", "op", "d", Dedup.bandCols :+ "toks")
     val pairs = new StreamApply.ParquetUpsertStore(spark, s"$dir/pairs",
       "pair_key", "seq", "op", "d", Seq("doc_a", "doc_b", "jac"))

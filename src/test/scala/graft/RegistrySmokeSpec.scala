@@ -42,6 +42,32 @@ class RegistrySmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("no cross-module key collisions — Map ++ would shadow silently") {
+    // SparkEntry.queries is a ++ union of the module maps; a key
+    // declared twice (e.g. a new module reusing an old number) would
+    // silently drop one implementation and the oracle comparison would
+    // test the WRONG query under the right name. Guard the invariant
+    // that the union is collision-free, module by module.
+    val owners = SparkEntry.modules
+      .flatMap { case (m, qs, _) => qs.keys.map(_ -> m) }
+      .groupBy(_._1).filter(_._2.length > 1)
+    assert(owners.isEmpty,
+      s"key(s) declared in multiple modules: " +
+        owners.map { case (k, ms) =>
+          s"$k(${ms.map(_._2).mkString("+")})" }.mkString(", "))
+    assert(SparkEntry.modules.map(_._2.size).sum == SparkEntry.queries.size,
+      "union size diverges from module sizes — a key was shadowed")
+    assert(SparkEntry.modules.map(_._3.size).sum == SparkEntry.oracleSql.size,
+      "oracle union size diverges — an oracle entry was shadowed")
+  }
+
+  test("oracle keys are a subset of query keys") {
+    // an orphaned oracle entry (query renamed, oracle left behind)
+    // would otherwise be silently dropped by the driver's comparison
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracle without query: $extra")
+  }
+
   test("PLANS exponent parser finds the known sweep measurements") {
     val plans = new String(Files.readAllBytes(
       Paths.get(sys.props.getOrElse("user.dir", "."), "PLANS.md")),

@@ -9,9 +9,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * statistic — including flagging an injected distribution shift.
   */
 class KsStreamSpec extends SparkSpec {
-
-  private case class Ev(ts: java.sql.Timestamp, value: Double,
-    event_type: String)
+  import KsStreamSpec.Ev
 
   private val baseMs = 1700000000000L
 
@@ -85,4 +83,16 @@ class KsStreamSpec extends SparkSpec {
     assert(got("click")._4, "shifted type not flagged")
     assert(!got("view")._4, "unshifted type false-alarmed")
   }
+}
+
+object KsStreamSpec {
+  /** TOP-LEVEL (companion) case class, not an inner class of the suite:
+    * an inner case class needs an `$outer` pointer, and janino's
+    * generated encoder code could not call its accessors — Spark fell
+    * back to interpreted encoders and spewed `ERROR CodeGenerator` on
+    * every `sbt test` run (r13 VERDICT item 5), masking real codegen
+    * regressions.
+    */
+  private[streaming] case class Ev(ts: java.sql.Timestamp, value: Double,
+    event_type: String)
 }
