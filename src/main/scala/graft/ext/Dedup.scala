@@ -303,8 +303,8 @@ object Dedup {
 
   // ---- d3: MinHash + LSH banding ---------------------------------------
 
-  /** LSH banding GEOMETRY over the 16 signature permutations: [[LshBands]]
-    * bands of 16/[[LshBands]] rows each. The geometry sets the
+  /** LSH banding GEOMETRY over the [[LshPerms]] signature permutations:
+    * [[LshBands]] bands of [[LshRows]] rows each. The geometry sets the
     * probability a pair at Jaccard j collides in ≥1 band —
     * 1−(1−j^rows)^bands — i.e. the index's structural recall at the 0.9
     * confirm threshold (~0.68 for 2×8, ~0.99 for 4×4) against its
@@ -339,11 +339,24 @@ object Dedup {
   private[graft] val LshPerms = 64
   private[graft] val LshBands = 8
   private[graft] val LshRows = LshPerms / LshBands
-  /** d8's estimator geometry — FIXED at 16 perms / 4 bands independent
-    * of the d3 chain's [[LshPerms]]/[[LshBands]]: d8's contract is the
+  /** d8's estimator geometry — 16 perms / 4 bands, independent of the
+    * d3 chain's [[LshPerms]]/[[LshBands]]: d8's contract is the
     * 16-permutation Jaccard estimate (est = matches/16, ±1/√16), and
     * its banding exists only to bound the estimate join, not to set
     * the dedup chain's recall.
+    *
+    * HISTORY (r13 — this was a behavior change, not a constant rename):
+    * d8 originally banded 2×8 over the same 16 perms, which made its
+    * candidate set a structural SUPERSET of the then-2×8 d3's. r13
+    * moved it to 4×4 for the same recall reason d3 left 2×8 (the 2×8
+    * S-curve midpoint 0.917 sits ON the 0.9 threshold — an estimator
+    * whose banding misses ~32% of j=0.9 pairs under-reports exactly
+    * the pairs it exists to estimate). The cost: d3-confirmed pairs
+    * are no longer structurally guaranteed to appear among d8's
+    * candidates — containment is statistical, measured ~98.6% at
+    * sf0.01 — acceptable because d8's contract is a SKETCH-ONLY
+    * ESTIMATE (±1/√16 ≈ 0.25 noise per pair dwarfs a 1.4% candidate
+    * tail) and the precision path is d3, not d8.
     */
   private[ext] val EstBands = 4
   private[ext] val EstRows = 16 / EstBands
@@ -358,6 +371,43 @@ object Dedup {
   private[graft] val geomTag: String =
     if (LshPerms == 16 && LshBands == 2) "" else s"_${LshBands}x$LshRows"
 
+  /** HOT-BAND-KEY CAP (r14 — the last scale-killer tail in the dedup
+    * chain): a band key with MORE than this many members emits a STAR
+    * of n−1 pairs (every member against the key's minimum doc_id)
+    * instead of all C(n,2) pairs. Within a true near-dup family every
+    * star edge passes the exact confirm, so d7's closure still labels
+    * the family as ONE cluster — connectivity is what the cap
+    * preserves; the pairwise jac LIST for a hub family is what it
+    * gives up (C(n,2) → n−1 rows). A star, not the consecutive-pair
+    * CHAIN the r13 design sketched: the chain makes the capped family
+    * a diameter-n PATH, and the binding spec measured d7's contraction
+    * loop (linear shrink per round on a path) silently 4 046 hops
+    * short of the fixpoint at its 50-round guard on a 4 097-member
+    * family — the star's diameter-2 component contracts in one round.
+    * Without the cap, one boilerplate family (license headers,
+    * templated pages — routine at 100 TB) past ~10⁴ members that
+    * survives d1's exact dedup makes the next index build quadratic
+    * inside one band key: the r13 sf10 sweep measured a single
+    * 92 820-member 4×4 key = 8.2 B confirm-waste candidates before any
+    * build was paid.
+    *
+    * THRESHOLD (gated on d26's measured `max_key_members`): organic
+    * families stay well under it — sf0.1's hottest key is 1 593
+    * members, so the cap binds NOWHERE at the correctness-gate SFs and
+    * d3's output there is byte-identical to the uncapped build — while
+    * sf10-synth's 6 020-member hub key (a ~60-member family × 100
+    * exact-copy replication) trips it, turning its C(6020,2) ≈ 18.1 M
+    * intra-key candidates into 6 019. Mirrored 1:1 in the oracle SQL
+    * exactly as d2's [[HotShingleCap]] is.
+    */
+  private[ext] val HotBandKeyCap = 4096L
+  /** Pair-semantics tag for persisted indexes DERIVED from the banded
+    * candidate set (lsh_pairs, labels): the cap is part of the pair
+    * relation's definition, so like [[geomTag]] it must be in the NAME
+    * — a capped engine must never read a stale uncapped pair table.
+    */
+  private[graft] val capTag: String = s"_c$HotBandKeyCap"
+
   /** Band key over signature columns of band `b` under an `nBands`
     * geometry: ordered 31-fold of scalar longs — cheap arithmetic, safe
     * to inline anywhere.
@@ -367,18 +417,18 @@ object Dedup {
       .foldLeft(lit(0L): Column)((acc, s) => (acc * 31L + s) % P)
   private def bandKey(b: Int): Column = bandKeyAt(b, LshRows)
 
-  /** Global near-dup via MinHash-LSH: 16 permutations, [[LshBands]]
-    * bands × [[LshRows]] rows, exact Jaccard ≥ 0.9 on band-collision
-    * candidates only. At 100 TB the candidate join shuffles (band,
-    * 64-bit key) pairs — the text stays in the scan until the final
-    * check.
+  /** Global near-dup via MinHash-LSH: [[LshPerms]] permutations,
+    * [[LshBands]] bands × [[LshRows]] rows, exact Jaccard ≥ 0.9 on
+    * band-collision candidates only. At 100 TB the candidate join
+    * shuffles (band, 64-bit key) pairs — the text stays in the scan
+    * until the final check.
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     // persisted corpus index: d3's output is also d7's edge set, and the
     // confirmed pair frame is tiny (near-dup hits), so ONE build per
     // corpus snapshot serves every consumer in every later driver
     memoFrame("lshPairs", spark, sfDir)(
-      graft.sources.CorpusIndex.ensureBucketed(spark, s"lsh_pairs$geomTag",
+      graft.sources.CorpusIndex.ensureBucketed(spark, s"lsh_pairs$geomTag$capTag",
         sfDir, Seq("documents"), "doc_a")(buildMinhashLsh(spark, sfDir)))
 
   /** Per-document MinHash sketch `(doc_id, bk0..bk{LshBands-1}, toks)`,
@@ -392,8 +442,8 @@ object Dedup {
     * permutations consume them directly and the exact-Jaccard confirm
     * intersects long arrays (same hash in the oracle — collision-exact).
     *
-    * ONE pass over the corpus computes everything per-document: the 16
-    * signature minima AND the sorted token-hash set, in a single
+    * ONE pass over the corpus computes everything per-document: the
+    * [[LshPerms]] signature minima AND the sorted token-hash set, in a single
     * aggregation over exploded token hashes — sig_i = min(affine_i(h)),
     * toks = sort_array(collect_set(h)). One md5 per token total (an
     * array-lambda form measured a 13x md5 blowup when the subtree was
@@ -413,7 +463,7 @@ object Dedup {
         sfDir, Seq("documents"), "doc_id")(sketchOf(docs(spark, sfDir))))
 
   /** The sketch pass over an arbitrary `(doc_id, text)` frame — the
-    * per-document unit of the persisted index: 16 signature minima AND
+    * per-document unit of the persisted index: [[LshPerms]] signature minima AND
     * the sorted token-hash set in one aggregation. Shared by the batch
     * entry points above and the streaming ingest writer
     * ([[graft.streaming.NearDupStream]]), so both paths maintain
@@ -449,8 +499,22 @@ object Dedup {
     * emitted exactly once, so there is no multi-million-row DISTINCT
     * over the band-inflated candidate set. Only (doc_id, band keys) move
     * through the joins. Shared by d3, d8 and the geometry sweep.
+    *
+    * HOT-KEY CAP (`hotCap` — [[HotBandKeyCap]] on the d3 chain, absent
+    * on d8's estimator, whose contract is the uncapped candidate set):
+    * band keys whose member count exceeds the cap are pulled OUT of the
+    * all-pairs join and emit a STAR of n−1 pairs (root = the key's
+    * minimum doc_id, one pair per other member) instead. The claiming
+    * rule stays first-matching-band: a pair whose first colliding
+    * band's key is hot is represented only by that band's star, never
+    * re-emitted by a later band — the same exclusivity conjunction
+    * guards the star rows, so the union below remains duplicate-free by
+    * construction. The hot set itself is one map-side-combined
+    * aggregation over the sketch (≤ n/cap keys per band by
+    * construction, so the per-band anti/semi joins broadcast).
     */
-  private def bandCandidates(per: DataFrame, nBands: Int): DataFrame = {
+  private def bandCandidates(per: DataFrame, nBands: Int,
+      hotCap: Option[Long] = None): DataFrame = {
     val bks = (0 until nBands).map(i => s"bk$i")
     // EXPLICIT fan-out partitioning (r13 sf10 finding): the band-keys
     // frame is tiny (doc_id + nBands longs — ~20 MB even at sf10), so
@@ -467,17 +531,60 @@ object Dedup {
       .repartition(nParts, col("doc_a"))
     val r = per.select(col("doc_id").as("doc_b") +:
       bks.map(c => col(c).as(s"b$c")): _*)
+    val hot = hotCap.map { cap =>
+      per.select(explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"), col(s"bk$b").as("bkey"))): _*)).as("bk"))
+        .groupBy(col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > cap)
+        .select("band", "bkey")
+        // consulted by 2 joins per band — materialize once; tiny
+        .localCheckpoint()
+    }
     (0 until nBands).map { b =>
       val cond = (0 until b)
         .map(j => col(s"abk$j") =!= col(s"bbk$j"))
         .foldLeft(col(s"abk$b") === col(s"bbk$b") &&
           col("doc_a") < col("doc_b"))(_ && _)
-      l.join(r, cond).select("doc_a", "doc_b")
+      val hotB = hot.map(_.filter(col("band") === b)
+        .select(col("bkey").as(s"abk$b")))
+      // all-pairs arm: only non-hot keys of band b participate
+      val lb = hotB.fold(l)(h => l.join(h, Seq(s"abk$b"), "left_anti"))
+      val normal = lb.join(r, cond).select("doc_a", "doc_b")
+      // STAR arm: each hot key emits (root=min doc_id, member) for every
+      // other member — n−1 pairs like the chain PLANS designed, but the
+      // component has DIAMETER 2, not n: the binding spec measured the
+      // consecutive-pair chain leaving d7's contraction loop (linear
+      // shrink on a path) 4 046 hops short of convergence at 50 rounds
+      // on a 4 097-member family. A window over ONE hot key is n rows
+      // in one partition (one aggregate, no sort), never C(n,2) join
+      // output. min(struct(doc_id, earlier keys)) carries the ROOT's
+      // band keys out for the first-matching-band exclusivity check.
+      val star = hotB.map { h =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(s"abk$b"))
+        val root = min(struct(col("doc_a") +:
+          (0 until b).map(j => col(s"abk$j")): _*)).over(w)
+        l.join(h, Seq(s"abk$b"), "left_semi")
+          .select(Seq(col("doc_a").as("sdoc_b"), root.as("root")) ++
+            (0 until b).map(j => col(s"abk$j").as(s"cur$j")): _*)
+          .filter((0 until b)
+            .map(j => col(s"root.abk$j") =!= col(s"cur$j"))
+            .foldLeft(col("sdoc_b") =!= col("root.doc_a"))(_ && _))
+          .select(col("root.doc_a").as("doc_a"), col("sdoc_b").as("doc_b"))
+      }
+      star.fold(normal)(normal unionByName _)
     }.reduce(_ unionByName _)
   }
 
-  private[ext] def buildMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val per = sketchFrame(spark, sfDir)
+  private[ext] def buildMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    lshPairsOf(sketchFrame(spark, sfDir), Some(HotBandKeyCap))
+
+  /** The d3 build over an arbitrary sketch frame with an explicit hot
+    * cap — injectable so the spec can prove the cap's contract on a
+    * crafted ≥cap family (capped vs uncapped closures identical).
+    */
+  private[ext] def lshPairsOf(per: DataFrame, hotCap: Option[Long]): DataFrame = {
     // Banding via [[bandCandidates]]; the token-hash arrays re-join onto
     // the candidates for the exact check (the candidate shuffle stays
     // narrow — ids and band keys, never arrays). NO broadcast hints
@@ -490,7 +597,7 @@ object Dedup {
     // its runtime size estimate, which is the scale-gated version of
     // the same optimization.
     val cand = bandCandidates(
-      per.select(col("doc_id") +: bandCols.map(col): _*), LshBands)
+      per.select(col("doc_id") +: bandCols.map(col): _*), LshBands, hotCap)
     jaccardPairs(
       cand
         .join(per.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
@@ -510,11 +617,14 @@ object Dedup {
   private[ext] val LshProbeCount = 64
 
   /** d25 — LSH INDEX RECALL EVAL: s11's eval loop for the DEDUP index.
-    * d3's banding (2 bands × 8 rows) is an approximation — a pair at
-    * exactly the 0.9 threshold collides in a band with probability
-    * ~0.9⁸ per band, so the index structurally misses a tail of true
-    * near-dups — and no dedup pipeline should ship a banded index
-    * without measuring what it misses. Per probe document (the
+    * d3's banding ([[LshBands]] bands × [[LshRows]] rows — 8×8 over 64
+    * permutations since r13) is an approximation — a pair at exactly
+    * the 0.9 threshold collides in a band with probability
+    * 0.9^[[LshRows]] per band (miss probability (1 − 0.9⁸)⁸ ≈ 1.1% at
+    * the adopted geometry; measured recall 995k ppm), so the index
+    * structurally misses a tail of true near-dups — and no dedup
+    * pipeline should ship a banded index without measuring what it
+    * misses. Per probe document (the
     * [[LshProbeCount]] lowest-hash docs — a fixed-COUNT deterministic
     * sample): the EXACT near-dup partner set (brute token-Jaccard
     * ≥ 0.9 against the whole corpus — the price of ground truth,
@@ -639,7 +749,8 @@ object Dedup {
   }
 
   /** d8 — sketch-ONLY near-dup estimate: banded candidates (its own
-    * FIXED 16-perm [[EstBands]]×[[EstRows]] geometry, independent of
+    * 16-perm [[EstBands]]×[[EstRows]] geometry — 4×4 since r13, see
+    * the [[EstBands]] history note — independent of
     * the d3 chain's), but similarity comes from the MinHash signatures
     * themselves —
     * est = |{i : sigA_i = sigB_i}| / 16, the unbiased MinHash estimator
@@ -706,7 +817,7 @@ object Dedup {
     // Bucketing by the cluster key makes the canonical consumers'
     // reductions Exchange-free on the scan (`CorpusIndexSpec`).
     memoFrame("cc:minhash", spark, sfDir)(
-      graft.sources.CorpusIndex.ensureBucketed(spark, s"labels_minhash$geomTag",
+      graft.sources.CorpusIndex.ensureBucketed(spark, s"labels_minhash$geomTag$capTag",
         sfDir, Seq("documents"), "canonical")(
         minLabelClusters(minhashLsh(spark, sfDir), "doc_a", "doc_b",
           docs(spark, sfDir), "doc_id")))
@@ -1067,6 +1178,18 @@ object Dedup {
       m = edges.count()
       rounds += 1
     }
+    // FAIL-LOUD convergence guard (r14): the binding spec for the
+    // hot-band-key cap caught this loop exiting at the round limit with
+    // edges remaining — on a 4 097-node PATH the single-hop contraction
+    // shrinks linearly and the then-silent exit shipped labels 4 046
+    // hops short of the fixpoint. Wrong labels must never outrun an
+    // exception; real near-dup families are dense (diameter ≲ a few),
+    // so hitting this guard means the EDGE SET is pathological (or a
+    // future emitter reintroduced long paths), not that the limit is
+    // too low.
+    require(m == 0,
+      s"minLabelClusters: $m contracted edges remain after $rounds rounds " +
+        "— graph has components with diameter >> round budget")
     ids.select(col(idCol))
       .join(full.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
       .select(col(idCol),
@@ -1707,7 +1830,7 @@ object Dedup {
     */
   private[graft] def preIngestLabels(spark: SparkSession, sfDir: String): DataFrame =
     memoFrame("cc:minhashOld", spark, sfDir)(
-      graft.sources.CorpusIndex.ensureBucketed(spark, s"labels_minhash_old$geomTag",
+      graft.sources.CorpusIndex.ensureBucketed(spark, s"labels_minhash_old$geomTag$capTag",
         sfDir, Seq("documents"), "canonical")(
         minLabelClusters(
           minhashLsh(spark, sfDir)
@@ -1854,29 +1977,66 @@ object Dedup {
     s"(list_value(CAST(15 AS BIGINT), 31, 63, 127, 255)[$idx])"
   }
 
-  /** d3's full oracle SQL — also the edge set of d7's closure. */
-  private val d3Sql: String =
+  /** d3's full oracle SQL — also the edge set of d7's closure.
+    *
+    * Mirrors the engine's candidate emission 1:1, including the r14
+    * [[HotBandKeyCap]]: a pair is claimed by its FIRST matching band
+    * (the exclusivity conjunction `a.bk_j <> b.bk_j` for j < b — this
+    * replaced the earlier DISTINCT-over-all-bands formulation, which is
+    * set-identical while no key is hot but diverges once one is); a
+    * band key with more than [[HotBandKeyCap]] members emits the
+    * min-doc_id-rooted star of n−1 pairs instead of all C(n,2)
+    * (`arg_min(bk_j, doc_id)` is DuckDB's spelling of the engine's
+    * `min(struct(doc_id, bk_j…))` root-key extraction).
+    * NOT EXISTS / EXISTS rather than (NOT) IN for the hot probes: an
+    * all-NULL-key document (empty token set) must stay inert, not
+    * NULL-poison the predicate.
+    */
+  private val d3Sql: String = {
+    val normalArm = (0 until LshBands).map { b =>
+      val excl = (0 until b).map(j => s" AND a.bk$j <> b.bk$j").mkString
+      s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM keys a JOIN keys b
+         |    ON a.bk$b = b.bk$b AND a.doc_id < b.doc_id$excl
+         |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.band = $b AND h.bkey = a.bk$b)""".stripMargin
+    }
+    val starArm = (0 until LshBands).map { b =>
+      val roots = (0 until b)
+        .map(j => s", arg_min(bk$j, doc_id) OVER w AS rbk$j, bk$j AS cur$j").mkString
+      val excl = (0 until b).map(j => s" AND rbk$j <> cur$j").mkString
+      s"""SELECT rdoc AS doc_a, sdoc_b AS doc_b FROM (
+         |    SELECT doc_id AS sdoc_b, min(doc_id) OVER w AS rdoc$roots
+         |    FROM keys
+         |    WHERE EXISTS (SELECT 1 FROM hot h WHERE h.band = $b AND h.bkey = bk$b)
+         |    WINDOW w AS (PARTITION BY bk$b))
+         |  WHERE sdoc_b <> rdoc$excl""".stripMargin
+    }
     s"""WITH d AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(${tokenSetSql("text")}, t -> ${tokenHashSql("t")})) AS toks
        |  FROM documents),
        |sig AS (
-       |  SELECT doc_id, toks,
+       |  SELECT doc_id,
        |    ${sigSqls.zipWithIndex.map { case (s, i) => s"$s AS s$i" }.mkString(", ")}
        |  FROM d),
-       |bands AS (
-       |  ${(0 until LshBands).map(b =>
-            s"SELECT doc_id, toks, $b AS band, ${bandKeySql(b)} AS bkey FROM sig")
-            .mkString("\n  UNION ALL\n  ")}),
+       |keys AS (
+       |  SELECT doc_id,
+       |    ${(0 until LshBands).map(b => s"${bandKeySql(b)} AS bk$b").mkString(", ")}
+       |  FROM sig),
+       |occ AS (
+       |  SELECT band, bkey, count(*) AS cnt FROM (
+       |    ${(0 until LshBands).map(b => s"SELECT $b AS band, bk$b AS bkey FROM keys")
+              .mkString("\n    UNION ALL\n    ")})
+       |  GROUP BY band, bkey),
+       |hot AS (SELECT band, bkey FROM occ WHERE cnt > $HotBandKeyCap),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |  ${(normalArm ++ starArm).mkString("\n  UNION ALL\n  ")})
        |SELECT doc_a, doc_b,
        |  round(${jaccardSql("x.toks", "y.toks")}, 6) AS jac
        |FROM cand JOIN d x ON x.doc_id = cand.doc_a
        |          JOIN d y ON y.doc_id = cand.doc_b
        |WHERE ${jaccardSql("x.toks", "y.toks")} >= 0.9""".stripMargin
+  }
 
   /** d7's full oracle SQL — the text-cluster closure; also c11's base
     * and p5's weight source. */

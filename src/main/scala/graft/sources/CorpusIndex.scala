@@ -174,11 +174,11 @@ object CorpusIndex {
     "dup_spans" -> graft.ext.Dedup.substringSpans(spark, sfDir).count(),
     s"minhash_sketch${graft.ext.Dedup.geomTag}" ->
       graft.ext.Dedup.sketchFrame(spark, sfDir).count(),
-    s"lsh_pairs${graft.ext.Dedup.geomTag}" ->
+    s"lsh_pairs${graft.ext.Dedup.geomTag}${graft.ext.Dedup.capTag}" ->
       graft.ext.Dedup.minhashLsh(spark, sfDir).count(),
-    s"labels_minhash${graft.ext.Dedup.geomTag}" ->
+    s"labels_minhash${graft.ext.Dedup.geomTag}${graft.ext.Dedup.capTag}" ->
       graft.ext.Dedup.dedupClusters(spark, sfDir).count(),
-    s"labels_minhash_old${graft.ext.Dedup.geomTag}" ->
+    s"labels_minhash_old${graft.ext.Dedup.geomTag}${graft.ext.Dedup.capTag}" ->
       graft.ext.Dedup.preIngestLabels(spark, sfDir).count(),
     "embed_pairs" -> graft.ext.Dedup.embedNearDup(spark, sfDir).count(),
     "labels_embed" -> graft.ext.Dedup.embedClusters(spark, sfDir).count(),

@@ -132,6 +132,52 @@ class DedupSpec extends SparkSpec {
       "candidate bound cannot be below the confirmed pair count")
   }
 
+  test("d3 hot-band-key cap binds on a >cap family: chain pairs, closure unchanged") {
+    import spark.implicits._
+    // A crafted family LARGER than the production cap, all exact copies
+    // (same text => same key in every band => every band's key is hot),
+    // plus a 2-copy family (far below cap => all-pairs arm) and a loner.
+    val n = (Dedup.HotBandKeyCap + 1).toInt
+    val docs = ((0 until n).map(i => (i.toLong, "alpha beta gamma")) ++
+      Seq((900000L, "one two three four"), (900001L, "one two three four"),
+        (950000L, "totally unrelated loner text"))).toDF("doc_id", "text")
+    val sk = Dedup.sketchOf(docs).localCheckpoint()
+    // the d26 gate sees the hub before any build pays for it
+    val occ = Dedup.bandOccupancyOf(sk, Dedup.LshBands)
+      .select("band", "max_key_members").collect()
+    assert(occ.length == Dedup.LshBands &&
+      occ.forall(_.getLong(1) == n.toLong),
+      "crafted family must be the hottest key of every band")
+    val capped = Dedup.lshPairsOf(sk, Some(Dedup.HotBandKeyCap))
+      .localCheckpoint()
+    // STAR shape: the hub family emits exactly n-1 pairs rooted at its
+    // minimum doc_id (claimed by band 0; bands 1-7's stars are
+    // exclusivity-filtered), the 2-copy family exactly 1, so the cap
+    // cuts C(n,2)+1 to n. A star and NOT a consecutive-pair chain: the
+    // chain version of this very test left minLabelClusters' linear
+    // path contraction 4 046 hops short of its fixpoint at 50 rounds.
+    val cappedPairs = capped.select("doc_a", "doc_b").as[(Long, Long)]
+      .collect().toSet
+    val star = (1 until n).map(i => (0L, i.toLong)).toSet
+    assert(cappedPairs == star + ((900000L, 900001L)),
+      s"expected star + small pair, got ${cappedPairs.size} pairs")
+    // every star edge is an exact copy => jac 1.0 survives the confirm
+    assert(capped.filter(col("jac") < 1.0).isEmpty)
+    // LABEL CLOSURE identical with and without the cap — connectivity
+    // is the cap's contract. The uncapped arm really pays C(n,2).
+    val ids = docs.select("doc_id")
+    def labels(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.minLabelClusters(pairs, "doc_a", "doc_b", ids, "doc_id")
+        .as[(Long, Long)].collect().toMap
+    val uncapped = Dedup.lshPairsOf(sk, None).localCheckpoint()
+    assert(uncapped.count() == n.toLong * (n - 1) / 2 + 1,
+      "uncapped arm must emit the full quadratic pair set")
+    val (lc, lu) = (labels(capped), labels(uncapped))
+    assert(lc == lu, "cap changed the closure")
+    assert((0 until n).forall(i => lc(i.toLong) == 0L) &&
+      lc(900001L) == 900000L && lc(950000L) == 950000L)
+  }
+
   test("simhash: near-identical token sets get close sketches") {
     import spark.implicits._
     val df = Seq(
