@@ -822,6 +822,68 @@ object Dedup {
         minLabelClusters(minhashLsh(spark, sfDir), "doc_a", "doc_b",
           docs(spark, sfDir), "doc_id")))
 
+  /** d27 — PRODUCTION PIPELINE ORDER, d1 → d3 composed: exact dedup
+    * FIRST, then MinHash-LSH over the exact-family REPRESENTATIVES
+    * only, cluster labels remapped back through the exact-copy
+    * families. PLANS has argued since r13 that this order is what a
+    * production pipeline runs — replica-heavy corpora (mirrors, crawl
+    * re-fetches, the sf-synth 100× replication) collapse to their
+    * representative set BEFORE the quadratic-risk banding, so a
+    * k-copy family costs the LSH stage one document instead of k per
+    * band key (candidate volume for an all-replica family drops k²×) —
+    * d27 is that argument as an operator with a proof obligation
+    * attached.
+    *
+    * ORACLE = d7's labels on the FULL corpus, exactly: exact copies
+    * share every band key and confirm at jac 1.0, so the full build
+    * links each copy to its representative (rep = the family's min
+    * doc_id, so component minima agree), and cross-family links depend
+    * only on texts, which the representative carries verbatim — the
+    * compose is a (provably) result-identical rewrite of d3→d7, not an
+    * approximation. Sketchless documents (null text only —
+    * `split("", " ")` is `[""]`, so even empty strings sketch) mirror
+    * the full build too: they are isolated selves there even when
+    * exact copies exist, so they bypass the family remap.
+    *
+    * Scale shape: one md5 groupBy (map-side combined) + a semi-join
+    * prunes the persisted sketch index to representatives; the LSH
+    * build then runs on the pruned frame with the same
+    * [[HotBandKeyCap]]; the remap is one bucketed join from the rep
+    * label table back through the family map.
+    */
+  def exactThenLsh(spark: SparkSession, sfDir: String): DataFrame =
+    memoFrame("cc:exactThenLsh", spark, sfDir)(
+      graft.sources.CorpusIndex.ensureBucketed(spark,
+        s"labels_exact_lsh$geomTag$capTag",
+        sfDir, Seq("documents"), "canonical")(
+        exactThenLshOn(docs(spark, sfDir), sketchFrame(spark, sfDir))))
+
+  /** d27 over arbitrary `(doc_id, text)` docs and their
+    * [[sketchOf]]-shaped sketch — injectable so the spec can prove
+    * label equality with the full d3→d7 build on a crafted corpus with
+    * multi-member exact families.
+    */
+  private[ext] def exactThenLshOn(d: DataFrame, sk: DataFrame): DataFrame = {
+    val fam = d.select(col("doc_id"), md5(col("text")).as("fp"))
+    val reps = fam.groupBy("fp").agg(min("doc_id").as("rep"))
+    val repOf = fam.join(reps, Seq("fp")).select(col("doc_id"), col("rep"))
+    val repSk = sk.join(reps.select(col("rep").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val pairs = lshPairsOf(repSk, Some(HotBandKeyCap))
+      .select("doc_a", "doc_b")
+    val repLabels = minLabelClusters(pairs, "doc_a", "doc_b",
+      reps.select(col("rep").as("doc_id")), "doc_id")
+      .withColumnRenamed("doc_id", "rep")
+    val sketched = repOf
+      .join(sk.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(repLabels, Seq("rep"))
+      .select(col("doc_id"), col("canonical"))
+    val sketchless = d.select("doc_id")
+      .join(sk.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("canonical"))
+    sketched.unionByName(sketchless)
+  }
+
   /** d19 — within-cluster MEDOID: per near-dup cluster, the member
     * minimizing total Jaccard DISTANCE to the other members — the
     * "most representative document" selector next to d16's
@@ -1907,6 +1969,7 @@ object Dedup {
     "d3_minhash_lsh" -> (minhashLsh _),
     "d25_lsh_recall" -> (lshRecallEval _),
     "d26_band_occupancy" -> (bandOccupancy _),
+    "d27_exact_then_lsh" -> (exactThenLsh _),
     "d4_simhash" -> (simhashSketch _),
     "d5_simhash_neardup" -> (simhashNearDup _),
     "d6_embed_neardup" -> (embedNearDup _),
@@ -2261,6 +2324,9 @@ object Dedup {
          |SELECT src AS vec_id, min(dst) AS canonical
          |FROM reach GROUP BY src""".stripMargin,
     "d7_dedup_clusters" -> d7Sql,
+    // d27's CONTRACT: the d1→d3 compose is a result-identical rewrite
+    // of the full build — its oracle IS d7's label relation, verbatim
+    "d27_exact_then_lsh" -> d7Sql,
     // two closures: the full corpus (after) and old×old edges over old
     // docs (before); churn is a rollup joining the two label relations
     "d21_ingest_churn" ->

@@ -180,6 +180,8 @@ object CorpusIndex {
       graft.ext.Dedup.dedupClusters(spark, sfDir).count(),
     s"labels_minhash_old${graft.ext.Dedup.geomTag}${graft.ext.Dedup.capTag}" ->
       graft.ext.Dedup.preIngestLabels(spark, sfDir).count(),
+    s"labels_exact_lsh${graft.ext.Dedup.geomTag}${graft.ext.Dedup.capTag}" ->
+      graft.ext.Dedup.exactThenLsh(spark, sfDir).count(),
     "embed_pairs" -> graft.ext.Dedup.embedNearDup(spark, sfDir).count(),
     "labels_embed" -> graft.ext.Dedup.embedClusters(spark, sfDir).count(),
     "term_freq" -> graft.ext.TextAnalysis.termFreq(spark, sfDir).count(),

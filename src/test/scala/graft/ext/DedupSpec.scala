@@ -178,6 +178,48 @@ class DedupSpec extends SparkSpec {
       lc(900001L) == 900000L && lc(950000L) == 950000L)
   }
 
+  test("d27 exact-then-LSH labels equal the full d3->d7 build; LSH stage shrinks to reps") {
+    import spark.implicits._
+    // Multi-member exact families, some linked ACROSS families by
+    // near-dup (not identical) text, plus a loner and an empty-text
+    // family (split("", " ") = [""] - ONE empty token, so it sketches
+    // and clusters like any exact family; truly sketchless docs exist
+    // only for null text, which the anti-join branch covers). Family A
+    // (3 copies) ~ family B (2 copies): 19 shared tokens, one A-only
+    // => jac 19/20 = 0.95. Family C is its own cluster.
+    val shared = (0 until 19).map(i => s"t$i").mkString(" ")
+    val tA = s"$shared extra"
+    val tB = shared
+    val docs = Seq(
+      (10L, tA), (11L, tA), (12L, tA),
+      (20L, tB), (21L, tB),
+      (30L, "c0 c1 c2 c3"), (31L, "c0 c1 c2 c3"),
+      (40L, "completely different loner text"),
+      (50L, ""), (51L, "")).toDF("doc_id", "text")
+    val sk = Dedup.sketchOf(docs).localCheckpoint()
+    val full = Dedup.minLabelClusters(
+      Dedup.lshPairsOf(sk, Some(Dedup.HotBandKeyCap)), "doc_a", "doc_b",
+      docs.select("doc_id"), "doc_id").as[(Long, Long)].collect().toMap
+    val composed = Dedup.exactThenLshOn(docs, sk)
+      .as[(Long, Long)].collect().toMap
+    assert(composed == full, "d1->d3 compose diverged from the full build")
+    // the cross-family near-dup link must actually be present (the
+    // equality above would hold vacuously on an all-singleton corpus)
+    assert(full(20L) == 10L && full(12L) == 10L && full(31L) == 30L)
+    // the empty-text family clusters like any exact family (one shared
+    // empty token => jac 1.0), in BOTH arms
+    assert(full(51L) == 50L && composed(51L) == 50L)
+    // and the LSH stage really ran on representatives only
+    val reps = docs.groupBy(md5(col("text"))).agg(min("doc_id").as("r"))
+      .select("r").as[Long].collect().toSet
+    val repPairs = Dedup.lshPairsOf(
+      sk.join(reps.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi"),
+      Some(Dedup.HotBandKeyCap)).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(repPairs == Set((10L, 20L)),
+      "rep-level LSH should see ONE cross-family pair and no intra-family ones")
+  }
+
   test("simhash: near-identical token sets get close sketches") {
     import spark.implicits._
     val df = Seq(
