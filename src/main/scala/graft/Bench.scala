@@ -125,6 +125,39 @@ private[graft] object StreamFeeds {
     finally q.stop()
     n / ((System.nanoTime() - t0) / 1e9)
   }
+
+  /** Near-dup INGEST dial (r14): documents/sec through the full
+    * [[streaming.NearDupStream]] chain — sketch, incremental band join
+    * vs the maintained index, exact confirm, and the three keyed
+    * merges including the LIVE d26 occupancy counts added this round.
+    * The feed carries 16-member exact families (one per 16 consecutive
+    * ids) interleaved with near-dup variants, so the pair store,
+    * occupancy counts and the hub-alarm read path all do real work.
+    */
+  def timeNearDup(spark: SparkSession, n: Int, nBatches: Int): Double = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val words = Seq("key", "value", "scan", "table", "slow", "fast",
+      "merge", "batch", "vector", "window", "customer", "order", "dup")
+    val dir = storeDir("bench-neardup")
+    val stores = new streaming.NearDupStream.Stores(spark, dir)
+    val in = MemoryStream[(Long, String)](SourceParts)
+    val q = streaming.NearDupStream.nearDupWriter(
+      in.toDF().toDF("doc_id", "text"), stores, s"$dir/ckpt").start()
+    val batches = (0 until n).map { i =>
+      val fam = i / 16
+      val base = (0 until 20)
+        .map(j => words((fam * 7 + j * 5 + j * j % 11) % words.length))
+      // members 0..11 exact copies, 12..15 one-token variants (near-dup)
+      val text = (if (i % 16 < 12) base
+        else base.updated(i % 16 - 12, s"v${i % 16}")).mkString(" ")
+      (i.toLong, text)
+    }.pipe(batched(_, nBatches))
+    val t0 = System.nanoTime()
+    try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    n / ((System.nanoTime() - t0) / 1e9)
+  }
 }
 
 /** One host-probe marker on stdout — the standalone boot-state check.
@@ -628,6 +661,8 @@ object Bench {
     // ingest runs at the marginal rate.
     def timeChunkDedup(n: Int, nBatches: Int): Double =
       StreamFeeds.timeChunkDedup(spark, n, nBatches)
+    def timeNearDup(n: Int, nBatches: Int): Double =
+      StreamFeeds.timeNearDup(spark, n, nBatches)
 
     // the two sketch maintainers: bottom-k merge per batch (KMV) and
     // the exact (type, cent) CDF counts the live KS monitor scores
@@ -798,6 +833,7 @@ object Bench {
       ("sliding_wm_rows_per_sec", () => timeSliding(100000, 10000, 5)),
       ("percolate_rows_per_sec", () => timePercolate(100000, 5)),
       ("chunk_dedup_docs_per_sec", () => timeChunkDedup(20000, 5)),
+      ("neardup_ingest_docs_per_sec", () => timeNearDup(4000, 5)),
       ("kmv_rows_per_sec", () => timeKmv(100000, 1000, 5)),
       ("ks_counts_rows_per_sec", () => timeKsCounts(100000, 5)),
       ("ann_rows_per_sec", () => timeAnn(20000, 5)))

@@ -400,7 +400,7 @@ object Dedup {
     * intra-key candidates into 6 019. Mirrored 1:1 in the oracle SQL
     * exactly as d2's [[HotShingleCap]] is.
     */
-  private[ext] val HotBandKeyCap = 4096L
+  private[graft] val HotBandKeyCap = 4096L
   /** Pair-semantics tag for persisted indexes DERIVED from the banded
     * candidate set (lsh_pairs, labels): the cap is part of the pair
     * relation's definition, so like [[geomTag]] it must be in the NAME
@@ -698,8 +698,10 @@ object Dedup {
     bandOccupancyOf(sketchFrame(spark, sfDir), LshBands)
 
   /** d26 over an arbitrary sketch frame — injectable so the spec can
-    * assert the audit arithmetic on a corpus with KNOWN occupancy. */
-  private[ext] def bandOccupancyOf(sk: DataFrame, nBands: Int): DataFrame =
+    * assert the audit arithmetic on a corpus with KNOWN occupancy, and
+    * the batch ground truth the streamed-occupancy spec compares
+    * [[graft.streaming.NearDupStream]]'s live counts against. */
+  private[graft] def bandOccupancyOf(sk: DataFrame, nBands: Int): DataFrame =
     sk.select(explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"), col(s"bk$b").as("bkey"))): _*)).as("bk"))
       .groupBy(col("bk.band").as("band"), col("bk.bkey").as("bkey"))

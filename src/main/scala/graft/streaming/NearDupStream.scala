@@ -24,12 +24,14 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *     rows and the keyed merge absorbs them — pairs are emitted
   *     effectively-once without any batch-id bookkeeping.
   *
-  * Crash safety: pairs commit before the index. A crash between the two
-  * merges replays the batch against an index that does not yet contain it,
-  * recomputing the identical pair set (absorbed by key) and then
-  * committing the index — nothing is lost, nothing duplicates. The reverse
-  * order would lose pairs: a replayed batch already in the index
-  * anti-joins itself away.
+  * Crash safety: pairs commit first, then the occupancy counts
+  * (streamed d26 — see [[NearDupStream.mergeOccupancy]]), then the
+  * index LAST. A crash between any of the merges replays the batch
+  * against an index that does not yet contain it, recomputing the
+  * identical pair set and occupancy rows (absorbed by key) and then
+  * committing the index — nothing is lost, nothing duplicates. The
+  * reverse order would lose state: a replayed batch already in the
+  * index anti-joins itself away.
   *
   * At 100 TB the index store is a partitioned table (bucket by doc_id; the
   * band join reshuffles on band keys regardless) and the merge is a Delta/
@@ -38,7 +40,7 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object NearDupStream {
 
-  /** The two stores a near-dup ingest pipeline maintains.
+  /** The three stores a near-dup ingest pipeline maintains.
     *
     * The index store's directory carries [[Dedup.geomTag]] (mirroring
     * the batch dedup indexes): the persisted rows embed the banding
@@ -54,6 +56,20 @@ object NearDupStream {
       "doc_id", "seq", "op", "d", Dedup.bandCols :+ "toks")
     val pairs = new StreamApply.ParquetUpsertStore(spark, s"$dir/pairs",
       "pair_key", "seq", "op", "d", Seq("doc_a", "doc_b", "jac"))
+    /** LIVE band-key occupancy (streamed d26): one row per (band, bkey)
+      * ever ingested, `cnt` maintained incrementally so the hub-family
+      * alarm (the [[Dedup.HotBandKeyCap]] gate) fires DURING ingest,
+      * not at the next full-index audit. State is |keys| longs, the
+      * per-batch merge touches only the batch's keys. `prev_cnt` + the
+      * row's `seq` make the increment REPLAY-IDEMPOTENT (see
+      * [[mergeOccupancy]]): a count accumulator is not naturally
+      * idempotent the way the keyed row stores are, so the row carries
+      * enough state to recompute itself identically on the
+      * at-least-once replay of its own batch.
+      */
+    val occupancy = new StreamApply.ParquetUpsertStore(spark,
+      s"$dir/occupancy${Dedup.geomTag}",
+      "occ_key", "seq", "op", "d", Seq("band", "bkey", "cnt", "prev_cnt"))
 
     /** Confirmed near-dup pairs so far. */
     def pairsView(): DataFrame = {
@@ -66,6 +82,29 @@ object NearDupStream {
       val v = index.view()
       if (v.schema.isEmpty) v
       else v.select("doc_id", Dedup.bandCols :+ "toks": _*)
+    }
+
+    /** The d26 audit relation, served live at any ingest prefix: per
+      * band, distinct keys, the largest key's member count, and the
+      * implied candidate bound — ONE |keys|-row aggregate over the
+      * maintained counts, never a rescan of the sketch index.
+      */
+    def occupancyView(): DataFrame = {
+      val v = occupancy.view()
+      if (v.schema.isEmpty) v
+      else v.groupBy(col("band"))
+        .agg(count(lit(1)).as("n_keys"), max(col("cnt")).as("max_key_members"),
+          sum(expr("cnt * (cnt - 1) DIV 2")).as("candidate_bound"))
+    }
+
+    /** The live hub ALARM: band keys past `cap` members — the keys the
+      * next index build would chain through [[Dedup.HotBandKeyCap]]'s
+      * star emission. Empty at healthy occupancy.
+      */
+    def hotKeys(cap: Long = Dedup.HotBandKeyCap): DataFrame = {
+      val v = occupancy.view()
+      if (v.schema.isEmpty) v
+      else v.filter(col("cnt") > cap).select("band", "bkey", "cnt")
     }
   }
 
@@ -112,11 +151,57 @@ object NearDupStream {
       lit(batchId).as("seq") +: lit("i").as("op") +:
       (Dedup.bandCols.map(col) :+ col("toks")): _*), batchId)
 
+  /** Merge the batch's (band, bkey) occupancy deltas — streamed d26.
+    * `freshSk` must be the batch sketch MINUS documents already in the
+    * index (the same anti-join replay guard the pair derivation uses),
+    * so source-level redelivery of an old document never re-counts it.
+    *
+    * REPLAY IDEMPOTENCE: Structured Streaming replays at most the LAST
+    * uncommitted batch, so each stored row carries (cnt, prev_cnt, seq)
+    * and the merge bases itself on `prev_cnt` when the stored seq
+    * ALREADY equals this batchId — a crash after the occupancy commit
+    * but before the index commit replays the batch with the identical
+    * delta (docs still absent from the index) and recomputes the
+    * byte-identical row, which the keyed merge absorbs. A crash after
+    * the index commit replays with an EMPTY delta (every doc now
+    * anti-joins away) and touches nothing. Commit order in
+    * [[applyBatch]] is pairs → occupancy → index for exactly this
+    * reason: the index merge must remain LAST (see
+    * [[findAndCommitPairs]]), and the occupancy delta derives its
+    * idempotence from reading the not-yet-merged index.
+    */
+  private[streaming] def mergeOccupancy(freshSk: DataFrame, batchId: Long,
+      stores: Stores): Unit = {
+    val delta = freshSk
+      .select(explode(array((0 until Dedup.LshBands).map(b =>
+        struct(lit(b).as("band"), col(s"bk$b").as("bkey"))): _*)).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .agg(count(lit(1)).as("delta"))
+    val snap = stores.occupancy.snapshot()
+    val based =
+      if (snap.schema.isEmpty) delta.withColumn("base", lit(0L))
+      else delta.join(snap.select(col("band"), col("bkey"),
+          when(col("seq") === batchId, col("prev_cnt"))
+            .otherwise(col("cnt")).as("base")),
+        Seq("band", "bkey"), "left")
+    stores.occupancy.merge(based.select(
+      concat_ws("_", col("band"), col("bkey")).as("occ_key"),
+      lit(batchId).as("seq"), lit("i").as("op"),
+      col("band"), col("bkey"),
+      (coalesce(col("base"), lit(0L)) + col("delta")).as("cnt"),
+      coalesce(col("base"), lit(0L)).as("prev_cnt")), batchId)
+  }
+
   /** One micro-batch of `(doc_id, text)` documents through the ingest
     * path. Public so tests can drive replay directly.
     */
   def applyBatch(batch: DataFrame, batchId: Long, stores: Stores): Unit = {
     val (sk, _) = findAndCommitPairs(batch, batchId, stores)
+    val indexed = stores.indexView()
+    val fresh =
+      if (indexed.schema.isEmpty) sk
+      else sk.join(indexed.select("doc_id"), Seq("doc_id"), "left_anti")
+    mergeOccupancy(fresh, batchId, stores)
     commitIndex(sk, batchId, stores)
   }
 
