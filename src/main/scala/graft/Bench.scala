@@ -378,10 +378,15 @@ object Bench {
       if (dials.isEmpty) ""
       else try {
         val root = StreamFeeds.storesRoot.toString
-        val seen = streaming.StreamApply.discoverStores(root).size
+        // census BEFORE the rewrite pass: stores_committed + files_live
+        // make the 0-compactions shape self-describing ("n stores, all
+        // already at target" vs "saw nothing") — files_before/after
+        // still cover only the stores actually rewritten
+        val census = streaming.StreamApply.storeCensus(root)
+        val filesLive = census.flatMap(_._2).sum
         val compacted = streaming.StreamApply.compactStores(spark, root)
         val total = (compacted.map(_._2).sum, compacted.map(_._3).sum)
-        s""","maintenance":{"stores_seen":$seen,"stores_compacted":${compacted.size},"files_before":${total._1},"files_after":${total._2}}"""
+        s""","maintenance":{"stores_seen":${census.size},"stores_committed":${census.count(_._2.nonEmpty)},"files_live":$filesLive,"stores_compacted":${compacted.size},"files_before":${total._1},"files_after":${total._2}}"""
       } catch { case scala.util.control.NonFatal(e) =>
         // an explicit error field, never the 0/0 shape (r12 ADVICE): a
         // crashed or half-done compaction must not read as "the walk

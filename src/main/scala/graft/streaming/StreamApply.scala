@@ -260,6 +260,43 @@ object StreamApply {
     finally s.close()
   }
 
+  /** Read-only fleet CENSUS: per discovered store, the live version's
+    * part-file count (None = a `CURRENT` pointer exists but references
+    * no readable version yet). This is what lets a maintenance marker
+    * distinguish "all stores already compact" (n stores, positive live
+    * files, zero rewrites) from "the walk saw nothing" (zero stores) —
+    * the r13 driver artifact's `20/0/0/0` was genuinely the former
+    * (every store's merge output is AQE-coalesced to one part file, so
+    * a fresh dial fleet is born compact), but the marker alone could
+    * not say so because `files_before` sums only REWRITTEN stores.
+    */
+  def storeCensus(root: String): Seq[(String, Option[Long])] = {
+    import scala.jdk.CollectionConverters._
+    def parquetParts(p: java.nio.file.Path): Long = {
+      val s = Files.list(p)
+      try s.iterator().asScala.count(f =>
+        f.getFileName.toString.startsWith("part-")).toLong
+      finally s.close()
+    }
+    discoverStores(root).sortBy(_.toString).map { sd =>
+      val man = new ManifestDir(sd.toString)
+      sd.toString -> man.currentVersion().flatMap { v =>
+        val verPath = Paths.get(man.versionPath(v))
+        if (!Files.isDirectory(verPath)) None
+        else {
+          val subs = {
+            val s = Files.list(verPath)
+            try s.iterator().asScala.toList.filter(p =>
+              Files.isDirectory(p) && !p.getFileName.toString.startsWith("_"))
+            finally s.close()
+          }
+          val leaves = if (subs.nonEmpty) subs else List(verPath)
+          Some(leaves.map(parquetParts).sum)
+        }
+      }
+    }
+  }
+
   def compactStores(spark: SparkSession, root: String,
       numFiles: Int = 1): Seq[(String, Long, Long)] = {
     import scala.jdk.CollectionConverters._

@@ -85,4 +85,28 @@ class MaintenanceJobSpec extends SparkSpec {
     val empty = Files.createTempDirectory("graft-maint-empty")
     assert(StreamApply.compactStores(spark, empty.toString).isEmpty)
   }
+
+  test("census separates 'born compact' from 'saw nothing' (the r13 0/0/0 marker)") {
+    import spark.implicits._
+    // Under the DEFAULT session (AQE coalescing on — the bench dials'
+    // regime) a freshly-merged store's live version is ONE part file,
+    // so the fleet pass rewrites nothing and the old marker read
+    // 0/0/0 — indistinguishable from an empty walk. The census carries
+    // the missing facts: stores discovered, stores with a committed
+    // version, live files.
+    val root = Files.createTempDirectory("graft-maint-census")
+    val s1 = new StreamApply.ParquetUpsertStore(spark,
+      s"$root/s1", "key", "seq", "op", "d", Seq("value"))
+    s1.merge((0 until 10).map(i => (i.toLong, i.toLong, "u", i * 1.0))
+      .toDF("key", "seq", "op", "value"), 0L)
+    val census = StreamApply.storeCensus(root.toString)
+    assert(census.map(_._1) == Seq(s"$root/s1"))
+    val live = census.flatMap(_._2).sum
+    assert(live >= 1, s"committed store must census positive files: $census")
+    // nothing to rewrite, but the census proves the fleet exists
+    assert(StreamApply.compactStores(spark, root.toString).isEmpty
+      || live > 1) // (if AQE didn't coalesce, compaction ran instead)
+    // an absent root censuses EMPTY — the "saw nothing" shape
+    assert(StreamApply.storeCensus("/nonexistent/graft").isEmpty)
+  }
 }
