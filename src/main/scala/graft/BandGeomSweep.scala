@@ -49,16 +49,24 @@ object BandGeomSweep {
         val sk = ext.Dedup.sketchOfG(
           spark.read.parquet(s"$sfDir/documents.parquet")
             .select("doc_id", "text"), bands, perms)
+        // capped_bound (r14): the candidate volume the engine ACTUALLY
+        // pays under the HotBandKeyCap star emission — hot keys
+        // contribute n−1 instead of C(n,2)
+        val cap = graft.ext.Dedup.HotBandKeyCap
         val vol = sk
           .select(explode(array((0 until bands).map(b =>
             struct(lit(b).as("band"), col(s"bk$b").as("key"))): _*)).as("bk"))
           .groupBy(col("bk.band"), col("bk.key")).count()
           .agg(sum(expr("count * (count - 1) / 2")).as("bound"),
-            max("count").as("hottest"))
+            max("count").as("hottest"),
+            sum(when(col("count") > cap, col("count") - 1)
+              .otherwise(expr("count * (count - 1) / 2"))).as("capped_bound"),
+            sum(when(col("count") > cap, 1L).otherwise(0L)).as("hot_keys"))
           .collect()(0)
         val sec = math.rint((System.nanoTime() - t0) / 1e7) / 100
         println(s"""{"sf":"$sfDir","n_perms":$perms,"n_bands":$bands,""" +
           s""""volume_bound":${vol.get(0)},"hottest_band_key":${vol.get(1)},""" +
+          s""""capped_bound":${vol.get(2)},"hot_keys":${vol.get(3)},"cap":$cap,""" +
           s""""sketch_sec":$sec}""")
       } else {
         val t0 = System.nanoTime()

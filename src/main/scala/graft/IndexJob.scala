@@ -35,9 +35,13 @@ object IndexJob {
       .getOrElse("/root/testdata/sf0.001").split(",").toSeq
     val doVacuum = !args.contains("--no-vacuum")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE: same dial as Bench/BandGeomSweep — the sf10
+    // synth builds want 128 partitions so the band-join explosion
+    // spreads (r13 finding), while the default stays cpus
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
