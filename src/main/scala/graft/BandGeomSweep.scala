@@ -46,9 +46,22 @@ object BandGeomSweep {
       if (volumeOnly) {
         import org.apache.spark.sql.functions._
         val t0 = System.nanoTime()
-        val sk = ext.Dedup.sketchOfG(
-          spark.read.parquet(s"$sfDir/documents.parquet")
-            .select("doc_id", "text"), bands, perms)
+        // SPARK_GRAFT_REPLICATE=k (r14): probe the volume of a
+        // REPLICA-HEAVY corpus — every document exact-copied k times
+        // (ids remapped i*k+r). The sf-synth corpora turned out to hold
+        // ZERO exact duplicates (their shard replicas carry distinct
+        // suffix tokens), so the d1→d3 rep-collapse argument needs a
+        // corpus that actually has the k-copy families it is about;
+        // bound(replicated)/bound(original) is the measured reduction
+        // the exact-first pipeline order buys (≈ k² per family).
+        val repl = sys.env.get("SPARK_GRAFT_REPLICATE").map(_.toInt).getOrElse(1)
+        val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text")
+        val docsF =
+          if (repl <= 1) docs0
+          else docs0.select(explode(array((0 until repl).map(r =>
+              col("doc_id") * repl + r): _*)).as("doc_id"), col("text"))
+        val sk = ext.Dedup.sketchOfG(docsF, bands, perms)
         // capped_bound (r14): the candidate volume the engine ACTUALLY
         // pays under the HotBandKeyCap star emission — hot keys
         // contribute n−1 instead of C(n,2)
