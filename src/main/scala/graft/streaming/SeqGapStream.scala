@@ -37,7 +37,14 @@ object SeqGapStream {
   case class BlockHealth(blk: Long, first_seq: Long, last_seq: Long,
       n_present: Long, n_missing: Long)
 
-  private case class BitmapState(first: Long, last: Long, words: Seq[Long])
+  // private[streaming], NOT object-private: Scala `private` compiles the
+  // class without public access, and janino's generated encoder code
+  // (living outside this class) then rejects every accessor call
+  // ("no applicable method for zero actual parameters") — Spark fell
+  // back to interpreted encoders on this hot state path and spewed
+  // ERROR CodeGenerator on every run. `private[qualifier]` compiles to
+  // public bytecode, which is what the codegen'd caller needs.
+  private[streaming] case class BitmapState(lo: Long, hi: Long, words: Seq[Long])
 
   class GapProcessor
       extends StatefulProcessor[Long, Offset, BlockHealth] {
@@ -54,8 +61,8 @@ object SeqGapStream {
       val prev = if (state.exists()) Some(state.get()) else None
       val words: Array[Long] = prev.map(_.words.toArray)
         .getOrElse(new Array[Long]((BlockWidth + 63) / 64))
-      var first = prev.map(_.first).getOrElse(Long.MaxValue)
-      var last = prev.map(_.last).getOrElse(Long.MinValue)
+      var first = prev.map(_.lo).getOrElse(Long.MaxValue)
+      var last = prev.map(_.hi).getOrElse(Long.MinValue)
       rows.foreach { r =>
         val off = r.seq - key * BlockWidth
         // a mismatched (blk, seq) — negative seq, caller bug — must fail

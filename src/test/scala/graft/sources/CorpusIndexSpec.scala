@@ -32,7 +32,7 @@ class CorpusIndexSpec extends SparkSpec {
   test("canonical-key consumers reduce with NO Exchange over the bucketed label scan") {
     graft.ext.Dedup.dedupClusters(spark, sf).count() // ensure published
     val fp = CorpusIndex.fingerprint(sf, Seq("documents"))
-    val t = spark.table(s"graft_idx_labels_minhash${graft.ext.Dedup.geomTag}_$fp")
+    val t = spark.table(s"graft_idx_labels_minhash${graft.ext.Dedup.geomTag}${graft.ext.Dedup.capTag}_$fp")
     val agg = t.groupBy("canonical").agg(count(lit(1)).as("n"))
     val plan = agg.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
@@ -44,10 +44,10 @@ class CorpusIndexSpec extends SparkSpec {
   test("a new session re-registers the published index without rebuilding") {
     graft.ext.Dedup.dedupClusters(spark, sf).count() // ensure published
     val fp = CorpusIndex.fingerprint(sf, Seq("documents"))
-    val table = s"graft_idx_labels_minhash${graft.ext.Dedup.geomTag}_$fp"
+    val table = s"graft_idx_labels_minhash${graft.ext.Dedup.geomTag}${graft.ext.Dedup.capTag}_$fp"
     val before = spark.table(table).collect().toSet
     val root = new File(sys.props("user.dir"), "target/graft-index")
-    val dir = new File(root, s"labels_minhash${graft.ext.Dedup.geomTag}_$fp")
+    val dir = new File(root, s"labels_minhash${graft.ext.Dedup.geomTag}${graft.ext.Dedup.capTag}_$fp")
     val mtimes = dir.listFiles().map(f => f.getName -> f.lastModified).toMap
     // simulate a later driver: the catalog entry is gone, the files stay
     spark.sql(s"DROP TABLE $table")
@@ -60,11 +60,11 @@ class CorpusIndexSpec extends SparkSpec {
 
   test("buildAll publishes every index and is idempotent") {
     val first = CorpusIndex.buildAll(spark, sf).toMap
+    val pairTag = s"${graft.ext.Dedup.geomTag}${graft.ext.Dedup.capTag}"
     assert(first.keySet == Set("token_hashes", "shingle_postings",
       "shingle_cooccur", "dup_spans", s"minhash_sketch${graft.ext.Dedup.geomTag}",
-      s"lsh_pairs${graft.ext.Dedup.geomTag}",
-      s"labels_minhash${graft.ext.Dedup.geomTag}",
-      s"labels_minhash_old${graft.ext.Dedup.geomTag}",
+      s"lsh_pairs$pairTag", s"labels_minhash$pairTag",
+      s"labels_minhash_old$pairTag", s"labels_exact_lsh$pairTag",
       "embed_pairs", "labels_embed", "term_freq", "gram_base"))
     assert(first.values.forall(_ > 0L), s"empty index: $first")
     // second call is pure reads — identical counts, no rewrites
@@ -101,7 +101,7 @@ class CorpusIndexSpec extends SparkSpec {
       Seq(sf, "/root/testdata/sf0.01", "/root/testdata/sf0.1", "/tmp/sf1s"))
     assert(!orphan.exists() && !crashed.exists(),
       s"orphans must be deleted (vacuumed: $gone)")
-    assert(new File(root, s"labels_minhash${graft.ext.Dedup.geomTag}_$fp").exists(),
+    assert(new File(root, s"labels_minhash${graft.ext.Dedup.geomTag}${graft.ext.Dedup.capTag}_$fp").exists(),
       "live index must survive vacuum")
     // and it still serves
     assert(graft.ext.Dedup.dedupClusters(spark, sf).count() > 0)
