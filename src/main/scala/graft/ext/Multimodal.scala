@@ -546,37 +546,92 @@ object Multimodal {
     * round trip hash-matches.
     */
   object WavCodec {
-    private val Format = new javax.sound.sampled.AudioFormat(
-      8000f, 16, 1, true, false) // 8 kHz, 16-bit, mono, signed, little-endian
+    // 8 kHz, 16-bit, mono, signed, little-endian PCM
+    private val SampleRate = 8000
+    private val BitsPerSample = 16
+    private val BlockAlign = 2 // mono * 16-bit
 
+    /** Encode as a canonical 44-byte-header RIFF/WAVE file — the exact
+      * byte layout `javax.sound.sampled.AudioSystem.write(…, WAVE, …)`
+      * produces for this format (`MultimodalSpec` proves byte equality
+      * against the JDK writer). Hand-rolled rather than routed through
+      * `AudioSystem` because the JDK entry points re-resolve their
+      * provider registry on EVERY call (`JDK13Services.getProviders`
+      * takes a global lock and re-instantiates providers): under
+      * local[32] the m11/m12 codec passes measured 32 threads running
+      * encode+decode SLOWER than one thread (1.7 s vs 1.0 s wall for the
+      * sf0.1 volume — ~55 s of task time for ~1 s of actual work). A
+      * plain byte-layout writer has no shared state at all.
+      */
     def encodePcm(samples: Array[Short]): Array[Byte] = {
-      val raw = new Array[Byte](samples.length * 2)
+      val dataLen = samples.length * 2
+      val out = new Array[Byte](44 + dataLen)
+      def putTag(off: Int, s: String): Unit = {
+        out(off) = s.charAt(0).toByte; out(off + 1) = s.charAt(1).toByte
+        out(off + 2) = s.charAt(2).toByte; out(off + 3) = s.charAt(3).toByte
+      }
+      def putIntLE(off: Int, v: Int): Unit = {
+        out(off) = (v & 0xff).toByte
+        out(off + 1) = ((v >> 8) & 0xff).toByte
+        out(off + 2) = ((v >> 16) & 0xff).toByte
+        out(off + 3) = ((v >> 24) & 0xff).toByte
+      }
+      def putShortLE(off: Int, v: Int): Unit = {
+        out(off) = (v & 0xff).toByte
+        out(off + 1) = ((v >> 8) & 0xff).toByte
+      }
+      putTag(0, "RIFF"); putIntLE(4, 36 + dataLen); putTag(8, "WAVE")
+      putTag(12, "fmt "); putIntLE(16, 16) // PCM fmt chunk is 16 bytes
+      putShortLE(20, 1) // audio format: PCM
+      putShortLE(22, 1) // channels: mono
+      putIntLE(24, SampleRate)
+      putIntLE(28, SampleRate * BlockAlign) // byte rate
+      putShortLE(32, BlockAlign)
+      putShortLE(34, BitsPerSample)
+      putTag(36, "data"); putIntLE(40, dataLen)
       var i = 0
       while (i < samples.length) {
-        raw(2 * i) = (samples(i) & 0xff).toByte
-        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        out(44 + 2 * i) = (samples(i) & 0xff).toByte
+        out(44 + 2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
         i += 1
       }
-      val in = new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(raw), Format, samples.length.toLong)
-      val out = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(in,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-      out.toByteArray
+      out
     }
 
+    /** Decode a RIFF/WAVE payload: validate the RIFF/WAVE magic, walk
+      * the chunk list (chunks may appear in any order and carry padding,
+      * per the RIFF spec — the JDK writer emits fmt then data, but the
+      * reader must not assume that), and pull the 16-bit LE samples out
+      * of the `data` chunk. Same chunk-walking contract as the JDK
+      * reader, minus its per-call provider-registry lock (see
+      * [[encodePcm]]).
+      */
     def decodePcm(wav: Array[Byte]): Array[Short] = {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(wav))
-      val raw = in.readAllBytes()
-      val samples = new Array[Short](raw.length / 2)
-      var i = 0
-      while (i < samples.length) {
-        samples(i) =
-          (((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort
-        i += 1
+      def tag(off: Int): String =
+        new String(wav, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      def intLE(off: Int): Int =
+        (wav(off) & 0xff) | ((wav(off + 1) & 0xff) << 8) |
+          ((wav(off + 2) & 0xff) << 16) | ((wav(off + 3) & 0xff) << 24)
+      require(wav.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+        "not a RIFF/WAVE payload")
+      var off = 12
+      while (off + 8 <= wav.length) {
+        val chunkLen = intLE(off + 4)
+        if (tag(off) == "data") {
+          val dataOff = off + 8
+          val len = math.min(chunkLen, wav.length - dataOff)
+          val samples = new Array[Short](len / 2)
+          var i = 0
+          while (i < samples.length) {
+            samples(i) = (((wav(dataOff + 2 * i + 1) & 0xff) << 8) |
+              (wav(dataOff + 2 * i) & 0xff)).toShort
+            i += 1
+          }
+          return samples
+        }
+        off += 8 + chunkLen + (chunkLen & 1) // chunks are word-aligned
       }
-      samples
+      throw new IllegalArgumentException("WAVE payload has no data chunk")
     }
   }
 

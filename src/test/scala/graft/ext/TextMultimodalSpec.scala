@@ -132,6 +132,56 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV codec equals the JDK reference writer byte-for-byte; decode " +
+      "reads JDK-written files and non-canonical chunk layouts") {
+    // the hand-rolled encoder (adopted r14: AudioSystem re-resolves its
+    // provider registry per call, serializing 32-thread codec passes)
+    // must produce EXACTLY the bytes the JDK reference writer produces
+    val jdkFormat = new javax.sound.sampled.AudioFormat(
+      8000f, 16, 1, true, false)
+    def jdkEncode(samples: Array[Short]): Array[Byte] = {
+      val raw = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), jdkFormat, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(0, 1, 7, 256, 2048)) {
+      val samples = Array.fill(n)(rnd.nextInt(65536).toShort)
+      val ours = Multimodal.WavCodec.encodePcm(samples)
+      val jdk = jdkEncode(samples)
+      assert(ours.toSeq == jdk.toSeq, s"n=$n: encoder diverges from JDK")
+      // and the JDK reader accepts our bytes (container validity both ways)
+      val jdkRead = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(ours)).readAllBytes()
+      assert(jdkRead.length == n * 2, s"n=$n: JDK reader rejects our bytes")
+      assert(Multimodal.WavCodec.decodePcm(jdk).toSeq == samples.toSeq,
+        s"n=$n: decode diverges on JDK-written bytes")
+    }
+    // chunk-walking: a LIST chunk (odd-length, so padded) before data
+    val samples = Array[Short](42, -42, 17)
+    val canonical = Multimodal.WavCodec.encodePcm(samples)
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val shuffled = canonical.take(36) ++ extra ++ canonical.drop(36)
+    // fix the RIFF size field for the inserted chunk
+    val riffLen = (shuffled.length - 8)
+    shuffled(4) = (riffLen & 0xff).toByte
+    shuffled(5) = ((riffLen >> 8) & 0xff).toByte
+    shuffled(6) = ((riffLen >> 16) & 0xff).toByte
+    shuffled(7) = ((riffLen >> 24) & 0xff).toByte
+    assert(Multimodal.WavCodec.decodePcm(shuffled).toSeq == samples.toSeq,
+      "decode must walk past non-data chunks with odd-length padding")
+  }
+
   test("m11: silence grid is exact; energy conserved against a driver replay") {
     val got = Multimodal.wavEnergy(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
