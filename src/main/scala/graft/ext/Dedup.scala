@@ -1456,16 +1456,21 @@ object Dedup {
     * deep-peel graph that the corpus never produces.
     */
   private[ext] def kcoreOf(pairs: DataFrame, coreK: Long): DataFrame = {
-    // NOT checkpointed: `pairs` is the persisted lsh_pairs index, so
-    // each per-round use re-scans parquet + mirrors in the projection —
-    // cheaper than serializing the 2|E|-row frame into block storage
-    // (the sf1-synth graph is 19M pairs; materializing 38M mirrored
-    // rows cost more than every peel round combined)
+    // LAZY-checkpointed (r14 opt): the r10 measurement that re-scanning
+    // the lsh_pairs parquet per round beat EAGER materialization held,
+    // but a lazy checkpoint is strictly better than both — the 2-long
+    // mirrored edge frame materializes as a side effect of round 1's
+    // degree aggregation (no extra blocking job) and every later round's
+    // loss join reads the cached blocks instead of re-running scan +
+    // explode (measured 7.3 -> 4.6 s on the sf0.1 957k-pair graph;
+    // 2x8 bytes/edge keeps even the sf10 238M-pair graph's checkpoint
+    // in MEMORY_AND_DISK range on the design cluster).
     val edges = pairs
       .select(explode(array(
         struct(col("doc_a").as("u"), col("doc_b").as("v")),
         struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint(false)
     // LAZY checkpoints (k13's measured trade, same discipline as
     // [[pageRankOn]]): each frame still materializes exactly once — on
     // first reference — but the round's only BLOCKING driver round-trip
@@ -1551,18 +1556,24 @@ object Dedup {
     val und = pairs
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .localCheckpoint(false) // referenced every iteration
+      .localCheckpoint(false) // consumed twice below (degree agg + join)
     val nodes = ids.select(col(idCol).as("u"))
     val nF = nodes.agg(count(lit(1)).as("n"))
-    val deg = und.groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint(false)
+    // Degree rides the EDGE frame (r14 opt): contributions used to be a
+    // per-iteration r ⋈ deg node join whose result then joined the edges
+    // — folding deg onto each edge once makes every iteration ONE join
+    // (edges ⋈ r) + one aggregate instead of two joins; `r DIV deg` per
+    // edge is the identical integer value it was per node. One edge-frame
+    // column of 8 bytes buys iters× fewer exchanges.
+    val undDeg = und
+      .join(und.groupBy("u").agg(count(lit(1)).as("deg")), Seq("u"))
+      .localCheckpoint(false) // referenced every iteration
     var r = nodes.crossJoin(broadcast(nF)) // one-row frame: correct broadcast
       .select(col("u"), expr(s"$Scale DIV n").as("r"))
       .localCheckpoint(false)
     for (_ <- 1 to iters) {
-      val contrib = r.join(deg, Seq("u"))
-        .select(col("u"), expr("r DIV deg").as("c"))
-      val msg = und.join(contrib, Seq("u"))
-        .groupBy("v").agg(sum("c").as("msg"))
+      val msg = undDeg.join(r, Seq("u"))
+        .groupBy("v").agg(sum(expr("r DIV deg")).as("msg"))
         .select(col("v").as("u"), col("msg"))
       r = nodes.crossJoin(broadcast(nF))
         .join(msg, Seq("u"), "left")
@@ -1829,7 +1840,148 @@ object Dedup {
   def incrementalLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val per = sketchFrame(spark, sfDir)
     incrementalPairs(per.filter(col("doc_id") % 10 === 0),
-      per.filter(col("doc_id") % 10 =!= 0))
+      per.filter(col("doc_id") % 10 =!= 0), checkpointSides = true)
+  }
+
+  /** Optimization-round experiment harness (graft.Scratch): times the
+    * d13 candidate stage in isolation and alternative confirm shapes
+    * against the shipped one. Diagnostic only — never registered.
+    */
+  private[graft] def scratchD13Variants(spark: SparkSession, sfDir: String,
+      time: String => (=> Long) => Long,
+      force: DataFrame => Long): Unit = {
+    val per = sketchFrame(spark, sfDir)
+    val delta = per.filter(col("doc_id") % 10 === 0)
+    val index = per.filter(col("doc_id") % 10 =!= 0)
+    // warm
+    force(incrementalPairs(delta, index))
+
+    val keep = Seq(col("doc_id")) ++ bandCols.map(col) :+ col("toks")
+    val all = delta.select(lit(true).as("b_delta") +: keep: _*)
+      .unionByName(index.select(lit(false).as("b_delta") +: keep: _*))
+    val l = delta.select(col("doc_id").as("da") +:
+      bandCols.map(c => col(c).as(s"a$c")): _*)
+    val corpus = all.select(col("doc_id").as("db") +: col("b_delta") +:
+      bandCols.map(c => col(c).as(s"b$c")): _*)
+    val once = col("da") < col("db") || !col("b_delta")
+    def candOf(lf: DataFrame, cf: DataFrame, extraCond: Column): DataFrame =
+      (0 until LshBands).map { b =>
+        val cond = (0 until b).map(j => col(s"abk$j") =!= col(s"bbk$j"))
+          .foldLeft(col(s"abk$b") === col(s"bbk$b") &&
+            col("da") =!= col("db") && once && extraCond)(_ && _)
+        lf.join(cf, cond).select(col("da"), col("db"))
+      }.reduce(_ unionByName _)
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"))
+
+    time("A: candidates only")(force(
+      candOf(l, corpus, lit(true))))
+    time("B: shipped d13")(force(incrementalPairs(delta, index)))
+    // C: size prefilter inside the band join condition
+    val lS = delta.select(col("doc_id").as("da") +: size(col("toks")).as("na") +:
+      bandCols.map(c => col(c).as(s"a$c")): _*)
+    val corpusS = all.select(col("doc_id").as("db") +: col("b_delta") +:
+      size(col("toks")).as("nb") +: bandCols.map(c => col(c).as(s"b$c")): _*)
+    val candC = candOf(lS, corpusS,
+      least(col("na"), col("nb")) * 19 >= (col("na") + col("nb")) * 9)
+    val toks = all.select(col("doc_id"), col("toks"))
+    time("C: prefilter in band join")(force(jaccardPairs(
+      candC
+        .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
+        .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b")),
+      col("ta"), col("tb"), 0.9, (9, 10))))
+    // D: carry toks through the band joins (no re-join)
+    val lT = delta.select(col("doc_id").as("da") +: col("toks").as("tka") +:
+      bandCols.map(c => col(c).as(s"a$c")): _*)
+    val corpusT = all.select(col("doc_id").as("db") +: col("b_delta") +:
+      col("toks").as("tkb") +: bandCols.map(c => col(c).as(s"b$c")): _*)
+    val candD = (0 until LshBands).map { b =>
+      val cond = (0 until b).map(j => col(s"abk$j") =!= col(s"bbk$j"))
+        .foldLeft(col(s"abk$b") === col(s"bbk$b") &&
+          col("da") =!= col("db") && once)(_ && _)
+      lT.join(corpusT, cond).select(col("da"), col("db"), col("tka"), col("tkb"))
+    }.reduce(_ unionByName _)
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        when(col("da") < col("db"), col("tka")).otherwise(col("tkb")).as("ta"),
+        when(col("da") < col("db"), col("tkb")).otherwise(col("tka")).as("tb"))
+    time("D: toks carried through join")(force(
+      jaccardPairs(candD, col("ta"), col("tb"), 0.9, (9, 10))))
+    // E: lazy-checkpoint the 500-row delta band frame (8 broadcast builds
+    // currently each re-scan the parquet index)
+    val lCk = l.localCheckpoint(false)
+    val toksE = all.select(col("doc_id"), col("toks"))
+    def confirm(cand: DataFrame): DataFrame = jaccardPairs(
+      cand
+        .join(toksE.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
+        .join(toksE.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b")),
+      col("ta"), col("tb"), 0.9, (9, 10))
+    time("E: delta ckpt")(force(confirm(candOf(lCk, corpus, lit(true)))))
+    // F: checkpoint both narrow sides
+    val corpusCk = corpus.localCheckpoint(false)
+    time("F: delta+corpus ckpt")(force(confirm(candOf(lCk, corpusCk, lit(true)))))
+    time("F2: repeat")(force(confirm(candOf(lCk, corpusCk, lit(true)))))
+    // G: F plus the size prefilter inside the band join
+    val lSCk = delta.select(col("doc_id").as("da") +: size(col("toks")).as("na") +:
+      bandCols.map(c => col(c).as(s"a$c")): _*).localCheckpoint(false)
+    val corpusSCk = all.select(col("doc_id").as("db") +: col("b_delta") +:
+      size(col("toks")).as("nb") +: bandCols.map(c => col(c).as(s"b$c")): _*)
+      .localCheckpoint(false)
+    time("G: ckpt + prefilter in join")(force(confirm(candOf(lSCk, corpusSCk,
+      least(col("na"), col("nb")) * 19 >= (col("na") + col("nb")) * 9))))
+    time("G2: repeat")(force(confirm(candOf(lSCk, corpusSCk,
+      least(col("na"), col("nb")) * 19 >= (col("na") + col("nb")) * 9))))
+  }
+
+  /** Optimization-round d23 experiments (graft.Scratch). */
+  private[graft] def scratchD23Variants(spark: SparkSession, sfDir: String,
+      time: String => (=> Long) => Long,
+      force: DataFrame => Long): Unit = {
+    val pairs = minhashLsh(spark, sfDir)
+    force(kcoreOf(pairs, CoreK)) // warm
+    time("V1: shipped kcore")(force(kcoreOf(pairs, CoreK)))
+    // V2: edges lazy-checkpointed once, mirrored via union
+    def kcoreCk(edgesCk: DataFrame): DataFrame = {
+      var deg = edgesCk.groupBy(col("u").as("doc_id"))
+        .agg(count(lit(1)).as("deg"))
+        .localCheckpoint(false)
+      val shells = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var round = 1L
+      var doomed = deg.filter(col("deg") < CoreK).localCheckpoint(false)
+      var nDoomed = doomed.count()
+      while (nDoomed > 0) {
+        shells += doomed.select(col("doc_id"), lit(false).as("in_core"),
+          lit(round).as("peel_round"), col("deg"))
+        val loss = edgesCk
+          .join(doomed.select(col("doc_id").as("v")), Seq("v"))
+          .groupBy(col("u").as("doc_id"))
+          .agg(count(lit(1)).as("lost"))
+        deg = deg.filter(col("deg") >= CoreK)
+          .join(loss, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"))
+          .localCheckpoint(false)
+        round += 1
+        doomed = deg.filter(col("deg") < CoreK).localCheckpoint(false)
+        nDoomed = doomed.count()
+      }
+      val core = deg.select(col("doc_id"), lit(true).as("in_core"),
+        lit(0L).as("peel_round"), col("deg"))
+      (shells :+ core).reduce(_ unionByName _)
+    }
+    val edgesU = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    time("V2: edges union+ckpt")(force(kcoreCk(edgesU.localCheckpoint(false))))
+    val edgesE = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("u"), col("doc_b").as("v")),
+        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    time("V3: edges explode+ckpt")(force(kcoreCk(edgesE.localCheckpoint(false))))
+    // V4: pre-shuffle the checkpointed edges on v (the per-round join key)
+    time("V4: edges repart(v)+ckpt")(force(kcoreCk(
+      edgesU.repartition(spark.sessionState.conf.numShufflePartitions, col("v"))
+        .localCheckpoint(false))))
   }
 
   /** The per-ingest engine shared by d13 and the streaming writer
@@ -1842,19 +1994,40 @@ object Dedup {
     * `a < b` orientation, and band exclusivity (band 1 requires band 0
     * to differ) carries over from d3 unchanged.
     */
-  private[graft] def incrementalPairs(delta: DataFrame, index: DataFrame): DataFrame = {
+  private[graft] def incrementalPairs(delta: DataFrame, index: DataFrame,
+      checkpointSides: Boolean = false): DataFrame = {
     val keep = Seq(col("doc_id")) ++ bandCols.map(col) :+ col("toks")
     val all = delta.select(lit(true).as("b_delta") +: keep: _*)
       .unionByName(index.select(lit(false).as("b_delta") +: keep: _*))
-    val l = delta.select(col("doc_id").as("da") +:
+    // Both band-join legs carry size(toks) so the exact-Jaccard NECESSARY
+    // condition (see [[jaccardPairs]]) rides the join condition itself:
+    // a candidate whose sizes already rule out jac >= 9/10 dies on two
+    // stored ints inside the join instead of joining its token arrays
+    // (~29% of sf0.1 candidates; pure pushdown — jaccardPairs re-applies
+    // the same bound, so the pair set is untouched).
+    val l0 = delta.select(col("doc_id").as("da") +: size(col("toks")).as("na") +:
       bandCols.map(c => col(c).as(s"a$c")): _*)
-    val corpus = all.select(col("doc_id").as("db") +: col("b_delta") +:
-      bandCols.map(c => col(c).as(s"b$c")): _*)
+    val corpus0 = all.select(col("doc_id").as("db") +: col("b_delta") +:
+      size(col("toks")).as("nb") +: bandCols.map(c => col(c).as(s"b$c")): _*)
+    // Batch path (d13): lazy-checkpoint the two NARROW band frames — the
+    // eight per-band broadcast builds otherwise each re-scan the sketch
+    // index as their own sequential AQE stage, and the eight stream legs
+    // re-scan it again (measured 3.2 s -> 1.7 s at sf0.1; the frames are
+    // doc_id + size + [[LshBands]] longs, ~80 B/doc, so the
+    // materialization is bounded and write-once). The STREAMING caller
+    // ([[graft.streaming.NearDupStream]]) keeps re-scanning instead:
+    // there the index side is corpus-sized per micro-batch while the
+    // delta is tiny, and a per-batch materialization of the whole index
+    // would accumulate checkpoint blocks across batches.
+    val (l, corpus) =
+      if (checkpointSides) (l0.localCheckpoint(false), corpus0.localCheckpoint(false))
+      else (l0, corpus0)
     val once = col("da") < col("db") || !col("b_delta")
+    val sizeOk = least(col("na"), col("nb")) * 19 >= (col("na") + col("nb")) * 9
     val cand = (0 until LshBands).map { b =>
       val cond = (0 until b).map(j => col(s"abk$j") =!= col(s"bbk$j"))
         .foldLeft(col(s"abk$b") === col(s"bbk$b") &&
-          col("da") =!= col("db") && once)(_ && _)
+          col("da") =!= col("db") && once && sizeOk)(_ && _)
       l.join(corpus, cond).select(col("da"), col("db"))
     }.reduce(_ unionByName _)
       .select(least(col("da"), col("db")).as("doc_a"),

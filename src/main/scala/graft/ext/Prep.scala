@@ -211,8 +211,36 @@ object Prep {
     * deterministic and oracle-exact.
     */
   def bpeTrain(spark: SparkSession, sfDir: String): DataFrame =
-    bpeTrainOn(Tables.documents(spark, sfDir)
-      .select(explode(tokens(col("text"))).as("t")), BpeMerges)
+    bpeTrainedOnDocs(spark, sfDir)._1
+
+  /** The corpus BPE artifacts — (ordered merge table, final symbol
+    * table) — memoized per (session, sfDir) through [[FrameMemo]]
+    * exactly like the shingle/posting frames: c10, c12 and c18 all
+    * consume the SAME 6-round trainer fold, so a driver run that
+    * executes several of them pays the loop once (each merge round is a
+    * blocking argmax, so three cold trainings were pure repetition). At
+    * 100 TB the production shape is identical: the tokenizer is trained
+    * once per corpus snapshot and every consumer reads the merge/vocab
+    * tables. Cleared per bench pass like every FrameMemo entry, so the
+    * timed total still pays one full training per pass.
+    */
+  private def bpeTrainedOnDocs(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
+    def tokenFrame = Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("t"))
+    var built: Option[(DataFrame, DataFrame)] = None
+    val vocab = FrameMemo("bpe:vocab", spark, sfDir) {
+      val b = bpeTrainFull(tokenFrame, BpeMerges)
+      built = Some(b)
+      b._2
+    }
+    // vocab hit ⇒ merges was inserted by the same build; the fallback
+    // rebuild only runs if the two entries ever diverge (they are only
+    // cleared together).
+    val merges = FrameMemo("bpe:merges", spark, sfDir)(
+      built.map(_._1).getOrElse(bpeTrainFull(tokenFrame, BpeMerges)._1))
+    (merges, vocab)
+  }
 
   /** The trainer over an arbitrary one-column token frame `t` — the
     * injectable core of c10.
@@ -229,11 +257,17 @@ object Prep {
       nMerges: Int): (DataFrame, DataFrame) = {
     val spark = tokenFrame.sparkSession
     import spark.implicits._
+    // LAZY checkpoints throughout the loop (r14 opt, k13/pageRank's
+    // measured trade): each round's vocab still materializes exactly
+    // once — as a side effect of the NEXT round's argmax head() (or of
+    // the consumer's first action for the final round) — but the loop no
+    // longer runs a second blocking job per round just to checkpoint
+    // (was 2 driver syncs per merge round, now 1).
     var vocab = tokenFrame
       .groupBy("t").agg(count(lit(1)).as("freq"))
       .select(col("t"), col("freq"),
         expr("filter(split(t, ''), x -> x != '')").as("syms"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     for (step <- 1 to nMerges) {
       val best = vocab
@@ -248,7 +282,7 @@ object Prep {
         .limit(1).head()
       val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
       vocab = vocab.withColumn("syms", applyMerge(col("syms"), l, r))
-        .localCheckpoint()
+        .localCheckpoint(false)
       merges += ((step, l, r, l + r, n))
     }
     (merges.result().toDF("step", "left_sym", "right_sym", "merged", "n"),
@@ -264,13 +298,13 @@ object Prep {
     * corpus-sized pass is one (doc, token) count aggregation joined to
     * that vocabulary on the token string. At 100 TB: corpus cost = one
     * shuffle of (doc_id, token) counts; fold cost = |vocab|, amortized
-    * exactly as training was. No memoization across c10/c12 — each
-    * registered query is a self-contained driver run (the verify
-    * driver's contract), and the loop is vocab-bounded.
+    * exactly as training was. The trainer artifacts are session-memoized
+    * ([[bpeTrainedOnDocs]]) — each query remains self-contained for an
+    * isolated driver run (the memo just builds on first touch), but a
+    * driver that runs c10/c12/c18 together trains once.
     */
   def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, vocab) = bpeTrainFull(Tables.documents(spark, sfDir)
-      .select(explode(tokens(col("text"))).as("t")), BpeMerges)
+    val (_, vocab) = bpeTrainedOnDocs(spark, sfDir)
     val enc = vocab.select(col("t"), size(col("syms")).as("n_units"),
       length(col("t")).as("n_chars"))
     val tc = Tables.documents(spark, sfDir)
@@ -296,8 +330,7 @@ object Prep {
     * floor is an identity check, not a data accident.
     */
   def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, vocab) = bpeTrainFull(Tables.documents(spark, sfDir)
-      .select(explode(tokens(col("text"))).as("t")), BpeMerges)
+    val (_, vocab) = bpeTrainedOnDocs(spark, sfDir)
     val enc = vocab.select(col("t"), size(col("syms")).as("n_units"),
       length(col("t")).as("n_chars"))
     val tc = Tables.documents(spark, sfDir)

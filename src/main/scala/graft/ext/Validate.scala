@@ -516,6 +516,16 @@ object Validate {
         Tables.lineitem(spark, sfDir), "l_orderkey", "l_linestatus"))
       .unionByName(pairs("customer: c_nationkey->c_mktsegment",
         Tables.customer(spark, sfDir), "c_nationkey", "c_mktsegment"))
+      // EXPLICIT fan-out on the aggregation key (x23's argument): the
+      // tagged pair stream is byte-tiny (short strings compress to a few
+      // MB) but CPU-dense (1.3M-row string hash aggregate at sf0.1), and
+      // AQE's size-based coalescing squeezed the distinct aggregate to 3
+      // tasks — a serial straggler (measured 2.4 s wall, 2.4 s in that
+      // one stage). Partitioning by (fd, __l) is a ClusteredDistribution
+      // for BOTH aggregate levels, so this one AQE-exempt exchange
+      // replaces the aggregate's own and nothing else changes.
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("fd"), col("__l"))
       .groupBy("fd", "__l").agg(count_distinct(col("__r")).as("nd"))
       .groupBy("fd").agg(count(lit(1)).as("n_groups"),
         sum(when(col("nd") > 1L, 1L).otherwise(0L)).as("n_violating"))
