@@ -170,7 +170,7 @@ object Bloom {
     // the register table feeds K broadcasts — materialize it once
     // instead of re-running the dimension scan + aggregation per join
     val candidates = prunedCandidates(li, "l_orderkey",
-      bloomWordsFast(keys, "o_orderkey", NWords).localCheckpoint(), NWords)
+      bloomWordsFast(keys, "o_orderkey", NWords).localCheckpoint(false), NWords)
     // keys is fact-sized at 100 TB — shuffle semi join, never broadcast.
     // BARRIER between prune and confirm: without it, Catalyst's
     // PushDownLeftSemiAntiJoin reorders the exact semi join BELOW the
@@ -237,7 +237,7 @@ object Bloom {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_returnflag"),
         col("l_extendedprice"), col("l_discount"))
-    val words = bloomWordsFast(keys, "o_orderkey", NWords).localCheckpoint()
+    val words = bloomWordsFast(keys, "o_orderkey", NWords).localCheckpoint(false)
     val flagged = bloomFlagged(li, "l_orderkey", words, NWords)
     val misses = flagged.filter(!col("__maybe")).drop("__maybe")
     val hits = barrierFilter(flagged.filter(col("__maybe")).drop("__maybe"),

@@ -783,17 +783,34 @@ object Dedup {
       .select(col("doc_id") +:
         (0 until EstBands).map(b => bandKeyAt(b, EstRows).as(s"bk$b")) ++:
         (0 until 16).map(i => col(s"s$i")): _*)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val est = (0 until 16)
       .map(i => when(col(s"sa$i") === col(s"sb$i"), 1L).otherwise(0L))
       .reduce(_ + _).cast("double") / 16.0
-    bandCandidates(per.select(col("doc_id") +:
-      (0 until EstBands).map(b => col(s"bk$b")): _*), EstBands)
-      .join(per.select(col("doc_id").as("doc_a") +:
-        (0 until 16).map(i => col(s"s$i").as(s"sa$i")): _*), Seq("doc_a"))
-      .join(per.select(col("doc_id").as("doc_b") +:
-        (0 until 16).map(i => col(s"s$i").as(s"sb$i")): _*), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), est.as("est_jac"))
+    // Signatures ride the band joins (r14 opt): the previous shape ran
+    // bandCandidates on ids + band keys and RE-JOINED the candidate set
+    // against `per` twice to attach sa/sb — but d8's candidate set is
+    // ~3x the corpus (the estimator's uncapped contract), so those two
+    // joins moved candidate-sized frames where carrying the 16 sketch
+    // longs (128 B/doc — the sketch IS the record here) through the
+    // corpus-sized join legs moves strictly less past any corpus where
+    // candidates outnumber documents. Band-exclusivity (band b requires
+    // every earlier band to differ) and the a<b orientation are the
+    // same conjunction bandCandidates uses, so the pair set is
+    // byte-identical.
+    val l = per.select(col("doc_id").as("doc_a") +:
+      (0 until EstBands).map(b => col(s"bk$b").as(s"abk$b")) ++:
+      (0 until 16).map(i => col(s"s$i").as(s"sa$i")): _*)
+    val r = per.select(col("doc_id").as("doc_b") +:
+      (0 until EstBands).map(b => col(s"bk$b").as(s"bbk$b")) ++:
+      (0 until 16).map(i => col(s"s$i").as(s"sb$i")): _*)
+    (0 until EstBands).map { b =>
+      val cond = (0 until b)
+        .map(j => col(s"abk$j") =!= col(s"bbk$j"))
+        .foldLeft(col(s"abk$b") === col(s"bbk$b") &&
+          col("doc_a") < col("doc_b"))(_ && _)
+      l.join(r, cond).select(col("doc_a"), col("doc_b"), est.as("est_jac"))
+    }.reduce(_ unionByName _)
   }
 
   /** d7 — dedup CLUSTER resolution: connected components over the
@@ -1331,7 +1348,7 @@ object Dedup {
     // One materialization of the 32-fold sketch aggregation; the 4 band
     // joins reference it from 5 plan sites (4 stream sides + the shared
     // broadcast) and would otherwise recompute it per site.
-    val sk = simhashSketch(spark, sfDir).localCheckpoint()
+    val sk = simhashSketch(spark, sfDir).localCheckpoint(false)
     val l = sk.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
     val r = sk.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
     val perBand = (0 until 4).map { b =>
@@ -1375,7 +1392,7 @@ object Dedup {
   def triangleStats(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = embedNearDup(spark, sfDir)
       .select(col("vec_a").as("a"), col("vec_b").as("b"))
-      .localCheckpoint() // feeds degrees + both rank joins
+      .localCheckpoint(false) // feeds degrees + both rank joins
     val deg = edges.select(col("a").as("id"))
       .unionByName(edges.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -1391,7 +1408,7 @@ object Dedup {
         when(col("rka") < col("rkb"), col("a")).otherwise(col("b")).as("u"),
         when(col("rka") < col("rkb"), col("b")).otherwise(col("a")).as("v"),
         greatest(col("rka"), col("rkb")).as("rkv"))
-      .localCheckpoint() // referenced three times in the wedge-close join
+      .localCheckpoint(false) // referenced three times in the wedge-close join
     val e1 = oriented.select(col("u"), col("v").as("v1"), col("rkv").as("rk1"))
     val e2 = oriented.select(col("u"), col("v").as("v2"), col("rkv").as("rk2"))
     val tri = e1.join(e2, Seq("u")).filter(col("rk1") < col("rk2"))

@@ -894,13 +894,19 @@ object Prep {
   /** c24/c25's shared scored-and-labeled input: c22 scores (riding the
     * durable token-hash index) doc-joined to the c21 reference labels.
     */
-  private[graft] def calibrationInput(spark: SparkSession, sfDir: String): DataFrame = {
-    val labels = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), gopherPass(col("text")).as("pass"))
-    qualityClassifier(spark, sfDir)
-      .select(col("doc_id"), col("score_micro"))
-      .join(labels, Seq("doc_id"))
-  }
+  private[graft] def calibrationInput(spark: SparkSession, sfDir: String): DataFrame =
+    // FrameMemo-shared (r14 opt): c24 and c25 are the same fold over the
+    // same scored-and-labeled frame — the per-doc classifier scoring and
+    // the 6-HOF gopher predicate ran twice per driver. Doc-keyed, three
+    // columns, lazily materialized; cleared per bench pass.
+    FrameMemo("qc:calibration", spark, sfDir) {
+      val labels = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), gopherPass(col("text")).as("pass"))
+      qualityClassifier(spark, sfDir)
+        .select(col("doc_id"), col("score_micro"))
+        .join(labels, Seq("doc_id"))
+        .localCheckpoint(false)
+    }
 
   /** The c25 scalar over ANY `(score_micro, pass)` relation — the
     * one-row rollup of [[calibrationOn]]'s bounded bin frame. DECIMAL

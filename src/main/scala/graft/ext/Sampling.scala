@@ -373,7 +373,7 @@ object Sampling {
           expr("CAST(unix_micros(ts) DIV 86400000000 AS STRING)")).as("k"))
     // materialized once: both the sketch chain and the truth counts
     // consume the distinct (type, user-day) frame — one corpus scan
-    val tu = keyed.distinct().localCheckpoint()
+    val tu = keyed.distinct().localCheckpoint(false)
     // distinct hash values per scope; the '__all__' scope re-distincts
     // because the same user-day (hence hash) appears under many types
     val dh = tu.select(col("event_type"), tokenHash(col("k")).as("h"))
@@ -386,7 +386,7 @@ object Sampling {
       .unionByName(
         dh.select(col("h")).distinct()
           .select(lit("__all__").as("scope"), col("h")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // locator: coarse histogram → first bin whose running count reaches
     // k holds the k-th smallest hash (bins are per-scope counts, a few
     // thousand rows total — window over a statistics-sized frame)
@@ -500,7 +500,7 @@ object Sampling {
       .groupBy("term").agg(sum("tf").as("true_count"))
       .select(col("term"), col("true_count"),
         posexplode(buckets).as(Seq("row", "bucket")))
-      .localCheckpoint() // vocabulary-sized; feeds counters AND the probe
+      .localCheckpoint(false) // vocabulary-sized; feeds counters AND the probe
     val counters = terms.groupBy("row", "bucket")
       .agg(sum("true_count").as("c"))
     terms

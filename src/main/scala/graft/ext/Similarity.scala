@@ -133,8 +133,17 @@ object Similarity {
     * oracle's. |cells| rows — the one genuinely-small frame in the ANN
     * family.
     */
+  /** The corpus-path centroid frame is FrameMemo-shared (r14 opt): five
+    * registry queries (s5, s8, s13, s15–s17) each rebuilt the identical
+    * posexplode → two-aggregate → reassemble pipeline (3–4 sequential
+    * AQE stages per query for a |cells|-row result). Lazy-checkpointed
+    * like the posting frames; cleared per bench pass. The injectable
+    * `...On` variants keep building from their argument — specs drive
+    * synthetic corpora through them.
+    */
   private def centroidVectors(spark: SparkSession, sfDir: String): DataFrame =
-    centroidVectorsOn(Tables.embeddings(spark, sfDir))
+    graft.ext.FrameMemo("ivf:centroids", spark, sfDir)(
+      centroidVectorsOn(Tables.embeddings(spark, sfDir)).localCheckpoint(false))
 
   private def centroidVectorsOn(emb: DataFrame): DataFrame =
     centroidRowsOn(emb)
@@ -197,7 +206,8 @@ object Similarity {
     * the shortfall tail, not the corpus.
     */
   def filteredTopk(spark: SparkSession, sfDir: String): DataFrame =
-    filteredTopkOn(Tables.embeddings(spark, sfDir))
+    topkOut(filteredArms(Tables.embeddings(spark, sfDir),
+      Some(centroidVectors(spark, sfDir))).candW, 3)
 
   /** s15 over an arbitrary embeddings-shaped frame — injectable so the
     * starved-tenant spec can drive the widen branch through the SERVING
@@ -234,7 +244,8 @@ object Similarity {
     * |queries|·k-row frames, driver-dashboard sized.
     */
   def filteredRecallEval(spark: SparkSession, sfDir: String): DataFrame =
-    filteredRecallEvalOn(Tables.embeddings(spark, sfDir))
+    filteredRecallEvalOn(Tables.embeddings(spark, sfDir),
+      Some(centroidVectors(spark, sfDir)))
 
   /** s16 over an arbitrary embeddings-shaped frame `(vec_id, embedding,
     * label)` — injectable so the spec can craft a corpus where the
@@ -253,14 +264,15 @@ object Similarity {
   private final case class FilteredArms(e: DataFrame, q: DataFrame,
       candA: DataFrame, shortfall: DataFrame, candW: DataFrame)
 
-  private def filteredArms(embRaw: DataFrame): FilteredArms = {
+  private def filteredArms(embRaw: DataFrame,
+      centsOpt: Option[DataFrame] = None): FilteredArms = {
     import Portable.tokenHash
     val e = embRaw
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"),
         col("label"))
       .withColumn("tenant", tokenHash(col("vec_id").cast("string")) % Tenants)
-    val cents = centroidVectorsOn(embRaw)
+    val cents = centsOpt.getOrElse(centroidVectorsOn(embRaw))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("label").as("qlabel"), col("tenant").as("qtenant"))
@@ -305,8 +317,9 @@ object Similarity {
       .select("query_id", "neighbor_id")
   }
 
-  private[ext] def filteredRecallEvalOn(embRaw: DataFrame): DataFrame = {
-    val arms = filteredArms(embRaw)
+  private[ext] def filteredRecallEvalOn(embRaw: DataFrame,
+      centsOpt: Option[DataFrame] = None): DataFrame = {
+    val arms = filteredArms(embRaw, centsOpt)
     val truth = arms.e.crossJoin(broadcast(arms.q))
       .filter(col("tenant") === col("qtenant") &&
         col("vec_id") =!= col("query_id"))
@@ -345,7 +358,7 @@ object Similarity {
     val e = vecs(spark, sfDir)
       .withColumn("qz", transform(col("v"), x => floor(x * 64).cast("long")))
       // referenced by the query side, the coarse scan, and the rerank join
-      .localCheckpoint()
+      .localCheckpoint(false)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qz").as("qqz"), col("v").as("qv"))
     val coarse = e.crossJoin(broadcast(q.select(col("query_id"), col("qqz"))))
@@ -463,7 +476,7 @@ object Similarity {
         floor(cosineSim(col("nv"), col("qv")) * lit(1000000.0))
           .cast("long").as("cmic"))
       .filter(col("cmic") > 0)
-      .localCheckpoint() // feeds fwd stats, bwd stats, and the margin join
+      .localCheckpoint(false) // feeds fwd stats, bwd stats, and the margin join
     val fwd = cand
       .withColumn("rk", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("cmic").desc, col("neighbor_id"))))
@@ -526,7 +539,8 @@ object Similarity {
     }.reduce(_ + _)
 
   def knnJoin(spark: SparkSession, sfDir: String): DataFrame =
-    knnJoinOn(Tables.embeddings(spark, sfDir))
+    knnJoinOn(Tables.embeddings(spark, sfDir),
+      Some(centroidVectors(spark, sfDir)))
 
   /** s8's ADAPTIVE CELL ASSIGNMENT, factored out of [[knnJoinOn]]:
     * `(vec_id, v, label, subcell)` for an arbitrary
@@ -553,8 +567,9 @@ object Similarity {
     * [[CellN0]] threshold on a synthetic corpus the testdata alone
     * can't reach.
     */
-  private[ext] def knnJoinOn(emb: DataFrame): DataFrame = {
-    val cents = centroidVectorsOn(emb)
+  private[ext] def knnJoinOn(emb: DataFrame,
+      centsOpt: Option[DataFrame] = None): DataFrame = {
+    val cents = centsOpt.getOrElse(centroidVectorsOn(emb))
     val e = cellAssignOn(emb)
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("label"))
@@ -625,7 +640,7 @@ object Similarity {
         array((0 until M).map(m => codeOf(col("v"), m)): _*).as("codes"))
       // referenced by the code rows, the codebook build, the query side,
       // and the rerank joins — materialize the encode pass once
-      .localCheckpoint()
+      .localCheckpoint(false)
     val encRows = enc.select(col("vec_id"),
       posexplode(col("codes")).as(Seq("m", "code")))
     // codebook: fixed-point mean subvector per (subspace, code, subdim)
@@ -884,7 +899,7 @@ object Similarity {
       else encBase)
       // referenced by the codebook build, the query side, the candidate
       // scan, and the rerank join — materialize the encode pass once
-      .localCheckpoint()
+      .localCheckpoint(false)
     val codebook = enc
       .select(col("codes"), posexplode(col("v")).as(Seq("dim", "value")))
       .select(expr(s"dim DIV $SubDim").as("m"), expr(s"dim % $SubDim").as("sd"),

@@ -308,7 +308,7 @@ object TextAnalysis {
   def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
     val bi = gramBase(spark, sfDir).filter(col("w2").isNotNull)
     val docBi = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
-      .localCheckpoint() // consumed three times (both counts + the join spine)
+      .localCheckpoint(false) // consumed three times (both counts + the join spine)
     val big = docBi.groupBy("w1", "w2").agg(sum("k").as("c12"))
     val uni = docBi.groupBy("w1").agg(sum("k").as("c1"))
     docBi
@@ -419,7 +419,7 @@ object TextAnalysis {
     // 1-row (lo, hi); localCheckpointed so the three bucketings share one
     // computation instead of re-deriving the aggregate subtree per use
     val span = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     def bucketOf(df: DataFrame): DataFrame =
       df.crossJoin(broadcast(span)) // one-row frame: correct broadcast
         .withColumn("id_bucket", expr("(doc_id - lo) * 10 DIV (hi - lo + 1)"))
