@@ -737,10 +737,19 @@ object Dedup {
         col("inter").cast("double") /
           (col("stot") - col("inter")).cast("double") >= 0.9)
       .select("probe_id", "partner")
+    // Semi-filter the index arm to the 64 probes BEFORE the truth join
+    // (r14 opt): the mirrored pair frame is 2|pairs| rows (1.9M at
+    // sf0.1) and as the RIGHT side of the left join it forced a full
+    // shuffle+sort; only rows whose probe_id is one of the
+    // [[LshProbeCount]] probes can ever match, so the broadcast
+    // semi-join cuts the join input to probes×degree and the left join
+    // itself broadcasts. Pure pushdown — result rows unchanged.
     val found = lshPairs.select(col("doc_a").as("probe_id"),
         col("doc_b").as("partner"))
       .unionByName(lshPairs.select(col("doc_b").as("probe_id"),
         col("doc_a").as("partner")))
+      .join(broadcast(probes.select(col("probe_id"))), Seq("probe_id"),
+        "left_semi")
       .withColumn("hit", lit(1L))
     truth.join(found, Seq("probe_id", "partner"), "left")
       .groupBy("probe_id")
